@@ -1,0 +1,980 @@
+"""Relational operators of the query surface (SURVEY.md §2.A).
+
+The reference's grammar is Spark-derived (reference
+``src/parser/DorisParser.g4:19`` — "Copied from Apache Spark"), so every
+operator here is a Spark built-in; the work is expressing each verify key as
+an idiomatic Catalyst plan plus a DuckDB oracle twin.
+
+Determinism conventions (see ``dodo_spark.registry`` docstring): decimal
+accumulation for float aggregates, explicit BIGINT casts for DuckDB integer
+sums, unique ORDER BY tiebreakers under every window/limit.
+
+Scale notes are attached per operator: each plan is shaped so that at 100 TB
+the scan prunes columns, filters push to parquet, small dimensions broadcast
+and only genuinely key-partitioned shuffles remain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dodo_spark.catalog import load_table
+from dodo_spark.registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def dsum(col: Column | str, alias: str, scale: int = 4) -> Column:
+    """Order-independent double sum via exact decimal accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str, scale: int = 4) -> Column:
+    """Order-independent double average: exact decimal sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, scale: int = 4) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 scan + projection + filter
+# ---------------------------------------------------------------------------
+@register(
+    "scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_quantity < 10
+      AND l_returnflag = 'N'
+    """,
+    doc="A1: parquet scan with pushed filter + pruned projection "
+    "(ref DorisParser.g4:1143-1198). Filters land in PushedFilters; "
+    "ReadSchema carries only 7 of 11 lineitem columns.",
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_quantity") < 10)
+            & (F.col("l_returnflag") == "N")
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3/A4/A5/A6 joins
+# ---------------------------------------------------------------------------
+@register(
+    "join_inner",
+    oracle=f"""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           {sql_dsum("o_totalprice", "total_sales")}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="A2: inner equi-joins (ref DorisParser.g4:1224-1337). nation is "
+    "broadcast; orders⋈customer shuffles on the key — the only shuffle "
+    "that must exist at 100 TB.",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("order_cnt"), dsum("o_totalprice", "total_sales"))
+    )
+
+
+@register(
+    "join_left",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS customers,
+           CAST(SUM(CASE WHEN order_cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS inactive,
+           CAST(SUM(order_cnt) AS BIGINT) AS orders_total
+    FROM (
+      SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS order_cnt
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment
+    ) t
+    GROUP BY c_mktsegment
+    """,
+    doc="A3: left outer join preserving customers without orders "
+    "(ref DorisParser.g4:1310-1320).",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("customers"),
+        F.sum(F.when(F.col("order_cnt") == 0, 1).otherwise(0)).alias("inactive"),
+        F.sum("order_cnt").alias("orders_total"),
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS customers
+               FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS suppliers
+               FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(customers, 0) AS customers,
+           COALESCE(suppliers, 0) AS suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="A3: full outer join of two aggregates (ref DorisParser.g4:1313).",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("customers"))
+    )
+    s = (
+        supplier.filter(F.col("s_acctbal") > 0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("suppliers"))
+    )
+    return (
+        c.join(s, "nk", "full")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            F.coalesce("customers", F.lit(0)).alias("customers"),
+            F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, o_orderstatus, CAST(cnt AS BIGINT) AS cnt
+    FROM region
+    CROSS JOIN (SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus) s
+    """,
+    doc="A4: cross join of two tiny relations (ref DorisParser.g4:1312); "
+    "Spark plans a BroadcastNestedLoopJoin — correct for bounded sides only.",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    status = orders.groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
+    return region.select("r_name").crossJoin(status)
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS active_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+    doc="A5: left semi join = customers with >=1 order "
+    "(ref DorisParser.g4:1316-1319). Semi join avoids the fanout a plain "
+    "join+distinct would shuffle.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("active_customers"))
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS inactive_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="A5: left anti join = customers with no orders (ref DorisParser.g4:1316-1319).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("inactive_customers"))
+    )
+
+
+@register(
+    "join_theta",
+    oracle=f"""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS richer_pairs,
+           {sql_dsum("s_acctbal - c_acctbal", "gap_sum")}
+    FROM supplier JOIN customer
+      ON s_nationkey IS NOT DISTINCT FROM c_nationkey
+     AND s_acctbal > c_acctbal
+    GROUP BY s_nationkey
+    """,
+    doc="A6: equi + theta join with null-safe equality <=> "
+    "(ref DorisParser.g4:1322-1324, NSEQ :1663; example "
+    "src/parser/custom_test.go:70). The null-safe key keeps it a hash join; "
+    "the range predicate is a post-join filter.",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    cond = supplier.s_nationkey.eqNullSafe(customer.c_nationkey) & (
+        supplier.s_acctbal > customer.c_acctbal
+    )
+    return (
+        supplier.join(customer, cond)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("richer_pairs"),
+            dsum(F.col("s_acctbal") - F.col("c_acctbal"), "gap_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8-A11 aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "agg_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", 6)},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", 6)},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A8: hash aggregation, TPC-H Q1 shape (ref aggClause "
+    "DorisParser.g4:1240-1242). Partial aggregation map-side; the shuffle "
+    "carries only |groups| rows per partition.",
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price", 6),
+            dsum(charge, "sum_charge", 6),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supps,
+           CAST(COUNT(*) AS BIGINT) AS rows_cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="A9: multi-column distinct aggregation (ref setQuantifier "
+    "DorisParser.g4:1155-1158); Spark expands to per-distinct shuffles.",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.count("*").alias("rows_cnt"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="A10: ROLLUP with GROUPING disambiguation (ref groupingElement "
+    "DorisParser.g4:1244-1253).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("cnt"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {sql_dsum("l_quantity", "qty")}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="A10: CUBE (ref DorisParser.g4:1247).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("cnt"),
+        dsum("l_quantity", "qty"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="A10: GROUPING SETS (ref DorisParser.g4:1249-1252).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS cnt,
+               {sql_dsum("o_totalprice", "total")}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT order_cnt, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT o_custkey, COUNT(*) AS order_cnt
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 5
+    ) t
+    GROUP BY order_cnt
+    """,
+    doc="A11: HAVING as post-aggregation filter (ref DorisParser.g4:1255-1257).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("order_cnt"))
+        .filter(F.col("order_cnt") >= 5)
+    )
+    return per_cust.groupBy("order_cnt").agg(F.count("*").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# A12-A14, A17 windows
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="A12: ranking window family (ref OVER windowSpec "
+    "DorisParser.g4:1585,1612-1621); single shuffle on the partition key.",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_orderdate) OVER w AS next_date,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="A13: lag/lead/first_value (ref usage example/usercase/sql/q0.sql).",
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@register(
+    "window_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_3
+    FROM orders
+    """,
+    doc="A14: ROWS BETWEEN frames (ref windowFrame DorisParser.g4:1623-1637). "
+    "Decimal accumulation — DuckDB computes sliding frames with a segment "
+    "tree whose float addition order differs from Spark's running sum.",
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec)
+        .over(order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.sum(price_dec)
+        .over(order_w.rowsBetween(-2, Window.currentRow))
+        .cast("double")
+        .alias("moving_3"),
+    )
+
+
+@register(
+    "window_qualify",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) t WHERE rn = 1
+    """,
+    doc="A11: QUALIFY = filter over a window column (ref DorisParser.g4:1259-1261): "
+    "richest customer per nation.",
+)
+def window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        customer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+    doc="A17: top-K per group via ranking window + filter. Catalyst pushes "
+    "the rn<=3 limit into the window (WindowGroupLimit) so each partition "
+    "keeps a bounded heap — the scalable form of per-group top-k.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15/A16 sort + limit + offset
+# ---------------------------------------------------------------------------
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    doc="A15/A16: global sort + limit/offset (ref sortClause/limitClause "
+    "DorisParser.g4:1292-1304). Spark plans TakeOrderedAndProject — no full "
+    "sort materialization at scale.",
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18/A19 set operations
+# ---------------------------------------------------------------------------
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT side, key, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT 'customer' AS side, c_nationkey AS key FROM customer
+      UNION ALL
+      SELECT 'supplier' AS side, s_nationkey AS key FROM supplier
+    ) t GROUP BY side, key
+    """,
+    doc="A18: UNION ALL (ref setOperation DorisParser.g4:1147-1153).",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    u = customer.select(
+        F.lit("customer").alias("side"), F.col("c_nationkey").alias("key")
+    ).unionAll(supplier.select(F.lit("supplier").alias("side"), F.col("s_nationkey").alias("key")))
+    return u.groupBy("side", "key").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS key FROM customer
+    UNION
+    SELECT s_nationkey AS key FROM supplier
+    """,
+    doc="A18: UNION DISTINCT = union + dedup.",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("key"))
+        .union(supplier.select(F.col("s_nationkey").alias("key")))
+        .distinct()
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS key FROM customer
+    INTERSECT
+    SELECT s_nationkey AS key FROM supplier
+    """,
+    doc="A19: INTERSECT (distinct semantics).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("key")).intersect(
+        supplier.select(F.col("s_nationkey").alias("key"))
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS key FROM customer
+    EXCEPT
+    SELECT s_nationkey AS key FROM supplier
+    """,
+    doc="A19: EXCEPT/MINUS (distinct semantics).",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("key")).subtract(
+        supplier.select(F.col("s_nationkey").alias("key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A20/A21 CTEs + subqueries
+# ---------------------------------------------------------------------------
+@register(
+    "cte_reuse",
+    oracle=f"""
+    WITH cust_rev AS (
+      SELECT o_custkey, {sql_dsum("o_totalprice", "revenue")}
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT a.o_custkey, a.revenue
+    FROM cust_rev a
+    WHERE a.revenue > (SELECT {sql_davg("revenue", "x")} FROM cust_rev)
+    """,
+    doc="A20: CTE referenced twice (ref cte DorisParser.g4:1176-1186; "
+    "usage example/usercase/sql/q0.sql).",
+)
+def cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        WITH cust_rev AS (
+          SELECT o_custkey, {sql_dsum("o_totalprice", "revenue")}
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT a.o_custkey, a.revenue
+        FROM cust_rev a
+        WHERE a.revenue > (SELECT {sql_davg("revenue", "x")} FROM cust_rev)
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    doc="A21: IN subquery -> semi-join rewrite (ref predicate IN "
+    "DorisParser.g4:1510-1518).",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS cnt, {sql_dsum("o_totalprice", "total")}
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 100000
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="A21: correlated EXISTS (ref DorisParser.g4:1487-1490).",
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS cnt
+        FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 100000
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS big_orders
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+    doc="A21: uncorrelated scalar subquery (ref subqueryExpression "
+    "DorisParser.g4:1557); threshold computed with the deterministic avg.",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS big_orders
+        FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM orders
+        )
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# A23 explode / lateral view
+# ---------------------------------------------------------------------------
+@register(
+    "explode_array",
+    oracle="""
+    SELECT vec_id, CAST(t.i AS INTEGER) AS pos,
+           CAST(embedding[t.i + 1] AS DOUBLE) AS val
+    FROM embeddings, generate_series(0, 7) AS t(i)
+    WHERE vec_id < 50
+    """,
+    doc="A23: LATERAL VIEW posexplode (ref lateralView DorisParser.g4:1283-1286): "
+    "first 8 embedding dims, one row per (vector, position).",
+)
+def explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val"))
+        .select("vec_id", F.col("pos").cast("int").alias("pos"), F.col("val").cast("double").alias("val"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A24 sample (rows-only: nondeterministic across engines by nature)
+# ---------------------------------------------------------------------------
+@register(
+    "sample_rows",
+    oracle=None,
+    doc="A24: TABLESAMPLE with repeatable seed (ref sample "
+    "DorisParser.g4:1745-1752). Bernoulli sample, seeded — deterministic "
+    "within Spark, not reproducible in the oracle (rows-only).",
+)
+def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("sampled_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A26/A27 predicates
+# ---------------------------------------------------------------------------
+@register(
+    "pred_like_between",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part
+    WHERE p_name LIKE '%an%'
+      AND p_size BETWEEN 10 AND 40
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_brand IN ('Brand#11','Brand#22','Brand#33','Brand#44','Brand#55')
+      AND p_retailprice IS NOT NULL
+    GROUP BY p_brand
+    """,
+    doc="A26: BETWEEN / LIKE / NOT LIKE / IN-list / IS NOT NULL "
+    "(ref predicate DorisParser.g4:1510-1518). All reach PushedFilters.",
+)
+def pred_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").like("%an%")
+            & F.col("p_size").between(10, 40)
+            & ~F.col("p_type").like("MEDIUM%")
+            & F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33", "Brand#44", "Brand#55")
+            & F.col("p_retailprice").isNotNull()
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "text_match",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS matching_docs
+    FROM documents
+    WHERE list_contains(string_split(lower(text), ' '), 'data')
+    GROUP BY lang
+    """,
+    doc="A27: MATCH_ANY approximation (ref DorisParser.g4:1513) — tokenized "
+    "containment instead of an inverted index; at scale the token array is "
+    "computed in the scan projection, no shuffle before the aggregate.",
+)
+def text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.array_contains(F.split(F.lower("text"), " ", -1), "data"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("matching_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A36/A37 collect + NDV aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc="A36: GROUP_CONCAT(... ORDER BY) (ref functionCallExpression "
+    "DorisParser.g4:1579-1586) = collect_list + array_sort + concat_ws.",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@register(
+    "agg_ndv_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custs,
+           CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="A37: exact NDV — the bitmap_union_count equivalent "
+    "(ref types SURVEY §1.2; load mapping src/gendata.go:164-183).",
+)
+def agg_ndv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("custs"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("days"),
+    )
+
+
+@register(
+    "agg_ndv_approx",
+    oracle=None,
+    doc="A37: approximate NDV — hll_union_agg equivalent via HyperLogLog++ "
+    "(approx_count_distinct). Sketch values differ across engines: rows-only.",
+)
+def agg_ndv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A39 INSERT ... SELECT (rows-only: executed against a session-scoped table)
+# ---------------------------------------------------------------------------
+@register(
+    "insert_select",
+    oracle=None,
+    doc="A39: INSERT INTO ... SELECT (ref supportedDmlStatement "
+    "DorisParser.g4:127-160). Materializes a filtered projection into a "
+    "session-scoped table and returns its aggregate; rows-only because the "
+    "sink is engine-local state.",
+)
+def insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    inserted = orders.filter(
+        (F.col("o_totalprice") > 150000) & (F.col("o_totalprice") <= 200000)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    # INSERT INTO target SELECT ... == target := target UNION ALL source
+    target = base.unionAll(inserted)
+    target.createOrReplaceTempView("insert_select_target")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS rows_after_insert,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM insert_select_target
+        """
+    )
