@@ -1,1 +1,277 @@
-"""Placeholder — filled in during round 1 build."""
+"""Deduplication operators over ``documents``/``embeddings`` (SURVEY.md
+§2.D D5/D6 + the training-data-pipeline dedup family).
+
+Four tiers, all deterministic and oracle-checked where expressible:
+
+- exact        content-hash groupBy (D5)
+- minhash LSH  shingle -> minhash -> band -> bucket-join -> verified Jaccard
+- simhash      bitwise majority fingerprint over token hashes
+- embedding    cosine near-dup over scaled-integer vectors
+
+Scale shape: every tier is a scan-side projection followed by ONE shuffle
+on a compact key (hash / band-key / simhash), then pair verification inside
+buckets. No cross joins except the embedding tier's explicit brute-force
+baseline (its LSH scale path lives in ``operators.similarity``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dodo_spark.catalog import load_table
+from dodo_spark.functions.vectors import cosine, scaled_vec, sql_cosine, sql_scaled_vec
+from dodo_spark.registry import register
+
+# --- shingling / minhash parameters (shared by Spark plan and oracle) -----
+SHINGLE_LEN = 24
+SHINGLE_STRIDE = 8
+NUM_HASHES = 8
+BANDS = 4  # rows-per-band = NUM_HASHES // BANDS = 2
+JACCARD_THRESHOLD = 0.8
+
+
+def _shingles(col: str = "text") -> Column:
+    """Distinct char-24-gram shingles, stride 8 — a rolling fingerprint set."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(col) - (SHINGLE_LEN - 1), F.lit(1)), F.lit(SHINGLE_STRIDE)
+            ),
+            lambda i: F.col(col).substr(i, F.lit(SHINGLE_LEN)),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH h AS (
+      SELECT md5(lower(trim(text))) AS content_hash, COUNT(*) AS copies
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+           CAST(SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS BIGINT) AS dup_docs
+    FROM h
+    """,
+    doc="D5: exact dedup via normalized content hash + groupBy; summary of "
+    "group multiplicities. The keep-one form is row_number()=1 over the "
+    "hash (same shuffle).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")).agg(
+        F.count("*").alias("copies")
+    )
+    return h.agg(
+        F.sum("copies").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.sum((F.col("copies") > 1).cast("bigint")).alias("dup_groups"),
+        F.sum(F.when(F.col("copies") > 1, F.col("copies")).otherwise(0)).alias("dup_docs"),
+    )
+
+
+def _minhash_oracle() -> str:
+    sh_expr = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1), {SHINGLE_STRIDE}),"
+        f" i -> substring(text, i, {SHINGLE_LEN})))"
+    )
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    rows_per_band = NUM_HASHES // BANDS
+    band_selects = "\n    UNION ALL\n".join(
+        "SELECT doc_id, sh, {b} AS band_idx, md5('{b}' || {concat}) AS band_key FROM m".format(
+            b=b,
+            concat=" || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {sh_expr} AS sh FROM documents
+    ), m AS (
+      SELECT doc_id, sh,
+         {mh_cols}
+      FROM d
+    ), b AS (
+    {band_selects}
+    ), p AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM b a JOIN b c
+        ON a.band_idx = c.band_idx AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+    ), v AS (
+      SELECT p.doc_a, p.doc_b,
+             len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS inter,
+             len(da.sh) AS la, len(db.sh) AS lb
+      FROM p JOIN d da ON da.doc_id = p.doc_a JOIN d db ON db.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+    FROM v
+    WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_near",
+    oracle=_minhash_oracle(),
+    doc="D6: near-dup detection — char-shingle MinHash (k=8, md5-permuted), "
+    "4-band LSH bucketing, bucket self-join, exact-Jaccard verification at "
+    "0.8. Both engines run the identical signature scheme, so the "
+    "(probabilistic-recall) candidate sets coincide and the output is "
+    "deterministic. One shuffle on band_key; pairs only form inside "
+    "buckets — the 100 TB-safe shape.",
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _shingles().alias("sh"))
+    mh = d.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(F.transform("sh", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))).alias(
+                f"mh{i}"
+            )
+            for i in range(NUM_HASHES)
+        ],
+    )
+    rows_per_band = NUM_HASHES // BANDS
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(str(b)), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(BANDS)
+        ]
+    )
+    exploded = mh.select("doc_id", "sh", F.posexplode(bands).alias("band_idx", "band_key"))
+    left = exploded.alias("a")
+    right = exploded.alias("c")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("c.sh").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jaccard = inter.cast("double") / union
+    return (
+        pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def _sql_hex4_int(expr: str) -> str:
+    """DuckDB: int value of the first 4 hex chars of an md5 digest."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_sql_hex4_int("md5(tok)")} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}" for k in range(SIMHASH_BITS))}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN v{k} > 0 THEN 1 ELSE 0 END) * {1 << k}" for k in range(SIMHASH_BITS))}
+                AS BIGINT) AS simhash
+    FROM votes
+    """,
+    doc="SimHash fingerprint: md5-derived 16-bit token hashes, per-bit "
+    "majority vote over the distinct-token set. Near-dups land at small "
+    "hamming distance; bucketing by simhash value (or bit-band) gives the "
+    "LSH join. Explode + groupBy keeps it fully distributed.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != ""))
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
+    hashed = toks.select("doc_id", h.alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        [(F.col(f"v{k}") > 0).cast("bigint") * (1 << k) for k in range(SIMHASH_BITS)],
+        start=F.lit(0).cast("bigint"),
+    )
+    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+COSINE_DUP_THRESHOLD = 0.99
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {sql_scaled_vec("embedding")} AS sv FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine("a.sv", "b.sv")} AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.sv", "b.sv")} >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc="embedding-cosine near-dup: brute-force pair scan at test scale "
+    "(the oracle-checkable baseline); the bucketed scale path is "
+    "similarity_lsh. Scaled-integer vectors make the cosine bit-identical "
+    "across engines.",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+    a = v.alias("a")
+    b = v.alias("b")
+    sim = cosine(F.col("a.sv"), F.col("b.sv"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )

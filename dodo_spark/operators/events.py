@@ -1,1 +1,187 @@
-"""Placeholder — filled in during round 1 build."""
+"""Event-time operators over the ``events`` table (SURVEY.md §2.D, D1-D4).
+
+The reference has no streaming surface; its closest analogue is the timed
+replay scheduler (reference ``src/replay.go:217-241``) whose per-client
+gap arithmetic D4 reproduces. D1-D3 are the batch-computable forms of
+Structured Streaming windows — the same expressions run under
+``readStream`` (see ``dodo_spark.streaming``).
+
+All bucketing uses ``window()``/``session_window()``, which operate on
+absolute epoch micros and are session-timezone independent — important
+because the driver's session may not be UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dodo_spark.catalog import load_table
+from dodo_spark.operators.relational import dsum, sql_dsum
+from dodo_spark.registry import register
+
+
+@register(
+    "events_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {sql_dsum("value", "value_sum")},
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="D1: event-time tumbling window aggregation; identical expression "
+    "works under Structured Streaming with a watermark.",
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("value", "value_sum"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "cnt",
+            "value_sum",
+            "users",
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, value
+      FROM events
+    )
+    SELECT ws, ws + INTERVAL '1 hour' AS we,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {sql_dsum("value", "value_sum")}
+    FROM assigned
+    GROUP BY ws
+    """,
+    doc="D1: sliding window (1h size, 30m slide) — each event lands in two "
+    "windows; the oracle materializes the window assignment explicitly.",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), dsum("value", "value_sum"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "cnt", "value_sum")
+    )
+
+
+@register(
+    "events_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {sql_dsum("value", "value_sum")}
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="D2: session windows, 30-minute gap (session_window); oracle is the "
+    "classic gaps-and-islands rewrite. session_window end = last event + gap.",
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"), dsum("value", "value_sum"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "events_late_filter",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, {sql_dsum("value", "value_sum")}
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+    GROUP BY event_type
+    """,
+    doc="D3: watermark late-data semantics in batch form — keep only rows "
+    "within the 10-minute watermark of max event time. The streaming twin "
+    "is withWatermark('ts','10 minutes') (dodo_spark.streaming).",
+)
+def events_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        SELECT event_type, COUNT(*) AS cnt, {sql_dsum("value", "value_sum")}
+        FROM events
+        WHERE ts >= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+        GROUP BY event_type
+        """
+    )
+
+
+@register(
+    "replay_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS gap_cnt,
+           CAST(SUM(gap_us) AS BIGINT) AS gap_sum_us,
+           CAST(MAX(gap_us) AS BIGINT) AS gap_max_us
+    FROM gaps
+    GROUP BY user_id
+    """,
+    doc="D4: replay inter-statement gap semantics (reference "
+    "src/replay.go:227 — interval = ts2 - ts1 - dur1, here without the "
+    "duration term): per-client ordered lag over event time. This is the "
+    "DataFrame form of the reference's per-client goroutine scheduler.",
+)
+def replay_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("gap_cnt"),
+            F.sum("gap_us").alias("gap_sum_us"),
+            F.max("gap_us").alias("gap_max_us"),
+        )
+    )
