@@ -1,1 +1,449 @@
-"""Placeholder — filled in during round 1 build."""
+"""Audit-log scan dataflow (SURVEY.md §2.B, B3-B7).
+
+Reference behavior re-expressed as DataFrame programs:
+
+- B3 file scan: multiline record reassembly (a record starts with a
+  ``yyyy-mm-dd HH:MM:SS,fff`` timestamp, reference ``src/auditlog.go:140-197``)
+  + 7-field regex extraction (``src/auditlog.go:29``).
+- B4 table scan: the reference's keyset pagination (``src/db.go:464-634``)
+  dissolves into Spark partitioned scans; filters are plain predicates.
+- B5 filter/dedup: empty/truncated/internal/EXPLAIN-SHOW-USE drops, time
+  range, min duration (``src/auditlog.go:295-339, 399-436``); query_id
+  dedup (``:258-274`` — windowed there only to bound memory; exact here).
+- B6 unescape ``\\n``/``\\t``/``\\r`` outside string literals and comments
+  (``src/auditlog.go:341-390``) — expression-based tokenizer, no UDF.
+- B7 replay meta encode (``src/replay.go:514-533``): prepend
+  ``/*dodo{json}*/`` and ensure a ``;`` suffix.
+
+Semantic delta vs reference (documented): the reference ends ``--`` comment
+protection at an escaped ``\\n`` two-char sequence; our tokenizer ends it at
+any backslash or real newline. Both engines (Spark plan and DuckDB oracle)
+implement the identical spec, and lookahead-free regexes keep it RE2-safe.
+
+Scale: reassembly is two passes over the text (count record-starts per
+partition, then assign global record ids from broadcast prefix sums) — the
+only genuinely imperative per-partition logic in the engine. Extraction,
+filtering and dedup are codegen'd expressions + one dropDuplicates shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from dodo_spark.catalog import load_table
+from dodo_spark.registry import register
+
+# record-start pattern (reference src/auditlog.go:140-160: a new log record
+# begins with a second-resolution timestamp + ',' + millis)
+RECORD_START = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d*"
+
+# 7-group extraction (clean-room equivalent of reference src/auditlog.go:29;
+# db/state/IsQuery are captured as data and filtered as predicates instead
+# of being baked into the pattern — Catalyst pushes those filters around)
+STMT_RE = (
+    r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d*) \[[^\]]+\] "
+    r"\|Client=([^|]+)\|User=([^|]+)(?:\|Ctl=[^|]+)?\|Db=([^|]*)"
+    r"(?:\|CommandType=[^|]+)?\|State=([^|]*)\|(?:.+?)\|Time(?:\(ms\))?=(\d*)"
+    r"\|(?:.+?)\|QueryId=([a-z0-9-]+)\|IsQuery=([^|]+)\|(?:.+?)\|Stmt=(.+?)\|CpuTimeMS="
+)
+
+INTERNAL_SQL_COMMENT = "/*dodo"
+FILTER_STMT_RE = r"(?i)^(EXPLAIN|SHOW|USE)"
+
+
+# --------------------------------------------------------------------------
+# B3: multiline reassembly (file -> one row per log record)
+# --------------------------------------------------------------------------
+def reassemble_log_records(spark: SparkSession, path: str) -> DataFrame:
+    """Read a (possibly multi-file) audit log and reassemble multiline
+    records: every line not starting with a timestamp belongs to the
+    record opened by the nearest preceding timestamp line.
+
+    Two-pass distributed algorithm: (1) count record starts per partition,
+    (2) broadcast prefix sums, assign ``record_id = prefix + local_running``
+    per line in a single mapPartitions, (3) groupBy record_id + ordered
+    concat. Lines before the first start of the whole input are dropped
+    (same as the reference skipping a torn first record).
+    """
+    import re
+
+    start_re = re.compile(RECORD_START)
+    lines = spark.sparkContext.textFile(path)
+
+    counts = lines.mapPartitionsWithIndex(
+        lambda idx, it: [(idx, sum(1 for line in it if start_re.match(line)))]
+    ).collectAsMap()
+    prefix: dict[int, int] = {}
+    running = 0
+    for idx in sorted(counts):
+        prefix[idx] = running
+        running += counts[idx]
+    bc = spark.sparkContext.broadcast(prefix)
+
+    def assign(idx: int, it):
+        rec = bc.value[idx]  # records completed before this partition
+        pos = 0
+        for line in it:
+            if start_re.match(line):
+                rec += 1
+            pos += 1
+            if rec > 0:  # rec==0 -> torn head of the input, drop
+                yield rec, (idx, pos), line
+
+    schema = StructType(
+        [
+            StructField("record_id", LongType()),
+            StructField("ord", StructType([StructField("p", LongType()), StructField("i", LongType())])),
+            StructField("line", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(lines.mapPartitionsWithIndex(assign), schema)
+    return (
+        df.groupBy("record_id")
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(F.array_sort(F.collect_list(F.struct("ord", "line"))), lambda s: s["line"])
+            ).alias("record")
+        )
+        .select("record_id", "record")
+    )
+
+
+# --------------------------------------------------------------------------
+# B3: record -> parsed statement row
+# --------------------------------------------------------------------------
+_GROUPS = ["ts", "client", "user", "db", "state", "duration_ms", "query_id", "is_query", "stmt"]
+
+
+def extract_statements(records: DataFrame, record_col: str = "record") -> DataFrame:
+    """Parse reassembled records into the statement schema
+    (ts, client, user, db, state, duration_ms, query_id, is_query, stmt).
+
+    ts has the audit log's ``,millis`` replaced by ``.millis`` (reference
+    src/auditlog.go:260); stmt is trimmed.
+    """
+    pat = "(?s)" + STMT_RE  # DOTALL: stmt spans reassembled newlines
+    c = F.col(record_col)
+    cols = {name: F.regexp_extract(c, pat, i + 1) for i, name in enumerate(_GROUPS)}
+    matched = F.regexp_extract(c, pat, 0) != ""
+    return (
+        records.filter(matched)
+        .select(
+            F.regexp_replace(cols["ts"], ",", ".").alias("ts"),
+            cols["client"].alias("client"),
+            cols["user"].alias("user"),
+            cols["db"].alias("db"),
+            cols["state"].alias("state"),
+            cols["duration_ms"].cast("bigint").alias("duration_ms"),
+            cols["query_id"].alias("query_id"),
+            (F.lower(cols["is_query"]) == "true").alias("is_query"),
+            # TrimSpace semantics (all whitespace, not just ' ' like trim())
+            F.regexp_replace(cols["stmt"], r"^\s+|\s+$", "").alias("stmt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B5: statement filters + dedup
+# --------------------------------------------------------------------------
+def is_truncated(stmt: Column) -> Column:
+    """Truncated-by-audit-plugin statements (reference src/auditlog.go:399-410):
+    trailing '...' or a '... /*' marker closed by '*/'."""
+    return stmt.endswith("...") | (
+        stmt.endswith("*/") & stmt.contains("... /*")
+    )
+
+
+def filter_statements(
+    df: DataFrame,
+    only_select: bool = False,
+    dbs: list[str] | None = None,
+    users: list[str] | None = None,
+    states: list[str] | None = None,
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+    min_duration_ms: int = 0,
+) -> DataFrame:
+    """The B5 filter chain (reference src/auditlog.go:295-339 + sqlConditions
+    :57-80). Second-resolution time-range compare, like the reference's
+    ``SplitN(time, ".", 2)[0]``."""
+    stmt = F.col("stmt")
+    df = df.filter(
+        (F.length(stmt) > 0)
+        & ~is_truncated(stmt)
+        & ~stmt.startswith(INTERNAL_SQL_COMMENT)
+    )
+    if only_select:
+        df = df.filter(F.col("is_query"))
+    else:
+        df = df.filter(~stmt.rlike(FILTER_STMT_RE))
+    if dbs:
+        df = df.filter(F.col("db").isin(dbs))
+    if users:
+        df = df.filter(F.col("user").isin(users))
+    if states:
+        df = df.filter(F.col("state").isin(states))
+    sec = F.split(F.col("ts"), r"\.", 2)[0]
+    if from_ts:
+        df = df.filter(sec >= from_ts)
+    if to_ts:
+        df = df.filter(sec <= to_ts)
+    if min_duration_ms > 0:
+        df = df.filter(F.col("duration_ms") >= min_duration_ms)
+    return df
+
+
+def dedup_statements(df: DataFrame) -> DataFrame:
+    """query_id dedup. The reference bounds its window to 1024 ids per
+    timestamp purely to cap memory (src/auditlog.go:258-274); distributed
+    dropDuplicates is exact with no cap."""
+    return df.dropDuplicates(["query_id"])
+
+
+# --------------------------------------------------------------------------
+# B6: unescape \n/\t/\r outside literals and comments (expression-based)
+# --------------------------------------------------------------------------
+# lookahead-free token alternation, DOTALL; longest-first order matters
+UNESCAPE_TOKEN_RE = r"(?s)'[^']*'|\"[^\"]*\"|/\*.*?\*/|--[^\\\n]*|\\.|."
+
+
+def unescape_stmt(col: Column) -> Column:
+    """Tokenize into (literal | comment | escape | char) and rewrite only
+    escape tokens (reference src/auditlog.go:341-390)."""
+    toks = F.regexp_extract_all(col, F.lit(UNESCAPE_TOKEN_RE), F.lit(0))
+    return F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(t == "\\n", "\n")
+            .when(t == "\\t", "\t")
+            .when(t == "\\r", "\r")
+            .otherwise(t),
+        ),
+        "",
+    )
+
+
+SQL_UNESCAPE_TOKEN_SQL = r"'[^']*'|\"[^\"]*\"|/\*.*?\*/|--[^\\\n]*|\\.|[\s\S]"
+
+
+def sql_unescape_duckdb(expr: str) -> str:
+    """DuckDB twin of unescape_stmt (RE2 has no DOTALL flag inline for '.',
+    so the any-char branch is [\\s\\S]; single quotes doubled for the SQL
+    string literal)."""
+    pat = SQL_UNESCAPE_TOKEN_SQL.replace("'", "''")
+    return (
+        f"array_to_string(list_transform(regexp_extract_all({expr}, '{pat}'), "
+        "t -> CASE WHEN t = '\\n' THEN chr(10) WHEN t = '\\t' THEN chr(9) "
+        "WHEN t = '\\r' THEN chr(13) ELSE t END), '')"
+    )
+
+
+# --------------------------------------------------------------------------
+# B7: replay meta encode
+# --------------------------------------------------------------------------
+def encode_replay_sql(df: DataFrame) -> DataFrame:
+    """Prepend the ``/*dodo{json}*/`` meta comment and ensure a ';' suffix
+    (reference src/replay.go:514-533; field order ts, client, user, db,
+    queryId, durationMs)."""
+    meta = F.format_string(
+        '/*dodo{"ts":"%s","client":"%s","user":"%s","db":"%s","queryId":"%s","durationMs":%s}*/ %s',
+        F.col("ts"),
+        F.col("client"),
+        F.col("user"),
+        F.col("db"),
+        F.col("query_id"),
+        F.col("duration_ms").cast("string"),
+        F.col("stmt"),
+    )
+    out = F.when(meta.endswith(";"), meta).otherwise(F.concat(meta, F.lit(";")))
+    return df.withColumn("replay_sql", out)
+
+
+# --------------------------------------------------------------------------
+# verify keys — inputs synthesized deterministically from the events table
+# --------------------------------------------------------------------------
+_SYNTH_LINE = (
+    "SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') || ',' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')"
+    " || ' [query] |Client=10.0.0.' || CAST(user_id % 64 AS VARCHAR) || ':' || CAST(10000 + event_id % 50000 AS VARCHAR)"
+    " || '|User=user_' || CAST(user_id % 8 AS VARCHAR)"
+    " || '|Ctl=internal|Db=db_' || CAST(user_id % 4 AS VARCHAR)"
+    " || '|State=' || CASE WHEN event_type = 'error' THEN 'ERR' ELSE 'OK' END"
+    " || '|ErrorCode=0|ErrorMessage=|Time(ms)=' || CAST(CAST(floor(value * 10) AS BIGINT) AS VARCHAR)"
+    " || '|ScanBytes=0|ScanRows=0|ReturnRows=1|StmtId=' || CAST(event_id AS VARCHAR)"
+    " || '|QueryId=q' || CAST(event_id % 8000 AS VARCHAR)"
+    " || '|IsQuery=' || CASE WHEN event_type IN ('view','click') THEN 'true' ELSE 'false' END"
+    " || '|isNereids=true|feIp=10.0.0.1|StmtType=SELECT'"
+    " || '|Stmt=' || CASE"
+    "      WHEN event_type = 'signup' THEN 'SHOW backends'"
+    "      WHEN event_type = 'purchase' THEN 'SELECT * FROM t WHERE c = ''x'' ...'"
+    "      ELSE 'SELECT ' || CAST(event_id AS VARCHAR) || '\\nFROM orders' END"
+    " || '|CpuTimeMS=1|ShuffleSendBytes=0' AS line"
+    " FROM events"
+)
+
+
+def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Doris-audit-log-format lines derived from events."""
+    ev = load_table(spark, sf_dir, "events")
+    stmt = (
+        F.when(F.col("event_type") == "signup", F.lit("SHOW backends"))
+        .when(F.col("event_type") == "purchase", F.lit("SELECT * FROM t WHERE c = 'x' ..."))
+        .otherwise(F.concat(F.lit("SELECT "), F.col("event_id").cast("string"), F.lit("\\nFROM orders")))
+    )
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(","),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" [query] |Client=10.0.0."),
+        (F.col("user_id") % 64).cast("string"),
+        F.lit(":"),
+        (F.col("event_id") % 50000 + 10000).cast("string"),
+        F.lit("|User=user_"),
+        (F.col("user_id") % 8).cast("string"),
+        F.lit("|Ctl=internal|Db=db_"),
+        (F.col("user_id") % 4).cast("string"),
+        F.lit("|State="),
+        F.when(F.col("event_type") == "error", "ERR").otherwise("OK"),
+        F.lit("|ErrorCode=0|ErrorMessage=|Time(ms)="),
+        # floor, not cast: double->bigint CAST truncates in Spark but rounds
+        # in DuckDB — floor is the one they agree on
+        F.floor(F.col("value") * 10).cast("string"),
+        F.lit("|ScanBytes=0|ScanRows=0|ReturnRows=1|StmtId="),
+        F.col("event_id").cast("string"),
+        F.lit("|QueryId=q"),
+        (F.col("event_id") % 8000).cast("string"),
+        F.lit("|IsQuery="),
+        F.when(F.col("event_type").isin("view", "click"), "true").otherwise("false"),
+        F.lit("|isNereids=true|feIp=10.0.0.1|StmtType=SELECT|Stmt="),
+        stmt,
+        F.lit("|CpuTimeMS=1|ShuffleSendBytes=0"),
+    )
+    return ev.select(line.alias("line"))
+
+
+@register(
+    "auditlog_extract",
+    oracle=f"""
+    WITH raw AS ({_SYNTH_LINE}),
+    parsed AS (
+      SELECT regexp_extract(line, '{STMT_RE}', ['ts','client','usr','db','state','dur','qid','isq','stmt']) AS g
+      FROM raw WHERE regexp_matches(line, '{STMT_RE}')
+    )
+    SELECT replace(g.ts, ',', '.') AS ts, g.client AS client, g.usr AS user,
+           g.db AS db, g.state AS state,
+           CAST(g.dur AS BIGINT) AS duration_ms, g.qid AS query_id,
+           CAST(lower(g.isq) = 'true' AS BOOLEAN) AS is_query,
+           trim(g.stmt) AS stmt
+    FROM parsed
+    """,
+    doc="B3: audit-log line -> statement record extraction (7-group regex, "
+    "reference src/auditlog.go:29) over deterministically synthesized "
+    "Doris-format lines.",
+)
+def auditlog_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _synth_lines(spark, sf_dir)
+    return extract_statements(lines, "line")
+
+
+@register(
+    "query_filter_dedup",
+    oracle=f"""
+    WITH raw AS ({_SYNTH_LINE}),
+    parsed AS (
+      SELECT regexp_extract(line, '{STMT_RE}', ['ts','client','usr','db','state','dur','qid','isq','stmt']) AS g
+      FROM raw WHERE regexp_matches(line, '{STMT_RE}')
+    ), rec AS (
+      SELECT replace(g.ts, ',', '.') AS ts, g.db AS db, g.state AS state,
+             CAST(g.dur AS BIGINT) AS duration_ms, g.qid AS query_id, trim(g.stmt) AS stmt
+      FROM parsed
+    ), filtered AS (
+      SELECT * FROM rec
+      WHERE length(stmt) > 0
+        AND NOT (stmt LIKE '%...' OR (stmt LIKE '%*/' AND strpos(stmt, '... /*') > 0))
+        AND NOT stmt LIKE '/*dodo%'
+        AND NOT regexp_matches(stmt, '(?i)^(EXPLAIN|SHOW|USE)')
+        AND duration_ms >= 3
+        AND state = 'OK'
+    ), deduped AS (
+      SELECT query_id, MIN(ts) AS ts FROM filtered GROUP BY query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS kept, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM deduped
+    """,
+    doc="B5: filter chain (empty/truncated/internal/EXPLAIN-SHOW-USE, state, "
+    "min duration) + query_id dedup (reference src/auditlog.go:258-339). "
+    "Dedup keeps MIN(ts) per query_id so the survivor is deterministic.",
+)
+def query_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = extract_statements(_synth_lines(spark, sf_dir), "line")
+    kept = filter_statements(rec, states=["OK"], min_duration_ms=3)
+    deduped = kept.groupBy("query_id").agg(F.min("ts").alias("ts"))
+    return deduped.agg(
+        F.count("*").alias("kept"), F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+
+
+@register(
+    "sql_unescape",
+    oracle=f"""
+    WITH stmts AS (
+      SELECT o_orderkey,
+             'SELECT ''' || o_orderstatus || '\\n'' AS tag\\nFROM t -- note\\tcol\\n/* c\\nc */ WHERE x = ' || CAST(o_orderkey AS VARCHAR) AS stmt
+      FROM orders WHERE o_orderkey < 400
+    )
+    SELECT o_orderkey, {sql_unescape_duckdb("stmt")} AS unescaped FROM stmts
+    """,
+    doc="B6: \\n/\\t/\\r unescape outside string literals and comments "
+    "(reference src/auditlog.go:341-390), via a lookahead-free token "
+    "rewrite — no UDF, identical tokenizer in the oracle.",
+)
+def sql_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    stmt = F.concat(
+        F.lit("SELECT '"),
+        F.col("o_orderstatus"),
+        F.lit("\\n' AS tag\\nFROM t -- note\\tcol\\n/* c\\nc */ WHERE x = "),
+        F.col("o_orderkey").cast("string"),
+    )
+    return orders.select("o_orderkey", unescape_stmt(stmt).alias("unescaped"))
+
+
+@register(
+    "replay_encode",
+    oracle=f"""
+    WITH raw AS ({_SYNTH_LINE}),
+    parsed AS (
+      SELECT regexp_extract(line, '{STMT_RE}', ['ts','client','usr','db','state','dur','qid','isq','stmt']) AS g
+      FROM raw WHERE regexp_matches(line, '{STMT_RE}')
+    ), rec AS (
+      SELECT replace(g.ts, ',', '.') AS ts, g.client AS client, g.usr AS user, g.db AS db,
+             CAST(g.dur AS BIGINT) AS duration_ms, g.qid AS query_id, trim(g.stmt) AS stmt
+      FROM parsed
+    ), uniq AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ts, stmt) AS rn FROM rec
+      ) WHERE rn = 1
+    ), enc AS (
+      SELECT query_id,
+             '/*dodo{{"ts":"' || ts || '","client":"' || client || '","user":"' || user ||
+             '","db":"' || db || '","queryId":"' || query_id ||
+             '","durationMs":' || CAST(duration_ms AS VARCHAR) || '}}*/ ' || stmt AS m
+      FROM uniq
+    )
+    SELECT query_id,
+           CASE WHEN m LIKE '%;' THEN m ELSE m || ';' END AS replay_sql
+    FROM enc
+    """,
+    doc="B7: /*dodo{json}*/ meta-comment encoding with ';' termination "
+    "(reference src/replay.go:514-533), after query_id dedup with a "
+    "deterministic survivor.",
+)
+def replay_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    rec = extract_statements(_synth_lines(spark, sf_dir), "line")
+    w = Window.partitionBy("query_id").orderBy("ts", "stmt")
+    uniq = rec.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    return encode_replay_sql(uniq).select("query_id", "replay_sql")

