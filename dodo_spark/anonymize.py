@@ -1,1 +1,241 @@
-"""Placeholder — filled in during round 1 build."""
+"""SQL identifier anonymization (SURVEY.md §2.B B14; reference
+``src/anonymizer.go:89-218``, listener ``src/parser/custom.go:21-226``).
+
+The reference parses SQL with the full Doris ANTLR grammar and rewrites
+identifiers from the token stream. A 111k-line parser port is out of scope
+(SURVEY §7.3); this is a token-level pass with the same observable rules:
+
+- table/column/db identifiers -> 8-byte hex hash (``hash``) or a stable
+  short alias a, b, ..., z, aa, ba, ... (``minihash``; successor function
+  ``anonymizer.go:189-212``, little-endian increment skipping keywords)
+- lowercased before hashing (identifiers are case-insensitive)
+- identifiers shorter than the min length are kept (hash mode)
+- keywords, function names (word followed by '('), string literals,
+  numbers, variables (@x, @@x) are preserved
+- comments are redacted to ``'***'`` (``custom.go:14-19`` props list)
+
+Hash function delta: blake3 is not in the environment; md5-prefix is used.
+Same shape (8-byte hex), different digests — documented, and irrelevant to
+the minihash mode whose aliases are dictionary-ordered, not digest-valued.
+
+Distributed form: a two-phase pass — collect the distinct identifier
+vocabulary (bounded: schemas have thousands of names, not billions), build
+the rename dictionary once on the driver, broadcast it, rewrite with a
+pandas UDF (Arrow-batched; string rewriting has no relational shape).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dodo_spark.catalog import load_table
+from dodo_spark.registry import register
+
+ANONYMIZE_HASH_BYTES = 8
+ANONYMIZE_MIN_LENGTH = 3
+
+# SQL keywords never rewritten and never used as minihash aliases (the
+# reference loads the full grammar keyword list; this covers the surface
+# our tokenizer can meet)
+KEYWORDS = {
+    w
+    for w in """
+    select from where group by having order limit offset join inner left right
+    full outer cross semi anti on using as and or not in exists between like
+    rlike regexp is null true false case when then else end cast convert
+    distinct all union intersect except minus with values insert into
+    overwrite update delete create table view database if replace partition
+    distributed buckets properties engine key duplicate unique aggregate
+    comment default char varchar int integer bigint smallint tinyint largeint
+    float double decimal boolean date datetime timestamp string text json
+    jsonb variant array map struct bitmap hll asc desc nulls first last
+    interval day month year hour minute second week quarter over rows range
+    unbounded preceding following current row desc asc by
+    """.split()
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<comment>/\*.*?\*/|--[^\n]*)
+  | (?P<string>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*")
+  | (?P<bquote>`[^`]*`)
+  | (?P<variable>@@?[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<other>.)
+    """,
+    re.S | re.X,
+)
+
+
+def _hash_id(identifier: str) -> str:
+    lower = identifier.lower()
+    return hashlib.md5(lower.encode()).hexdigest()[: ANONYMIZE_HASH_BYTES * 2]
+
+
+class MiniDict:
+    """Stable short-alias dictionary: a, b, ..., z, aa, ba, ..., za, ab, ...
+    (the reference's little-endian successor, anonymizer.go:189-212),
+    skipping keywords."""
+
+    def __init__(self) -> None:
+        self.dict: dict[str, str] = {}
+        self.last: str | None = None
+
+    @staticmethod
+    def _succ(word: str) -> str:
+        out = []
+        for i, c in enumerate(word):
+            if c != "z":
+                out.append(chr(ord(c) + 1))
+                out.extend(word[i + 1 :])
+                return "".join(out)
+            out.append("a")
+        out.append("a")
+        return "".join(out)
+
+    def alias(self, hashed: str) -> str:
+        if hashed in self.dict:
+            return self.dict[hashed]
+        if self.last is None:
+            self.last = "a"
+        else:
+            nxt = self._succ(self.last)
+            while nxt in KEYWORDS:
+                nxt = self._succ(nxt)
+            self.last = nxt
+        self.dict[hashed] = self.last
+        return self.last
+
+
+def _is_function_call(sql: str, end: int) -> bool:
+    m = re.match(r"\s*\(", sql[end:])
+    return m is not None
+
+
+def anonymize_sql(sql: str, method: str = "hash", mini: MiniDict | None = None) -> str:
+    """Rewrite one SQL string. ``mini`` carries dictionary state across
+    statements for a consistent minihash mapping."""
+    if method not in ("hash", "minihash"):
+        return sql
+    mini = mini if mini is not None else MiniDict()
+    out = []
+    for m in _TOKEN_RE.finditer(sql):
+        kind = m.lastgroup
+        tok = m.group()
+        if kind == "comment":
+            out.append("/*'***'*/" if tok.startswith("/*") else "--'***'")
+        elif kind in ("string", "variable", "number", "other"):
+            out.append(tok)
+        elif kind == "bquote":
+            inner = tok[1:-1]
+            out.append("`" + _rewrite_id(inner, method, mini) + "`")
+        elif kind == "word":
+            if tok.lower() in KEYWORDS or _is_function_call(sql, m.end()):
+                out.append(tok)
+            else:
+                out.append(_rewrite_id(tok, method, mini))
+    return "".join(out)
+
+
+def _rewrite_id(identifier: str, method: str, mini: MiniDict) -> str:
+    if method == "hash" and len(identifier) < ANONYMIZE_MIN_LENGTH:
+        return identifier
+    hashed = _hash_id(identifier)
+    return hashed if method == "hash" else mini.alias(hashed)
+
+
+def collect_identifiers(sql: str) -> list[str]:
+    """Identifier vocabulary of one statement, in token order."""
+    ids = []
+    for m in _TOKEN_RE.finditer(sql):
+        if m.lastgroup == "bquote":
+            ids.append(m.group()[1:-1])
+        elif m.lastgroup == "word" and m.group().lower() not in KEYWORDS and not _is_function_call(
+            sql, m.end()
+        ):
+            ids.append(m.group())
+    return ids
+
+
+def anonymize_statements(
+    spark: SparkSession, df: DataFrame, sql_col: str = "stmt", method: str = "minihash"
+) -> DataFrame:
+    """Distributed two-phase anonymization with one consistent dictionary.
+
+    Phase 1 collects the distinct identifier vocabulary (driver-side,
+    bounded by schema size); phase 2 broadcasts the rename map and rewrites
+    with an Arrow-batched pandas UDF."""
+    vocab_rows = (
+        df.select(F.explode(_extract_ids_udf()(F.col(sql_col))).alias("id"))
+        .where(F.col("id") != "")
+        .distinct()
+        .collect()
+    )
+    mini = MiniDict()
+    rename: dict[str, str] = {}
+    for v in sorted({r["id"].lower() for r in vocab_rows}):
+        hashed = _hash_id(v)
+        rename[v] = hashed if method == "hash" else mini.alias(hashed)
+    bc = spark.sparkContext.broadcast(rename)
+
+    @pandas_udf("string")
+    def rewrite(s: pd.Series) -> pd.Series:
+        table = bc.value
+
+        def one(sql: str) -> str:
+            out = []
+            for m in _TOKEN_RE.finditer(sql):
+                kind, tok = m.lastgroup, m.group()
+                if kind == "comment":
+                    out.append("/*'***'*/" if tok.startswith("/*") else "--'***'")
+                elif kind == "bquote":
+                    out.append("`" + table.get(tok[1:-1].lower(), tok[1:-1]) + "`")
+                elif kind == "word" and tok.lower() not in KEYWORDS and not _is_function_call(
+                    sql, m.end()
+                ):
+                    out.append(table.get(tok.lower(), tok))
+                else:
+                    out.append(tok)
+            return "".join(out)
+
+        return s.map(one)
+
+    return df.withColumn("anonymized", rewrite(F.col(sql_col)))
+
+
+def _extract_ids_udf():
+    @pandas_udf("array<string>")
+    def extract(s: pd.Series) -> pd.Series:
+        return s.map(collect_identifiers)
+
+    return extract
+
+
+@register(
+    "anonymize_stable",
+    oracle=None,
+    doc="B14: stable SQL anonymization — consistent minihash aliases across "
+    "a statement corpus; same identifier -> same alias everywhere; keywords, "
+    "functions, literals, variables preserved; comments redacted "
+    "(reference src/anonymizer.go:89-218, src/parser/custom.go:21-226). "
+    "Rows-only: alias assignment is engine-internal order.",
+)
+def anonymize_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    stmt = F.concat(
+        F.lit("SELECT o_totalprice, revenue_"),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit(" FROM `orders_tbl` JOIN customer_dim ON custkey = id -- secret note\n"),
+        F.lit("WHERE o_orderkey = "),
+        F.col("o_orderkey").cast("string"),
+    )
+    df = o.select("o_orderkey", stmt.alias("stmt"))
+    out = anonymize_statements(spark, df, "stmt", method="minihash")
+    return out.select("o_orderkey", "anonymized")

@@ -1,1 +1,133 @@
-"""Placeholder — filled in during round 1 build."""
+"""Multimodal column plumbing (north-star extension surface).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode/feature-extraction runs as Arrow-batched ``mapInPandas``
+over partition-local batches — the shape that scales to 100 TB (payloads
+never leave executors, no shuffle, bounded batch memory).
+
+The actual codecs (PIL/ffmpeg/...) are NOT in this container, so the
+decode kernels are deterministic fakes behind the real plumbing: schema,
+batch iteration, UDF signatures and partitioning are production-shaped;
+swap ``_fake_decode_*`` for real decoders to productionize. Clearly marked
+below.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dodo_spark.catalog import load_table
+from dodo_spark.registry import register
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id BIGINT, media_type STRING, byte_len INT, width INT, height INT, "
+    "n_frames INT, sample_rate INT, feature ARRAY<FLOAT>"
+)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media corpus: document text bytes as payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        "source",
+    )
+
+
+def _fake_decode_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """STUB — stands in for image/audio/video header decode. Deterministic
+    function of the payload so tests are stable. Replace with PIL/ffprobe
+    in a real deployment."""
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    n_frames = 1 + h[2] % 120
+    sample_rate = 8000 + (h[3] % 5) * 8000
+    return width, height, n_frames, sample_rate
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """STUB — stands in for an embedding model; md5-derived unit-free floats."""
+    h = hashlib.md5(payload + b"#feat").digest()
+    return [round(b / 255.0, 6) for b in h[:dim]]
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode: batches stay executor-local, output schema is
+    fixed and narrow (payload dropped after decode — column pruning keeps
+    the binary out of downstream shuffles)."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["content"]) if r["content"] is not None else b""
+                w, h, nf, sr = _fake_decode_meta(payload)
+                mt = r["media_type"]
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "media_type": mt,
+                        "byte_len": len(payload),
+                        "width": w if mt in ("image", "video") else None,
+                        "height": h if mt in ("image", "video") else None,
+                        "n_frames": nf if mt == "video" else None,
+                        "sample_rate": sr if mt == "audio" else None,
+                        "feature": _fake_feature(payload),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    index. The frame *extraction* is the stubbed part; the explode shape —
+    rows multiply, payload referenced once — is the real design."""
+    frames = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return (
+        df.filter(F.col("media_type") == "video")
+        .withColumn("frame_idx", F.explode(frames))
+        .select("media_id", "frame_idx", "width", "height")
+    )
+
+
+@register(
+    "multimodal_pipeline",
+    oracle=None,
+    doc="multimodal: binary payload -> mapInPandas decode (stubbed codecs, "
+    "real Arrow plumbing) -> frame sampling -> per-type aggregates. "
+    "Rows-only: decode output is engine-defined.",
+)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(spark, sf_dir)
+    decoded = decode_media(media)
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("items"),
+        F.sum("byte_len").alias("bytes_total"),
+        F.avg("width").alias("avg_width"),
+        F.countDistinct("sample_rate").alias("sample_rates"),
+    )

@@ -1,0 +1,85 @@
+"""Schema dump + export round-trip verify keys (SURVEY.md §2.B B1/B10).
+
+B1: the reference walks databases with SHOW TABLES / SHOW CREATE TABLE
+(``src/db.go:124-208``); the Spark-native equivalent enumerates the
+catalog and emits one row per column — the same information content as the
+dumped DDL files, queryable as a DataFrame.
+
+B10: EXPORT writes a table to files; round-trip = write + read-back +
+content-hash equality, which is what the reference's replay/diff would
+check after an export/import cycle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dodo_spark.catalog import TABLES, load_table
+from dodo_spark.functions.hashing import row_hash_int
+from dodo_spark.registry import register
+from dodo_spark.sources.writers import export_table
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+@register(
+    "schema_dump",
+    oracle=None,
+    doc="B1: schema dump — one row per (table, ordinal, column, type, "
+    "nullable) across the whole catalog (reference src/db.go:124-208, "
+    "cmd/dump.go:236-346). Rows-only: type-name spellings are "
+    "engine-specific.",
+)
+def schema_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        for i, f in enumerate(df.schema.fields):
+            rows.append((t, i, f.name, f.dataType.simpleString(), f.nullable))
+    return spark.createDataFrame(
+        rows, "table_name STRING, ordinal INT, column_name STRING, data_type STRING, nullable BOOLEAN"
+    )
+
+
+@register(
+    "export_roundtrip",
+    oracle=None,
+    doc="B10: export to parquet and ☆-separated CSV, read back, compare "
+    "row counts and order-insensitive content hashes (reference "
+    "src/export.go:22-80; CSV dialect src/gendata.go:16-19). Rows-only: "
+    "exercises the filesystem.",
+)
+def export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    base = os.path.join(_SCRATCH, "export_roundtrip")
+    shutil.rmtree(base, ignore_errors=True)
+
+    p_path = export_table(nat, base + "/{db}/{table}_parquet", db="test", table="nation")
+    c_path = export_table(
+        nat, base + "/{db}/{table}_csv", fmt="csv", db="test", table="nation",
+        options={"header": "true"},
+    )
+    pq = spark.read.parquet(p_path)
+    cs = spark.read.option("header", "true").option("sep", "☆").option("nullValue", "\\N").csv(c_path)
+
+    def sig(df: DataFrame) -> DataFrame:
+        casted = [F.col(c).cast("string").alias(c) for c in cols]
+        return df.select(*casted).agg(
+            F.count("*").alias("rows"), F.sum(row_hash_int(*cols)).alias("h")
+        )
+
+    a, b, c = sig(nat).first(), sig(pq).first(), sig(cs).first()
+    out = spark.createDataFrame(
+        [
+            ("source", a["rows"], a["h"], True),
+            ("parquet", b["rows"], b["h"], b["h"] == a["h"] and b["rows"] == a["rows"]),
+            ("csv", c["rows"], c["h"], c["h"] == a["h"] and c["rows"] == a["rows"]),
+        ],
+        "sink STRING, rows BIGINT, content_hash BIGINT, matches_source BOOLEAN",
+    )
+    return out

@@ -1,1 +1,318 @@
-"""Placeholder — filled in during round 1 build."""
+"""Replay: decode, scheduled execution, result capture (SURVEY.md §2.B
+B7/B11/B12; reference ``src/replay.go``).
+
+- decode: split the ``/*dodo{json}*/`` meta comment back into columns
+  (reference ``src/replay.go:398-497``), optional remap to N synthetic
+  clients round-robin (``:374-396``), global minTs.
+- execute: the reference runs one goroutine per client over a MySQL
+  connection; here the *engine itself* executes each statement via
+  ``spark.sql``. Ordering within a client is mandatory (per-client
+  sequential loop over the decoded order); the inter-statement sleep
+  ``(ts2-ts1-dur1)/speed`` (``:227``) is optional and off by default.
+- capture: per statement rowcount + order-insensitive result hash +
+  duration + error (B12; hash definition in ``dodo_spark.functions.hashing``).
+
+Execution is driver-orchestrated by design — same as the reference, where
+the Doris server does the heavy lifting; here each ``spark.sql`` is itself
+a distributed job, clients run in a thread pool.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dodo_spark.catalog import load_table
+from dodo_spark.functions.hashing import result_hash, sql_result_hash, sql_row_md5
+from dodo_spark.registry import register
+
+META_RE = r"^/\*dodo(\{.*?\})\*/\s*(.*?);?\s*$"
+META_SCHEMA = "ts STRING, client STRING, user STRING, db STRING, queryId STRING, durationMs BIGINT"
+
+
+# --------------------------------------------------------------------------
+# B7 decode
+# --------------------------------------------------------------------------
+def decode_replay_sqls(df: DataFrame, sql_col: str = "replay_sql") -> DataFrame:
+    """replay_sql -> (ts, client, user, db, query_id, duration_ms, stmt)."""
+    meta = F.from_json(F.regexp_extract(F.col(sql_col), META_RE, 1), META_SCHEMA)
+    stmt = F.regexp_extract(F.col(sql_col), META_RE, 2)
+    return (
+        df.filter(F.regexp_extract(F.col(sql_col), META_RE, 0) != "")
+        .select(
+            meta["ts"].alias("ts"),
+            meta["client"].alias("client"),
+            meta["user"].alias("user"),
+            meta["db"].alias("db"),
+            meta["queryId"].alias("query_id"),
+            F.coalesce(meta["durationMs"], F.lit(0)).alias("duration_ms"),
+            stmt.alias("stmt"),
+        )
+    )
+
+
+def remap_clients(df: DataFrame, n_clients: int) -> DataFrame:
+    """Round-robin remap to N synthetic clients (reference replay.go:374-396):
+    statements keep their order; client id becomes a dense index mod N."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("ts", "query_id")
+    return df.withColumn(
+        "client",
+        F.concat(F.lit("synthetic-"), F.pmod(F.row_number().over(w) - 1, F.lit(n_clients)).cast("string")),
+    )
+
+
+def min_ts(df: DataFrame) -> str:
+    return df.agg(F.min("ts")).first()[0]
+
+
+# --------------------------------------------------------------------------
+# B11/B12 execute + capture
+# --------------------------------------------------------------------------
+@dataclass
+class ReplayResult:
+    ts: str
+    query_id: str
+    client: str
+    return_rows: int
+    return_rows_hash: int | None
+    duration_ms: int
+    err: str | None
+    stmt: str
+
+
+def replay_statements(
+    spark: SparkSession,
+    decoded: DataFrame,
+    speed: float | None = None,
+    max_hash_rows: int = 0,
+    parallel: int = 8,
+) -> DataFrame:
+    """Execute decoded statements grouped per client, ordered by (ts,
+    query_id) within each client; returns the ReplayResult DataFrame.
+
+    ``speed``: None disables timing sleeps (default); otherwise the
+    reference's interval formula (ts2-ts1-dur1)/speed applies.
+    ``max_hash_rows``: cap on rows hashed per statement (0 = all), matching
+    the reference's --max-hash-rows.
+    """
+    rows = decoded.select("ts", "client", "query_id", "duration_ms", "stmt").collect()
+    by_client: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["query_id"])):
+        by_client.setdefault(r["client"], []).append(r)
+
+    def parse_ts(s: str) -> float:
+        from datetime import datetime
+
+        return datetime.fromisoformat(s).timestamp()
+
+    def run_client(client: str, stmts: list) -> list[ReplayResult]:
+        out = []
+        prev_ts = prev_dur = None
+        for r in stmts:
+            if speed and prev_ts is not None:
+                gap = (parse_ts(r["ts"]) - prev_ts - prev_dur / 1000.0) / speed
+                if gap > 0:
+                    time.sleep(min(gap, 60.0))
+            t0 = time.perf_counter()
+            try:
+                res = spark.sql(r["stmt"])
+                if max_hash_rows > 0:
+                    res = res.limit(max_hash_rows)
+                agg = res.agg(
+                    F.count("*").alias("n"), result_hash(*res.columns).alias("h")
+                ).first()
+                out.append(
+                    ReplayResult(
+                        ts=r["ts"],
+                        query_id=r["query_id"],
+                        client=client,
+                        return_rows=agg["n"],
+                        return_rows_hash=agg["h"],
+                        duration_ms=int((time.perf_counter() - t0) * 1000),
+                        err=None,
+                        stmt=r["stmt"],
+                    )
+                )
+            except Exception as e:  # noqa: BLE001 — error capture is the product
+                out.append(
+                    ReplayResult(
+                        ts=r["ts"],
+                        query_id=r["query_id"],
+                        client=client,
+                        return_rows=0,
+                        return_rows_hash=None,
+                        duration_ms=int((time.perf_counter() - t0) * 1000),
+                        err=str(e).split("\n")[0][:500],
+                        stmt=r["stmt"],
+                    )
+                )
+            prev_ts, prev_dur = parse_ts(r["ts"]), r["duration_ms"]
+        return out
+
+    with ThreadPoolExecutor(max_workers=max(1, parallel)) as pool:
+        futures = [pool.submit(run_client, c, s) for c, s in by_client.items()]
+        results = [r for f in futures for r in f.result()]
+
+    return spark.createDataFrame(
+        [
+            (r.ts, r.query_id, r.client, r.return_rows, r.return_rows_hash, r.duration_ms, r.err, r.stmt)
+            for r in results
+        ],
+        "ts STRING, query_id STRING, client STRING, return_rows BIGINT, "
+        "return_rows_hash BIGINT, duration_ms BIGINT, err STRING, stmt STRING",
+    )
+
+
+# --------------------------------------------------------------------------
+# verify keys
+# --------------------------------------------------------------------------
+_ENC_SQL = """
+  SELECT '/*dodo{"ts":"2024-01-01 00:00:0' || CAST(o_orderkey % 10 AS VARCHAR)
+         || '.000","client":"10.0.0.' || CAST(o_orderkey % 4 AS VARCHAR)
+         || ':3306","user":"u' || CAST(o_orderkey % 3 AS VARCHAR)
+         || '","db":"db' || CAST(o_orderkey % 2 AS VARCHAR)
+         || '","queryId":"q' || CAST(o_orderkey AS VARCHAR)
+         || '","durationMs":' || CAST(o_orderkey % 100 AS VARCHAR)
+         || '}*/ SELECT ' || CAST(o_orderkey AS VARCHAR) || ';' AS replay_sql
+  FROM orders WHERE o_orderkey < 600
+"""
+
+
+def _encoded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
+    k = F.col("o_orderkey")
+    return o.select(
+        F.concat(
+            F.lit('/*dodo{"ts":"2024-01-01 00:00:0'),
+            (k % 10).cast("string"),
+            F.lit('.000","client":"10.0.0.'),
+            (k % 4).cast("string"),
+            F.lit(':3306","user":"u'),
+            (k % 3).cast("string"),
+            F.lit('","db":"db'),
+            (k % 2).cast("string"),
+            F.lit('","queryId":"q'),
+            k.cast("string"),
+            F.lit('","durationMs":'),
+            (k % 100).cast("string"),
+            F.lit("}*/ SELECT "),
+            k.cast("string"),
+            F.lit(";"),
+        ).alias("replay_sql")
+    )
+
+
+@register(
+    "replay_decode",
+    oracle=f"""
+    WITH enc AS ({_ENC_SQL}),
+    dec AS (
+      SELECT json_extract_string(m, '$.ts') AS ts,
+             json_extract_string(m, '$.client') AS client,
+             json_extract_string(m, '$.user') AS user,
+             json_extract_string(m, '$.db') AS db,
+             json_extract_string(m, '$.queryId') AS query_id,
+             CAST(json_extract_string(m, '$.durationMs') AS BIGINT) AS duration_ms,
+             stmt
+      FROM (
+        SELECT regexp_extract(replay_sql, '^/\\*dodo(\\{{.*?\\}})\\*/', 1) AS m,
+               regexp_extract(replay_sql, '^/\\*dodo\\{{.*?\\}}\\*/ (.*?);?$', 1) AS stmt
+        FROM enc
+      )
+    )
+    SELECT client, db,
+           CAST(COUNT(*) AS BIGINT) AS stmts,
+           MIN(ts) AS min_ts,
+           CAST(SUM(duration_ms) AS BIGINT) AS dur_total,
+           MIN(stmt) AS first_stmt
+    FROM dec GROUP BY client, db
+    """,
+    doc="B7: /*dodo{json}*/ decode round-trip: meta extraction + per-client "
+    "grouping + minTs (reference src/replay.go:398-497).",
+)
+def replay_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = decode_replay_sqls(_encoded_df(spark, sf_dir))
+    return dec.groupBy("client", "db").agg(
+        F.count("*").alias("stmts"),
+        F.min("ts").alias("min_ts"),
+        F.sum("duration_ms").alias("dur_total"),
+        F.min("stmt").alias("first_stmt"),
+    )
+
+
+@register(
+    "result_hash",
+    oracle=f"""
+    WITH r AS (
+      SELECT {sql_row_md5(["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])} AS h,
+             l_returnflag
+      FROM lineitem WHERE l_orderkey < 2000
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS return_rows,
+           {sql_result_hash("h")} AS result_hash
+    FROM r GROUP BY l_returnflag
+    """,
+    doc="B12: order-insensitive result-set hash (sum of md5-derived 48-bit "
+    "row hashes) — the distributed replacement for the reference's "
+    "order-sensitive blake3 stream (src/replay.go:189-215).",
+)
+def result_hash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("return_rows"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\t",
+                            *[
+                                F.coalesce(F.col(c).cast("string"), F.lit("\x01N"))
+                                for c in ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+                            ],
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias("result_hash"),
+    )
+
+
+@register(
+    "replay_execute",
+    oracle=None,
+    doc="B11: timed concurrent replay — per-client ordered execution of "
+    "decoded statements through spark.sql, rowcount + hash + error capture "
+    "(reference src/replay.go:217-296). Rows-only: durations are wall-clock.",
+)
+def replay_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    stmts = [
+        ("2024-01-01 00:00:00.000", "c1", "q1", 5, "SELECT n_name FROM nation ORDER BY n_name"),
+        ("2024-01-01 00:00:01.000", "c1", "q2", 5, "SELECT COUNT(*) AS n FROM nation"),
+        ("2024-01-01 00:00:00.500", "c2", "q3", 5, "SELECT r_name FROM region"),
+        ("2024-01-01 00:00:01.500", "c2", "q4", 5, "SELECT bad syntax here"),
+    ]
+    decoded = spark.createDataFrame(
+        stmts, "ts STRING, client STRING, query_id STRING, duration_ms BIGINT, stmt STRING"
+    )
+    res = replay_statements(spark, decoded, speed=None, parallel=2)
+    return res.select(
+        "query_id",
+        "client",
+        "return_rows",
+        "return_rows_hash",
+        (F.col("err").isNotNull()).alias("failed"),
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
         events,
         relational,
         scalar,
+        schema,
         similarity,
         stats,
         text,

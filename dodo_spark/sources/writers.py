@@ -1,0 +1,59 @@
+"""Export / import writers (SURVEY.md §2.B B9/B10).
+
+The reference's EXPORT issues a server-side job and polls ``SHOW EXPORT``
+every 5s (``src/export.go:22-80``); Spark writes are synchronous, so the
+polling machinery disappears. What's kept:
+
+- ``{db}/{table}`` URL templating (``cmd/export.go:80-98``)
+- format + options passthrough
+- the stream-load column-mapping hook (``src/gendata.go:164-183``): BITMAP
+  columns load via ``bitmap_from_array(...)``, HLL via ``hll_hash(col)`` —
+  here a set of expression transforms applied before the write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["render_url", "export_table", "import_mapping"]
+
+
+def render_url(template: str, db: str, table: str) -> str:
+    """'{db}'/'{table}' templating (reference cmd/export.go:80-98)."""
+    return template.replace("{db}", db).replace("{table}", table)
+
+
+def export_table(
+    df: DataFrame,
+    url: str,
+    fmt: str = "parquet",
+    db: str = "default",
+    table: str = "t",
+    options: dict | None = None,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Synchronous export; returns the rendered target path."""
+    path = render_url(url, db, table)
+    w = df.write.mode("overwrite")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "csv":
+        w = w.option("sep", options.get("sep", "☆") if options else "☆").option(
+            "nullValue", "\\N"
+        )
+    w.format(fmt).save(path)
+    return path
+
+
+def import_mapping(df: DataFrame, mappings: dict[str, str]) -> DataFrame:
+    """Stream-load column transforms (reference src/gendata.go:164-183):
+    each mapping is 'col' -> SQL expression over the incoming columns,
+    e.g. bitmap_col -> 'array_distinct(bitmap_src)', hll_col ->
+    'xxhash64(user_col)'."""
+    out = df
+    for col, expr in mappings.items():
+        out = out.withColumn(col, F.expr(expr))
+    return out

@@ -1,0 +1,91 @@
+"""Structured Streaming forms of the event operators (SURVEY.md §2.D).
+
+The reference has no streaming surface (its replay scheduler is the
+closest analogue); these are the ``readStream`` twins of the batch
+operators in ``dodo_spark.operators.events`` — same expressions, plus
+watermarks for state eviction. Batch/stream parity is tested by running
+the stream with ``availableNow`` over the same parquet and comparing
+against the batch result.
+
+At scale: watermark bounds state; the tumbling/session aggregations are
+the standard shuffle-on-window-and-key shape; ``foreachBatch`` is the sink
+escape hatch for exactly-once writes to non-streaming sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (read via nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos -> timestamp)."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """D1 streaming twin: watermarked tumbling-window counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "event_type", "cnt", "value_sum")
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """D2 streaming twin: watermarked session windows per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink; returns the
+    materialized result (test/verification harness)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {query_name}")

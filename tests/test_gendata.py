@@ -1,0 +1,146 @@
+"""Property tests for the gendata subsystem, mirroring the reference's own
+assertions (src/gendata_test.go, src/generator/ref_test.go): row counts,
+null rates within tolerance, ref containment, length/value bounds,
+determinism across partitionings."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from dodo_spark.ddl import parse_create_table
+from dodo_spark.gendata.plan import GendataPlan, example_plan
+
+
+def test_all_types_generate(spark):
+    """74-column all-types DDL yields one generator per column and exactly
+    `rows` rows (reference src/gendata_test.go:18-116)."""
+    ddl = open("/root/reference/example/ddl/test.all_type_nullable.table.sql").read()
+    plan = GendataPlan([ddl], {"tables": [{"name": "all_type_nullable", "row_count": 50}]})
+    df = plan.generate(spark)["all_type_nullable"]
+    assert len(df.columns) == 74
+    rows = df.collect()
+    assert len(rows) == 50
+    # schema honored
+    tdef = parse_create_table(ddl)
+    assert df.schema == tdef.schema or [f.name for f in df.schema.fields] == [
+        c.name for c in tdef.columns
+    ]
+
+
+def test_star_pair_properties(spark):
+    dfs = example_plan().generate(spark)
+    emp, sales = dfs["employees"], dfs["sales"]
+    assert emp.count() == 200
+    assert sales.count() == 1000
+
+    # inc: contiguous 1..200
+    ids = [r[0] for r in emp.select("employee_id").orderBy("employee_id").collect()]
+    assert ids == list(range(1, 201))
+
+    # null frequency ~0.1 on department_id (tolerance like the reference's)
+    nulls = emp.filter(F.col("department_id").isNull()).count()
+    assert 0 < nulls < 60
+
+    # bounds
+    mm = emp.agg(
+        F.min("salary").alias("lo"),
+        F.max("salary").alias("hi"),
+        F.min("hire_date").alias("dlo"),
+        F.max("hire_date").alias("dhi"),
+    ).first()
+    assert float(mm["lo"]) >= 15000 and float(mm["hi"]) < 16001
+    assert mm["dlo"] >= dt.date(1997, 1, 1) and mm["dhi"] <= dt.date(2005, 12, 31)
+
+    # ref containment: every sales.employee_id drawn from employees pool
+    emp_ids = {r[0] for r in emp.select("employee_id").collect()}
+    sale_refs = {r[0] for r in sales.select("employee_id").distinct().collect()}
+    assert sale_refs <= emp_ids
+
+    # format: product_id = '1' + %06d of a referenced id
+    pids = [r[0] for r in sales.select("product_id").limit(20).collect()]
+    assert all(p.startswith("1") and len(p) == 7 for p in pids)
+
+
+def test_determinism_across_partitionings(spark):
+    """xxhash-based draws must not depend on partition layout."""
+    plan = example_plan()
+    a = plan.generate(spark)["employees"].repartition(1).orderBy("employee_id").collect()
+    b = plan.generate(spark)["employees"].repartition(7).orderBy("employee_id").collect()
+    assert a == b
+
+
+def test_complex_types_shape(spark):
+    ddl = """CREATE TABLE t (
+      `a` array<int> NULL,
+      `m` map<varchar(10),int> NULL,
+      `s` struct<x:int, y:text> NULL,
+      `j` json NULL,
+      `b` bitmap NOT NULL
+    ) ENGINE=OLAP DUPLICATE KEY(`a`) DISTRIBUTED BY RANDOM BUCKETS AUTO"""
+    plan = GendataPlan([ddl], {"tables": [{"name": "t", "row_count": 30}]})
+    rows = plan.generate(spark)["t"].collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 1 <= len(r["a"]) <= 3  # default ARRAY length 1-3
+        assert 1 <= len(r["m"]) <= 3
+        assert r["s"]["x"] is not None and isinstance(r["s"]["y"], str)
+        j = json.loads(r["j"])  # default structure STRUCT<col1,col2>
+        assert set(j) == {"col1", "col2"}
+        assert len(r["b"]) == 5  # BITMAP default length 5
+
+
+def test_enum_weights_and_parts(spark):
+    ddl = """CREATE TABLE e (
+      `pick` text NULL,
+      `d` text NULL
+    ) ENGINE=OLAP DUPLICATE KEY(`pick`) DISTRIBUTED BY RANDOM BUCKETS AUTO"""
+    conf = {
+        "tables": [
+            {
+                "name": "e",
+                "row_count": 500,
+                "columns": [
+                    {"name": "pick", "gen": {"enum": ["foo", "bar", "baz"], "weights": [0.2, 0.6, 0.2]}},
+                    {
+                        "name": "d",
+                        "format": "{{year}}-{{%02d}}-{{%02d}}",
+                        "gen": {"parts": [
+                            {"gen": {"type": "int"}, "min": 1, "max": 12},
+                            {"gen": {"type": "int"}, "min": 1, "max": 20},
+                        ]},
+                    },
+                ],
+            }
+        ]
+    }
+    df = GendataPlan([ddl], conf).generate(spark)["e"]
+    counts = {r["pick"]: r["cnt"] for r in df.groupBy("pick").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {"foo", "bar", "baz"}
+    assert counts["bar"] > counts["foo"] and counts["bar"] > counts["baz"]
+    import re
+
+    for r in df.select("d").limit(50).collect():
+        assert re.match(r"^\d{4}-\d{2}-\d{2}$", r["d"]), r["d"]
+
+
+def test_csv_roundtrip(spark, tmp_path_factory):
+    out = os.path.join(os.path.dirname(__file__), ".scratch_csv")
+    dfs = example_plan().generate(spark)
+    GendataPlan.write_csv(dfs["employees"], out)
+    import glob
+
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert files
+    text = open(files[0]).read()
+    assert "☆" in text
+    back = (
+        spark.read.option("sep", "☆").option("nullValue", "\\N").csv(out)
+    )
+    assert back.count() == 200
+    import shutil
+
+    shutil.rmtree(out)
