@@ -1,0 +1,118 @@
+"""Physical-plan shape regression tests — the 100 TB posture, asserted.
+
+Correctness tests say the answer is right at sf0.01; these say the *plan*
+is the one that survives a 1000-executor / 100 TB scale-up:
+
+- filters reach the parquet scan (PushedFilters non-empty),
+- projections prune the scan (ReadSchema carries only needed columns),
+- dimension joins broadcast (no shuffle of the fact table's join key),
+- no accidental CartesianProduct anywhere,
+- no row-at-a-time Python UDF (BatchEvalPython) in any plan,
+- aggregations are two-phase (map-side partial combine).
+
+Each assertion mirrors a bullet in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from dodo_spark import registry
+
+ALL = registry.queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = plan_of(ALL[name](spark, sf_dir))
+        return cache[name]
+
+    return get
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    plan = plans("scan_project_filter")
+    assert "PushedFilters: [" in plan
+    # at least one concrete pushed predicate, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning(plans):
+    plan = plans("scan_project_filter")
+    # the lineitem scan must not read all 16 columns; ReadSchema should
+    # carry only the handful the query touches
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert all(line.count(",") < 8 for line in read_schema), read_schema
+
+
+@pytest.mark.parametrize(
+    "name", ["join_inner", "join_left", "join_semi", "join_anti", "subquery_in"]
+)
+def test_dim_joins_broadcast(plans, name):
+    """nation/region/supplier-sized sides must broadcast — shuffling the
+    fact table on a join key a broadcast would avoid is the #1 scale bug."""
+    assert "BroadcastHashJoin" in plans(name)
+
+
+def test_full_outer_is_sort_merge(plans):
+    # large-large full outer cannot broadcast; SMJ (or shuffled hash) is
+    # the correct shape — and definitely not a nested loop
+    plan = plans("join_full")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_no_cartesian_product(plans, name):
+    plan = plans(name)
+    if name == "join_cross":  # the one deliberate cross join (A4)
+        return
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_no_row_at_a_time_python(plans, name):
+    """Python in the hot path must be Arrow-batched (ArrowEvalPython /
+    mapInPandas), never per-row BatchEvalPython."""
+    assert "BatchEvalPython" not in plans(name), name
+
+
+@pytest.mark.parametrize("name", ["agg_group", "agg_distinct", "dedup_exact"])
+def test_two_phase_aggregation(plans, name):
+    """Partial (map-side) + final HashAggregate — the combine must happen
+    before the shuffle or the shuffle carries every input row."""
+    plan = plans(name)
+    assert plan.count("HashAggregate") >= 2, name
+
+
+@pytest.mark.parametrize("name", ["dedup_near", "similarity_lsh"])
+def test_lsh_joins_are_bucketed_not_cross(plans, name):
+    """The LSH tiers exist to avoid the O(n²) pair scan; their joins must
+    be equi-joins on the band/bucket key."""
+    plan = plans(name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # "formatted" under AQE hides codegen spans; "codegen" mode lists the
+    # generated subtrees — the agg pipeline must be inside one
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ALL["agg_group"](spark, sf_dir).explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
