@@ -39,6 +39,9 @@ HEADLINE = [
     "explode_array",
     "scalar_json",
     "text_match",
+    "analytics_shipping_priority",
+    "analytics_revenue_by_nation",
+    "analytics_order_funnel",
 ]
 
 

@@ -1,11 +1,15 @@
 """Similarity search over the ``embeddings`` table (SURVEY.md §2.D, D7).
 
-Two paths:
+Three paths:
 - ``similarity_topk``: brute-force cosine top-k — the exact baseline,
   oracle-checked. Queries are a small broadcast side; candidates stream.
 - ``similarity_lsh``: random-hyperplane LSH bucketing — the scale path.
   Buckets are md5-derived (deterministic, no RNG state), so the plan is
   reproducible; rows-only check because recall is by construction partial.
+- ``similarity_ivf``: inverted-file (coarse-quantizer) ANN — vectors are
+  assigned to their nearest centroid cell scan-side, queries probe the
+  ``N_PROBE`` nearest cells only. Centroids are a fixed bounded sample
+  (deterministic), so the whole index is oracle-checkable.
 
 At 100 TB the brute-force form is still the right *kernel* (a broadcast
 join + per-row fold, no shuffle of the big side); LSH/IVF only narrows the
@@ -120,5 +124,115 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# --- IVF (inverted file with coarse quantizer) -----------------------------
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {sql_scaled_vec("embedding")} AS sv FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, sv AS cv FROM v WHERE vec_id < {N_CENTROIDS}
+    ), assign AS (
+      SELECT vec_id, sv, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS r
+      FROM (
+        SELECT v.vec_id, v.sv, c.cid, {sql_cosine("v.sv", "c.cv")} AS sim
+        FROM v CROSS JOIN c
+      )
+    ), cells AS (
+      SELECT vec_id, sv, cid AS cell FROM assign WHERE r = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, sv AS qv, cid AS pcell
+      FROM assign WHERE vec_id < {N_QUERIES} AND r <= {N_PROBE}
+    ), cand AS (
+      SELECT p.query_id, cells.vec_id AS neighbor_id,
+             {sql_cosine("p.qv", "cells.sv")} AS cos_sim
+      FROM probes p JOIN cells
+        ON cells.cell = p.pcell AND cells.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "similarity_ivf",
+    oracle=_ivf_oracle(),
+    doc="D7 scale path #2: IVF — 16 fixed centroid vectors (bounded sample, "
+    "collected and embedded as literals exactly like the reference's "
+    "<=1000-value ref pools, src/generator/ref.go:18), nearest-cell "
+    "assignment as a scan-side projection (argmax over the literal array — "
+    "NO shuffle, NO join), queries probe their 2 nearest cells. Unlike "
+    "trained k-means IVF the quantizer is deterministic, so Spark and "
+    "DuckDB build the identical index and the result is fully "
+    "oracle-checked. At 100 TB: cells become the partition key; each query "
+    "touches N_PROBE partitions instead of the full corpus.",
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+
+    # bounded centroid sample -> driver -> literal array (like ref pools)
+    cent_rows = sorted(
+        v.filter(F.col("vec_id") < N_CENTROIDS).collect(), key=lambda r: r.vec_id
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cid"),
+                # cast: int literals would overflow int32 in the norm product
+                F.array(*[F.lit(int(x)) for x in r.sv]).cast("array<bigint>").alias("cv"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    # per-row scores against every centroid: array<struct<sim, negcid>>;
+    # array_max/array_sort order by (sim, negcid) => max sim, ties to the
+    # SMALLEST cid — mirroring the oracle's ORDER BY sim DESC, cid
+    scored = F.transform(
+        cent_arr,
+        lambda ctr: F.struct(
+            cosine(F.col("sv"), ctr.getField("cv")).alias("sim"),
+            (-ctr.getField("cid")).alias("negcid"),
+        ),
+    )
+    v2 = v.withColumn("scored", scored)
+    cells = v2.select(
+        "vec_id", "sv", (-F.array_max("scored").getField("negcid")).alias("cell")
+    )
+    probes = (
+        v2.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sv").alias("qv"),
+            F.explode(F.slice(F.reverse(F.array_sort("scored")), 1, N_PROBE)).alias("p"),
+        )
+        .select("query_id", "qv", (-F.col("p").getField("negcid")).alias("pcell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, (cells.cell == probes.pcell) & (cells.vec_id != probes.query_id))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("sv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= TOP_K)
     )
