@@ -49,6 +49,11 @@ def get_spark(
         # so scan them as raw int64 and convert in catalog.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # saveAsTable target for bucketed tables; deployments override
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/dodo_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

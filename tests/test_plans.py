@@ -116,3 +116,32 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         ALL["agg_group"](spark, sf_dir).explain("codegen")
     assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both fact tables bucketed on the join key -> the join plan has no
+    Exchange: the Doris DISTRIBUTED BY analogue actually removes the
+    shuffle (SCALE.md §2)."""
+    from dodo_spark.catalog import load_table
+    from dodo_spark.sources.writers import write_bucketed
+
+    write_bucketed(load_table(spark, sf_dir, "orders"), "orders_b", 4, ["o_orderkey"])
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "lineitem_b", 4, ["l_orderkey"]
+    )
+    # disable broadcast: at 100 TB neither fact side broadcasts — this is
+    # exactly the case bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            spark.table("orders_b").o_orderkey == spark.table("lineitem_b").l_orderkey,
+        )
+        plan = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
