@@ -89,3 +89,36 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count + value total maintained across micro-batches.
+
+    This is the escape hatch for operators Structured Streaming's built-in
+    aggregations can't express (the reference's closest analogue is the
+    per-client replay bookkeeping, ``src/replay.go:249-290`` — running
+    counters per group, updated in arrival order). State is one tiny tuple
+    per user; Arrow-batched, partitioned by user_id, so state shards
+    across executors and no executor holds more than its users.
+    """
+    import pandas as pd  # local: only the stateful path needs pandas
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        cnt, vsum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            vsum += float(pdf["value"].fillna(0.0).sum())
+        state.update((cnt, vsum))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "cum_cnt": [cnt], "cum_value": [vsum]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, cum_cnt bigint, cum_value double",
+        stateStructType="cnt bigint, vsum double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
