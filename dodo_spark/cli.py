@@ -1,0 +1,275 @@
+"""CLI — the dodo command surface re-expressed over Spark.
+
+Mirrors the reference's verbs (``dodo dump / gendata / replay / diff /
+anonymize / export``, reference ``cmd/``) so a dodo user can run the same
+workflows here:
+
+    python -m dodo_spark dump --audit-log fe.audit.log --output out/
+    python -m dodo_spark stats --sf-dir /root/testdata/sf0.01 --table lineitem
+    python -m dodo_spark gendata --ddl t.sql --genconf conf.yaml --output out/
+    python -m dodo_spark replay --queries out/q0.sql --sf-dir ... --output res/
+    python -m dodo_spark diff --a res1/results.jsonl --b res2/results.jsonl
+    python -m dodo_spark anonymize --input q.sql --method minihash
+    python -m dodo_spark export --sf-dir ... --table lineitem --output /tmp/{db}/{table}
+
+Differences from the reference, by design (SURVEY.md §3): no live-cluster
+dump (schemas come from DDL files / the catalog), no SSH log acquisition,
+no curl stream-load — Spark reads and writes directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(cpus: int | None = None) -> SparkSession:
+    from dodo_spark.session import get_spark
+
+    return get_spark("dodo_spark_cli", cpus=cpus)
+
+
+# ---------------------------------------------------------------- dump ----
+def cmd_dump(args: argparse.Namespace) -> int:
+    """Audit-log file -> filtered/deduped/unescaped statements with
+    /*dodo{meta}*/ prefixes (reference cmd/dump.go dumpQueries path)."""
+    from dodo_spark.sources import auditlog as al
+
+    spark = _spark(args.parallel)
+    records = al.reassemble_log_records(spark, args.audit_log)
+    stmts = al.extract_statements(records)
+    stmts = al.filter_statements(
+        stmts,
+        only_select=args.only_select,
+        dbs=args.dbs.split(",") if args.dbs else None,
+        users=args.users.split(",") if args.users else None,
+        from_ts=args.from_ts,
+        to_ts=args.to_ts,
+        min_duration_ms=args.min_duration_ms,
+    )
+    stmts = al.dedup_statements(stmts)
+    stmts = stmts.withColumn("stmt", al.unescape_stmt(stmts["stmt"]))
+    encoded = al.encode_replay_sql(stmts)
+
+    os.makedirs(args.output, exist_ok=True)
+    out = os.path.join(args.output, "q0.sql")
+    rows = encoded.select("replay_sql").collect()
+    with open(out, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(r[0] + "\n")
+    print(f"dumped {len(rows)} statements -> {out}")
+    return 0
+
+
+# --------------------------------------------------------------- stats ----
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Column statistics -> <table>.stats.yaml shape (reference
+    src/db.go:78-94 / SHOW COLUMN STATS)."""
+    from dodo_spark.operators.stats import stats_yaml
+
+    spark = _spark(args.parallel)
+    text = stats_yaml(spark, args.sf_dir, args.table)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(text)
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+# ------------------------------------------------------------- gendata ----
+def cmd_gendata(args: argparse.Namespace) -> int:
+    """DDL + genconf YAML -> generated datasets (reference cmd/gendata.go).
+    Multi-document genconf files run one generation round per document
+    (max 128, reference cmd/gendata.go:38)."""
+    import yaml
+
+    from dodo_spark.gendata.plan import GendataPlan
+
+    ddls = []
+    for path in args.ddl:
+        with open(path, encoding="utf-8") as f:
+            ddls.append(f.read())
+    confs: list[dict] = [{}]
+    if args.genconf:
+        with open(args.genconf, encoding="utf-8") as f:
+            confs = [d for d in yaml.safe_load_all(f.read()) if d is not None] or [{}]
+        if len(confs) > 128:
+            raise SystemExit("genconf: more than 128 documents")
+
+    spark = _spark(args.parallel)
+    for i, conf in enumerate(confs):
+        plan = GendataPlan(ddls, genconf=conf, default_rows=args.rows)
+        dfs = plan.generate(spark)
+        suffix = "" if len(confs) == 1 else f"_round{i}"
+        for name, df in dfs.items():
+            dest = os.path.join(args.output, name + suffix)
+            if args.format == "csv":
+                plan.write_csv(df, dest)
+            else:
+                df.write.mode("overwrite").parquet(dest)
+            print(f"generated {name}{suffix} -> {dest}")
+    return 0
+
+
+# -------------------------------------------------------------- replay ----
+def cmd_replay(args: argparse.Namespace) -> int:
+    """Replay an encoded query file against the sf-dir tables; write one
+    JSON line per statement (reference cmd/replay.go + src/replay.go)."""
+    from dodo_spark.catalog import register_views
+    from dodo_spark.plans.replay import decode_replay_sqls, replay_statements
+
+    spark = _spark(args.parallel)
+    register_views(spark, args.sf_dir)
+
+    with open(args.queries, encoding="utf-8") as f:
+        content = f.read()
+    # statements start at each /*dodo{ meta prefix (replay.go:398-497)
+    parts = ["/*dodo{" + p for p in content.split("/*dodo{") if p.strip()]
+    df = spark.createDataFrame([(p.strip(),) for p in parts], "replay_sql string")
+    decoded = decode_replay_sqls(df)
+    if args.clients:
+        from dodo_spark.plans.replay import remap_clients
+
+        decoded = remap_clients(decoded, args.clients)
+    results = replay_statements(
+        spark,
+        decoded,
+        speed=args.speed,
+        max_hash_rows=args.max_hash_rows,
+        parallel=args.parallel or 8,
+    )
+    os.makedirs(args.output, exist_ok=True)
+    out = os.path.join(args.output, "results.jsonl")
+    rows = [r.asDict() for r in results.collect()]
+    with open(out, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r, default=str) + "\n")
+    errs = sum(1 for r in rows if r.get("err"))
+    print(f"replayed {len(rows)} statements ({errs} errors) -> {out}")
+    return 0
+
+
+# ---------------------------------------------------------------- diff ----
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Compare two replay result files (reference cmd/diff.go:229-340)."""
+    from dodo_spark.plans.diff import diff_results
+
+    spark = _spark(args.parallel)
+    a = spark.read.json(args.a)
+    b = spark.read.json(args.b)
+    report = diff_results(a, b, min_duration_diff_ms=args.min_duration_diff)
+    rows = report.collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(f"{len(rows)} differing statements")
+    return 0 if not rows else 1
+
+
+# ----------------------------------------------------------- anonymize ----
+def cmd_anonymize(args: argparse.Namespace) -> int:
+    """Rewrite identifiers in a SQL file (reference src/anonymizer.go)."""
+    from dodo_spark.anonymize import MiniDict, anonymize_sql
+
+    with open(args.input, encoding="utf-8") as f:
+        sql = f.read()
+    mini = MiniDict() if args.method == "minihash" else None
+    out = anonymize_sql(sql, method=args.method, mini=mini)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(out)
+        print(f"wrote {args.output}")
+    else:
+        print(out)
+    return 0
+
+
+# -------------------------------------------------------------- export ----
+def cmd_export(args: argparse.Namespace) -> int:
+    """Export a table to csv/parquet with {db}/{table} templating
+    (reference src/export.go / cmd/export.go:80-98)."""
+    from dodo_spark.catalog import load_table
+    from dodo_spark.sources.writers import export_table
+
+    spark = _spark(args.parallel)
+    df = load_table(spark, args.sf_dir, args.table)
+    path = export_table(
+        df, args.output, fmt=args.format, db=args.db, table=args.table
+    )
+    print(f"exported {args.table} -> {path}")
+    return 0
+
+
+# ---------------------------------------------------------------- main ----
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dodo_spark", description=__doc__)
+    p.add_argument("--parallel", type=int, default=None, help="cores (default: all)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dump", help="extract queries from an audit log file")
+    d.add_argument("--audit-log", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--only-select", action="store_true")
+    d.add_argument("--dbs"), d.add_argument("--users")
+    d.add_argument("--from-ts"), d.add_argument("--to-ts")
+    d.add_argument("--min-duration-ms", type=int, default=0)
+    d.set_defaults(fn=cmd_dump)
+
+    s = sub.add_parser("stats", help="column statistics -> stats.yaml")
+    s.add_argument("--sf-dir", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--output")
+    s.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser("gendata", help="generate data from DDL + genconf")
+    g.add_argument("--ddl", nargs="+", required=True)
+    g.add_argument("--genconf")
+    g.add_argument("--output", required=True)
+    g.add_argument("--rows", type=int, default=1000)
+    g.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    g.set_defaults(fn=cmd_gendata)
+
+    r = sub.add_parser("replay", help="replay an encoded query file")
+    r.add_argument("--queries", required=True)
+    r.add_argument("--sf-dir", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--speed", type=float, default=None)
+    r.add_argument("--max-hash-rows", type=int, default=0)
+    r.add_argument("--clients", type=int, default=None)
+    r.set_defaults(fn=cmd_replay)
+
+    f = sub.add_parser("diff", help="diff two replay result files")
+    f.add_argument("--a", required=True)
+    f.add_argument("--b", required=True)
+    f.add_argument("--min-duration-diff", type=int, default=100)
+    f.set_defaults(fn=cmd_diff)
+
+    a = sub.add_parser("anonymize", help="anonymize identifiers in a SQL file")
+    a.add_argument("--input", required=True)
+    a.add_argument("--output")
+    a.add_argument("--method", choices=["hash", "minihash"], default="hash")
+    a.set_defaults(fn=cmd_anonymize)
+
+    e = sub.add_parser("export", help="export a table")
+    e.add_argument("--sf-dir", required=True)
+    e.add_argument("--table", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    e.add_argument("--db", default="default")
+    e.set_defaults(fn=cmd_export)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
