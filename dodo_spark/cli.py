@@ -53,6 +53,8 @@ def cmd_dump(args: argparse.Namespace) -> int:
     )
     stmts = al.dedup_statements(stmts)
     stmts = stmts.withColumn("stmt", al.unescape_stmt(stmts["stmt"]))
+    if args.strict:
+        stmts = al.validate_statements(spark, stmts)
     encoded = al.encode_replay_sql(stmts)
 
     os.makedirs(args.output, exist_ok=True)
@@ -218,6 +220,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--dbs"), d.add_argument("--users")
     d.add_argument("--from-ts"), d.add_argument("--to-ts")
     d.add_argument("--min-duration-ms", type=int, default=0)
+    d.add_argument(
+        "--strict", action="store_true", help="drop statements Spark's parser rejects"
+    )
     d.set_defaults(fn=cmd_dump)
 
     s = sub.add_parser("stats", help="column statistics -> stats.yaml")

@@ -447,3 +447,27 @@ def replay_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("ts", "stmt")
     uniq = rec.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     return encode_replay_sql(uniq).select("query_id", "replay_sql")
+
+
+def validate_statements(spark: SparkSession, df: DataFrame, stmt_col: str = "stmt") -> DataFrame:
+    """B6 strict validation (reference ``--strict``, src/auditlog.go:392-396
+    + flag cmd/dump.go:153): drop statements Spark's SQL parser rejects.
+
+    Parse-only (no analysis — tables need not exist), driver-side over the
+    already-bounded dump output, mirroring the reference's single-process
+    scan. Returns the input minus malformed statements.
+    """
+    parser = spark._jsparkSession.sessionState().sqlParser()
+
+    def parses(sql: str) -> bool:
+        try:
+            parser.parsePlan(sql)
+            return True
+        except Exception:
+            return False
+
+    rows = df.collect()
+    good = [r for r in rows if parses(r[stmt_col])]
+    if len(good) == len(rows):
+        return df
+    return spark.createDataFrame(good, df.schema)
