@@ -1,0 +1,84 @@
+"""Anonymizer unit tests, mirroring the reference's golden assertions
+(src/anonymizer_test.go:7-57 successor sequence; src/parser/custom_test.go:
+10-39 preservation rules)."""
+
+from __future__ import annotations
+
+from dodo_spark.anonymize import (
+    KEYWORDS,
+    MiniDict,
+    anonymize_sql,
+    collect_identifiers,
+)
+
+
+def test_minihash_successor_golden():
+    # little-endian increment with carry (anonymizer.go:189-212)
+    succ = MiniDict._succ
+    assert succ("a") == "b"
+    assert succ("z") == "aa"
+    assert succ("aa") == "ba"
+    assert succ("za") == "ab"
+    assert succ("zz") == "aaa"
+    assert succ("zza") == "aab"  # the reference's golden case
+
+
+def test_minihash_sequence_skips_keywords():
+    mini = MiniDict()
+    seen = [mini.alias(f"h{i}") for i in range(100)]
+    assert seen[0] == "a"
+    assert len(set(seen)) == 100  # all distinct
+    assert not (set(seen) & KEYWORDS)  # never a keyword (e.g. 'as', 'by', 'in')
+
+
+def test_minihash_alias_stable():
+    mini = MiniDict()
+    a1 = mini.alias("same")
+    _ = mini.alias("other")
+    assert mini.alias("same") == a1
+
+
+def test_anonymize_preserves_non_identifiers():
+    sql = (
+        "SELECT CONCAT(col_one, 'lit''eral'), @user_var, @@global_var, 42, 3.14 "
+        "FROM tbl_x WHERE col_one > 10 -- note\n"
+    )
+    out = anonymize_sql(sql, method="hash")
+    # function name, keywords, literals, variables, numbers survive
+    assert "CONCAT(" in out
+    assert "'lit''eral'" in out
+    assert "@user_var" in out and "@@global_var" in out
+    assert "42" in out and "3.14" in out
+    # identifiers do not
+    assert "col_one" not in out and "tbl_x" not in out
+    # comment redacted (custom.go comment rule)
+    assert "note" not in out and "'***'" in out
+
+
+def test_anonymize_consistent_within_statement():
+    out = anonymize_sql("SELECT aaa FROM bbb WHERE aaa = 1", method="minihash")
+    # same identifier -> same alias in both positions
+    toks = out.replace("=", " ").split()
+    sel, whe = toks[1], toks[5]
+    assert sel == whe
+
+
+def test_anonymize_backquoted_same_as_bare():
+    mini = MiniDict()
+    a = anonymize_sql("SELECT `colx` FROM t1", method="minihash", mini=mini)
+    b = anonymize_sql("SELECT colx FROM t1", method="minihash", mini=mini)
+    assert a.replace("`", "") == b
+
+
+def test_hash_mode_short_identifiers_kept():
+    # < ANONYMIZE_MIN_LENGTH chars are kept in hash mode (anonymizer.go)
+    out = anonymize_sql("SELECT ab FROM xyz", method="hash")
+    assert " ab " in out
+    assert "xyz" not in out
+
+
+def test_collect_identifiers_order_and_filtering():
+    ids = collect_identifiers(
+        "SELECT func(col_a), col_b FROM db1.tbl WHERE col_a IN (1,2)"
+    )
+    assert ids == ["col_a", "col_b", "db1", "tbl", "col_a"]
