@@ -978,3 +978,56 @@ def insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM insert_select_target
         """
     )
+
+
+@register(
+    "values_inline",
+    oracle="""
+    SELECT v.tier, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+    FROM orders o
+    JOIN (VALUES ('F', 'closed'), ('O', 'open'), ('P', 'pending'))
+         AS v(status, tier)
+      ON o.o_orderstatus = v.status
+    GROUP BY v.tier
+    """,
+    doc="A22: inline VALUES table (ref inlineTable via queryPrimary "
+    "DorisParser.g4:1159-1163) joined against a fact — the literal side is "
+    "a broadcast LocalRelation, zero scan cost.",
+)
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")], "status string, tier string"
+    )
+    return (
+        orders.join(F.broadcast(v), orders.o_orderstatus == v.status)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "star_except",
+    oracle="""
+    SELECT * EXCLUDE (n_comment_like, r_regionkey)
+    FROM (
+      SELECT n.*, 'x' AS n_comment_like, r.*
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    ORDER BY n_nationkey
+    """,
+    doc="A38: star with EXCEPT columns (ref exceptOrReplace "
+    "DorisParser.g4:1570-1572) = df.drop — pure projection pruning, the "
+    "dropped columns never leave the scan.",
+)
+def star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = n.join(r, n.n_regionkey == r.r_regionkey).withColumn(
+        "n_comment_like", F.lit("x")
+    )
+    return joined.drop("n_comment_like", "r_regionkey").orderBy("n_nationkey")
