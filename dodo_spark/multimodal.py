@@ -131,3 +131,40 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("width").alias("avg_width"),
         F.countDistinct("sample_rate").alias("sample_rates"),
     )
+
+
+RESIZED_SCHEMA = "media_id BIGINT, width INT, height INT, content BINARY"
+
+
+def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: aspect-preserving downscale of image/video frames.
+
+    The pixel resample is the stubbed part (payload passes through un-
+    changed — swap the inner function for PIL's ``Image.resize`` to
+    productionize); the real design is: metadata math is exact, payloads
+    stay inside the Arrow batch, output schema stays binary-plus-dims so
+    the next stage (feature extraction) composes.
+    """
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["content"]) if r["content"] is not None else b""
+                w, h, _nf, _sr = _fake_decode_meta(payload)
+                scale = min(1.0, max_side / max(w, h, 1))
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": max(1, int(w * scale)),
+                        "height": max(1, int(h * scale)),
+                        # STUB: payload unchanged; a real kernel re-encodes
+                        "content": payload,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    src = df.filter(F.col("media_type").isin("image", "video"))
+    return src.mapInPandas(resize, schema=RESIZED_SCHEMA)

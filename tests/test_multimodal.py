@@ -1,0 +1,60 @@
+"""Multimodal plumbing: schema, determinism, and batch shape of the
+mapInPandas decode / resize / frame-sample stages (stubbed codecs, real
+Arrow plumbing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dodo_spark.multimodal import (
+    decode_media,
+    frame_sample,
+    media_from_documents,
+    resize_media,
+)
+
+
+def test_decode_schema_and_type_rules(spark, sf_dir):
+    media = media_from_documents(spark, sf_dir)
+    decoded = decode_media(media).cache()
+    rows = decoded.collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert r.byte_len >= 0
+        assert len(r.feature) == 8
+        if r.media_type == "image":
+            assert r.width is not None and r.n_frames is None and r.sample_rate is None
+        elif r.media_type == "audio":
+            assert r.sample_rate is not None and r.width is None
+        elif r.media_type == "video":
+            assert r.n_frames is not None and r.width is not None
+    decoded.unpersist()
+
+
+def test_decode_deterministic(spark, sf_dir):
+    media = media_from_documents(spark, sf_dir)
+    a = sorted(map(tuple, decode_media(media).collect()))
+    b = sorted(map(tuple, decode_media(media.repartition(5)).collect()))
+    assert a == b
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    decoded = decode_media(media_from_documents(spark, sf_dir))
+    frames = frame_sample(decoded, every_n=10)
+    per_media = (
+        frames.groupBy("media_id").agg(F.count("*").alias("n")).join(
+            decoded.select("media_id", "n_frames"), "media_id"
+        )
+    )
+    for r in per_media.collect():
+        expected = (r.n_frames + 9) // 10  # ceil(n_frames / every_n)
+        assert r.n == expected, (r.media_id, r.n_frames, r.n)
+
+
+def test_resize_bounds_and_payload_passthrough(spark, sf_dir):
+    media = media_from_documents(spark, sf_dir)
+    out = resize_media(media, max_side=128).collect()
+    assert out  # image+video rows exist
+    for r in out:
+        assert 1 <= r.width <= 128 and 1 <= r.height <= 128
+        assert r.content is not None  # payload stays in the batch
