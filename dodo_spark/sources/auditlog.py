@@ -56,7 +56,9 @@ FILTER_STMT_RE = r"(?i)^(EXPLAIN|SHOW|USE)"
 # --------------------------------------------------------------------------
 # B3: multiline reassembly (file -> one row per log record)
 # --------------------------------------------------------------------------
-def reassemble_log_records(spark: SparkSession, path: str) -> DataFrame:
+def reassemble_log_records(
+    spark: SparkSession, path: str, encoding: str = "utf-8"
+) -> DataFrame:
     """Read a (possibly multi-file) audit log and reassemble multiline
     records: every line not starting with a timestamp belongs to the
     record opened by the nearest preceding timestamp line.
@@ -66,11 +68,33 @@ def reassemble_log_records(spark: SparkSession, path: str) -> DataFrame:
     per line in a single mapPartitions, (3) groupBy record_id + ordered
     concat. Lines before the first start of the whole input are dropped
     (same as the reference skipping a torn first record).
+
+    ``encoding``: the reference auto-detects log charsets (GB18030 CJK logs,
+    src/misc.go:116-130); here pass ``encoding="gb18030"`` (or ``"auto"``
+    for a utf-8 → gb18030 fallback). Non-UTF-8 files are decoded whole-file
+    (the file is the parallel unit, matching the reference's per-file
+    workers); UTF-8 keeps within-file split parallelism.
     """
     import re
 
     start_re = re.compile(RECORD_START)
-    lines = spark.sparkContext.textFile(path)
+    if encoding.lower() in ("utf-8", "utf8"):
+        lines = spark.sparkContext.textFile(path)
+    else:
+        enc = encoding.lower()
+
+        def decode_file(kv):
+            _name, data = kv
+            if enc == "auto":
+                try:
+                    text = data.decode("utf-8")
+                except UnicodeDecodeError:
+                    text = data.decode("gb18030", errors="replace")
+            else:
+                text = data.decode(enc, errors="replace")
+            return text.splitlines()
+
+        lines = spark.sparkContext.binaryFiles(path).flatMap(decode_file)
 
     counts = lines.mapPartitionsWithIndex(
         lambda idx, it: [(idx, sum(1 for line in it if start_re.match(line)))]

@@ -73,3 +73,19 @@ def test_encode_replay_sql(spark):
     assert s.startswith('/*dodo{"ts":"2025-03-01 10:00:01.002","client":"10.1.1.2:5001",')
     assert '"queryId":"bb22-2"' in s and '"durationMs":34' in s
     assert s.endswith(";")
+
+
+def test_gb18030_log_decode(spark):
+    """Reference auto-detects CJK charsets (src/misc.go:116-130); the
+    gb18030/auto paths must extract the statement text intact."""
+    import os
+
+    from dodo_spark.sources.auditlog import extract_statements, reassemble_log_records
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "cjk.audit.log.gb18030")
+    for enc in ("gb18030", "auto"):
+        recs = reassemble_log_records(spark, path, encoding=enc)
+        stmts = extract_statements(recs)
+        rows = {r["query_id"]: r["stmt"] for r in stmts.collect()}
+        assert rows["cjk-1"] == "SELECT '中文测试' AS c"
+        assert rows["cjk-2"] == "SELECT 1"
