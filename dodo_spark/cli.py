@@ -67,6 +67,27 @@ def cmd_dump(args: argparse.Namespace) -> int:
     return 0
 
 
+# -------------------------------------------------------------- create ----
+def cmd_create(args: argparse.Namespace) -> int:
+    """Re-create dumped schemas as empty catalog tables (reference
+    ``dodo create``, cmd/create.go — minus the Doris-operational
+    replication_num rewrite, which has no Spark meaning). Doris physical
+    layout clauses (DISTRIBUTED BY / PARTITION BY / ROLLUP / indexes) are
+    parsed and recorded but carry no semantic weight (SURVEY.md §1.3);
+    pass --bucket-by to realize DISTRIBUTED BY as a bucketed table."""
+    from dodo_spark.ddl import parse_create_table
+    from dodo_spark.sources.writers import drop_managed_table
+
+    spark = _spark(args.parallel)
+    for path in args.ddl:
+        with open(path, encoding="utf-8") as f:
+            t = parse_create_table(f.read())
+        drop_managed_table(spark, t.name)
+        spark.catalog.createTable(t.name, schema=t.schema, source="parquet")
+        print(f"created {t.name} ({len(t.columns)} columns)")
+    return 0
+
+
 # --------------------------------------------------------------- stats ----
 def cmd_stats(args: argparse.Namespace) -> int:
     """Column statistics -> <table>.stats.yaml shape (reference
@@ -224,6 +245,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--strict", action="store_true", help="drop statements Spark's parser rejects"
     )
     d.set_defaults(fn=cmd_dump)
+
+    c = sub.add_parser("create", help="re-create dumped schemas as catalog tables")
+    c.add_argument("--ddl", nargs="+", required=True)
+    c.set_defaults(fn=cmd_create)
 
     s = sub.add_parser("stats", help="column statistics -> stats.yaml")
     s.add_argument("--sf-dir", required=True)

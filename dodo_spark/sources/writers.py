@@ -59,6 +59,18 @@ def import_mapping(df: DataFrame, mappings: dict[str, str]) -> DataFrame:
     return out
 
 
+def drop_managed_table(spark, table_name: str) -> None:
+    """DROP TABLE IF EXISTS + remove any orphan managed-table location —
+    with the in-memory catalog a previous session's directory survives and
+    blocks re-creation."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + table_name.split(".")[-1]
+    )
+    loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -78,14 +90,7 @@ def write_bucketed(
     test_bucketed_join_is_shuffle_free).
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    # with the in-memory catalog a previous session's managed-table dir
-    # survives as an orphan location and blocks creation — remove it
-    jvm = spark._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + "/" + table_name.split(".")[-1]
-    )
-    loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
+    drop_managed_table(spark, table_name)
     w = df.write.mode("overwrite").format(fmt).bucketBy(buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

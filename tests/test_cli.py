@@ -99,3 +99,17 @@ def test_cli_anonymize_minihash(tmp_path):
     text = out.read_text()
     assert "col_a" not in text and "tbl_b" not in text
     assert "SELECT" in text and "WHERE" in text and "> 5" in text
+
+
+def test_cli_create(spark, tmp_path):
+    ddl = tmp_path / "c.sql"
+    ddl.write_text(
+        "CREATE TABLE `created_t` (`id` bigint NOT NULL, `v` varchar(10) NULL, "
+        "`d` datetime NULL) ENGINE=OLAP UNIQUE KEY(`id`) "
+        "DISTRIBUTED BY HASH(`id`) BUCKETS 8"
+    )
+    assert main(["create", "--ddl", str(ddl)]) == 0
+    schema = {f.name: f.dataType.simpleString() for f in spark.table("created_t").schema}
+    assert schema == {"id": "bigint", "v": "string", "d": "timestamp"}
+    assert spark.table("created_t").count() == 0
+    spark.sql("DROP TABLE created_t")

@@ -1,0 +1,100 @@
+"""Replay executor + diff classifier units (reference src/replay.go /
+cmd/diff.go behaviors not already covered by the verify keys)."""
+
+from __future__ import annotations
+
+import time
+
+from dodo_spark.plans.diff import diff_results
+from dodo_spark.plans.replay import decode_replay_sqls, replay_statements
+
+RESULT_SCHEMA = (
+    "query_id string, err string, return_rows long, return_rows_hash long, "
+    "duration_ms long"
+)
+
+
+def _results(spark, rows):
+    return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+
+def test_diff_status_precedence(spark):
+    a = _results(
+        spark,
+        [
+            ("q1", None, 10, 111, 50),   # identical -> ok
+            ("q2", None, 10, 111, 50),   # b errors -> error_mismatch
+            ("q3", None, 10, 111, 50),   # rowcount differs
+            ("q4", None, 10, 111, 50),   # hash differs
+            ("q5", None, 10, 111, 50),   # 500ms slower -> duration_regression
+            ("q6", None, 10, 111, 50),   # 80ms slower, under threshold -> ok
+            ("q7", None, 10, 111, 50),   # missing on b
+        ],
+    )
+    b = _results(
+        spark,
+        [
+            ("q1", None, 10, 111, 55),
+            ("q2", "boom", 10, 111, 50),
+            ("q3", None, 9, 111, 50),
+            ("q4", None, 10, 222, 50),
+            ("q5", None, 10, 111, 550),
+            ("q6", None, 10, 111, 130),
+            ("q8", None, 1, 1, 1),       # missing on a
+        ],
+    )
+    got = {r.query_id: r.status for r in diff_results(a, b).collect()}
+    assert got == {
+        "q1": "ok",
+        "q2": "error_mismatch",
+        "q3": "rowcount_mismatch",
+        "q4": "hash_mismatch",
+        "q5": "duration_regression",
+        "q6": "ok",
+        "q7": "missing_right",
+        "q8": "missing_left",
+    }
+
+
+def _encoded(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "replay_sql string")
+
+
+def test_replay_captures_errors(spark):
+    decoded = decode_replay_sqls(
+        _encoded(
+            spark,
+            [
+                '/*dodo{"ts":"2025-01-01 00:00:00.000","client":"c1","user":"u",'
+                '"db":"d","queryId":"ok1","durationMs":1}*/ SELECT 1 AS x;',
+                '/*dodo{"ts":"2025-01-01 00:00:01.000","client":"c1","user":"u",'
+                '"db":"d","queryId":"bad1","durationMs":1}*/ SELECT * FROM no_such_table;',
+            ],
+        )
+    )
+    res = {r.query_id: r for r in replay_statements(spark, decoded).collect()}
+    assert res["ok1"].err is None and res["ok1"].return_rows == 1
+    assert res["bad1"].err is not None and "no_such_table" in res["bad1"].err
+
+
+def test_replay_speed_preserves_order_and_sleeps(spark):
+    """interval = (ts2-ts1-dur1)/speed (reference replay.go:227): two
+    statements 2s apart at speed 10 must take ~>=0.19s, and per-client
+    order must hold."""
+    decoded = decode_replay_sqls(
+        _encoded(
+            spark,
+            [
+                '/*dodo{"ts":"2025-01-01 00:00:00.000","client":"c1","user":"u",'
+                '"db":"d","queryId":"s1","durationMs":100}*/ SELECT 1 AS x;',
+                '/*dodo{"ts":"2025-01-01 00:00:02.000","client":"c1","user":"u",'
+                '"db":"d","queryId":"s2","durationMs":100}*/ SELECT 2 AS x;',
+            ],
+        )
+    )
+    t0 = time.perf_counter()
+    rows = replay_statements(spark, decoded, speed=10.0).collect()
+    elapsed = time.perf_counter() - t0
+    assert elapsed >= 0.15  # (2000ms - 100ms) / 10 = 190ms sleep
+    assert {r.query_id for r in rows} == {"s1", "s2"}
+    assert all(r.err is None for r in rows)
