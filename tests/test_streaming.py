@@ -89,3 +89,77 @@ def test_stateful_totals_cross_batch(spark, sf_dir, tmp_path):
         wc, wv = want[r.user_id]
         assert r.cnt == wc
         assert abs(r.vsum - (wv or 0.0)) < 1e-6 * max(1.0, abs(wv or 0.0))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """D3: an event older than (max event time - watermark delay) arriving
+    after the watermark has been committed must be dropped from the
+    windowed aggregate; the batch twin would count it.
+
+    Structure: two availableNow runs over one checkpoint (the realistic
+    restart scenario — within a single availableNow run Spark finalizes
+    the late-events watermark only at commit, so the drop shows up on the
+    next run against the restored watermark)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    def ts(h, m):
+        return dt.datetime(2025, 1, 1, h, m)
+
+    schema = "ts timestamp, user_id bigint, value double"
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list = []
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src + "/f*")
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "cnt")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: emitted.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    # run 1: two rows in the 10:00 window + one at 13:00; commit advances
+    # the watermark to 12:50 and finalizes the 10:00 window with cnt=2
+    spark.createDataFrame(
+        [(ts(10, 0), 1, 1.0), (ts(10, 5), 2, 1.0), (ts(13, 0), 3, 1.0)], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    drain()
+    assert {(r.ws, r.cnt) for r in emitted} == {(ts(10, 0), 2)}
+
+    # run 2: a LATE row back in the (already finalized) 10:00 window
+    spark.createDataFrame(
+        [(ts(10, 10), 4, 1.0), (ts(14, 0), 5, 1.0)], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+    q2 = drain()
+    # nothing re-emitted, and the state operator reports the drop
+    assert {(r.ws, r.cnt) for r in emitted} == {(ts(10, 0), 2)}
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+    # the batch twin (no watermark) counts all three rows in the window
+    batch = (
+        spark.read.parquet(src + "/f*")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+    assert {r.ws: r.cnt for r in batch.collect()}[ts(10, 0)] == 3
