@@ -144,3 +144,66 @@ def test_csv_roundtrip(spark, tmp_path_factory):
     import shutil
 
     shutil.rmtree(out)
+
+
+# --------------------------------------------------------------------------
+# property-based invariants (hypothesis) — SURVEY §5 adopted strategy
+# --------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SPARK = []  # session fixture can't cross into @given; filled by the test
+
+
+@st.composite
+def _int_rule(draw):
+    lo = draw(st.integers(min_value=-(10**6), max_value=10**6))
+    hi = draw(st.integers(min_value=lo, max_value=lo + 10**6))
+    nf = draw(st.sampled_from([0.0, 0.1, 0.5]))
+    rows = draw(st.integers(min_value=1, max_value=400))
+    return lo, hi, nf, rows
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rule=_int_rule())
+def _property_int_bounds_nulls_rowcount(rule):
+    lo, hi, nf, rows = rule
+    spark = _SPARK[0]
+    ddl = (
+        "CREATE TABLE p (`v` bigint NULL) ENGINE=OLAP "
+        "DUPLICATE KEY(`v`) DISTRIBUTED BY RANDOM BUCKETS AUTO"
+    )
+    conf = {
+        "tables": [
+            {
+                "name": "p",
+                "row_count": rows,
+                "columns": [
+                    {"name": "v", "min": lo, "max": hi, "null_frequency": nf}
+                ],
+            }
+        ]
+    }
+    df = GendataPlan([ddl], conf).generate(spark)["p"]
+    vals = [r["v"] for r in df.collect()]
+    assert len(vals) == rows  # exact row count
+    nonnull = [v for v in vals if v is not None]
+    assert all(lo <= v <= hi for v in nonnull)  # bounds
+    nulls = rows - len(nonnull)
+    if nf == 0.0:
+        assert nulls == 0
+    else:
+        # binomial 5-sigma envelope
+        import math
+
+        sigma = math.sqrt(rows * nf * (1 - nf))
+        assert abs(nulls - rows * nf) <= 5 * sigma + 1
+
+
+def test_property_harness(spark):
+    """Entry point that binds the session fixture for the @given tests."""
+    _SPARK.append(spark)
+    try:
+        _property_int_bounds_nulls_rowcount()
+    finally:
+        _SPARK.clear()
