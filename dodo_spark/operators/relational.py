@@ -1034,3 +1034,28 @@ def star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_comment_like", F.lit("x")
     )
     return joined.drop("n_comment_like", "r_regionkey").orderBy("n_nationkey")
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_orderkey, 0.5) AS p50,
+           quantile_cont(o_orderkey, 0.9) AS p90,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Doris percentile/percentile_approx family (Doris agg builtins used "
+    "in replayed workloads) — Spark exact percentile(); both engines use "
+    "the same linear-interpolation definition, so values hash-match. The "
+    "approx form at 100 TB is percentile_approx (t-digest sketch, "
+    "mergeable, constant memory).",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_orderkey", 0.5).alias("p50"),
+        F.percentile("o_orderkey", 0.9).alias("p90"),
+        F.count("*").alias("cnt"),
+    )
