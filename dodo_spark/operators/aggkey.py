@@ -1,0 +1,144 @@
+"""Doris key-model semantics as DataFrame merge views (SURVEY.md §1.3).
+
+Doris tables declare a key model (reference ``DorisParser.g4`` createTable;
+example AGGREGATE-KEY DDL ``example/usercase/ddl/example.rb.table.sql``):
+
+- DUPLICATE KEY — append-only; no merge (a plain DataFrame).
+- UNIQUE KEY — upsert: the latest row per key wins.
+- AGGREGATE KEY — per-value-column merge function (SUM / MAX / MIN /
+  REPLACE / REPLACE_IF_NOT_NULL / BITMAP_UNION / HLL_UNION).
+
+Doris resolves "latest" by load sequence; under distributed parallel
+ingestion that order is meaningless, so both REPLACE and UNIQUE-KEY upsert
+take an explicit ``order_col`` (a load-sequence / version column) — same
+semantics, made deterministic. BITMAP_UNION over our BITMAP mapping
+(``array<long>``, SURVEY §1.2) is an exact set union; HLL_UNION merges to
+the same set-union (the HLL sketch itself has no Spark value type) and is
+queried with ``approx_count_distinct``.
+
+Scale shape: one shuffle on the key columns with map-side partial
+aggregation — identical to what Doris's compaction computes incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dodo_spark.ddl import TableDef
+from dodo_spark.registry import register
+
+__all__ = ["aggregate_key_view", "unique_key_upsert"]
+
+
+def _merge_expr(name: str, agg_type: str, order_col: str | None) -> Column:
+    if agg_type == "SUM":
+        return F.sum(name).alias(name)
+    if agg_type == "MAX":
+        return F.max(name).alias(name)
+    if agg_type == "MIN":
+        return F.min(name).alias(name)
+    if agg_type in ("REPLACE", "REPLACE_IF_NOT_NULL"):
+        if order_col is None:
+            raise ValueError(
+                f"{agg_type} column '{name}' needs order_col: load order is "
+                "not reproducible in a distributed load"
+            )
+        order: Column = F.col(order_col)
+        if agg_type == "REPLACE_IF_NOT_NULL":
+            # null values never win: null order keys are ignored by max_by
+            order = F.when(F.col(name).isNotNull(), order)
+        return F.max_by(name, order).alias(name)
+    if agg_type in ("BITMAP_UNION", "HLL_UNION"):
+        return F.array_distinct(F.flatten(F.collect_list(name))).alias(name)
+    raise ValueError(f"unsupported aggregate key type: {agg_type}")
+
+
+def aggregate_key_view(
+    df: DataFrame, table: TableDef, order_col: str | None = None
+) -> DataFrame:
+    """Merge a raw load DataFrame down to AGGREGATE-KEY table semantics."""
+    if table.key_type != "AGGREGATE":
+        raise ValueError(f"table {table.name} is not AGGREGATE KEY")
+    keys = table.key_columns
+    aggs = [
+        _merge_expr(c.name, c.agg_type or "REPLACE", order_col)
+        for c in table.columns
+        if c.name not in keys
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def unique_key_upsert(df: DataFrame, table: TableDef, order_col: str) -> DataFrame:
+    """UNIQUE-KEY upsert: latest row per key by ``order_col`` wins.
+    max_by on a struct of all value columns = one shuffle, no window sort."""
+    if table.key_type != "UNIQUE":
+        raise ValueError(f"table {table.name} is not UNIQUE KEY")
+    keys = table.key_columns
+    value_cols = [c.name for c in table.columns if c.name not in keys]
+    packed = F.max_by(F.struct(*value_cols), F.col(order_col)).alias("__v")
+    merged = df.groupBy(*keys).agg(packed)
+    return merged.select(*keys, *[F.col(f"__v.{c}").alias(c) for c in value_cols])
+
+
+# --------------------------------------------------------------------------
+# verify key: AGGREGATE-KEY merge over lineitem-derived loads
+# --------------------------------------------------------------------------
+_AGG_DDL = """
+CREATE TABLE `li_rollup` (
+  `l_returnflag` varchar(1) NULL,
+  `l_linestatus` varchar(1) NULL,
+  `qty_sum` bigint SUM NULL,
+  `qty_max` bigint MAX NULL,
+  `qty_min` bigint MIN NULL,
+  `latest_order` bigint REPLACE NULL,
+  `order_set` bitmap BITMAP_UNION NULL
+) ENGINE=OLAP AGGREGATE KEY(`l_returnflag`, `l_linestatus`)
+DISTRIBUTED BY HASH(`l_returnflag`) BUCKETS 4
+"""
+
+
+@register(
+    "agg_key_merge",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_max,
+           CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_min,
+           arg_max(l_orderkey, l_orderkey * 10 + l_linenumber) AS latest_order,
+           CAST(COUNT(DISTINCT l_orderkey % 1000) AS BIGINT) AS order_set_card
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Doris AGGREGATE-KEY table merge (SURVEY §1.3; example DDL "
+    "example/usercase/ddl/example.rb.table.sql): SUM/MAX/MIN/REPLACE/"
+    "BITMAP_UNION value columns merged per key — REPLACE ordered by an "
+    "explicit load-sequence column, BITMAP_UNION reported as its exact "
+    "cardinality (bitmap_union_count).",
+)
+def agg_key_merge(spark, sf_dir):
+    from dodo_spark.catalog import load_table
+    from dodo_spark.ddl import parse_create_table
+
+    table = parse_create_table(_AGG_DDL)
+    li = load_table(spark, sf_dir, "lineitem")
+    load = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty_sum"),
+        F.col("l_quantity").cast("bigint").alias("qty_max"),
+        F.col("l_quantity").cast("bigint").alias("qty_min"),
+        F.col("l_orderkey").alias("latest_order"),
+        F.array(F.col("l_orderkey") % 1000).alias("order_set"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("__seq"),
+    )
+    merged = aggregate_key_view(load, table, order_col="__seq")
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "qty_sum",
+        "qty_max",
+        "qty_min",
+        "latest_order",
+        F.size("order_set").cast("bigint").alias("order_set_card"),
+    )

@@ -57,6 +57,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def _load_all() -> None:
     """Import every module that registers verify keys (idempotent)."""
     from dodo_spark.operators import (  # noqa: F401
+        aggkey,
         analytics,
         dedup,
         events,
