@@ -134,10 +134,40 @@ def cmd_gendata(args: argparse.Namespace) -> int:
             dest = os.path.join(args.output, name + suffix)
             if args.format == "csv":
                 plan.write_csv(df, dest)
+            elif args.realize_layout:
+                dest = _write_with_layout(df, plan.tables[name], dest, name + suffix)
             else:
                 df.write.mode("overwrite").parquet(dest)
             print(f"generated {name}{suffix} -> {dest}")
     return 0
+
+
+def _write_with_layout(df, table, dest: str, bucket_table: str) -> str:
+    """Realize Doris physical layout on the parquet output (SURVEY.md §1.3):
+    ``PARTITION BY RANGE/LIST(col)`` -> directory partitioning on col;
+    ``DISTRIBUTED BY HASH(cols) BUCKETS n`` -> a bucketed+sorted catalog
+    table (co-located joins on the distribution key become shuffle-free;
+    note the in-memory catalog scopes the table name to this session —
+    point a metastore at the warehouse dir for durability)."""
+    import re as _re
+
+    from dodo_spark.sources.writers import write_bucketed
+
+    part_col = None
+    if table.partition_clause:
+        pm = _re.match(r"(?:RANGE|LIST)\s*\(\s*`?(\w+)`?\s*\)", table.partition_clause, _re.I)
+        part_col = pm.group(1) if pm else None
+    dist = table.distribution or {}
+    if dist.get("kind") == "HASH" and dist.get("columns"):
+        buckets = int(dist["buckets"]) if str(dist.get("buckets", "")).isdigit() else 8
+        write_bucketed(df, bucket_table, buckets, dist["columns"], sort_cols=dist["columns"])
+        wh = df.sparkSession.conf.get("spark.sql.warehouse.dir")
+        return f"bucketed table {bucket_table} ({wh}/{bucket_table})"
+    w = df.write.mode("overwrite")
+    if part_col:
+        w = w.partitionBy(part_col)
+    w.parquet(dest)
+    return dest + (f" (partitioned by {part_col})" if part_col else "")
 
 
 # -------------------------------------------------------------- replay ----
@@ -262,6 +292,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=1000)
     g.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    g.add_argument(
+        "--realize-layout",
+        action="store_true",
+        help="realize DISTRIBUTED BY as a bucketed table and PARTITION BY "
+        "as parquet directory partitioning",
+    )
     g.set_defaults(fn=cmd_gendata)
 
     r = sub.add_parser("replay", help="replay an encoded query file")

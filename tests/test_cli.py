@@ -113,3 +113,34 @@ def test_cli_create(spark, tmp_path):
     assert schema == {"id": "bigint", "v": "string", "d": "timestamp"}
     assert spark.table("created_t").count() == 0
     spark.sql("DROP TABLE created_t")
+
+
+def test_cli_gendata_realize_layout(spark, tmp_path):
+    ddl = tmp_path / "layout.sql"
+    ddl.write_text(
+        "CREATE TABLE `sales_rl` (`sale_date` date NULL, `cust` bigint NOT NULL, "
+        "`amount` decimal(10,2) NULL) ENGINE=OLAP DUPLICATE KEY(`sale_date`) "
+        'PARTITION BY RANGE(`sale_date`) (PARTITION p1 VALUES LESS THAN ("2030-01-01")) '
+        "DISTRIBUTED BY HASH(`cust`) BUCKETS 4"
+    )
+    assert (
+        main(
+            [
+                "gendata",
+                "--ddl",
+                str(ddl),
+                "--output",
+                str(tmp_path / "gen"),
+                "--rows",
+                "100",
+                "--realize-layout",
+            ]
+        )
+        == 0
+    )
+    # DISTRIBUTED BY HASH -> a bucketed catalog table
+    desc = {r.col_name: r.data_type for r in spark.sql("DESCRIBE TABLE EXTENDED sales_rl").collect()}
+    assert desc.get("Num Buckets") == "4"
+    assert "cust" in desc.get("Bucket Columns", "")
+    assert spark.table("sales_rl").count() == 100
+    spark.sql("DROP TABLE sales_rl")
