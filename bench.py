@@ -42,6 +42,12 @@ HEADLINE = [
     "analytics_shipping_priority",
     "analytics_revenue_by_nation",
     "analytics_order_funnel",
+    "dedup_exact",
+    "dedup_near",
+    "events_tumbling",
+    "text_stats",
+    "stats_column",
+    "agg_key_merge",
 ]
 
 
