@@ -1,0 +1,51 @@
+"""Dedup-tier unit tests beyond the oracle keys — most importantly a guard
+for the F.transform lambda-arity trap: a two-parameter lambda receives the
+array index as its second argument, which once collapsed the 8 minhash
+functions into one (single-hash LSH that still passed small-scale parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dodo_spark.operators.dedup import NUM_HASHES, _shingles, _window_key_fn
+
+
+def test_minhash_orderings_are_independent(spark):
+    """Each of the 8 per-hash minima must be a DIFFERENT function of the
+    shingle set: for a multi-shingle doc the 8 window keys of one digest
+    differ, and across hashes the minima must not all coincide."""
+    df = spark.createDataFrame(
+        [("x" * 200,), ("the quick brown fox jumps over the lazy dog " * 5,)],
+        "text string",
+    )
+    hashed = df.select(_shingles().alias("sh")).withColumn(
+        "shh", F.transform("sh", lambda s: F.md5(s))
+    )
+    sig = hashed.select(
+        F.size("sh").alias("n_shingles"),
+        *[
+            F.array_min(F.transform("shh", _window_key_fn(4 * i + 1))).alias(f"mh{i}")
+            for i in range(NUM_HASHES)
+        ],
+    ).collect()
+    for r in sig:
+        values = [r[f"mh{i}"] for i in range(NUM_HASHES)]
+        # windows at different offsets of a digest can't all be equal
+        assert len(set(values)) > 1, values
+        # every key is window(4 hex) + full digest(32 hex)
+        assert all(len(v) == 36 for v in values)
+
+
+def test_minhash_identical_docs_identical_signature(spark):
+    text = "alpha bravo charlie delta echo foxtrot golf hotel " * 4
+    df = spark.createDataFrame([(text,), (text,)], "text string")
+    hashed = df.select(_shingles().alias("sh")).withColumn(
+        "shh", F.transform("sh", lambda s: F.md5(s))
+    )
+    sig = hashed.select(
+        *[
+            F.array_min(F.transform("shh", _window_key_fn(4 * i + 1))).alias(f"mh{i}")
+            for i in range(NUM_HASHES)
+        ]
+    ).collect()
+    assert tuple(sig[0]) == tuple(sig[1])
