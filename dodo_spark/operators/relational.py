@@ -1059,3 +1059,26 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_orderkey", 0.9).alias("p90"),
         F.count("*").alias("cnt"),
     )
+
+
+@register(
+    "explode_outer_array",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN long_toks IS NULL OR len(long_toks) = 0
+                       THEN [NULL] ELSE long_toks END) AS tok
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) >= 7) AS long_toks
+      FROM documents WHERE doc_id < 300
+    ) t
+    """,
+    doc="A23: LATERAL VIEW OUTER explode (ref lateralView "
+    "DorisParser.g4:1283-1286) — rows with empty/null arrays survive with "
+    "a NULL element (explode_outer); the plain explode would drop them. "
+    "Oracle pads empty lists with [NULL], the exact outer semantics.",
+)
+def explode_outer_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    long_toks = F.filter(F.split("text", " ", -1), lambda x: F.length(x) >= 7)
+    return docs.select("doc_id", F.explode_outer(long_toks).alias("tok"))
