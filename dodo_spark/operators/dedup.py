@@ -292,3 +292,60 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# --- word-n-gram Jaccard ----------------------------------------------------
+NGRAM_N = 3
+NGRAM_JACCARD = 0.5
+NGRAM_SUBSET = 250  # brute-force pair scan bounded to the oracle subset
+
+
+@register(
+    "dedup_ngram",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - {NGRAM_N - 1}, 1)),
+               i -> array_to_string(string_split(text, ' ')[i:i+{NGRAM_N - 1}], ' ')
+             )) AS grams
+      FROM documents WHERE doc_id < {NGRAM_SUBSET}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+             / (len(a.grams) + len(b.grams)
+                - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+          / (len(a.grams) + len(b.grams)
+             - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) >= {NGRAM_JACCARD}
+    """,
+    doc=f"word-{NGRAM_N}-gram Jaccard near-dup — the exact-set tier of the "
+    "dedup family: distinct word n-gram sets, pairwise Jaccard at "
+    f"{NGRAM_JACCARD}. Brute-force pair scan over an oracle-bounded subset; "
+    "the scale path for this similarity measure IS dedup_near (the same "
+    "shingle sets under MinHash banding).",
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < NGRAM_SUBSET)
+    words = F.split("text", " ", -1)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (NGRAM_N - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, NGRAM_N)),
+        )
+    )
+    g = docs.select("doc_id", grams.alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD)
+    )
