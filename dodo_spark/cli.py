@@ -55,6 +55,12 @@ def cmd_dump(args: argparse.Namespace) -> int:
     stmts = stmts.withColumn("stmt", al.unescape_stmt(stmts["stmt"]))
     if args.strict:
         stmts = al.validate_statements(spark, stmts)
+    if args.anonymize:
+        from dodo_spark.anonymize import anonymize_statements
+
+        stmts = anonymize_statements(spark, stmts, "stmt", method=args.anonymize).drop(
+            "stmt"
+        ).withColumnRenamed("anonymized", "stmt")
     encoded = al.encode_replay_sql(stmts)
 
     os.makedirs(args.output, exist_ok=True)
@@ -273,6 +279,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--min-duration-ms", type=int, default=0)
     d.add_argument(
         "--strict", action="store_true", help="drop statements Spark's parser rejects"
+    )
+    d.add_argument(
+        "--anonymize",
+        choices=["hash", "minihash"],
+        default=None,
+        help="rewrite identifiers in dumped statements (reference dump --anonymize)",
     )
     d.set_defaults(fn=cmd_dump)
 

@@ -122,3 +122,17 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sliding_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """D1 streaming twin: watermarked sliding-window aggregate (1h window,
+    30m slide) — same expressions as the batch events_sliding."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "cnt", "value_sum")
+    )

@@ -163,3 +163,14 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .select(F.col("w.start").alias("ws"), "cnt")
     )
     assert {r.ws: r.cnt for r in batch.collect()}[ts(10, 0)] == 3
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    from dodo_spark.operators.events import events_sliding
+    from dodo_spark.streaming.events_stream import run_available_now, sliding_stream
+
+    got = run_available_now(
+        sliding_stream(read_events_stream(spark, sf_dir)), "sliding_test"
+    )
+    want = events_sliding(spark, sf_dir)
+    assert _norm(got) == _norm(want)
