@@ -61,7 +61,11 @@ def test_column_pruning(plans):
 
 
 @pytest.mark.parametrize(
-    "name", ["join_inner", "join_left", "join_semi", "join_anti", "subquery_in"]
+    "name",
+    [
+        "join_inner", "join_left", "join_semi", "join_anti", "subquery_in",
+        "analytics_shipping_priority", "analytics_revenue_by_nation",
+    ],
 )
 def test_dim_joins_broadcast(plans, name):
     """nation/region/supplier-sized sides must broadcast — shuffling the
