@@ -223,7 +223,7 @@ def cmd_diff(args: argparse.Namespace) -> int:
     a = spark.read.json(args.a)
     b = spark.read.json(args.b)
     report = diff_results(a, b, min_duration_diff_ms=args.min_duration_diff)
-    rows = report.collect()
+    rows = report.filter("status != 'ok'").collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
     print(f"{len(rows)} differing statements")

@@ -144,3 +144,46 @@ def test_cli_gendata_realize_layout(spark, tmp_path):
     assert "cust" in desc.get("Bucket Columns", "")
     assert spark.table("sales_rl").count() == 100
     spark.sql("DROP TABLE sales_rl")
+
+
+def test_cli_full_pipeline(spark, sf_dir, tmp_path):
+    """Capstone: dump -> create -> gendata -> replay -> replay(remap) ->
+    diff -> anonymize, chained like a real dodo workflow."""
+    import json as _json
+
+    # dump the fixture log
+    dump_dir = tmp_path / "dump"
+    assert main(["dump", "--audit-log", FIXTURE_LOG, "--output", str(dump_dir), "--only-select", "--strict"]) == 0
+
+    # create a schema, generate data for it
+    ddl = tmp_path / "t.sql"
+    ddl.write_text(
+        "CREATE TABLE `pipe_t` (`id` bigint NOT NULL, `v` varchar(12) NULL) "
+        "ENGINE=OLAP DUPLICATE KEY(`id`) DISTRIBUTED BY HASH(`id`) BUCKETS 2"
+    )
+    assert main(["create", "--ddl", str(ddl)]) == 0
+    assert main(["gendata", "--ddl", str(ddl), "--output", str(tmp_path / "gen"), "--rows", "50"]) == 0
+
+    # replay real queries twice: once as-is, once remapped to 1 client
+    q = tmp_path / "q.sql"
+    q.write_text(QUERIES)
+    assert main(["replay", "--queries", str(q), "--sf-dir", sf_dir, "--output", str(tmp_path / "r1")]) == 0
+    assert main(["replay", "--queries", str(q), "--sf-dir", sf_dir, "--output", str(tmp_path / "r2"), "--clients", "1"]) == 0
+    r2 = [_json.loads(l) for l in (tmp_path / "r2" / "results.jsonl").read_text().splitlines()]
+    assert {r["client"] for r in r2} == {"dodo_client_0"} or len({r["client"] for r in r2}) == 1
+
+    # diff: same statements, same hashes -> no rowcount/hash mismatches
+    rc = main(
+        [
+            "diff",
+            "--a", str(tmp_path / "r1" / "results.jsonl"),
+            "--b", str(tmp_path / "r2" / "results.jsonl"),
+            "--min-duration-diff", "60000",
+        ]
+    )
+    assert rc == 0  # no diffs beyond the (suppressed) duration noise
+
+    # anonymize the dumped statements
+    assert main(["anonymize", "--input", str(dump_dir / "q0.sql"), "--output", str(tmp_path / "anon.sql"), "--method", "minihash"]) == 0
+    assert (tmp_path / "anon.sql").read_text().strip()
+    spark.sql("DROP TABLE IF EXISTS pipe_t")
