@@ -73,6 +73,28 @@ def cmd_dump(args: argparse.Namespace) -> int:
     return 0
 
 
+# -------------------------------------------------------- dump-schema ----
+def cmd_dump_schema(args: argparse.Namespace) -> int:
+    """Dump test-table schemas as Doris CREATE TABLE files, one
+    `<table>.table.sql` each (reference dump --dump-schema,
+    cmd/dump.go:283-346; DDL shape round-trips through
+    ddl.parse_create_table)."""
+    from dodo_spark.catalog import TABLES, load_table
+    from dodo_spark.ddl import render_create_table, tabledef_from_dataframe
+
+    spark = _spark(args.parallel)
+    os.makedirs(args.output, exist_ok=True)
+    names = args.tables.split(",") if args.tables else list(TABLES)
+    for name in names:
+        schema = load_table(spark, args.sf_dir, name).schema
+        ddl = render_create_table(tabledef_from_dataframe(name, schema))
+        path = os.path.join(args.output, f"{name}.table.sql")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(ddl + "\n")
+        print(f"dumped schema {name} -> {path}")
+    return 0
+
+
 # -------------------------------------------------------------- create ----
 def cmd_create(args: argparse.Namespace) -> int:
     """Re-create dumped schemas as empty catalog tables (reference
@@ -287,6 +309,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="rewrite identifiers in dumped statements (reference dump --anonymize)",
     )
     d.set_defaults(fn=cmd_dump)
+
+    ds = sub.add_parser("dump-schema", help="dump table schemas as CREATE TABLE files")
+    ds.add_argument("--sf-dir", required=True)
+    ds.add_argument("--output", required=True)
+    ds.add_argument("--tables", help="comma-separated subset (default: all)")
+    ds.set_defaults(fn=cmd_dump_schema)
 
     c = sub.add_parser("create", help="re-create dumped schemas as catalog tables")
     c.add_argument("--ddl", nargs="+", required=True)

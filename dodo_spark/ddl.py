@@ -310,3 +310,83 @@ def parse_create_table(ddl: str) -> TableDef:
         partition_clause=partition_clause,
         properties=props,
     )
+
+
+def spark_type_to_doris(dt: T.DataType) -> str:
+    """Spark type -> Doris type spelling (inverse of parse_type for the
+    §1.2 mapping; used when dumping catalog tables to DDL files)."""
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.ByteType):
+        return "TINYINT"
+    if isinstance(dt, T.ShortType):
+        return "SMALLINT"
+    if isinstance(dt, T.IntegerType):
+        return "INT"
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.FloatType):
+        return "FLOAT"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.TimestampType) or isinstance(dt, T.TimestampNTZType):
+        return "DATETIME"
+    if isinstance(dt, T.StringType):
+        return "STRING"
+    if isinstance(dt, T.BinaryType):
+        return "STRING"  # documented delta: no Doris binary column type
+    if isinstance(dt, T.ArrayType):
+        return f"ARRAY<{spark_type_to_doris(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"MAP<{spark_type_to_doris(dt.keyType)},{spark_type_to_doris(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(f"{f.name}:{spark_type_to_doris(f.dataType)}" for f in dt.fields)
+        return f"STRUCT<{inner}>"
+    raise ValueError(f"no Doris spelling for Spark type {dt}")
+
+
+def render_create_table(table: TableDef) -> str:
+    """TableDef -> Doris CREATE TABLE text (inverse of parse_create_table;
+    reference dump writes `<db>.<table>.<type>.sql` files,
+    cmd/dump.go:283-346). parse(render(parse(x))) == parse(x)."""
+    lines = []
+    for c in table.columns:
+        null = "NOT NULL" if not c.nullable else "NULL"
+        agg = f" {c.agg_type}" if c.agg_type else ""
+        lines.append(f"  `{c.name}` {c.doris_type.lower()}{agg} {null}")
+    body = ",\n".join(lines)
+    tail = ["ENGINE=OLAP"]
+    if table.key_type:
+        keys = ", ".join(f"`{k}`" for k in table.key_columns)
+        tail.append(f"{table.key_type} KEY({keys})")
+    if table.partition_clause:
+        tail.append(f"PARTITION BY {table.partition_clause}")
+    d = table.distribution
+    if d:
+        if d["kind"] == "HASH":
+            cols = ", ".join(f"`{c}`" for c in d["columns"])
+            tail.append(f"DISTRIBUTED BY HASH({cols}) BUCKETS {d['buckets']}")
+        else:
+            tail.append(f"DISTRIBUTED BY RANDOM BUCKETS {d['buckets']}")
+    if table.properties:
+        props = ",\n".join(f'  "{k}" = "{v}"' for k, v in table.properties.items())
+        tail.append(f"PROPERTIES (\n{props}\n)")
+    return f"CREATE TABLE `{table.name}` (\n{body}\n)\n" + "\n".join(tail)
+
+
+def tabledef_from_dataframe(name: str, schema: T.StructType) -> TableDef:
+    """Catalog table -> TableDef (for DDL dump of live tables)."""
+    cols = [
+        ColumnDef(
+            name=f.name,
+            doris_type=spark_type_to_doris(f.dataType),
+            spark_type=f.dataType,
+            nullable=f.nullable,
+        )
+        for f in schema.fields
+    ]
+    return TableDef(name=name, columns=cols)

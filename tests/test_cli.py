@@ -187,3 +187,21 @@ def test_cli_full_pipeline(spark, sf_dir, tmp_path):
     assert main(["anonymize", "--input", str(dump_dir / "q0.sql"), "--output", str(tmp_path / "anon.sql"), "--method", "minihash"]) == 0
     assert (tmp_path / "anon.sql").read_text().strip()
     spark.sql("DROP TABLE IF EXISTS pipe_t")
+
+
+def test_cli_dump_schema_roundtrip(spark, sf_dir, tmp_path):
+    """dump-schema -> parse -> create: the emitted DDL must round-trip
+    through the parser into the original Spark schema."""
+    from dodo_spark.catalog import load_table
+    from dodo_spark.ddl import parse_create_table
+
+    out = tmp_path / "schemas"
+    assert main(["dump-schema", "--sf-dir", sf_dir, "--output", str(out), "--tables", "lineitem,nation,embeddings"]) == 0
+    for t in ("lineitem", "nation", "embeddings"):
+        parsed = parse_create_table((out / f"{t}.table.sql").read_text())
+        want = load_table(spark, sf_dir, t).schema
+        got = {f.name: f.dataType.simpleString() for f in parsed.schema.fields}
+        expect = {f.name: f.dataType.simpleString() for f in want.fields}
+        # timestamp_ntz parquet columns round-trip as timestamp — equivalent
+        expect = {k: v.replace("timestamp_ntz", "timestamp") for k, v in expect.items()}
+        assert got == expect, t

@@ -207,3 +207,27 @@ def test_property_harness(spark):
         _property_int_bounds_nulls_rowcount()
     finally:
         _SPARK.clear()
+
+
+def test_render_parse_roundtrip():
+    """parse(render(parse(x))) == parse(x) for a layout-rich DDL."""
+    from dodo_spark.ddl import parse_create_table, render_create_table
+
+    ddl = """CREATE TABLE `rt` (
+      `id` bigint NOT NULL,
+      `qty` bigint SUM NULL,
+      `tags` array<string> NULL,
+      `m` map<string,int> NULL,
+      `s` struct<x:int,y:string> NULL,
+      `d` decimal(12,3) NULL
+    ) ENGINE=OLAP AGGREGATE KEY(`id`)
+    PARTITION BY RANGE(`id`) (PARTITION p VALUES LESS THAN ("100"))
+    DISTRIBUTED BY HASH(`id`) BUCKETS 16
+    PROPERTIES ("replication_num" = "3")"""
+    t1 = parse_create_table(ddl)
+    t2 = parse_create_table(render_create_table(t1))
+    assert t2.schema == t1.schema
+    assert t2.key_type == t1.key_type and t2.key_columns == t1.key_columns
+    assert t2.distribution == t1.distribution
+    assert [c.agg_type for c in t2.columns] == [c.agg_type for c in t1.columns]
+    assert t2.properties == t1.properties
