@@ -236,3 +236,90 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@register(
+    "similarity_topk_vectorized",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {sql_scaled_vec("embedding")} AS sv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, sv AS qv FROM v WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             {sql_cosine("q.qv", "v.sv")} AS cos_sim
+      FROM q JOIN v ON v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc="D7 alternate kernel: the same exact brute-force top-k computed "
+    "with an Arrow-batched numpy matmul (mapInPandas) instead of per-row "
+    "codegen'd expressions — the kernel of choice when vectors are wide "
+    "and queries are many (BLAS does dims x queries per corpus batch). "
+    "Scaled-long inputs keep every float64 product exact (< 2^53), so the "
+    "result is bit-identical to similarity_topk and shares its oracle. "
+    "Each batch emits only its local top-k per query; the global top-k "
+    "window sees |batches| x k x queries rows, not the corpus.",
+)
+def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: F401  (imported in the workers too)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+    q_rows = sorted(
+        v.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    q_ids = [int(r.vec_id) for r in q_rows]
+    q_mat = [[int(x) for x in r.sv] for r in q_rows]
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, mat = bq.value
+        Q = np.asarray(mat, dtype=np.float64)  # exact: scaled longs < 2^53
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([list(x) for x in pdf["sv"]], dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            sims = (C @ Q.T) / (cn[:, None] * qn[None, :])
+            nid = pdf["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(ids):
+                col = sims[:, j]
+                mask = nid != qid
+                cand_idx = np.nonzero(mask)[0]
+                take = min(TOP_K, len(cand_idx))
+                if take == 0:
+                    continue
+                # batch-local top-k (order by -sim, then neighbor_id)
+                order = np.lexsort((nid[cand_idx], -col[cand_idx]))[:take]
+                sel = cand_idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nid[sel],
+                            "cos_sim": col[sel],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = v.mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
