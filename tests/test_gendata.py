@@ -231,3 +231,32 @@ def test_render_parse_roundtrip():
     assert t2.distribution == t1.distribution
     assert [c.agg_type for c in t2.columns] == [c.agg_type for c in t1.columns]
     assert t2.properties == t1.properties
+
+
+def test_stats_driven_generation(spark):
+    """The dump->gendata loop: stats (count/ndv/nulls/avg size/min/max)
+    drive the rules exactly as the reference derives them
+    (src/gendata.go:104-162 incl. the avg-size ±5/10 string heuristic)."""
+    ddl = """CREATE TABLE s (
+      `amount` bigint NULL,
+      `label` varchar(40) NULL
+    ) ENGINE=OLAP DUPLICATE KEY(`amount`) DISTRIBUTED BY RANDOM BUCKETS AUTO"""
+    stats = {
+        "s": {
+            "row_count": 400,
+            "amount": {"count": 90, "null_count": 10, "min": 500, "max": 900},
+            # avg 12 > 10 -> length range [avg-10, avg+10] (min/max lens differ)
+            "label": {"count": 100, "null_count": 0, "avg_size_byte": 12,
+                      "min": "aa", "max": "zzzzzz"},
+        }
+    }
+    plan = GendataPlan([ddl], genconf={}, stats=stats)
+    df = plan.generate(spark)["s"]
+    rows = df.collect()
+    assert len(rows) == 400  # row_count from stats
+    amounts = [r["amount"] for r in rows if r["amount"] is not None]
+    assert all(500 <= a <= 900 for a in amounts)  # stats min/max
+    null_rate = 1 - len(amounts) / 400
+    assert 0.02 < null_rate < 0.25  # null_count/count = 0.1 ± tolerance
+    labels = [r["label"] for r in rows if r["label"] is not None]
+    assert labels and all(2 <= len(s) <= 22 for s in labels)  # avg 12 ± 10
