@@ -270,6 +270,36 @@ def cmd_anonymize(args: argparse.Namespace) -> int:
     return 0
 
 
+# -------------------------------------------------------------- import ----
+def cmd_import(args: argparse.Namespace) -> int:
+    """Load ☆-separated CSV (gendata output) into a catalog table, applying
+    optional column-mapping transforms (reference ``dodo import`` stream
+    load + the ``columns:`` mapping header, src/importdata.go:21-88 /
+    src/gendata.go:164-183 — curl transport replaced by a direct write)."""
+    import json as _json
+
+    from dodo_spark.ddl import parse_create_table
+    from dodo_spark.sources.writers import drop_managed_table, import_mapping
+
+    spark = _spark(args.parallel)
+    with open(args.ddl, encoding="utf-8") as f:
+        t = parse_create_table(f.read())
+    reader = (
+        spark.read.schema(t.schema)
+        .option("sep", "☆")
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+    )
+    df = reader.csv(args.input)
+    if args.mapping:
+        df = import_mapping(df, _json.loads(args.mapping))
+    drop_managed_table(spark, t.name)
+    df.write.saveAsTable(t.name)
+    n = spark.table(t.name).count()
+    print(f"imported {n} rows -> {t.name}")
+    return 0
+
+
 # -------------------------------------------------------------- export ----
 def cmd_export(args: argparse.Namespace) -> int:
     """Export a table to csv/parquet with {db}/{table} templating
@@ -360,6 +390,16 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--output")
     a.add_argument("--method", choices=["hash", "minihash"], default="hash")
     a.set_defaults(fn=cmd_anonymize)
+
+    im = sub.add_parser("import", help="load ☆-CSV into a catalog table")
+    im.add_argument("--ddl", required=True, help="CREATE TABLE file defining the schema")
+    im.add_argument("--input", required=True, help="CSV path (gendata output)")
+    im.add_argument(
+        "--mapping",
+        help='JSON column transforms, e.g. {"c": "array_distinct(c)"} '
+        "(the stream-load columns: mapping)",
+    )
+    im.set_defaults(fn=cmd_import)
 
     e = sub.add_parser("export", help="export a table")
     e.add_argument("--sf-dir", required=True)

@@ -205,3 +205,30 @@ def test_cli_dump_schema_roundtrip(spark, sf_dir, tmp_path):
         # timestamp_ntz parquet columns round-trip as timestamp — equivalent
         expect = {k: v.replace("timestamp_ntz", "timestamp") for k, v in expect.items()}
         assert got == expect, t
+
+
+def test_cli_gendata_import_roundtrip(spark, tmp_path):
+    """gendata -> ☆-CSV -> import: the loop the reference runs against a
+    live cluster, closed locally; row count and inc-contiguity survive."""
+    ddl = tmp_path / "t.sql"
+    ddl.write_text(
+        "CREATE TABLE `imp_t` (`id` bigint NOT NULL, `v` varchar(12) NULL, "
+        "`score` decimal(8,2) NULL) ENGINE=OLAP DUPLICATE KEY(`id`) "
+        "DISTRIBUTED BY HASH(`id`) BUCKETS 2"
+    )
+    conf = tmp_path / "c.yaml"
+    conf.write_text(
+        "tables:\n  - name: imp_t\n    row_count: 40\n    columns:\n"
+        "      - name: id\n        gen: {inc: 1, start: 1}\n"
+    )
+    out = tmp_path / "gen"
+    assert main(["gendata", "--ddl", str(ddl), "--genconf", str(conf),
+                 "--output", str(out), "--format", "csv"]) == 0
+    assert main(["import", "--ddl", str(ddl), "--input", str(out / "imp_t"),
+                 "--mapping", '{"v": "upper(v)"}']) == 0
+    t = spark.table("imp_t")
+    assert t.count() == 40
+    ids = sorted(r.id for r in t.select("id").collect())
+    assert ids == list(range(1, 41))
+    assert all(r.v is None or r.v == r.v.upper() for r in t.select("v").collect())
+    spark.sql("DROP TABLE imp_t")
