@@ -136,3 +136,13 @@ def sliding_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFram
         )
         .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "cnt", "value_sum")
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact-dedup twin of D5: drop repeated event_ids arriving
+    within the watermark window (``dropDuplicatesWithinWatermark`` bounds
+    the dedup state by event time — the unbounded-state
+    ``dropDuplicates`` is not deployable on an infinite stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -174,3 +174,48 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
     )
     want = events_sliding(spark, sf_dir)
     assert _norm(got) == _norm(want)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a duplicate event_id that
+    arrives in a LATER micro-batch (state carries across batches)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dodo_spark.streaming.events_stream import dedup_stream
+
+    def ts(m):
+        return dt.datetime(2025, 1, 1, 10, m)
+
+    schema = "event_id bigint, ts timestamp, value double"
+    src = str(tmp_path / "dup_src")
+    spark.createDataFrame(
+        [(1, ts(0), 1.0), (2, ts(1), 1.0)], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    import time
+
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(
+        [(2, ts(2), 9.0), (3, ts(3), 1.0)], schema  # event_id 2 repeats
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f*")
+    )
+    q = (
+        dedup_stream(raw)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM dedup_stream_test").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3]  # the batch-2 duplicate of id 2 is gone
+    vals = {r.event_id: r.value for r in rows}
+    assert vals[2] == 1.0  # first occurrence won
