@@ -146,3 +146,35 @@ def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str):
+    """Exactly-once parquet sink via foreachBatch: each micro-batch writes
+    its own ``__batch_id`` partition with dynamic partition overwrite, so a
+    replayed batch (failure between write and checkpoint commit) overwrites
+    its partition instead of duplicating rows. Returns the started query.
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(path)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

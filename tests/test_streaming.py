@@ -219,3 +219,28 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     assert ids == [1, 2, 3]  # the batch-2 duplicate of id 2 is gone
     vals = {r.event_id: r.value for r in rows}
     assert vals[2] == 1.0  # first occurrence won
+
+
+def test_exactly_once_parquet_sink(spark, tmp_path):
+    """The foreachBatch parquet sink must be idempotent: draining the same
+    source twice over one checkpoint yields no duplicate rows."""
+    from dodo_spark.streaming.events_stream import write_stream_parquet
+
+    schema = "event_id bigint, value double"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(i, 1.0) for i in range(100)], schema).coalesce(
+        1
+    ).write.parquet(src)
+
+    def drain():
+        q = write_stream_parquet(
+            spark.readStream.schema(schema).parquet(src), out, ckpt
+        )
+        q.awaitTermination(300)
+
+    drain()
+    assert spark.read.parquet(out).count() == 100
+    drain()  # nothing new to process; a replay must not duplicate
+    assert spark.read.parquet(out).count() == 100
