@@ -56,9 +56,13 @@ KEYWORDS = {
     float double decimal boolean date datetime timestamp string text json
     jsonb variant array map struct bitmap hll asc desc nulls first last
     interval day month year hour minute second week quarter over rows range
-    unbounded preceding following current row desc asc by
+    unbounded preceding following current row desc asc by olap
     """.split()
 }
+
+# property keys whose VALUES carry identifiers and must be rewritten
+# (reference src/parser/custom.go:14-19)
+ID_BEARING_PROPS = {"bloom_filter_columns", "function_column.sequence_col"}
 
 _TOKEN_RE = re.compile(
     r"""
@@ -126,21 +130,50 @@ def anonymize_sql(sql: str, method: str = "hash", mini: MiniDict | None = None) 
         return sql
     mini = mini if mini is not None else MiniDict()
     out = []
+    # property-value rewrite state ("bloom_filter_columns" = "a,b" — the
+    # VALUE literal carries identifiers, reference custom.go:14-19, 170)
+    prop_state = 0  # 0: idle, 1: saw id-bearing key, 2: saw '='
+    _last_word: str | None = None
     for m in _TOKEN_RE.finditer(sql):
         kind = m.lastgroup
         tok = m.group()
         if kind == "comment":
             out.append("/*'***'*/" if tok.startswith("/*") else "--'***'")
-        elif kind in ("string", "variable", "number", "other"):
+        elif kind == "string":
+            inner = tok[1:-1]
+            if prop_state == 2:
+                ids = [
+                    _rewrite_id(p.strip(), method, mini) if p.strip() else p
+                    for p in inner.split(",")
+                ]
+                out.append(tok[0] + ",".join(ids) + tok[-1])
+                prop_state = 0
+            else:
+                prop_state = 1 if inner.lower() in ID_BEARING_PROPS else 0
+                out.append(tok)
+        elif kind in ("variable", "number"):
+            out.append(tok)
+        elif kind == "other":
+            if tok == "=" and prop_state == 1:
+                prop_state = 2
+            elif not tok.isspace():
+                prop_state = 0
             out.append(tok)
         elif kind == "bquote":
             inner = tok[1:-1]
             out.append("`" + _rewrite_id(inner, method, mini) + "`")
         elif kind == "word":
-            if tok.lower() in KEYWORDS or _is_function_call(sql, m.end()):
+            low = tok.lower()
+            # "CREATE TABLE t1 (" — a name after TABLE/VIEW/DATABASE is an
+            # identifier even when '(' follows (not a function call)
+            after_object_kw = _last_word and _last_word in ("table", "view", "database")
+            if low in KEYWORDS or (
+                _is_function_call(sql, m.end()) and not after_object_kw
+            ):
                 out.append(tok)
             else:
                 out.append(_rewrite_id(tok, method, mini))
+            _last_word = low
     return "".join(out)
 
 
@@ -154,13 +187,18 @@ def _rewrite_id(identifier: str, method: str, mini: MiniDict) -> str:
 def collect_identifiers(sql: str) -> list[str]:
     """Identifier vocabulary of one statement, in token order."""
     ids = []
+    last_word: str | None = None
     for m in _TOKEN_RE.finditer(sql):
         if m.lastgroup == "bquote":
             ids.append(m.group()[1:-1])
-        elif m.lastgroup == "word" and m.group().lower() not in KEYWORDS and not _is_function_call(
-            sql, m.end()
-        ):
-            ids.append(m.group())
+        elif m.lastgroup == "word":
+            low = m.group().lower()
+            after_object_kw = last_word in ("table", "view", "database")
+            if low not in KEYWORDS and (
+                not _is_function_call(sql, m.end()) or after_object_kw
+            ):
+                ids.append(m.group())
+            last_word = low
     return ids
 
 
@@ -191,16 +229,23 @@ def anonymize_statements(
 
         def one(sql: str) -> str:
             out = []
+            last_word = None
             for m in _TOKEN_RE.finditer(sql):
                 kind, tok = m.lastgroup, m.group()
                 if kind == "comment":
                     out.append("/*'***'*/" if tok.startswith("/*") else "--'***'")
                 elif kind == "bquote":
                     out.append("`" + table.get(tok[1:-1].lower(), tok[1:-1]) + "`")
-                elif kind == "word" and tok.lower() not in KEYWORDS and not _is_function_call(
-                    sql, m.end()
-                ):
-                    out.append(table.get(tok.lower(), tok))
+                elif kind == "word":
+                    low = tok.lower()
+                    after_object_kw = last_word in ("table", "view", "database")
+                    if low not in KEYWORDS and (
+                        not _is_function_call(sql, m.end()) or after_object_kw
+                    ):
+                        out.append(table.get(low, tok))
+                    else:
+                        out.append(tok)
+                    last_word = low
                 else:
                     out.append(tok)
             return "".join(out)

@@ -82,3 +82,34 @@ def test_collect_identifiers_order_and_filtering():
         "SELECT func(col_a), col_b FROM db1.tbl WHERE col_a IN (1,2)"
     )
     assert ids == ["col_a", "col_b", "db1", "tbl", "col_a"]
+
+
+def test_engine_clause_preserved():
+    out = anonymize_sql(
+        "CREATE TABLE t1 (c1 int) ENGINE=OLAP DUPLICATE KEY(c1)", method="minihash"
+    )
+    assert "ENGINE=OLAP" in out
+    assert " t1 " not in out and "(c1 " not in out
+
+
+def test_id_bearing_property_values_rewritten():
+    # reference custom.go:14-19: bloom_filter_columns VALUE carries ids
+    mini = MiniDict()
+    out = anonymize_sql(
+        'CREATE TABLE t1 (col_a int, col_b int) ENGINE=OLAP '
+        'PROPERTIES ("bloom_filter_columns" = "col_a,col_b", '
+        '"replication_num" = "3")',
+        method="minihash",
+        mini=mini,
+    )
+    # key preserved, value ids rewritten consistently with the column defs
+    assert '"bloom_filter_columns"' in out
+    assert "col_a" not in out and "col_b" not in out
+    # non-id property value untouched
+    assert '"replication_num" = "3"' in out
+    # the rewritten ids in the property equal the rewritten column names
+    import re
+
+    cols = re.search(r"\((\w+) int, (\w+) int\)", out)
+    prop = re.search(r'"bloom_filter_columns" = "(\w+),(\w+)"', out)
+    assert cols and prop and (cols.group(1), cols.group(2)) == (prop.group(1), prop.group(2))
