@@ -138,20 +138,14 @@ def cmd_gendata(args: argparse.Namespace) -> int:
     """DDL + genconf YAML -> generated datasets (reference cmd/gendata.go).
     Multi-document genconf files run one generation round per document
     (max 128, reference cmd/gendata.go:38)."""
-    import yaml
-
     from dodo_spark.gendata.plan import GendataPlan
+    from dodo_spark.gendata.rules import load_genconf
 
     ddls = []
     for path in args.ddl:
         with open(path, encoding="utf-8") as f:
             ddls.append(f.read())
-    confs: list[dict] = [{}]
-    if args.genconf:
-        with open(args.genconf, encoding="utf-8") as f:
-            confs = [d for d in yaml.safe_load_all(f.read()) if d is not None] or [{}]
-        if len(confs) > 128:
-            raise SystemExit("genconf: more than 128 documents")
+    confs: list[dict] = load_genconf(args.genconf) if args.genconf else [{}]
 
     spark = _spark(args.parallel)
     for i, conf in enumerate(confs):

@@ -232,3 +232,24 @@ def test_cli_gendata_import_roundtrip(spark, tmp_path):
     assert ids == list(range(1, 41))
     assert all(r.v is None or r.v == r.v.upper() for r in t.select("v").collect())
     spark.sql("DROP TABLE imp_t")
+
+
+def test_cli_gendata_multi_round(spark, tmp_path):
+    """A '---'-separated genconf runs one generation round per document
+    (reference cmd/gendata.go:38, max 128)."""
+    ddl = tmp_path / "t.sql"
+    ddl.write_text(
+        "CREATE TABLE `mr` (`id` bigint NOT NULL) ENGINE=OLAP "
+        "DUPLICATE KEY(`id`) DISTRIBUTED BY HASH(`id`) BUCKETS 2"
+    )
+    conf = tmp_path / "c.yaml"
+    conf.write_text(
+        "tables:\n  - name: mr\n    row_count: 10\n"
+        "---\n"
+        "tables:\n  - name: mr\n    row_count: 25\n"
+    )
+    out = tmp_path / "gen"
+    assert main(["gendata", "--ddl", str(ddl), "--genconf", str(conf), "--output", str(out)]) == 0
+    r0 = spark.read.parquet(str(out / "mr_round0")).count()
+    r1 = spark.read.parquet(str(out / "mr_round1")).count()
+    assert (r0, r1) == (10, 25)
