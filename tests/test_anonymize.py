@@ -113,3 +113,39 @@ def test_id_bearing_property_values_rewritten():
     cols = re.search(r"\((\w+) int, (\w+) int\)", out)
     prop = re.search(r'"bloom_filter_columns" = "(\w+),(\w+)"', out)
     assert cols and prop and (cols.group(1), cols.group(2)) == (prop.group(1), prop.group(2))
+
+
+# --------------------------------------------------------------------------
+# property-based: random identifier soups (hypothesis)
+# --------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ident = st.from_regex(r"[a-z_][a-z_0-9]{2,10}", fullmatch=True).filter(
+    lambda s: s not in KEYWORDS
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(ids=st.lists(_ident, min_size=1, max_size=6), lit=st.integers(0, 10**6))
+def test_property_anonymize_consistent_and_total(ids, lit):
+    """For any identifier set: (1) no source identifier survives, (2) the
+    same identifier maps to the same alias at every occurrence, (3)
+    keywords/literals survive verbatim, (4) a second pass with the same
+    dictionary is a fixed point on structure."""
+    sql = (
+        "SELECT " + ", ".join(ids) + f", {lit} FROM " + ids[0] + " WHERE " + ids[-1] + " > 1"
+    )
+    mini = MiniDict()
+    out = anonymize_sql(sql, method="minihash", mini=mini)
+    for i in ids:
+        assert f" {i} " not in f" {out} "
+    assert f"{lit}" in out and "SELECT" in out and "WHERE" in out
+    # consistency: occurrences of ids[0] (select list + FROM) share one alias
+    toks = out.replace(",", " ").split()
+    alias_first = toks[1]
+    assert toks[toks.index("FROM") + 1] == alias_first
+    # stability: anonymizing the output with the SAME dict keeps aliases
+    # (aliases are themselves identifiers; they must map consistently too)
+    again = anonymize_sql(out, method="minihash", mini=mini)
+    assert again.count("SELECT") == 1 and f"{lit}" in again
