@@ -1,0 +1,145 @@
+"""Doris behavior-analytics aggregates: window_funnel + retention
+(Doris builtin aggregate functions exercised by replayed workloads; the
+grammar accepts any function name, DorisParser.g4:1588-1599 — these two
+have no Spark builtin, so they're composed from joins/conditional aggs).
+
+- ``events_funnel``: window_funnel(W)('view','click','purchase') — per
+  user, the deepest step reached where each step follows the previous one
+  and the whole chain fits in W from step 1.
+- ``events_retention``: retention('signup', 'purchase') — per user, did
+  the anchor event happen, and did the follow event happen at-or-after it.
+
+Scale shape: both are per-user aggregations — conditional min/max inside
+ONE groupBy(user_id) (no self-joins, no windows over raw events); the
+funnel chains via step-k-after-step-(k-1) min-timestamps computed with
+iterative conditional aggregation, which stays a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dodo_spark.catalog import load_table
+from dodo_spark.registry import register
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_MIN = 120  # funnel window W, minutes
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL '{FUNNEL_WINDOW_MIN} minutes'
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+                    JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL '{FUNNEL_WINDOW_MIN} minutes'
+      GROUP BY e.user_id
+    ),
+    lv AS (
+      SELECT u.user_id,
+             CASE WHEN s3.t3 IS NOT NULL THEN 3
+                  WHEN s2.t2 IS NOT NULL THEN 2
+                  WHEN s1.t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_level
+      FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+             LEFT JOIN s2 ON s2.user_id = u.user_id
+             LEFT JOIN s3 ON s3.user_id = u.user_id
+    )
+    SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS users
+    FROM lv GROUP BY funnel_level
+    """,
+    doc="Doris window_funnel equivalent: ordered 3-step funnel "
+    f"({' -> '.join(FUNNEL_STEPS)}) within {FUNNEL_WINDOW_MIN} minutes of "
+    "step 1, histogram of deepest level per user.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + w))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + w))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    u = ev.select("user_id").distinct()
+    lv = (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_level"),
+        )
+    )
+    return lv.groupBy("funnel_level").agg(F.count("*").alias("users"))
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS anchor_ts,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS users,
+           CAST(SUM(CASE WHEN anchor_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS did_anchor,
+           CAST(SUM(CASE WHEN anchor_ts IS NOT NULL
+                          AND last_purchase >= anchor_ts THEN 1 ELSE 0 END) AS BIGINT)
+             AS retained
+    FROM per_user
+    """,
+    doc="Doris retention equivalent: anchor event ('signup') then follow "
+    "event ('purchase') at-or-after it; one conditional aggregation per "
+    "user, then global counts — a single shuffle.",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("anchor_ts"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("users"),
+        F.sum(F.col("anchor_ts").isNotNull().cast("bigint")).alias("did_anchor"),
+        F.sum(
+            (F.col("anchor_ts").isNotNull() & (F.col("last_purchase") >= F.col("anchor_ts")))
+            .cast("bigint")
+        ).alias("retained"),
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
         analytics,
         dedup,
         events,
+        funnel,
         relational,
         scalar,
         schema,
