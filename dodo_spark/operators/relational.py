@@ -1082,3 +1082,45 @@ def explode_outer_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     long_toks = F.filter(F.split("text", " ", -1), lambda x: F.length(x) >= 7)
     return docs.select("doc_id", F.explode_outer(long_toks).alias("tok"))
+
+
+@register(
+    "scalar_bitmap_ops",
+    oracle="""
+    WITH b AS (
+      SELECT l_partkey, list_sort(list_distinct(list(l_suppkey))) AS suppliers
+      FROM lineitem WHERE l_partkey < 120 GROUP BY l_partkey
+    )
+    SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+           CAST(len(list_filter(a.suppliers, x -> list_contains(c.suppliers, x)))
+                AS BIGINT) AS and_count,
+           CAST(len(list_distinct(list_concat(a.suppliers, c.suppliers)))
+                AS BIGINT) AS or_count,
+           CAST(len(list_distinct(list_concat(a.suppliers, c.suppliers)))
+                - len(list_filter(a.suppliers, x -> list_contains(c.suppliers, x)))
+                AS BIGINT) AS xor_count
+    FROM b a JOIN b c ON c.l_partkey = a.l_partkey + 1
+    """,
+    doc="Doris bitmap set algebra (bitmap_and/or/xor_count) over the "
+    "BITMAP -> array<long> mapping (SURVEY §1.2): supplier sets per part "
+    "(bitmap_union = collect_set), pairwise and/or/xor cardinalities via "
+    "array_intersect/array_union — exact, codegen'd, no UDF.",
+)
+def scalar_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    b = li.groupBy("l_partkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("suppliers")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    inter = F.size(F.array_intersect(F.col("a.suppliers"), F.col("c.suppliers")))
+    union = F.size(F.array_union(F.col("a.suppliers"), F.col("c.suppliers")))
+    return (
+        a.join(c, F.col("c.l_partkey") == F.col("a.l_partkey") + 1)
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+            inter.cast("bigint").alias("and_count"),
+            union.cast("bigint").alias("or_count"),
+            (union - inter).cast("bigint").alias("xor_count"),
+        )
+    )
