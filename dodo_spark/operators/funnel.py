@@ -143,3 +143,42 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
         ).alias("retained"),
     )
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS users,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'v.*c.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS matched_vcp,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'se') THEN 1 ELSE 0 END)
+                AS BIGINT) AS matched_signup_then_error_adjacent
+    FROM seq
+    """,
+    doc="Doris sequence_match equivalent: per-user time-ordered event-type "
+    "path (first letters, ties broken by event_id) matched against "
+    "patterns — '(?1).*(?2).*(?3)' = view->click->purchase in order, and "
+    "an adjacency pattern. Ordered string_agg == sorted collect_list + "
+    "concat; one shuffle on user_id.",
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    step = F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(step)), lambda s: s.getField("c"))
+        ).alias("path")
+    )
+    return seq.agg(
+        F.count("*").alias("users"),
+        F.sum(F.col("path").rlike("v.*c.*p").cast("bigint")).alias("matched_vcp"),
+        F.sum(F.col("path").rlike("se").cast("bigint")).alias(
+            "matched_signup_then_error_adjacent"
+        ),
+    )
