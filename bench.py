@@ -48,6 +48,7 @@ HEADLINE = [
     "text_stats",
     "stats_column",
     "agg_key_merge",
+    "events_funnel",
 ]
 
 
