@@ -143,3 +143,47 @@ _CUSTOMER_COLS = [
 )
 def stats_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(spark, sf_dir, "customer")
+
+
+N_BUCKETS = 10
+
+
+@register(
+    "stats_histogram",
+    oracle=f"""
+    WITH mm AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(LEAST(FLOOR((o_totalprice - mm.lo) / ((mm.hi - mm.lo) / {N_BUCKETS})),
+                      {N_BUCKETS - 1}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders, mm
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram over a numeric column — the data-profiling "
+    "companion of the stats dump (Doris exposes column histograms via its "
+    "stats subsystem). Two passes: global min/max (tiny broadcast), then "
+    "one groupBy on the bucket id; identical double arithmetic on both "
+    "engines keeps bucket edges bit-equal.",
+)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mm = orders.agg(
+        F.min("o_totalprice").alias("lo_g"), F.max("o_totalprice").alias("hi_g")
+    )
+    width = (F.col("hi_g") - F.col("lo_g")) / N_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo_g")) / width),
+        F.lit(N_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        orders.crossJoin(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
