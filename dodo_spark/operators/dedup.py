@@ -349,3 +349,77 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= NGRAM_JACCARD)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle().replace(chr(10), chr(10) + '  ')}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), lbl(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, LEAST(l.label, e.dst)
+      FROM lbl l JOIN edges e ON e.dst = l.id
+    ), final AS (
+      SELECT id, MIN(label) AS cluster FROM lbl GROUP BY id
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+           CAST(MAX(id) AS BIGINT) AS max_doc
+    FROM final GROUP BY cluster
+    """,
+    doc="Near-dup clustering: connected components over the verified "
+    "MinHash pair graph — the 'keep one per cluster' form of corpus "
+    "dedup. The pair set is bucket-bounded (dedup_near), so components "
+    "resolve with iterative min-label propagation: Spark runs the loop as "
+    "repeated broadcast joins to a fixpoint (graph diameter iterations); "
+    "the oracle is the recursive-CTE transitive closure. Cluster id = min "
+    "doc_id in the component (deterministic).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).cache()
+    # min-label propagation to fixpoint; pair graphs are bucket-bounded so
+    # the diameter (iteration count) is small
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("label").alias("cluster")).agg(
+        F.count("*").alias("size"), F.max("id").alias("max_doc")
+    )
