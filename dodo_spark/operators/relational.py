@@ -1124,3 +1124,38 @@ def scalar_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (union - inter).cast("bigint").alias("xor_count"),
         )
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS key FROM lineitem WHERE l_partkey < 50
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+    """,
+    doc="A19: INTERSECT ALL — bag semantics (each duplicate matched "
+    "pairwise, ref setOperation DorisParser.g4:1147-1153); Spark "
+    "intersectAll = count-bounded anti-duplication via a shared shuffle.",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_partkey") < 50).select(F.col("l_suppkey").alias("key"))
+    b = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("key"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT l_suppkey AS key FROM lineitem WHERE l_partkey < 50
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+    """,
+    doc="A19: EXCEPT ALL (MINUS ALL) — bag difference preserving "
+    "multiplicities (ref DorisParser.g4:1147-1153).",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_partkey") < 50).select(F.col("l_suppkey").alias("key"))
+    b = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("key"))
+    return a.exceptAll(b)
