@@ -957,11 +957,22 @@ def agg_ndv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "insert_select",
-    oracle=None,
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_totalprice > 200000
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_totalprice > 150000 AND o_totalprice <= 200000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_after_insert,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM target
+    """,
     doc="A39: INSERT INTO ... SELECT (ref supportedDmlStatement "
     "DorisParser.g4:127-160). Materializes a filtered projection into a "
-    "session-scoped table and returns its aggregate; rows-only because the "
-    "sink is engine-local state.",
+    "session-scoped table and returns its aggregate; oracle models the "
+    "insert as base UNION ALL source.",
 )
 def insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

