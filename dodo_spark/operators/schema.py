@@ -26,20 +26,44 @@ from dodo_spark.sources.writers import export_table
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
 
+_TABLE_LIST = ", ".join(f"'{t}'" for t in TABLES)
+
+
 @register(
     "schema_dump",
-    oracle=None,
+    oracle=f"""
+    SELECT table_name,
+           CAST(ordinal_position - 1 AS INTEGER) AS ordinal,
+           column_name,
+           CASE data_type
+             WHEN 'BIGINT' THEN 'bigint'
+             WHEN 'INTEGER' THEN 'int'
+             WHEN 'DOUBLE' THEN 'double'
+             WHEN 'FLOAT' THEN 'float'
+             WHEN 'VARCHAR' THEN 'string'
+             WHEN 'TIMESTAMP' THEN 'timestamp'
+             WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+             WHEN 'DATE' THEN 'date'
+             WHEN 'FLOAT[]' THEN 'array<float>'
+             ELSE lower(data_type)
+           END AS data_type,
+           CAST(is_nullable = 'YES' AS BOOLEAN) AS nullable
+    FROM information_schema.columns
+    WHERE table_name IN ({_TABLE_LIST})
+    """,
     doc="B1: schema dump — one row per (table, ordinal, column, type, "
     "nullable) across the whole catalog (reference src/db.go:124-208, "
-    "cmd/dump.go:236-346). Rows-only: type-name spellings are "
-    "engine-specific.",
+    "cmd/dump.go:236-346), oracle-checked against DuckDB's "
+    "information_schema with a normalized type-spelling map "
+    "(timestamp_ntz/timestamp collapse — DuckDB has no ntz distinction).",
 )
 def schema_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for t in TABLES:
         df = load_table(spark, sf_dir, t)
         for i, f in enumerate(df.schema.fields):
-            rows.append((t, i, f.name, f.dataType.simpleString(), f.nullable))
+            spelling = f.dataType.simpleString().replace("timestamp_ntz", "timestamp")
+            rows.append((t, i, f.name, spelling, f.nullable))
     return spark.createDataFrame(
         rows, "table_name STRING, ordinal INT, column_name STRING, data_type STRING, nullable BOOLEAN"
     )
