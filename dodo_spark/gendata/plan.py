@@ -228,12 +228,20 @@ def example_plan() -> GendataPlan:
 
 @register(
     "gendata_basic",
-    oracle=None,
+    oracle="""
+    SELECT CAST(1000 AS BIGINT) AS sales_rows,
+           CAST(0 AS BIGINT) AS dangling_refs,
+           CAST(198 AS BIGINT) AS distinct_employees_referenced,
+           CAST(10.3 AS DOUBLE) AS min_amount,
+           CAST(500.96 AS DOUBLE) AS max_amount
+    """,
     doc="B8/C1-C8: generate the reference's example star pair (employees + "
     "sales with an FK-style ref) and emit integrity aggregates: row counts, "
-    "ref containment, null rate, value bounds. Rows-only: generation is "
-    "engine-local randomness, but every assertion here is the property the "
-    "reference's own tests check (ref_test.go, gendata_test.go).",
+    "ref containment, null rate, value bounds. Generation is seed-"
+    "deterministic (xxhash64 draws, partition-independent), so the "
+    "aggregates are constants: the oracle is their golden values — the "
+    "same property assertions as the reference's own tests "
+    "(ref_test.go, gendata_test.go).",
 )
 def gendata_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = example_plan().generate(spark)
