@@ -117,10 +117,35 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 
 @register(
     "multimodal_pipeline",
-    oracle=None,
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+             strlen(text) AS byte_len,
+             md5(text) AS h
+      FROM documents
+    ), d AS (
+      SELECT media_type, byte_len,
+             64 + ((strpos('0123456789abcdef', substring(substring(h, 1, 2), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(substring(h, 1, 2), 2, 1)) - 1) * 1) % 192 AS width,
+             8000 + (((strpos('0123456789abcdef', substring(substring(h, 7, 2), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(substring(h, 7, 2), 2, 1)) - 1) * 1) % 5) * 8000 AS sample_rate
+      FROM m
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS items,
+           CAST(SUM(byte_len) AS BIGINT) AS bytes_total,
+           AVG(CASE WHEN media_type IN ('image','video') THEN width END)
+             AS avg_width,
+           CAST(COUNT(DISTINCT CASE WHEN media_type = 'audio' THEN sample_rate END)
+                AS BIGINT) AS sample_rates
+    FROM d GROUP BY media_type
+    """,
     doc="multimodal: binary payload -> mapInPandas decode (stubbed codecs, "
     "real Arrow plumbing) -> frame sampling -> per-type aggregates. "
-    "Rows-only: decode output is engine-defined.",
+    "The stub decode is md5-derived, so the oracle re-derives every "
+    "metadata field from md5(text) in SQL and checks the aggregates "
+    "exactly.",
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(spark, sf_dir)

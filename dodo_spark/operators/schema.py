@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dodo_spark.catalog import TABLES, load_table
-from dodo_spark.functions.hashing import row_hash_int
+from dodo_spark.functions.hashing import row_hash_int, sql_result_hash, sql_row_md5
 from dodo_spark.registry import register
 from dodo_spark.sources.writers import export_table
 
@@ -71,11 +71,23 @@ def schema_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "export_roundtrip",
-    oracle=None,
+    oracle=f"""
+    WITH r AS (
+      SELECT {sql_row_md5(["n_nationkey", "n_name", "n_regionkey"])} AS h
+      FROM nation
+    ), base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows, {sql_result_hash("h")} AS content_hash
+      FROM r
+    )
+    SELECT s.sink, base.rows, base.content_hash, TRUE AS matches_source
+    FROM base, (VALUES ('source'), ('parquet'), ('csv')) AS s(sink)
+    """,
     doc="B10: export to parquet and ☆-separated CSV, read back, compare "
     "row counts and order-insensitive content hashes (reference "
-    "src/export.go:22-80; CSV dialect src/gendata.go:16-19). Rows-only: "
-    "exercises the filesystem.",
+    "src/export.go:22-80; CSV dialect src/gendata.go:16-19). Oracle "
+    "recomputes the source content hash independently and asserts all "
+    "three sinks carry it — a failed roundtrip surfaces as matches_source "
+    "= false and hash-mismatches.",
 )
 def export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")

@@ -291,7 +291,24 @@ def result_hash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "replay_execute",
-    oracle=None,
+    oracle="""
+    WITH r1 AS (SELECT md5(concat_ws(chr(9), coalesce(CAST(n_name AS VARCHAR), chr(1) || 'N'))) AS h FROM nation),
+    r3 AS (SELECT md5(concat_ws(chr(9), coalesce(CAST(r_name AS VARCHAR), chr(1) || 'N'))) AS h FROM region),
+    n AS (SELECT CAST(COUNT(*) AS VARCHAR) AS v FROM nation),
+    r2 AS (SELECT md5(v) AS h FROM n)
+    SELECT 'q1' AS query_id, 'c1' AS client,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS return_rows,
+           (SELECT CAST(SUM(CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 12, 1)) - 1) * 1 AS BIGINT)) AS BIGINT) FROM r1) AS return_rows_hash,
+           FALSE AS failed
+    UNION ALL
+    SELECT 'q2', 'c1', 1, (SELECT CAST(SUM(CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 12, 1)) - 1) * 1 AS BIGINT)) AS BIGINT) FROM r2), FALSE
+    UNION ALL
+    SELECT 'q3', 'c2',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region),
+           (SELECT CAST(SUM(CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 12, 1)) - 1) * 1 AS BIGINT)) AS BIGINT) FROM r3), FALSE
+    UNION ALL
+    SELECT 'q4', 'c2', 0, NULL, TRUE
+    """,
     doc="B11: timed concurrent replay — per-client ordered execution of "
     "decoded statements through spark.sql, rowcount + hash + error capture "
     "(reference src/replay.go:217-296). Rows-only: durations are wall-clock.",
