@@ -830,15 +830,35 @@ def explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "sample_rows",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS sampled_rows
+    FROM lineitem
+    WHERE (strpos('0123456789abcdef',
+                  substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                CAST(l_linenumber AS VARCHAR) || ':42'), 1, 1)) - 1)
+          * 16
+          + (strpos('0123456789abcdef',
+                    substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                  CAST(l_linenumber AS VARCHAR) || ':42'), 2, 1)) - 1)
+          < 26
+    GROUP BY l_returnflag
+    """,
     doc="A24: TABLESAMPLE with repeatable seed (ref sample "
-    "DorisParser.g4:1745-1752). Bernoulli sample, seeded — deterministic "
-    "within Spark, not reproducible in the oracle (rows-only).",
+    "DorisParser.g4:1745-1752) as a deterministic hash sample: keep rows "
+    "where the seeded row-hash falls under ~10%% of the key space "
+    "(26/256). Unlike RNG-backed Bernoulli sampling this is reproducible "
+    "under retries, partitioning AND across engines — the form that "
+    "belongs in a distributed pipeline — so it is fully oracle-checked.",
 )
 def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    digest = F.md5(
+        F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"), F.lit("42"))
+    )
+    bucket = F.conv(F.substring(digest, 1, 2), 16, 10).cast("int")
     return (
-        li.sample(fraction=0.1, seed=42)
+        li.filter(bucket < 26)  # 26/256 ~ 10%, seeded by the literal 42
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("sampled_rows"))
     )
