@@ -9,6 +9,12 @@ the engine defines the hash as an ORDER-INSENSITIVE commutative aggregate:
 md5 is available and bit-identical in both Spark and DuckDB; 12 hex chars
 = 48 bits keeps every partial sum exact even in double-accumulating
 engines. Null cells canonicalize to a sentinel so (NULL,'') != ('',NULL).
+
+The SUM itself is taken modulo 2^48: a plain int64 sum of 48-bit values
+overflows beyond ~32k rows — Spark (non-ANSI) wraps silently while DuckDB's
+HUGEINT sum then errors on the BIGINT cast, silently breaking cross-engine
+equality. Spark accumulates in DECIMAL(38,0) (exact), DuckDB in HUGEINT
+(exact); both reduce mod 2^48, so the hash is exact at any row count.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ __all__ = ["row_md5", "row_hash_int", "result_hash", "sql_row_md5", "sql_hex_int
 NULL_SENTINEL = "\x01N"
 FIELD_SEP = "\t"
 HEX_CHARS = 12
+HASH_MOD = 1 << 48  # sum reduced mod 2^48: exact in both engines at any row count
 
 
 def row_md5(*cols: Column | str) -> Column:
@@ -36,8 +43,13 @@ def row_hash_int(*cols: Column | str) -> Column:
 
 
 def result_hash(*cols: Column | str) -> Column:
-    """Commutative aggregate hash of a result set."""
-    return F.sum(row_hash_int(*cols)).alias("result_hash")
+    """Commutative aggregate hash of a result set (exact at any row count:
+    decimal accumulation, reduced mod 2^48)."""
+    return (
+        F.pmod(F.sum(row_hash_int(*cols).cast("decimal(38,0)")), F.lit(HASH_MOD))
+        .cast("bigint")
+        .alias("result_hash")
+    )
 
 
 def sql_row_md5(cols: list[str]) -> str:
@@ -56,5 +68,7 @@ def sql_hex_int(h: str, n: int = HEX_CHARS) -> str:
 
 
 def sql_result_hash(h: str = "h") -> str:
-    """SUM of hex-int over a CTE exposing the per-row digest as column h."""
-    return f"CAST(SUM({sql_hex_int(h)}) AS BIGINT)"
+    """SUM of hex-int over a CTE exposing the per-row digest as column h.
+    HUGEINT sum (exact) reduced mod 2^48 — twin of :func:`result_hash`.
+    Row hashes are non-negative, so plain ``%`` equals pmod."""
+    return f"CAST(SUM({sql_hex_int(h)}) % {HASH_MOD} AS BIGINT)"

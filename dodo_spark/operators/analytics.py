@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from dodo_spark.catalog import load_table
 from dodo_spark.operators.relational import dsum, sql_dsum
@@ -130,8 +129,11 @@ def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue", 6))
     )
-    w = Window.orderBy(F.lit(1))  # global max over the tiny revenue aggregate
-    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    # Global max as a 1-row aggregate broadcast back onto revenue — never a
+    # Window with empty partitionBy (that would funnel every per-supplier row
+    # into a single task at scale).
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (

@@ -383,32 +383,58 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return labels.groupBy(F.col("label").alias("cluster")).agg(
+        F.count("*").alias("size"), F.max("id").alias("max_doc")
+    )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+) -> DataFrame:
+    """Min-label connected components over an undirected pair graph;
+    returns (id, label) with label = min node id in the component.
+
+    Each round does a neighbor-min hop followed by pointer doubling
+    (label := label[label]), so convergence is O(log diameter) rounds —
+    a 1M-node chain resolves in ~20 rounds, not 1M. Superseded cached
+    frames are unpersisted each round; raises RuntimeError if the fixpoint
+    isn't reached within ``max_iters`` (silent truncation would return
+    wrong labels).
+    """
     edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
         .cache()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    ).cache()
-    # min-label propagation to fixpoint; pair graphs are bucket-bounded so
-    # the diameter (iteration count) is small
-    for _ in range(20):
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).cache()
+    )
+    converged = False
+    for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        hop = labels.join(neigh, labels.id == neigh.src, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+        )
+        # pointer doubling: label := label[label] (labels only shrink, so
+        # least() keeps this monotone)
+        lbl2 = hop.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
+        # localCheckpoint truncates the logical plan each round — iterative
+        # self-joins otherwise grow lineage exponentially (StackOverflow at
+        # ~10 rounds) and re-plan cost dominates at scale
         new_labels = (
-            labels.join(neigh, labels.id == neigh.src, "left")
+            hop.join(lbl2, hop.label == lbl2.pid, "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(F.col("label"), F.coalesce("plabel", F.col("label"))).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -417,9 +443,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels.groupBy(F.col("label").alias("cluster")).agg(
-        F.count("*").alias("size"), F.max("id").alias("max_doc")
-    )
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations; "
+            "raise max_iters (graph diameter exceeds 2^iters after doubling)"
+        )
+    return labels

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dodo_spark.catalog import TABLES, load_table
-from dodo_spark.functions.hashing import row_hash_int, sql_result_hash, sql_row_md5
+from dodo_spark.functions.hashing import result_hash, sql_result_hash, sql_row_md5
 from dodo_spark.registry import register
 from dodo_spark.sources.writers import export_table
 
@@ -106,7 +106,7 @@ def export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sig(df: DataFrame) -> DataFrame:
         casted = [F.col(c).cast("string").alias(c) for c in cols]
         return df.select(*casted).agg(
-            F.count("*").alias("rows"), F.sum(row_hash_int(*cols)).alias("h")
+            F.count("*").alias("rows"), result_hash(*cols).alias("h")
         )
 
     a, b, c = sig(nat).first(), sig(pq).first(), sig(cs).first()

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dodo_spark.catalog import load_table
-from dodo_spark.functions.hashing import sql_result_hash, sql_row_md5
+from dodo_spark.functions.hashing import result_hash, sql_result_hash, sql_row_md5
 from dodo_spark.registry import register
 
 MIN_DURATION_DIFF_MS = 100  # reference cmd/diff.go:78
@@ -72,23 +72,7 @@ def _result_set(spark: SparkSession, sf_dir: str, side: str) -> DataFrame:
         )
     hashed = base.groupBy("bucket").agg(
         F.count("*").alias("return_rows"),
-        F.sum(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "\t",
-                            F.coalesce(F.col("o_orderkey").cast("string"), F.lit("\x01N")),
-                            F.coalesce(F.col("o_orderstatus"), F.lit("\x01N")),
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias("return_rows_hash"),
+        result_hash("o_orderkey", "o_orderstatus").alias("return_rows_hash"),
     )
     err = F.when((F.lit(side) == "b") & (F.col("bucket") == 7), F.lit("boom")).otherwise(
         F.lit(None).cast("string")

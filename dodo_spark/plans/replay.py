@@ -30,7 +30,11 @@ from dodo_spark.catalog import load_table
 from dodo_spark.functions.hashing import result_hash, sql_result_hash, sql_row_md5
 from dodo_spark.registry import register
 
-META_RE = r"^/\*dodo(\{.*?\})\*/\s*(.*?);?\s*$"
+# (?s) = DOTALL: dumped statements contain real newlines (the dump pipeline
+# unescapes \n via unescape_stmt before encoding, and the reference reassembles
+# multi-line statements, src/replay.go:427-442) — without it, decode silently
+# drops every multi-line statement.
+META_RE = r"(?s)^/\*dodo(\{.*?\})\*/\s*(.*?);?\s*$"
 META_SCHEMA = "ts STRING, client STRING, user STRING, db STRING, queryId STRING, durationMs BIGINT"
 
 
@@ -123,10 +127,33 @@ def replay_statements(
             try:
                 res = spark.sql(r["stmt"])
                 if max_hash_rows > 0:
-                    res = res.limit(max_hash_rows)
-                agg = res.agg(
-                    F.count("*").alias("n"), result_hash(*res.columns).alias("h")
-                ).first()
+                    # Reference semantics (src/replay.go:254-272): return_rows
+                    # counts ALL rows; the cap applies only to the hashed
+                    # subset. Order the capped subset by its own row hash so
+                    # the hash is deterministic across runs (a bare limit()
+                    # would pick arbitrary rows).
+                    from dodo_spark.functions.hashing import HASH_MOD, row_hash_int
+
+                    n = res.count()
+                    h = (
+                        res.select(row_hash_int(*res.columns).alias("__rh"))
+                        .orderBy("__rh")
+                        .limit(max_hash_rows)
+                        .agg(
+                            F.pmod(
+                                F.sum(F.col("__rh").cast("decimal(38,0)")),
+                                F.lit(HASH_MOD),
+                            )
+                            .cast("bigint")
+                            .alias("h")
+                        )
+                        .first()["h"]
+                    )
+                    agg = {"n": n, "h": h}
+                else:
+                    agg = res.agg(
+                        F.count("*").alias("n"), result_hash(*res.columns).alias("h")
+                    ).first()
                 out.append(
                     ReplayResult(
                         ts=r["ts"],
@@ -267,45 +294,29 @@ def result_hash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("return_rows"),
-        F.sum(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "\t",
-                            *[
-                                F.coalesce(F.col(c).cast("string"), F.lit("\x01N"))
-                                for c in ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
-                            ],
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias("result_hash"),
+        result_hash("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").alias(
+            "result_hash"
+        ),
     )
 
 
 @register(
     "replay_execute",
-    oracle="""
-    WITH r1 AS (SELECT md5(concat_ws(chr(9), coalesce(CAST(n_name AS VARCHAR), chr(1) || 'N'))) AS h FROM nation),
-    r3 AS (SELECT md5(concat_ws(chr(9), coalesce(CAST(r_name AS VARCHAR), chr(1) || 'N'))) AS h FROM region),
+    oracle=f"""
+    WITH r1 AS (SELECT {sql_row_md5(["n_name"])} AS h FROM nation),
+    r3 AS (SELECT {sql_row_md5(["r_name"])} AS h FROM region),
     n AS (SELECT CAST(COUNT(*) AS VARCHAR) AS v FROM nation),
     r2 AS (SELECT md5(v) AS h FROM n)
     SELECT 'q1' AS query_id, 'c1' AS client,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS return_rows,
-           (SELECT CAST(SUM(CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 12, 1)) - 1) * 1 AS BIGINT)) AS BIGINT) FROM r1) AS return_rows_hash,
+           (SELECT {sql_result_hash("h")} FROM r1) AS return_rows_hash,
            FALSE AS failed
     UNION ALL
-    SELECT 'q2', 'c1', 1, (SELECT CAST(SUM(CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 12, 1)) - 1) * 1 AS BIGINT)) AS BIGINT) FROM r2), FALSE
+    SELECT 'q2', 'c1', 1, (SELECT {sql_result_hash("h")} FROM r2), FALSE
     UNION ALL
     SELECT 'q3', 'c2',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM region),
-           (SELECT CAST(SUM(CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h, 12, 1)) - 1) * 1 AS BIGINT)) AS BIGINT) FROM r3), FALSE
+           (SELECT {sql_result_hash("h")} FROM r3), FALSE
     UNION ALL
     SELECT 'q4', 'c2', 0, NULL, TRUE
     """,

@@ -49,3 +49,42 @@ def test_minhash_identical_docs_identical_signature(spark):
         ]
     ).collect()
     assert tuple(sig[0]) == tuple(sig[1])
+
+
+def test_connected_components_long_chain(spark):
+    """A chain graph of diameter 60 (far beyond the old 20-iteration linear
+    cap) must fully cluster to label 0 — pointer doubling makes the round
+    count O(log diameter), and non-convergence must raise, never silently
+    return wrong labels."""
+    from dodo_spark.operators.dedup import connected_components
+
+    n = 61  # edges 0-1, 1-2, ..., 59-60: diameter 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src BIGINT, dst BIGINT"
+    )
+    labels = connected_components(pairs, "src", "dst", max_iters=12)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["label"] == 0 for r in rows)
+
+
+def test_connected_components_raises_on_cap(spark):
+    import pytest
+
+    from dodo_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src BIGINT, dst BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, "src", "dst", max_iters=2)
+
+
+def test_connected_components_two_components(spark):
+    from dodo_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
