@@ -123,17 +123,20 @@ def _is_function_call(sql: str, end: int) -> bool:
     return m is not None
 
 
-def anonymize_sql(sql: str, method: str = "hash", mini: MiniDict | None = None) -> str:
-    """Rewrite one SQL string. ``mini`` carries dictionary state across
-    statements for a consistent minihash mapping."""
-    if method not in ("hash", "minihash"):
-        return sql
-    mini = mini if mini is not None else MiniDict()
+def _rewrite_sql(sql: str, lookup) -> str:
+    """THE tokenizer state machine — the single shared walker used by the
+    local path (anonymize_sql), the vocabulary collector, and the
+    distributed pandas UDF, so all three see identical token/identifier
+    decisions (comment redaction, id-bearing property values, object-name-
+    after-keyword, function-call preservation).
+
+    ``lookup(identifier) -> replacement`` decides the rewrite per identifier.
+    """
     out = []
     # property-value rewrite state ("bloom_filter_columns" = "a,b" — the
     # VALUE literal carries identifiers, reference custom.go:14-19, 170)
     prop_state = 0  # 0: idle, 1: saw id-bearing key, 2: saw '='
-    _last_word: str | None = None
+    last_word: str | None = None
     for m in _TOKEN_RE.finditer(sql):
         kind = m.lastgroup
         tok = m.group()
@@ -142,10 +145,7 @@ def anonymize_sql(sql: str, method: str = "hash", mini: MiniDict | None = None) 
         elif kind == "string":
             inner = tok[1:-1]
             if prop_state == 2:
-                ids = [
-                    _rewrite_id(p.strip(), method, mini) if p.strip() else p
-                    for p in inner.split(",")
-                ]
+                ids = [lookup(p.strip()) if p.strip() else p for p in inner.split(",")]
                 out.append(tok[0] + ",".join(ids) + tok[-1])
                 prop_state = 0
             else:
@@ -160,21 +160,29 @@ def anonymize_sql(sql: str, method: str = "hash", mini: MiniDict | None = None) 
                 prop_state = 0
             out.append(tok)
         elif kind == "bquote":
-            inner = tok[1:-1]
-            out.append("`" + _rewrite_id(inner, method, mini) + "`")
+            out.append("`" + lookup(tok[1:-1]) + "`")
         elif kind == "word":
             low = tok.lower()
             # "CREATE TABLE t1 (" — a name after TABLE/VIEW/DATABASE is an
             # identifier even when '(' follows (not a function call)
-            after_object_kw = _last_word and _last_word in ("table", "view", "database")
+            after_object_kw = last_word in ("table", "view", "database")
             if low in KEYWORDS or (
                 _is_function_call(sql, m.end()) and not after_object_kw
             ):
                 out.append(tok)
             else:
-                out.append(_rewrite_id(tok, method, mini))
-            _last_word = low
+                out.append(lookup(tok))
+            last_word = low
     return "".join(out)
+
+
+def anonymize_sql(sql: str, method: str = "hash", mini: MiniDict | None = None) -> str:
+    """Rewrite one SQL string. ``mini`` carries dictionary state across
+    statements for a consistent minihash mapping."""
+    if method not in ("hash", "minihash"):
+        return sql
+    mini = mini if mini is not None else MiniDict()
+    return _rewrite_sql(sql, lambda ident: _rewrite_id(ident, method, mini))
 
 
 def _rewrite_id(identifier: str, method: str, mini: MiniDict) -> str:
@@ -185,40 +193,50 @@ def _rewrite_id(identifier: str, method: str, mini: MiniDict) -> str:
 
 
 def collect_identifiers(sql: str) -> list[str]:
-    """Identifier vocabulary of one statement, in token order."""
-    ids = []
-    last_word: str | None = None
-    for m in _TOKEN_RE.finditer(sql):
-        if m.lastgroup == "bquote":
-            ids.append(m.group()[1:-1])
-        elif m.lastgroup == "word":
-            low = m.group().lower()
-            after_object_kw = last_word in ("table", "view", "database")
-            if low not in KEYWORDS and (
-                not _is_function_call(sql, m.end()) or after_object_kw
-            ):
-                ids.append(m.group())
-            last_word = low
+    """Identifier vocabulary of one statement, in token order — by
+    construction exactly the identifiers _rewrite_sql would rewrite
+    (including those inside id-bearing property values)."""
+    ids: list[str] = []
+
+    def record(ident: str) -> str:
+        ids.append(ident)
+        return ident
+
+    _rewrite_sql(sql, record)
     return ids
 
 
 def anonymize_statements(
-    spark: SparkSession, df: DataFrame, sql_col: str = "stmt", method: str = "minihash"
+    spark: SparkSession,
+    df: DataFrame,
+    sql_col: str = "stmt",
+    method: str = "minihash",
+    max_vocab: int = 1_000_000,
 ) -> DataFrame:
     """Distributed two-phase anonymization with one consistent dictionary.
 
     Phase 1 collects the distinct identifier vocabulary (driver-side,
-    bounded by schema size); phase 2 broadcasts the rename map and rewrites
-    with an Arrow-batched pandas UDF."""
+    bounded by schema size — ``max_vocab`` guards the collect and raises
+    rather than OOM the driver on a degenerate corpus); phase 2 broadcasts
+    the rename map and rewrites with an Arrow-batched pandas UDF."""
     vocab_rows = (
         df.select(F.explode(_extract_ids_udf()(F.col(sql_col))).alias("id"))
         .where(F.col("id") != "")
         .distinct()
+        .limit(max_vocab + 1)
         .collect()
     )
+    if len(vocab_rows) > max_vocab:
+        raise ValueError(
+            f"anonymize_statements: identifier vocabulary exceeds max_vocab={max_vocab}; "
+            "the dictionary-order semantics require a driver-side dictionary — "
+            "split the corpus or raise max_vocab explicitly"
+        )
     mini = MiniDict()
     rename: dict[str, str] = {}
     for v in sorted({r["id"].lower() for r in vocab_rows}):
+        if method == "hash" and len(v) < ANONYMIZE_MIN_LENGTH:
+            continue  # same keep-short rule as _rewrite_id
         hashed = _hash_id(v)
         rename[v] = hashed if method == "hash" else mini.alias(hashed)
     bc = spark.sparkContext.broadcast(rename)
@@ -226,31 +244,9 @@ def anonymize_statements(
     @pandas_udf("string")
     def rewrite(s: pd.Series) -> pd.Series:
         table = bc.value
-
-        def one(sql: str) -> str:
-            out = []
-            last_word = None
-            for m in _TOKEN_RE.finditer(sql):
-                kind, tok = m.lastgroup, m.group()
-                if kind == "comment":
-                    out.append("/*'***'*/" if tok.startswith("/*") else "--'***'")
-                elif kind == "bquote":
-                    out.append("`" + table.get(tok[1:-1].lower(), tok[1:-1]) + "`")
-                elif kind == "word":
-                    low = tok.lower()
-                    after_object_kw = last_word in ("table", "view", "database")
-                    if low not in KEYWORDS and (
-                        not _is_function_call(sql, m.end()) or after_object_kw
-                    ):
-                        out.append(table.get(low, tok))
-                    else:
-                        out.append(tok)
-                    last_word = low
-                else:
-                    out.append(tok)
-            return "".join(out)
-
-        return s.map(one)
+        # identical walker to the local path; missing entries (kept-short
+        # ids) pass through with original case
+        return s.map(lambda sql: _rewrite_sql(sql, lambda i: table.get(i.lower(), i)))
 
     return df.withColumn("anonymized", rewrite(F.col(sql_col)))
 

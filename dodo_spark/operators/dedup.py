@@ -259,6 +259,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding cosine near-dup ----------------------------------------------
 COSINE_DUP_THRESHOLD = 0.99
+EMBEDDING_BRUTE_MAX_ROWS = 100_000  # brute-force O(n²) gate; scale path = LSH/IVF
 
 
 @register(
@@ -275,10 +276,21 @@ COSINE_DUP_THRESHOLD = 0.99
     doc="embedding-cosine near-dup: brute-force pair scan at test scale "
     "(the oracle-checkable baseline); the bucketed scale path is "
     "similarity_lsh. Scaled-integer vectors make the cosine bit-identical "
-    "across engines.",
+    "across engines. Hard-gated at EMBEDDING_BRUTE_MAX_ROWS: above the gate "
+    "the O(n²) join raises with a pointer to similarity_lsh instead of "
+    "silently launching an n² job.",
 )
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, max_rows: int = EMBEDDING_BRUTE_MAX_ROWS
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_embedding: {n} vectors exceeds the brute-force gate "
+            f"({max_rows}); this O(n²) baseline exists for oracle checks — "
+            "use similarity_lsh / similarity_ivf for the bucketed scale path"
+        )
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
     a = v.alias("a")
     b = v.alias("b")

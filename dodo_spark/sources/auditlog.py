@@ -473,14 +473,27 @@ def replay_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_replay_sql(uniq).select("query_id", "replay_sql")
 
 
-def validate_statements(spark: SparkSession, df: DataFrame, stmt_col: str = "stmt") -> DataFrame:
+def validate_statements(
+    spark: SparkSession, df: DataFrame, stmt_col: str = "stmt", max_rows: int = 100_000
+) -> DataFrame:
     """B6 strict validation (reference ``--strict``, src/auditlog.go:392-396
     + flag cmd/dump.go:153): drop statements Spark's SQL parser rejects.
 
     Parse-only (no analysis — tables need not exist), driver-side over the
     already-bounded dump output, mirroring the reference's single-process
     scan. Returns the input minus malformed statements.
+
+    ``max_rows`` hard-bounds the driver-side collect: a raw 100 TB log dump
+    must be filtered/deduped (B5) before strict validation — exceeding the
+    cap raises instead of silently attempting an unbounded collect.
     """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"validate_statements: input exceeds max_rows={max_rows}; "
+            "run filter_statements/dedup_statements first or raise max_rows explicitly"
+        )
+
     parser = spark._jsparkSession.sessionState().sqlParser()
 
     def parses(sql: str) -> bool:
@@ -490,7 +503,6 @@ def validate_statements(spark: SparkSession, df: DataFrame, stmt_col: str = "stm
         except Exception:
             return False
 
-    rows = df.collect()
     good = [r for r in rows if parses(r[stmt_col])]
     if len(good) == len(rows):
         return df

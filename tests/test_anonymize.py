@@ -149,3 +149,39 @@ def test_property_anonymize_consistent_and_total(ids, lit):
     # (aliases are themselves identifiers; they must map consistently too)
     again = anonymize_sql(out, method="minihash", mini=mini)
     assert again.count("SELECT") == 1 and f"{lit}" in again
+
+
+def test_distributed_matches_local_on_prop_values_and_short_ids(spark):
+    """The pandas-UDF path must apply the SAME tokenizer state machine as
+    anonymize_sql: id-bearing property values rewritten, hash-mode short
+    identifiers kept (regression: the UDF once skipped both rules)."""
+    from dodo_spark.anonymize import anonymize_sql, anonymize_statements
+
+    sqls = [
+        'CREATE TABLE secret_tbl (col_one INT) PROPERTIES ("bloom_filter_columns" = "col_one,col_two")',
+        "SELECT ab, long_column FROM secret_tbl WHERE ab = 5",
+    ]
+    df = spark.createDataFrame([(s,) for s in sqls], "stmt STRING")
+    got = {
+        r["stmt"]: r["anonymized"]
+        for r in anonymize_statements(spark, df, "stmt", method="hash").collect()
+    }
+    for s in sqls:
+        assert got[s] == anonymize_sql(s, method="hash"), s
+    # the property VALUE identifiers must actually be rewritten
+    assert "col_one" not in got[sqls[0]].split("PROPERTIES")[1]
+    # short id 'ab' kept by the min-length rule, long ones hashed
+    assert " ab = 5" in got[sqls[1]]
+    assert "long_column" not in got[sqls[1]]
+
+
+def test_anonymize_vocab_guard(spark):
+    import pytest
+
+    from dodo_spark.anonymize import anonymize_statements
+
+    df = spark.createDataFrame(
+        [(f"SELECT col_{i} FROM tbl_{i}",) for i in range(40)], "stmt STRING"
+    )
+    with pytest.raises(ValueError, match="max_vocab"):
+        anonymize_statements(spark, df, "stmt", max_vocab=10)

@@ -89,3 +89,17 @@ def test_gb18030_log_decode(spark):
         rows = {r["query_id"]: r["stmt"] for r in stmts.collect()}
         assert rows["cjk-1"] == "SELECT '中文测试' AS c"
         assert rows["cjk-2"] == "SELECT 1"
+
+
+def test_validate_statements_row_cap(spark):
+    """Strict validation is a driver-side parse loop — an over-cap input must
+    raise cleanly, never attempt an unbounded collect."""
+    import pytest
+
+    from dodo_spark.sources.auditlog import validate_statements
+
+    df = spark.range(50).selectExpr("concat('SELECT ', id) AS stmt")
+    with pytest.raises(ValueError, match="max_rows"):
+        validate_statements(spark, df, max_rows=10)
+    ok = validate_statements(spark, df, max_rows=100)
+    assert ok.count() == 50

@@ -88,3 +88,12 @@ def test_connected_components_two_components(spark):
     )
     got = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_embedding_brute_force_gate(spark, sf_dir):
+    import pytest
+
+    from dodo_spark.operators.dedup import dedup_embedding
+
+    with pytest.raises(ValueError, match="similarity_lsh"):
+        dedup_embedding(spark, sf_dir, max_rows=3)

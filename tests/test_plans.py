@@ -96,6 +96,38 @@ def test_no_row_at_a_time_python(plans, name):
     assert "BatchEvalPython" not in plans(name), name
 
 
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_no_global_window(plans, name):
+    """No registered plan may contain a Window with empty partitionBy — that
+    funnels every row into ONE task (the analytics_top_supplier round-1 bug).
+    In formatted explain a partitioned Window's Arguments line carries three
+    bracketed lists ([funcs], [partSpec], [orderSpec]); a global one only two."""
+    for line in plans(name).splitlines():
+        if "windowspecdefinition" in line and line.strip().startswith("Arguments:"):
+            assert line.count("], [") >= 2, (name, line)
+
+
+# Non-equi/broadcast-nested-loop joins that are deliberate:
+#   join_cross        A4, the cross-join operator itself
+#   dedup_embedding   brute-force oracle baseline, hard-gated at
+#                     EMBEDDING_BRUTE_MAX_ROWS (scale path: similarity_lsh)
+#   dedup_ngram       brute-force tier bounded to the oracle subset
+#                     (scale path for the same measure: dedup_near)
+#   similarity_topk   broadcasts the tiny query side over the corpus scan —
+#                     the corpus never shuffles, which IS the scale shape
+#   stats_histogram   1-row min/max broadcast crossJoin
+BNLJ_ALLOWED = {"join_cross", "dedup_embedding", "dedup_ngram", "similarity_topk", "stats_histogram"}
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_no_unbounded_nested_loop_join(plans, name):
+    """Any BroadcastNestedLoopJoin outside the explicit whitelist is an
+    accidental O(n*m) plan."""
+    if name in BNLJ_ALLOWED:
+        return
+    assert "BroadcastNestedLoopJoin" not in plans(name), name
+
+
 @pytest.mark.parametrize("name", ["agg_group", "agg_distinct", "dedup_exact"])
 def test_two_phase_aggregation(plans, name):
     """Partial (map-side) + final HashAggregate — the combine must happen
