@@ -127,50 +127,26 @@ def _to_ts(v: Any) -> _dt.datetime:
 # --------------------------------------------------------------------------
 _TOKEN_RE = re.compile(r"\{\{(.*?)\}\}")
 
-# curated deterministic tag vocabularies (reference ships ~100 gofakeit
-# tags, src/generator/format_tags.go; these cover the documented examples)
-_WORDS = ("alpha", "bravo", "carol", "delta", "echo", "fox", "golf", "hotel")
-_NAMES = ("ada", "brian", "carmen", "dmitri", "elena", "farid", "grace", "hugo")
-_CITIES = ("aalborg", "bogota", "cusco", "dakar", "espoo", "fukuoka", "gdansk")
+# the full tag surface lives in format_tags (reference registers ~200
+# zero-arg gofakeit fakers, src/generator/format_tags.go:38-86); legacy
+# spellings kept for genconfs written against the round-1 engine
+_TAG_ALIASES = {"firstname": "first_name", "lastname": "last_name"}
+
+
+def _tag_md5(seed: str) -> Column:
+    return F.md5(F.concat(F.col(GID).cast("string"), F.lit(seed)))
 
 
 def _tag_value(tag: str, seed: str) -> Column:
-    def pick(vocab: tuple[str, ...]) -> Column:
-        idx = _rand_long(seed + "#tag:" + tag, 1, len(vocab))
-        return F.element_at(F.array(*[F.lit(w) for w in vocab]), idx.cast("int"))
+    from dodo_spark.gendata import format_tags
 
-    if tag == "year":
-        return _rand_long(seed + "#tag:year", 1970, 2025).cast("string")
-    if tag == "month":
-        return _rand_long(seed + "#tag:month", 1, 12).cast("string")
-    if tag == "day":
-        return _rand_long(seed + "#tag:day", 1, 28).cast("string")
-    if tag in ("hour", "minute", "second"):
-        hi = 23 if tag == "hour" else 59
-        return _rand_long(seed + "#tag:" + tag, 0, hi).cast("string")
-    if tag == "number":
-        return _rand_long(seed + "#tag:number", 0, 999999).cast("string")
-    if tag == "word":
-        return pick(_WORDS)
-    if tag in ("name", "firstname", "username"):
-        return pick(_NAMES)
-    if tag == "lastname":
-        return pick(tuple(w + "son" for w in _NAMES))
-    if tag == "email":
-        return F.concat(pick(_NAMES), F.lit("@example.com"))
-    if tag == "city":
-        return pick(_CITIES)
-    if tag == "uuid":
-        h = F.md5(F.concat(F.col(GID).cast("string"), F.lit(seed + "#uuid")))
-        return F.concat_ws(
-            "-",
-            F.substring(h, 1, 8),
-            F.substring(h, 9, 4),
-            F.substring(h, 13, 4),
-            F.substring(h, 17, 4),
-            F.substring(h, 21, 12),
+    value = format_tags.tag_column(_TAG_ALIASES.get(tag, tag), seed, _rand_long, _tag_md5)
+    if value is None:
+        raise ValueError(
+            f"unknown format tag '{tag}' (supported: "
+            f"{len(format_tags.supported_tags())} tags, see gendata/format_tags.py)"
         )
-    raise ValueError(f"unknown format tag '{tag}'")
+    return value
 
 
 _GO_VERB = re.compile(r"^%[-+ 0#]*\d*(?:\.\d+)?[a-zA-Z]$")
@@ -386,7 +362,11 @@ def build_generator(
         value = build_generator(other, sub_rule, seed + "#astype", ctx, salt)
     elif "golang" in gen:
         raise ValueError(
-            "the golang escape hatch (C10) is not supported in the Spark engine"
+            "the 'golang:' escape hatch (C10, reference src/generator/"
+            "golang.go:26-65) is not supported in the Spark engine: arbitrary "
+            "Go code cannot run in a distributed plan. Use a 'format:' "
+            "template with tags, an 'enum:' rule, or register a Python "
+            "callable at the plan level (GendataPlan custom generators)"
         )
     else:
         value = _type_generator(doris_type, rule, seed, ctx, salt)

@@ -260,3 +260,91 @@ def test_stats_driven_generation(spark):
     assert 0.02 < null_rate < 0.25  # null_count/count = 0.1 ± tolerance
     labels = [r["label"] for r in rows if r["label"] is not None]
     assert labels and all(2 <= len(s) <= 22 for s in labels)  # avg 12 ± 10
+
+
+def test_every_format_tag_renders_and_is_deterministic(spark):
+    """Round-trip every supported tag (reference registers ~200 zero-arg
+    gofakeit fakers, src/generator/format_tags.go:38-86): each must render
+    non-null, non-empty, and identically across two evaluations."""
+    from dodo_spark.gendata.format_tags import supported_tags
+    from dodo_spark.gendata.generators import GID, _tag_value
+
+    tags = sorted(supported_tags())
+    assert len(tags) >= 150, len(tags)
+    base = spark.range(3).withColumnRenamed("id", GID)
+    # chunk: one giant select of ~250 expressions is slow to analyze
+    for i in range(0, len(tags), 60):
+        chunk = tags[i : i + 60]
+        cols = [_tag_value(t, "seedX").alias(f"t{j}") for j, t in enumerate(chunk)]
+        a = base.select(*cols).collect()
+        b = base.select(*cols).collect()
+        assert a == b
+        for row in a:
+            for j, t in enumerate(chunk):
+                v = row[f"t{j}"]
+                assert v is not None and str(v) != "", (t, v)
+
+
+def test_unknown_tag_fails_loudly():
+    import pytest
+
+    from dodo_spark.gendata.generators import _tag_value
+
+    with pytest.raises(ValueError, match="unknown format tag"):
+        _tag_value("definitely_not_a_tag", "s")
+
+
+def test_legacy_tag_aliases(spark):
+    from dodo_spark.gendata.generators import GID, _tag_value
+
+    df = spark.range(2).withColumnRenamed("id", GID)
+    rows = df.select(
+        _tag_value("firstname", "s").alias("fn"), _tag_value("lastname", "s").alias("ln")
+    ).collect()
+    assert all(r["fn"] and r["ln"] for r in rows)
+
+
+def test_multi_doc_genconf_two_rounds(spark, tmp_path_factory):
+    """A 2-document genconf generates 2 dataset rounds (reference
+    cmd/gendata.go:38, 233-247)."""
+    from dodo_spark.cli import main
+
+    tmp = tmp_path_factory.mktemp("rounds")
+    ddl = tmp / "t.sql"
+    ddl.write_text("CREATE TABLE t1 (id INT, v VARCHAR(8)) DISTRIBUTED BY HASH(id) BUCKETS 1;")
+    conf = tmp / "conf.yaml"
+    conf.write_text(
+        "tables:\n  - name: t1\n    row_count: 7\n"
+        "---\n"
+        "tables:\n  - name: t1\n    row_count: 11\n"
+    )
+    out = tmp / "out"
+    assert main([
+        "gendata", "--ddl", str(ddl), "--genconf", str(conf), "--output", str(out), "--rows", "5",
+    ]) == 0
+    r0 = spark.read.parquet(str(out / "t1_round0"))
+    r1 = spark.read.parquet(str(out / "t1_round1"))
+    assert r0.count() == 7 and r1.count() == 11
+
+
+def test_too_many_genconf_docs_rejected():
+    import pytest
+
+    from dodo_spark.gendata.rules import load_genconf
+
+    text = "\n---\n".join("a: 1" for _ in range(129))
+    with pytest.raises(ValueError, match="128"):
+        load_genconf(text)
+
+
+def test_golang_rule_clear_error(spark):
+    """A genconf carrying the reference's C10 golang escape hatch must fail
+    with guidance, not a KeyError (reference src/generator/golang.go:26-65)."""
+    import pytest
+
+    from dodo_spark.gendata.generators import GenContext, build_generator
+
+    with pytest.raises(ValueError, match="golang"):
+        build_generator(
+            "INT", {"gen": {"golang": 'rand.Intn(100)'}}, "c", GenContext()
+        )
