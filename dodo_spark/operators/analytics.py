@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dodo_spark.catalog import load_table
-from dodo_spark.operators.relational import dsum, sql_dsum
+from dodo_spark.operators.relational import dsum, hinted_join, sql_dsum
 from dodo_spark.registry import register
 
 
@@ -76,9 +76,12 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q5 shape: 6-table join tree (local-supplier revenue by "
     "nation). region filter prunes nation prunes supplier via successive "
-    "broadcast joins — the fact scan is the only large input.",
+    "broadcast joins — the fact scan is the only large input. dim_hint "
+    "exposes the A7 distributeType surface on every dimension join.",
 )
-def analytics_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def analytics_revenue_by_nation(
+    spark: SparkSession, sf_dir: str, dim_hint: str | None = None
+) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -88,13 +91,16 @@ def analytics_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = hinted_join(
+        c.join(o, c.c_custkey == o.o_custkey).join(li, li.l_orderkey == o.o_orderkey),
+        s,
+        (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        distribute=dim_hint,
+    )
+    joined = hinted_join(joined, n, n.n_nationkey == s.s_nationkey, distribute=dim_hint)
+    joined = hinted_join(joined, r, r.r_regionkey == n.n_regionkey, distribute=dim_hint)
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(n, n.n_nationkey == s.s_nationkey)
-        .join(r, r.r_regionkey == n.n_regionkey)
-        .groupBy("n_name")
+        joined.groupBy("n_name")
         .agg(dsum(revenue, "revenue", 6))
         .orderBy(F.col("revenue").desc(), "n_name")
     )

@@ -275,6 +275,33 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hinted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    distribute: str | None = None,
+) -> DataFrame:
+    """A7 join distribution hints — the caller-facing twin of the reference's
+    ``[broadcast]`` / ``[shuffle]`` distributeType (DorisParser.g4:1229-1238):
+
+    - ``"broadcast"`` pins a broadcast of the right side regardless of the
+      autoBroadcastJoinThreshold,
+    - ``"shuffle"`` forces a shuffled hash join (both sides repartition on
+      the join key) even when the right side would auto-broadcast,
+    - ``None`` leaves the choice to Catalyst/AQE (the default everywhere).
+    """
+    if distribute == "broadcast":
+        right = F.broadcast(right)
+    elif distribute == "shuffle":
+        right = right.hint("shuffle_hash")
+    elif distribute is not None:
+        raise ValueError(
+            f"unknown join distribution hint '{distribute}' (broadcast|shuffle)"
+        )
+    return left.join(right, on, how)
+
+
 # ---------------------------------------------------------------------------
 # A8-A11 aggregation
 # ---------------------------------------------------------------------------

@@ -181,3 +181,41 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert "SortMergeJoin" in plan
     for t in ("orders_b", "lineitem_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.mark.parametrize("hint,expect", [("broadcast", True), ("shuffle", False)])
+def test_join_hint_flips_strategy(spark, sf_dir, hint, expect):
+    """A7 distributeType surface: [broadcast] pins BroadcastHashJoin even
+    with auto-broadcast off; [shuffle] suppresses it even for a tiny side
+    (reference DorisParser.g4:1229-1238)."""
+    from dodo_spark.catalog import load_table
+    from dodo_spark.operators.relational import hinted_join
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # broadcast hint must override a disabled threshold; shuffle hint must
+    # override an auto-broadcast-eligible side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1" if hint == "broadcast" else "10485760")
+    try:
+        plan = plan_of(hinted_join(s, n, s.s_nationkey == n.n_nationkey, distribute=hint))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert ("BroadcastHashJoin" in plan) is expect, plan
+
+
+def test_join_hint_unknown_rejected(spark, sf_dir):
+    from dodo_spark.catalog import load_table
+    from dodo_spark.operators.relational import hinted_join
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    with pytest.raises(ValueError, match="distribution hint"):
+        hinted_join(s, n, s.s_nationkey == n.n_nationkey, distribute="colocate")
+
+
+def test_analytics_dim_hint_threads_through(spark, sf_dir):
+    from dodo_spark.operators.analytics import analytics_revenue_by_nation
+
+    plan = plan_of(analytics_revenue_by_nation(spark, sf_dir, dim_hint="shuffle"))
+    assert "ShuffledHashJoin" in plan, plan
