@@ -261,12 +261,23 @@ def _extract_ids_udf():
 
 @register(
     "anonymize_stable",
-    oracle=None,
+    # Derivational oracle: the two-phase path assigns minihash aliases in
+    # sorted-vocabulary order, so the full rewrite is predictable. Vocab of
+    # the synthetic corpus, sorted: custkey->a, customer_dim->b, id->c,
+    # o_orderkey->d, o_totalprice->e, orders_tbl->f, revenue_0..4->g..k;
+    # the '-- secret note' comment redacts to --'***' with the newline kept.
+    oracle="""
+    SELECT o_orderkey,
+           'SELECT e, ' || list_extract(['g','h','i','j','k'], CAST(o_orderkey % 5 AS INTEGER) + 1)
+           || ' FROM `f` JOIN b ON a = c --''***''' || chr(10)
+           || 'WHERE d = ' || CAST(o_orderkey AS VARCHAR) AS anonymized
+    FROM orders WHERE o_orderkey < 200
+    """,
     doc="B14: stable SQL anonymization — consistent minihash aliases across "
     "a statement corpus; same identifier -> same alias everywhere; keywords, "
     "functions, literals, variables preserved; comments redacted "
     "(reference src/anonymizer.go:89-218, src/parser/custom.go:21-226). "
-    "Rows-only: alias assignment is engine-internal order.",
+    "Full derivational oracle: aliases follow sorted-vocabulary order.",
 )
 def anonymize_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
