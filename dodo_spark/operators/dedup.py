@@ -168,7 +168,11 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    exploded = mh.select("doc_id", "sh", F.posexplode(bands).alias("band_idx", "band_key"))
+    # Band self-join on COMPACT rows only (doc_id, band_idx, band_key): the
+    # shingle arrays would otherwise ride the band shuffle 4x per doc. The
+    # deduped candidate pairs (few) then fetch each side's shingle set with
+    # two equi-joins for exact-Jaccard verification.
+    exploded = mh.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
     left = exploded.alias("a")
     right = exploded.alias("c")
     pairs = (
@@ -178,19 +182,17 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("c.band_key"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("c.sh").alias("shb"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    verified = pairs.join(da, "doc_a").join(db, "doc_b")
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
     jaccard = inter.cast("double") / union
     return (
-        pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
