@@ -42,6 +42,9 @@ HEADLINE = [
     "analytics_shipping_priority",
     "analytics_revenue_by_nation",
     "analytics_order_funnel",
+    "analytics_market_share",
+    "analytics_returned_revenue",
+    "analytics_priority_mix",
     "dedup_exact",
     "dedup_near",
     "events_tumbling",

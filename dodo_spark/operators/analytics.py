@@ -193,3 +193,137 @@ def analytics_order_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "analytics_market_share",
+    oracle=f"""
+    WITH base AS (
+      SELECT year(o.o_orderdate) AS o_year, n.n_name,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS rev_d
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size < 10
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ), nat AS (
+      SELECT o_year, n_name, SUM(rev_d) AS rev_d FROM base GROUP BY o_year, n_name
+    ), tot AS (
+      SELECT o_year, SUM(rev_d) AS tot_d FROM nat GROUP BY o_year
+    )
+    SELECT CAST(nat.o_year AS BIGINT) AS o_year, nat.n_name,
+           CAST(nat.rev_d AS DOUBLE) AS nation_rev,
+           CAST(nat.rev_d AS DOUBLE) / CAST(tot.tot_d AS DOUBLE) AS mkt_share
+    FROM nat JOIN tot ON nat.o_year = tot.o_year
+    ORDER BY o_year, n_name
+    """,
+    doc="TPC-H Q8 shape: supplier-nation market share of small-part revenue "
+    "per order year. Plan: part filter broadcasts and prunes the fact scan; "
+    "per-(year,nation) decimal aggregation, then the per-year total joins "
+    "back via broadcast (a tiny |years| table) — share division happens in "
+    "double on exact decimal sums, so both engines agree bit-for-bit.",
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev_d = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    base = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(F.year("o_orderdate").cast("bigint").alias("o_year"), "n_name", rev_d.alias("rev_d"))
+    )
+    nat = base.groupBy("o_year", "n_name").agg(F.sum("rev_d").alias("rev_d"))
+    tot = nat.groupBy("o_year").agg(F.sum("rev_d").alias("tot_d"))
+    return (
+        nat.join(F.broadcast(tot), "o_year")
+        .select(
+            "o_year",
+            "n_name",
+            F.col("rev_d").cast("double").alias("nation_rev"),
+            (F.col("rev_d").cast("double") / F.col("tot_d").cast("double")).alias("mkt_share"),
+        )
+        .orderBy("o_year", "n_name")
+    )
+
+
+@register(
+    "analytics_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue", 6)}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer over "
+    "a date window, top 20. The returnflag filter prunes the fact scan; "
+    "nation broadcasts; the single shuffle is the customer-grain "
+    "aggregation; top-20 is a TakeOrdered, never a global sort.",
+)
+def analytics_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, "revenue", 6))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "analytics_priority_mix",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (priority mix per line status; the synthetic "
+    "lineitem has no shipmode column). lineitem pre-aggregates on its "
+    "natural (l_orderkey, l_linestatus) key BEFORE the fact-fact join, so "
+    "the join input shrinks to near-|orders| rows; the final aggregation "
+    "key is 2-valued, collapsing map-side.",
+)
+def analytics_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    per_ol = li.groupBy("l_orderkey", "l_linestatus").agg(F.count("*").alias("cnt"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(per_ol, per_ol.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, F.col("cnt")).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, F.col("cnt")).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
