@@ -241,3 +241,35 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(e).cast("double").alias("max_val"),
         F.size(F.filter(e, lambda x: x > 0)).alias("positives"),
     )
+
+
+@register(
+    "scalar_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,0)) AS BIGINT) AS price_long,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           CAST(o_orderkey AS DOUBLE) AS key_dbl,
+           CAST(substring(CAST(o_orderdate AS VARCHAR), 1, 10) AS VARCHAR) AS date_str,
+           CAST(CAST(o_orderkey % 2 AS BOOLEAN) AS INTEGER) AS odd_int,
+           CAST('42' AS BIGINT) + o_orderkey AS parsed_plus
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="A29: CAST/CONVERT across the numeric/string/temporal/boolean "
+    "lattice (ref castExpression DorisParser.g4:1528-1532). "
+    "double->bigint truncates toward zero in Spark but ROUNDS in DuckDB, "
+    "so the lattice pins double->decimal(18,2)->bigint where both engines "
+    "round half-up; date->string goes through an explicit substring so "
+    "midnight-timestamp rendering differences can't leak in.",
+)
+def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,0)").cast("bigint").alias("price_long"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("date_str"),
+        (F.col("o_orderkey") % 2).cast("boolean").cast("int").alias("odd_int"),
+        (F.lit("42").cast("bigint") + F.col("o_orderkey")).alias("parsed_plus"),
+    )
