@@ -185,3 +185,81 @@ def replay_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_us").alias("gap_max_us"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str = "ts",
+    payload: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Generic as-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` in the same ``on`` key group (DuckDB/kdb ASOF
+    JOIN semantics, >= tie included).
+
+    Plan shape: tag-union both sides, ONE shuffle on the key, and a
+    running ``last(..., ignorenulls=True)`` window carries the most recent
+    right payload forward onto each left row — never a range join, never a
+    per-row UDF, and the window is always key-partitioned. Right rows tied
+    on (key, ts) must be pre-deduplicated (one row per key+ts) for a
+    deterministic match — same contract as DuckDB ASOF.
+    """
+    payload = payload or [c for c in right.columns if c not in (*on, ts)]
+    l_cols = [c for c in left.columns if c not in (*on, ts)]
+    lt = left.select(
+        *on, ts, F.lit(1).alias("__side"),
+        *l_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in payload],
+        F.lit(None).cast(right.schema[ts].dataType).alias(ts + suffix),
+    )
+    rt = right.select(
+        *on, ts, F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+        *[F.col(c).alias(c + suffix) for c in payload],
+        F.col(ts).alias(ts + suffix),
+    )
+    # right rows sort BEFORE left rows at equal ts (__side 0 < 1), so a
+    # same-instant right row matches — the ASOF '>=' tie rule
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lt.unionByName(rt)
+    for c in [*[p + suffix for p in payload], ts + suffix]:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return merged.filter(F.col("__side") == 1).drop("__side")
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), r AS (
+      SELECT user_id, ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.pval AS pval_r, r.ts AS ts_r
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="As-of join (beyond-reference, the timeseries primitive Spark "
+    "lacks natively): every view event matched to the user's most recent "
+    "at-or-before purchase. Union-merge + key-partitioned running "
+    "last(ignorenulls) — one shuffle on user_id, no range join. Oracle is "
+    "DuckDB's native ASOF LEFT JOIN.",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    return asof_join(views, purchases, on=["user_id"], ts="ts").select(
+        "event_id", "user_id", "ts", "pval_r", "ts_r"
+    )

@@ -80,3 +80,49 @@ def replicated_skew_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = salted_large.join(replicated, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def _register_key() -> None:
+    from pyspark.sql import SparkSession
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "agg_salted",
+        oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+               CAST(COUNT(l_orderkey) AS BIGINT) AS cnt,
+               MIN(l_extendedprice) AS price_min,
+               MAX(l_extendedprice) AS price_max
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        doc="Skew-safe two-stage aggregation (salted_agg): stage 1 groups on "
+        "(key, salt) so a pathological hot key spreads over 16 reducers, "
+        "stage 2 merges partials (count re-merged with sum). The salt is a "
+        "deterministic row hash — retry-safe under speculative execution — "
+        "and never changes the result, so the oracle is the plain GROUP BY.",
+    )
+    def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_extendedprice",
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty_d"),
+        )
+        out = salted_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "qty_sum": ("sum", "qty_d"),
+                "cnt": ("count", "l_orderkey"),
+                "price_min": ("min", "l_extendedprice"),
+                "price_max": ("max", "l_extendedprice"),
+            },
+            salt_buckets=16,
+        )
+        return out.withColumn("qty_sum", F.col("qty_sum").cast("double"))
+
+
+_register_key()

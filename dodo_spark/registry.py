@@ -66,6 +66,7 @@ def _load_all() -> None:
         scalar,
         schema,
         similarity,
+        skew,
         stats,
         text,
     )

@@ -1,0 +1,51 @@
+"""as-of join semantics: >= tie inclusion, no-match nulls, key isolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from dodo_spark.operators.events import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_tie_and_carry_forward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 10:00:00")),  # exact tie -> matches v=5
+            (2, 100, _ts("2024-01-01 11:00:00")),  # carries v=5 forward
+            (3, 100, _ts("2024-01-01 09:00:00")),  # before any right -> null
+            (4, 200, _ts("2024-01-01 12:00:00")),  # other key, no right rows
+        ],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts("2024-01-01 10:00:00"), 5.0)],
+        "user_id BIGINT, ts TIMESTAMP, v DOUBLE",
+    )
+    got = {
+        r["event_id"]: (r["v_r"], r["ts_r"])
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert got[1] == (5.0, _ts("2024-01-01 10:00:00"))
+    assert got[2] == (5.0, _ts("2024-01-01 10:00:00"))
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+
+def test_asof_picks_latest_not_first(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 23:00:00"))], "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 01:00:00"), 1.0),
+            (7, _ts("2024-01-01 22:00:00"), 2.0),
+            (7, _ts("2024-01-02 00:00:00"), 3.0),  # after left -> excluded
+        ],
+        "user_id BIGINT, ts TIMESTAMP, v DOUBLE",
+    )
+    [row] = asof_join(left, right, on=["user_id"]).collect()
+    assert row["v_r"] == 2.0
