@@ -73,6 +73,7 @@ def _load_all() -> None:
     from dodo_spark.sources import auditlog  # noqa: F401
     from dodo_spark.plans import replay, diff  # noqa: F401
     from dodo_spark.gendata import plan  # noqa: F401
+    from dodo_spark.streaming import events_stream  # noqa: F401
     from dodo_spark import anonymize, multimodal  # noqa: F401
 
 

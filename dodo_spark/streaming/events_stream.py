@@ -178,3 +178,31 @@ def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _register_key() -> None:
+    from dodo_spark.operators.relational import sql_dsum
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_tumbling_drain",
+        oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               {sql_dsum("value", "value_sum")}
+        FROM events GROUP BY 1, 2, 3
+        """,
+        doc="Structured Streaming end-to-end through the driver gate: "
+        "readStream over the events parquet -> watermarked tumbling "
+        "aggregation -> availableNow drain into a memory sink. One batch "
+        "drain of a static source must equal the batch query exactly, so "
+        "the batch tumbling SQL is the oracle.",
+    )
+    def streaming_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        return run_available_now(tumbling_stream(ev), "vk_stream_tumbling")
+
+
+_register_key()
