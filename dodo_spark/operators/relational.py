@@ -1217,3 +1217,43 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_partkey") < 50).select(F.col("l_suppkey").alias("key"))
     b = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("key"))
     return a.exceptAll(b)
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH rates AS (
+      SELECT * FROM (VALUES ('view', 26), ('click', 64), ('purchase', 256),
+                            ('signup', 256), ('error', 0)) r(event_type, keep_lt)
+    )
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS sampled_rows,
+           CAST(MIN(e.event_id) AS BIGINT) AS min_id
+    FROM events e JOIN rates ON rates.event_type = e.event_type
+    WHERE (strpos('0123456789abcdef',
+                  substring(md5(CAST(e.event_id AS VARCHAR) || ':7'), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substring(md5(CAST(e.event_id AS VARCHAR) || ':7'), 2, 1)) - 1)
+          < rates.keep_lt
+    GROUP BY e.event_type
+    """,
+    doc="Stratified sampling (sampleBy equivalent, the training-pipeline "
+    "class-rebalancing primitive): per-stratum keep rates (~10% views, "
+    "25% clicks, 100% purchases/signups, 0% errors) decided by a seeded "
+    "deterministic row hash — reproducible under retries, partitioning and "
+    "across engines, unlike RNG sampleBy. The rate table broadcasts; the "
+    "filter is scan-side.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rates = {"view": 26, "click": 64, "purchase": 256, "signup": 256, "error": 0}
+    digest = F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.lit("7")))
+    bucket = F.conv(F.substring(digest, 1, 2), 16, 10).cast("int")
+    keep_lt = F.element_at(
+        F.create_map(*[F.lit(x) for kv in rates.items() for x in kv]),
+        F.col("event_type"),
+    )
+    return (
+        ev.filter(bucket < keep_lt)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("sampled_rows"), F.min("event_id").alias("min_id"))
+    )

@@ -203,3 +203,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
     )
     return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# end-to-end corpus cleaning pipeline (the LLM-training-data flagship)
+# --------------------------------------------------------------------------
+QUALITY_KEEP = 0.45
+
+
+def _corpus_clean_oracle() -> str:
+    from dodo_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text) * 0.4
+               + (1.0 - CAST(len(list_filter(
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''),
+                     x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                   / len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))) * 0.3
+               + least(CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))
+                            AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+        FROM documents
+      ) WHERE quality_score >= {QUALITY_KEEP}
+    ), keepers AS (
+      SELECT MIN(d.doc_id) AS doc_id
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+      GROUP BY md5(lower(trim(d.text)))
+    ), pairs AS (
+      {_minhash_oracle()}
+    )
+    SELECT k.doc_id FROM keepers k
+    WHERE k.doc_id NOT IN (SELECT doc_b FROM pairs)
+    """
+
+
+@register(
+    "corpus_clean",
+    oracle=_corpus_clean_oracle(),
+    doc="End-to-end training-corpus cleaning pipeline: quality-score filter "
+    f"(keep >= {QUALITY_KEEP}) -> exact dedup keeping the min doc_id per "
+    "content hash -> near-dup removal dropping every doc that is the "
+    "larger member of a verified MinHash pair (canonical-min rule). "
+    "Composes text_quality + dedup_exact + dedup_near semantics in one "
+    "dataflow: two shuffles (content hash, band key) plus one broadcast "
+    "anti-join — the shape of a real 100 TB corpus-cleaning job.",
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dodo_spark.operators.dedup import dedup_near
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        text_quality(spark, sf_dir)
+        .filter(F.col("quality_score") >= QUALITY_KEEP)
+        .select("doc_id")
+    )
+    keepers = (
+        docs.join(q, "doc_id")
+        .groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dropped = dedup_near(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    return keepers.join(dropped, "doc_id", "left_anti")
