@@ -65,39 +65,34 @@ FUNNEL_WINDOW_MIN = 120  # funnel window W, minutes
     """,
     doc="Doris window_funnel equivalent: ordered 3-step funnel "
     f"({' -> '.join(FUNNEL_STEPS)}) within {FUNNEL_WINDOW_MIN} minutes of "
-    "step 1, histogram of deepest level per user.",
+    "step 1, histogram of deepest level per user. ONE shuffle: per-user "
+    "event arrays collected in a single groupBy(user_id); the step chain "
+    "(t2 after t1, t3 after t2, all within W of t1) evaluates as array "
+    "filter/min expressions — exactly how Doris's window_funnel holds "
+    "per-group state, with no step-wise join cascade.",
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     w = F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
 
-    s1 = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evs")
     )
-    s2 = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
-        .join(s1, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + w))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
-        .join(s1, "user_id")
-        .join(s2, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + w))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    u = ev.select("user_id").distinct()
+
+    def step_min(step: str, lo=None, hi=None):
+        def keep(x):
+            c = x["event_type"] == step
+            if lo is not None:
+                c = c & (x["ts"] > lo) & (x["ts"] <= hi)
+            return c
+
+        return F.array_min(F.transform(F.filter("evs", keep), lambda x: x["ts"]))
+
     lv = (
-        u.join(s1, "user_id", "left")
-        .join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
+        per_user.withColumn("t1", step_min(FUNNEL_STEPS[0]))
+        .withColumn("t2", step_min(FUNNEL_STEPS[1], F.col("t1"), F.col("t1") + w))
+        .withColumn("t3", step_min(FUNNEL_STEPS[2], F.col("t2"), F.col("t1") + w))
         .select(
-            "user_id",
             F.when(F.col("t3").isNotNull(), 3)
             .when(F.col("t2").isNotNull(), 2)
             .when(F.col("t1").isNotNull(), 1)
