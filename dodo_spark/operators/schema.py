@@ -119,3 +119,53 @@ def export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sink STRING, rows BIGINT, content_hash BIGINT, matches_source BOOLEAN",
     )
     return out
+
+
+@register(
+    "import_mapping_roundtrip",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS customers,
+           CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS acct_cents,
+           MIN(upper(c_name)) AS first_name_upper
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="B9: import path end-to-end — export customers to ☆-separated "
+    "'\\\\N'-null CSV (the reference's stream-load dialect, "
+    "src/gendata.go:16-19), read back through the import reader, apply "
+    "import_mapping column transforms (the bitmap_from_array/hll_hash "
+    "hook, src/gendata.go:164-183), aggregate. The oracle computes the "
+    "same aggregates from the source table directly, so any loss in the "
+    "CSV round-trip or the mapping surfaces as a hash mismatch.",
+)
+def import_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dodo_spark.sources.writers import import_mapping
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    base = os.path.join(_SCRATCH, "import_roundtrip")
+    shutil.rmtree(base, ignore_errors=True)
+    path = export_table(
+        cust, base + "/{db}/{table}", fmt="csv", db="test", table="customer",
+        options={"header": "true"},
+    )
+    raw = (
+        spark.read.option("header", "true").option("sep", "☆").option("nullValue", "\\N")
+        .csv(path)
+    )
+    mapped = import_mapping(
+        raw,
+        {
+            "c_nationkey": "CAST(c_nationkey AS BIGINT)",
+            "acct_cents": "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)",
+            "name_upper": "upper(c_name)",
+        },
+    )
+    return mapped.groupBy("c_nationkey").agg(
+        F.count("*").alias("customers"),
+        F.sum("acct_cents").alias("acct_cents"),
+        F.min("name_upper").alias("first_name_upper"),
+    )

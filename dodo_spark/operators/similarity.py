@@ -211,6 +211,14 @@ def _ivf_oracle() -> str:
     "touches N_PROBE partitions instead of the full corpus.",
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells, probes = _ivf_index(spark, sf_dir)
+    return _ivf_topk(cells, probes)
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """(cells, probes) for the deterministic IVF quantizer: cells =
+    (vec_id, sv, cell) via scan-side argmax against literal centroids;
+    probes = each query exploded to its N_PROBE nearest cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
 
@@ -252,6 +260,10 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "qv", (-F.col("p").getField("negcid")).alias("pcell"))
     )
+    return cells, probes
+
+
+def _ivf_topk(cells: DataFrame, probes: DataFrame) -> DataFrame:
     cand = (
         F.broadcast(probes)
         .join(cells, (cells.cell == probes.pcell) & (cells.vec_id != probes.query_id))
@@ -266,6 +278,33 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@register(
+    "similarity_ivf_pruned",
+    oracle=_ivf_oracle(),
+    doc="D7 scale path #2b — the SERVING form of IVF: the cell-assigned "
+    "corpus is materialized as parquet PARTITIONED BY cell, and the query "
+    "reads back ONLY the probed cell partitions (partition pruning, "
+    "asserted by test_plans). Same deterministic quantizer and the same "
+    "oracle as similarity_ivf — at 100 TB each query touches N_PROBE "
+    "directories instead of scanning the corpus.",
+)
+def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from dodo_spark.operators.schema import _SCRATCH
+
+    cells, probes = _ivf_index(spark, sf_dir)
+    path = os.path.join(_SCRATCH, "ivf_cells")
+    shutil.rmtree(path, ignore_errors=True)
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    stored = spark.read.parquet(path)
+    # tiny collect: N_QUERIES x N_PROBE cell ids — the query's probe list
+    probe_cells = [r["pcell"] for r in probes.select("pcell").distinct().collect()]
+    pruned = stored.filter(F.col("cell").isin(probe_cells))
+    return _ivf_topk(pruned, probes)
 
 
 @register(

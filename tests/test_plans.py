@@ -219,3 +219,14 @@ def test_analytics_dim_hint_threads_through(spark, sf_dir):
 
     plan = plan_of(analytics_revenue_by_nation(spark, sf_dir, dim_hint="shuffle"))
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_ivf_pruned_reads_only_probed_partitions(spark, sf_dir):
+    """The IVF serving path must push the probe-cell list into
+    PartitionFilters — each query touches N_PROBE directories, not the
+    corpus."""
+    from dodo_spark.operators.similarity import similarity_ivf_pruned
+
+    plan = plan_of(similarity_ivf_pruned(spark, sf_dir))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "cell" in l]
+    assert pf and any(" IN " in l for l in pf), plan
