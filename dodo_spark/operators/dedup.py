@@ -259,6 +259,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
+SIMHASH_MAX_HAMMING = 2
+# 3 bands over the 16 bits (5+5+6): 2 bit flips corrupt at most 2 bands, so
+# every pair within hamming<=2 shares >=1 exact band — LSH with PROVABLY
+# 100% recall, which is why the brute-force oracle is exactly equal
+_SIMHASH_BANDS = ((11, 0x1F), (6, 0x1F), (0, 0x3F))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_sql_hex4_int("md5(tok)")} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}" for k in range(SIMHASH_BITS))}
+      FROM hashed GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id,
+             CAST({" + ".join(f"(CASE WHEN v{k} > 0 THEN 1 ELSE 0 END) * {1 << k}" for k in range(SIMHASH_BITS))}
+                  AS BIGINT) AS simhash
+      FROM votes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash near-dup PAIRS at hamming<=2 via 3-band LSH (5+5+6 bits): "
+    "pigeonhole guarantees every qualifying pair collides in >=1 band, so "
+    "the banded equi-join finds exactly the brute-force pair set — LSH "
+    "recall is provable, and the O(n²) oracle checks it. One shuffle on "
+    "(band_idx, band_value); pairs form only inside buckets.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup_simhash(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for i, (shift, mask) in enumerate(_SIMHASH_BANDS)
+        ]
+    )
+    exploded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 COSINE_DUP_THRESHOLD = 0.99
 EMBEDDING_BRUTE_MAX_ROWS = 100_000  # brute-force O(n²) gate; scale path = LSH/IVF
