@@ -1257,3 +1257,29 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("sampled_rows"), F.min("event_id").alias("min_id"))
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="A12 distribution family: ntile / percent_rank / cume_dist over a "
+    "key-partitioned window with a unique (acctbal, custkey) ordering — "
+    "rank-based doubles are deterministic when the sort is total.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
