@@ -235,6 +235,11 @@ def _sql_hex4_int(expr: str) -> str:
     "LSH join. Explode + groupBy keeps it fully distributed.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode + groupBy, deliberately: the groupBy materializes ONE compact
+    # (doc_id, simhash) exchange that downstream self-joins REUSE
+    # (ReusedExchange). A scan-side aggregate() fold was measured SLOWER —
+    # 16 vote expressions re-evaluate the md5-per-token array and every
+    # join alias recomputes the whole fingerprint pass.
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
