@@ -193,3 +193,41 @@ def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
 
     src = df.filter(F.col("media_type").isin("image", "video"))
     return src.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def _sql_hex_byte(h: str, byte_idx: int) -> str:
+    """DuckDB: integer value of digest byte `byte_idx` (hex chars 2i+1, 2i+2)."""
+    i = 2 * byte_idx + 1
+    return (
+        f"((strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1))"
+    )
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS h
+      FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+    ), f AS (
+      SELECT media_id, 1 + ({_sql_hex_byte('h', 2)} % 120) AS n_frames FROM m
+    )
+    SELECT media_id,
+           CAST((n_frames - 1) // 10 + 1 AS BIGINT) AS n_sampled,
+           CAST(((n_frames - 1) // 10) * 10 AS BIGINT) AS max_frame_idx
+    FROM f
+    """,
+    doc="multimodal frame sampling: video payloads -> mapInPandas header "
+    "decode (stub) -> every-10th-frame explode -> per-video sampled-frame "
+    "counts. The explode shape (rows multiply AFTER the binary is dropped) "
+    "is the real design; the oracle re-derives n_frames from the md5 stub "
+    "and checks the sampling arithmetic exactly.",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(spark, sf_dir)
+    frames = frame_sample(decode_media(media), every_n=10)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
+    )
