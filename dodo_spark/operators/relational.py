@@ -1283,3 +1283,36 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="PIVOT: order-status columns per market segment via "
+    "groupBy().pivot() with an explicit value list (explicit values keep "
+    "the plan single-pass — an unlisted pivot needs a distinct-scan job "
+    "first). Oracle is the conditional-aggregation desugaring, which is "
+    "also exactly what Catalyst lowers pivot to.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        F.coalesce("O", F.lit(0)).alias("o_cnt"),
+        F.coalesce("P", F.lit(0)).alias("p_cnt"),
+    )

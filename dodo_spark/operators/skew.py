@@ -126,3 +126,43 @@ def _register_key() -> None:
 
 
 _register_key()
+
+
+def _register_join_key() -> None:
+    from pyspark.sql import SparkSession
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.operators.relational import sql_dsum
+    from dodo_spark.registry import register
+
+    @register(
+        "join_skew_replicated",
+        oracle=f"""
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS orders_cnt,
+               {sql_dsum("o_totalprice", "sales")}
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+        """,
+        doc="Skew-safe replicated join (salt-and-replicate): the large side "
+        "gets a deterministic salt, the medium side replicates salt_buckets "
+        "ways, and the join key becomes (key, salt) — a hot key's rows land "
+        "on n reducers instead of one. Result is exactly the plain join, so "
+        "the oracle is the unsalted SQL.",
+    )
+    def join_skew_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+        customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        joined = replicated_skew_join(
+            orders,
+            customer.withColumnRenamed("c_custkey", "o_custkey"),
+            on=["o_custkey"],
+            salt_buckets=8,
+        )
+        return joined.groupBy("c_nationkey").agg(
+            F.count("*").alias("orders_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sales"),
+        )
+
+
+_register_join_key()
