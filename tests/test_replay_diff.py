@@ -98,3 +98,29 @@ def test_replay_speed_preserves_order_and_sleeps(spark):
     assert elapsed >= 0.15  # (2000ms - 100ms) / 10 = 190ms sleep
     assert {r.query_id for r in rows} == {"s1", "s2"}
     assert all(r.err is None for r in rows)
+
+
+def test_multiline_statement_roundtrip(spark):
+    """dump->replay of a statement containing REAL newlines (the dump
+    pipeline unescapes \\n before encoding; reference reassembles
+    multi-line statements, src/replay.go:427-442). Regression for the
+    META_RE DOTALL bug: decode silently dropped every multi-line
+    statement."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.plans.replay import decode_replay_sqls
+    from dodo_spark.sources.auditlog import encode_replay_sql
+
+    stmt = "SELECT o_orderkey,\n       o_totalprice\nFROM orders\nWHERE o_orderkey = 7"
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00.000", "c1", "u1", "db1", "q1", 12, stmt)],
+        "ts STRING, client STRING, user STRING, db STRING, query_id STRING, "
+        "duration_ms BIGINT, stmt STRING",
+    )
+    encoded = encode_replay_sql(df).select("replay_sql")
+    decoded = decode_replay_sqls(encoded).collect()
+    assert len(decoded) == 1
+    r = decoded[0]
+    assert r["stmt"] == stmt
+    assert r["query_id"] == "q1" and r["duration_ms"] == 12
+    assert r["ts"] == "2024-01-01 00:00:00.000"
