@@ -310,6 +310,29 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+# --------------------------------------------------------------- clean ----
+def cmd_clean(args: argparse.Namespace) -> int:
+    """Delete local scratch/output data (reference cmd/clean.go:44-49:
+    data dir + output dir, with confirmation unless forced)."""
+    import shutil
+
+    from dodo_spark.operators.schema import _SCRATCH
+
+    targets = [t for t in [_SCRATCH, *(args.dirs or [])] if os.path.exists(t)]
+    if not targets:
+        print("nothing to clean")
+        return 0
+    for t in targets:
+        if not args.yes:
+            resp = input(f"Delete {os.path.abspath(t)}? [y/N] ")
+            if resp.strip().lower() not in ("y", "yes"):
+                print(f"skipped {t}")
+                continue
+        shutil.rmtree(t, ignore_errors=True)
+        print(f"removed {t}")
+    return 0
+
+
 # ---------------------------------------------------------------- main ----
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dodo_spark", description=__doc__)
@@ -402,6 +425,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     e.add_argument("--db", default="default")
     e.set_defaults(fn=cmd_export)
+
+    cl = sub.add_parser("clean", help="delete local scratch/output data")
+    cl.add_argument("--yes", action="store_true", help="skip confirmation")
+    cl.add_argument("--dirs", nargs="*", default=None, help="extra dirs to remove")
+    cl.set_defaults(fn=cmd_clean)
 
     return p
 

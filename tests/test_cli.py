@@ -253,3 +253,13 @@ def test_cli_gendata_multi_round(spark, tmp_path):
     r0 = spark.read.parquet(str(out / "mr_round0")).count()
     r1 = spark.read.parquet(str(out / "mr_round1")).count()
     assert (r0, r1) == (10, 25)
+
+
+def test_cli_clean(tmp_path):
+    from dodo_spark.cli import main
+
+    extra = tmp_path / "junk"
+    extra.mkdir()
+    (extra / "f.txt").write_text("x")
+    assert main(["clean", "--yes", "--dirs", str(extra)]) == 0
+    assert not extra.exists()
