@@ -929,17 +929,19 @@ def pred_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS matching_docs
     FROM documents
-    WHERE list_contains(string_split(lower(text), ' '), 'data')
+    WHERE strpos(' ' || lower(text) || ' ', ' data ') > 0
     GROUP BY lang
     """,
-    doc="A27: MATCH_ANY approximation (ref DorisParser.g4:1513) — tokenized "
-    "containment instead of an inverted index; at scale the token array is "
-    "computed in the scan projection, no shuffle before the aggregate.",
+    doc="A27: MATCH_ANY approximation (ref DorisParser.g4:1513) — "
+    "space-delimited token containment as a padded substring scan "
+    "(equivalent to membership in the split-by-space token array, without "
+    "allocating the array per row); no shuffle before the aggregate.",
 )
 def text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
     return (
-        docs.filter(F.array_contains(F.split(F.lower("text"), " ", -1), "data"))
+        docs.filter(padded.contains(" data "))
         .groupBy("lang")
         .agg(F.count("*").alias("matching_docs"))
     )
