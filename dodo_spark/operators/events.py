@@ -337,3 +337,50 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("event_id").alias("events_in_window"),
         F.countDistinct("user_id").alias("users_in_window"),
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+      FROM events WHERE event_type = 'purchase'
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS ws FROM bounds
+    ), agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT spine.ws, COALESCE(agg.cnt, 0) AS cnt,
+           CAST(agg.ws IS NULL AS BOOLEAN) AS filled
+    FROM spine LEFT JOIN agg ON agg.ws = spine.ws
+    """,
+    doc="Time-series gap fill (beyond-reference): dense hourly spine from "
+    "min to max bucket, left-joined onto the windowed aggregate, missing "
+    "hours filled with zero. The spine derives from a 1-row min/max "
+    "aggregate exploded via sequence() — broadcast side — so the only "
+    "real shuffle is the aggregation itself.",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("ws")
+    )
+    return (
+        spine.join(agg.withColumnRenamed("ws", "aws"), spine.ws == F.col("aws"), "left")
+        .select(
+            "ws",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.col("aws").isNull().alias("filled"),
+        )
+    )

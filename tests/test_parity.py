@@ -39,3 +39,15 @@ def test_entry(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_registry_contract():
+    """Every registered key must have an oracle twin unless explicitly
+    whitelisted as engine-internal — prevents silent rows-only drift."""
+    from dodo_spark import registry
+
+    qs, os_ = registry.queries(), registry.oracle_sql()
+    NO_ORACLE_OK = {"agg_ndv_approx"}  # HLL sketch values are engine-internal
+    missing = set(qs) - set(os_) - NO_ORACLE_OK
+    assert not missing, f"keys without oracle: {sorted(missing)}"
+    assert list(qs), "registry is empty"
