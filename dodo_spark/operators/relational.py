@@ -1318,3 +1318,62 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("O", F.lit(0)).alias("o_cnt"),
         F.coalesce("P", F.lit(0)).alias("p_cnt"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 300
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+    FROM part WHERE p_partkey < 300
+    """,
+    doc="UNPIVOT/melt — the inverse of pivot: wide numeric columns to "
+    "(key, metric, value) long form via DataFrame.unpivot (codegen'd "
+    "Expand, one pass over the scan, no shuffle). Oracle is the "
+    "dialect-free UNION ALL desugaring.",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register(
+    "explode_struct_inline",
+    oracle="""
+    SELECT o_orderkey, u.pos AS item_pos, u.tag AS tag, u.amt AS amt
+    FROM (
+      SELECT o_orderkey,
+             [{'pos': 0, 'tag': o_orderstatus, 'amt': CAST(o_totalprice AS DOUBLE)},
+              {'pos': 1, 'tag': o_orderpriority, 'amt': CAST(o_totalprice AS DOUBLE) / 2}]
+               AS items
+      FROM orders WHERE o_orderkey < 400
+    ), LATERAL unnest(items) AS t(u)
+    """,
+    doc="A23 struct variant: inline() explodes an array<struct> into "
+    "columns directly (one generator, no per-field extraction pass) — the "
+    "LATERAL VIEW form for nested fact lines.",
+)
+def explode_struct_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    items = F.array(
+        F.struct(
+            F.lit(0).alias("pos"),
+            F.col("o_orderstatus").alias("tag"),
+            F.col("o_totalprice").cast("double").alias("amt"),
+        ),
+        F.struct(
+            F.lit(1).alias("pos"),
+            F.col("o_orderpriority").alias("tag"),
+            (F.col("o_totalprice").cast("double") / 2).alias("amt"),
+        ),
+    )
+    return (
+        o.select("o_orderkey", F.inline(items))
+        .select("o_orderkey", F.col("pos").alias("item_pos"), "tag", "amt")
+    )
