@@ -49,3 +49,34 @@ def test_asof_picks_latest_not_first(spark):
     )
     [row] = asof_join(left, right, on=["user_id"]).collect()
     assert row["v_r"] == 2.0
+
+
+def test_asof_randomized_against_naive(spark):
+    """Seeded random instances vs a naive per-row reference implementation."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(3):
+        lefts = [
+            (i, rng.randrange(4), _ts("2024-01-01 00:00:00")
+             + dt.timedelta(minutes=rng.randrange(0, 600)))
+            for i in range(40)
+        ]
+        rights_raw = {}
+        for _ in range(30):
+            key = (rng.randrange(4), _ts("2024-01-01 00:00:00")
+                   + dt.timedelta(minutes=rng.randrange(0, 600)))
+            rights_raw[key] = round(rng.uniform(0, 100), 3)  # dedupe per (key, ts)
+        rights = [(k, t, v) for (k, t), v in rights_raw.items()]
+
+        left = spark.createDataFrame(lefts, "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+        right = spark.createDataFrame(rights, "user_id BIGINT, ts TIMESTAMP, v DOUBLE")
+        got = {
+            r["event_id"]: r["v_r"]
+            for r in asof_join(left, right, on=["user_id"]).collect()
+        }
+
+        for eid, uid, lts in lefts:
+            cands = [(t, v) for (k, t, v) in rights if k == uid and t <= lts]
+            expect = max(cands)[1] if cands else None
+            assert got[eid] == expect, (trial, eid, uid, lts, got[eid], expect)
