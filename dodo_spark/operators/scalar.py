@@ -273,3 +273,36 @@ def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2).cast("boolean").cast("int").alias("odd_int"),
         (F.lit("42").cast("bigint") + F.col("o_orderkey")).alias("parsed_plus"),
     )
+
+
+@register(
+    "scalar_map",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(cardinality(m) AS INTEGER) AS n_entries,
+           CAST(len(m['status']) > 0 AS BOOLEAN) AS has_status,
+           m['priority'][1] AS priority,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
+    FROM (
+      SELECT o_orderkey,
+             MAP(['status', 'priority'], [o_orderstatus, o_orderpriority]) AS m
+      FROM orders WHERE o_orderkey < 400
+    )
+    """,
+    doc="A35 map family: map construction, cardinality, key membership, "
+    "value lookup, sorted key list — all codegen'd expressions "
+    "(ref complex-type functions, DorisParser.g4:1579-1599).",
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("priority"), F.col("o_orderpriority")
+    )
+    d = o.select("o_orderkey", m.alias("m"))
+    return d.select(
+        "o_orderkey",
+        F.size("m").alias("n_entries"),
+        F.array_contains(F.map_keys("m"), "status").alias("has_status"),
+        F.col("m")["priority"].alias("priority"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_sorted"),
+    )
