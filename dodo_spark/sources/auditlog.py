@@ -522,3 +522,30 @@ def validate_statements(
     if len(good) == len(rows):
         return df
     return spark.createDataFrame(good, df.schema)
+
+
+@register(
+    "validate_strict",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN o_orderkey % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="B6 --strict: statements Spark's SQL parser rejects are dropped "
+    "(reference src/auditlog.go:392-396, flag cmd/dump.go:153). Derivational "
+    "oracle: every 5th synthetic statement is malformed by construction, so "
+    "the kept/dropped split is pure arithmetic.",
+)
+def validate_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    stmt = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        F.concat(F.lit("SELEC broken "), F.col("o_orderkey").cast("string")),
+    ).otherwise(F.concat(F.lit("SELECT "), F.col("o_orderkey").cast("string")))
+    df = o.select(F.col("o_orderkey"), stmt.alias("stmt"))
+    total = df.count()
+    kept = validate_statements(spark, df).count()
+    return spark.createDataFrame(
+        [(total, kept, total - kept)], "total BIGINT, kept BIGINT, dropped BIGINT"
+    )
