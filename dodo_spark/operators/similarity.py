@@ -392,3 +392,54 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {sql_scaled_vec("embedding")} AS sv FROM embeddings
+    ), m AS (
+      SELECT vec_id, sv,
+             list_max(list_transform(sv, x -> abs(x))) AS maxabs
+      FROM v
+    ), q AS (
+      SELECT vec_id, maxabs,
+             list_transform(sv, x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0
+                                               / greatest(maxabs, 1)) AS BIGINT)) AS q8
+      FROM m
+    )
+    SELECT vec_id, CAST(maxabs AS BIGINT) AS maxabs,
+           CAST(list_sum(q8) AS BIGINT) AS q8_sum,
+           CAST(list_sum(list_transform(q8, x -> abs(x))) AS BIGINT) AS q8_l1,
+           CAST(len(list_filter(q8, x -> abs(x) > 127)) AS BIGINT) AS overflow_cnt
+    FROM q
+    """,
+    doc="int8 embedding quantization (beyond-reference, the storage path "
+    "for 100 TB embedding corpora): per-vector max-abs scale, symmetric "
+    "q = trunc(x*127/maxabs) into [-127,127], checksum + L1 + overflow "
+    "audit columns. All arithmetic on exact scaled longs; the double "
+    "division is IEEE-identical across engines and trunc matches, so the "
+    "quantized values hash-check exactly. Scan-side only — no shuffle.",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+    maxabs = F.array_max(F.transform("sv", lambda x: F.abs(x)))
+    m = v.select("vec_id", "sv", maxabs.alias("maxabs"))
+    q8 = F.transform(
+        "sv",
+        lambda x: (
+            F.floor(F.abs(x.cast("double") * 127.0 / F.greatest(F.col("maxabs"), F.lit(1))))
+            * F.when(x < 0, -1).otherwise(1)
+        ).cast("bigint"),
+    )
+    q = m.select("vec_id", "maxabs", q8.alias("q8"))
+    zero = F.lit(0).cast("bigint")
+    return q.select(
+        "vec_id",
+        F.col("maxabs").cast("bigint").alias("maxabs"),
+        F.aggregate("q8", zero, lambda acc, x: acc + x).alias("q8_sum"),
+        F.aggregate("q8", zero, lambda acc, x: acc + F.abs(x)).alias("q8_l1"),
+        F.size(F.filter("q8", lambda x: F.abs(x) > 127)).cast("bigint").alias("overflow_cnt"),
+    )
