@@ -206,3 +206,43 @@ def _register_key() -> None:
 
 
 _register_key()
+
+
+def _register_session_key() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_session_drain",
+        oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL '30 minutes'
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM numbered
+        GROUP BY user_id, session_id
+        """,
+        doc="Structured Streaming sessionization end-to-end: readStream -> "
+        "watermarked session_window (Spark-managed state merges) -> "
+        "availableNow drain. A one-batch drain of a static source equals "
+        "the batch session query, so the gaps-and-islands SQL is the "
+        "oracle.",
+    )
+    def streaming_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        return run_available_now(session_stream(ev), "vk_stream_session")
+
+
+_register_session_key()
