@@ -327,3 +327,205 @@ def analytics_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "analytics_nation_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "volume", 6)}
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name IN ('CHINA', 'FRANCE') AND sn.n_name IN ('CHINA', 'FRANCE')
+      AND cn.n_name != sn.n_name
+    GROUP BY cn.n_name, sn.n_name, year(o.o_orderdate)
+    ORDER BY cust_nation, supp_nation, o_year
+    """,
+    doc="TPC-H Q7 shape: cross-border trade volume between two nations per "
+    "year. Both nation dims broadcast twice under different aliases; the "
+    "name filters prune customer/supplier before the fact join.",
+)
+def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin("CHINA", "FRANCE"))
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(cn), F.col("cnk") == c.c_nationkey)
+        .join(F.broadcast(sn), F.col("snk") == s.s_nationkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(dsum(vol, "volume", 6))
+        .orderBy("cust_nation", "supp_nation", "o_year")
+    )
+
+
+@register(
+    "analytics_promo_share",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY year(l.l_shipdate)
+    ORDER BY ship_year
+    """,
+    doc="TPC-H Q14 shape: promo-type revenue share per ship year. part "
+    "broadcasts; the share stays two exact decimal sums (the division to a "
+    "ratio is the caller's one-liner — emitting both terms keeps the "
+    "oracle float-exact).",
+)
+def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@register(
+    "analytics_small_quantity",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS small_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+    FROM lineitem l JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+    doc="TPC-H Q17 shape: lineitems below half the part's average quantity. "
+    "The per-part average is a fact-side pre-aggregation joined back on "
+    "the same key — with bucketing both the aggregation and the join are "
+    "shuffle-free. AVG over small integer-valued doubles is exact in both "
+    "engines.",
+)
+def analytics_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avg_qty, avg_qty.ap == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count("*").alias("small_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias(
+                "small_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "analytics_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: customers with very large orders. lineitem "
+    "pre-aggregates on orderkey with a HAVING pushdown before the joins, "
+    "so only qualifying orders enter the join tree; top-20 is a "
+    "TakeOrdered.",
+)
+def analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "analytics_inactive_rich",
+    oracle="""
+    WITH global_avg AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS rich_inactive,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total
+    FROM customer c, global_avg g
+    WHERE c.c_acctbal > g.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no orders. "
+    "The global average is a 1-row broadcast (never a global window); the "
+    "no-orders test is a left-anti join on the customer key.",
+)
+def analytics_inactive_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    inactive = rich.join(o, o.o_custkey == rich.c_custkey, "left_anti")
+    return (
+        inactive.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("rich_inactive"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("bal_total"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -116,7 +116,15 @@ def test_no_global_window(plans, name):
 #   similarity_topk   broadcasts the tiny query side over the corpus scan —
 #                     the corpus never shuffles, which IS the scale shape
 #   stats_histogram   1-row min/max broadcast crossJoin
-BNLJ_ALLOWED = {"join_cross", "dedup_embedding", "dedup_ngram", "similarity_topk", "stats_histogram"}
+#   analytics_inactive_rich  1-row global-average broadcast crossJoin (Q22)
+BNLJ_ALLOWED = {
+    "join_cross",
+    "dedup_embedding",
+    "dedup_ngram",
+    "similarity_topk",
+    "stats_histogram",
+    "analytics_inactive_rich",
+}
 
 
 @pytest.mark.parametrize("name", sorted(ALL))
