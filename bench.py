@@ -45,6 +45,8 @@ HEADLINE = [
     "analytics_market_share",
     "analytics_returned_revenue",
     "analytics_priority_mix",
+    "analytics_nation_volume",
+    "analytics_large_orders",
     "dedup_exact",
     "dedup_near",
     "events_tumbling",
