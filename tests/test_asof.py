@@ -80,3 +80,46 @@ def test_asof_randomized_against_naive(spark):
             cands = [(t, v) for (k, t, v) in rights if k == uid and t <= lts]
             expect = max(cands)[1] if cands else None
             assert got[eid] == expect, (trial, eid, uid, lts, got[eid], expect)
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Intervals spanning multiple day buckets and points exactly on
+    interval endpoints (BETWEEN is inclusive both ends)."""
+    from dodo_spark.operators.events import range_join_buckets
+
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == iv_start
+            (2, _ts("2024-01-03 23:59:59")),  # inside, 3rd bucket
+            (3, _ts("2024-01-04 00:00:00")),  # == iv_end
+            (4, _ts("2024-01-04 00:00:01")),  # just past end
+            (5, _ts("2023-12-31 23:59:59")),  # just before start
+        ],
+        "pid BIGINT, ts TIMESTAMP",
+    )
+    intervals = spark.createDataFrame(
+        [(100, _ts("2024-01-01 00:00:00"), _ts("2024-01-04 00:00:00"))],
+        "iv_id BIGINT, iv_start TIMESTAMP, iv_end TIMESTAMP",
+    )
+    got = sorted(
+        r["pid"]
+        for r in range_join_buckets(points, intervals, "ts", "iv_start", "iv_end").collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_range_join_hour_buckets(spark):
+    from dodo_spark.operators.events import range_join_buckets
+
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 05:30:00")), (2, _ts("2024-01-01 09:00:00"))],
+        "pid BIGINT, ts TIMESTAMP",
+    )
+    intervals = spark.createDataFrame(
+        [(7, _ts("2024-01-01 05:00:00"), _ts("2024-01-01 08:00:00"))],
+        "iv_id BIGINT, iv_start TIMESTAMP, iv_end TIMESTAMP",
+    )
+    rows = range_join_buckets(
+        points, intervals, "ts", "iv_start", "iv_end", bucket="1 hour"
+    ).collect()
+    assert [r["pid"] for r in rows] == [1]
