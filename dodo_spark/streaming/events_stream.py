@@ -246,3 +246,68 @@ def _register_session_key() -> None:
 
 
 _register_session_key()
+
+
+def _register_stateful_key() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_stateful_totals",
+        oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS cum_cnt,
+               CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS cum_value_e4
+        FROM events GROUP BY user_id
+        """,
+        doc="Custom stateful streaming operator through the driver gate: "
+        "applyInPandasWithState keeps one (count, scaled-value-sum) tuple "
+        "per user across micro-batches; the value accumulates in exact "
+        "integer 1e-4 units (floor(value*1e4) — floor is IEEE-identical in "
+        "numpy and DuckDB, so the total hash-checks exactly). A one-batch "
+        "availableNow drain equals the batch GROUP BY.",
+    )
+    def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(key: tuple, pdfs, state: GroupState):
+            import numpy as np
+
+            cnt, vsum = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                cnt += len(pdf)
+                vals = pdf["value"].fillna(0.0).to_numpy()
+                vsum += int(np.floor(vals * 10000).sum())
+            state.update((cnt, vsum))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "cum_cnt": [cnt], "cum_value_e4": [vsum]}
+            )
+
+        ev = read_events_stream(spark, sf_dir)
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, cum_cnt bigint, cum_value_e4 bigint",
+            stateStructType="cnt bigint, vsum bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("vk_stateful_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # update mode appends one row per user per batch: keep the final row
+        # (max_by on the monotone count — a bare MAX of the value would be
+        # wrong when negative values make the running sum non-monotone)
+        agg = spark.sql(
+            "SELECT user_id, MAX(cum_cnt) AS cum_cnt, "
+            "MAX_BY(cum_value_e4, cum_cnt) AS cum_value_e4 "
+            "FROM vk_stateful_totals GROUP BY user_id"
+        )
+        return agg
+
+
+_register_stateful_key()
