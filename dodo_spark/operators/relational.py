@@ -1377,3 +1377,28 @@ def explode_struct_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", F.inline(items))
         .select("o_orderkey", F.col("pos").alias("item_pos"), "tag", "amt")
     )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS rich_cnt,
+           bool_or(c_acctbal < 0) AS any_debt,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           arg_max(c_name, c_custkey) AS latest_name
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Conditional-aggregate family: count_if / bool_or (ANY) / bool_and "
+    "(ALL) / max_by with a UNIQUE ordering key (custkey) so the picked "
+    "value is deterministic — all map-side-combinable.",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count_if(F.col("c_acctbal") > 5000).alias("rich_cnt"),
+        F.bool_or(F.col("c_acctbal") < 0).alias("any_debt"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.max_by("c_name", "c_custkey").alias("latest_name"),
+    )
