@@ -264,13 +264,17 @@ def unescape_stmt(col: Column) -> Column:
     )
 
 
-SQL_UNESCAPE_TOKEN_SQL = r"'[^']*'|\"[^\"]*\"|/\*.*?\*/|--[^\\\n]*|\\.|[\s\S]"
+# RE2 '.' never matches \n and there is no usable inline DOTALL here, so
+# BOTH branches that must cross real newlines ([\s\S]) spell it out: block
+# comments (multi-line statements carry real newlines after reassembly)
+# and the any-char fallback. Found by test_unescape_cross_engine_fuzz.
+SQL_UNESCAPE_TOKEN_SQL = r"'[^']*'|\"[^\"]*\"|/\*[\s\S]*?\*/|--[^\\\n]*|\\.|[\s\S]"
 
 
 def sql_unescape_duckdb(expr: str) -> str:
-    """DuckDB twin of unescape_stmt (RE2 has no DOTALL flag inline for '.',
-    so the any-char branch is [\\s\\S]; single quotes doubled for the SQL
-    string literal)."""
+    """DuckDB twin of unescape_stmt (single quotes doubled for the SQL
+    string literal; see SQL_UNESCAPE_TOKEN_SQL for the RE2 newline
+    treatment)."""
     pat = SQL_UNESCAPE_TOKEN_SQL.replace("'", "''")
     return (
         f"array_to_string(list_transform(regexp_extract_all({expr}, '{pat}'), "

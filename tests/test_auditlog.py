@@ -103,3 +103,38 @@ def test_validate_statements_row_cap(spark):
         validate_statements(spark, df, max_rows=10)
     ok = validate_statements(spark, df, max_rows=100)
     assert ok.count() == 50
+
+
+def test_unescape_cross_engine_fuzz(spark):
+    """200 seeded random SQL-ish strings through BOTH tokenizers (Spark
+    expression vs DuckDB twin) in one batch each — any divergence in the
+    literal/comment/escape token rules surfaces as a row mismatch."""
+    import random
+
+    import duckdb
+
+    from dodo_spark.sources.auditlog import sql_unescape_duckdb, unescape_stmt
+
+    rng = random.Random(42)
+    pieces = [
+        "SELECT ", "a", "1", ",", " ", "'", '"', "\\n", "\\t", "\\r", "\\\\",
+        "--", "/*", "*/", "\n", "x", "=", "(", ")", "'lit'", '"q"', "\\x",
+    ]
+    strings = [
+        "".join(rng.choice(pieces) for _ in range(rng.randrange(1, 14)))
+        for _ in range(200)
+    ]
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i INT, s STRING")
+    got = {
+        r["i"]: r["u"]
+        for r in df.select("i", unescape_stmt(df["s"]).alias("u")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(strings)))
+    want = dict(con.execute(f"SELECT i, {sql_unescape_duckdb('s')} FROM t").fetchall())
+
+    diffs = [(i, strings[i], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not diffs, diffs[:3]
