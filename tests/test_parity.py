@@ -51,3 +51,73 @@ def test_registry_contract():
     missing = set(qs) - set(os_) - NO_ORACLE_OK
     assert not missing, f"keys without oracle: {sorted(missing)}"
     assert list(qs), "registry is empty"
+
+
+def test_row_hash_cross_engine_fuzz(spark):
+    """Seeded random strings (tabs, quotes, unicode, NULLs) through the
+    Spark row-hash and the DuckDB twin — the canonicalization (tab
+    separator, NULL sentinel) must agree byte-for-byte."""
+    import random
+
+    import duckdb
+
+    from dodo_spark.functions.hashing import row_md5, sql_row_md5
+
+    rng = random.Random(7)
+    alphabet = ["a", "Z", "9", "\t", "'", '"', "☆", "汉", "🦆", " ", "\\", ","]
+
+    def s():
+        if rng.random() < 0.15:
+            return None
+        return "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 8)))
+
+    rows = [(i, s(), s()) for i in range(150)]
+    df = spark.createDataFrame(rows, "i INT, x STRING, y STRING")
+    got = {r["i"]: r["h"] for r in df.select("i", row_md5("x", "y").alias("h")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x VARCHAR, y VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = dict(con.execute(f"SELECT i, {sql_row_md5(['x', 'y'])} FROM t").fetchall())
+    diffs = [(i, rows[i][1:], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not diffs, diffs[:3]
+
+
+def test_shingles_cross_engine_fuzz(spark):
+    """Unicode documents through Spark _shingles vs the DuckDB shingle
+    expression — substring must count CHARACTERS identically (an engine
+    counting bytes would shear multibyte text)."""
+    import random
+
+    import duckdb
+
+    from dodo_spark.operators.dedup import SHINGLE_LEN, SHINGLE_STRIDE, _shingles
+
+    rng = random.Random(11)
+    alphabet = ["a", "b", " ", "汉", "字", "é", "🦆", "x", "y"]
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 90))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "i INT, text STRING")
+    got = {r["i"]: r["sh"] for r in df.select("i", _shingles("text").alias("sh")).collect()}
+
+    sh_expr = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1), {SHINGLE_STRIDE}),"
+        f" i -> substring(text, i, {SHINGLE_LEN})))"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (i INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    want = dict(con.execute(f"SELECT i, {sh_expr} FROM d").fetchall())
+    # compare as SETS: DuckDB's list_distinct does not preserve order
+    # (Spark's array_distinct keeps first occurrence) — harmless because
+    # every consumer (array_min window keys, intersect sizes, len) is
+    # order-insensitive. Character counting must still agree exactly.
+    diffs = [
+        (i, docs[i][1], got[i], want[i])
+        for i in got
+        if sorted(got[i]) != sorted(want[i])
+    ]
+    assert not diffs, diffs[:2]
