@@ -1402,3 +1402,26 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
         F.max_by("c_name", "c_custkey").alias("latest_name"),
     )
+
+
+@register(
+    "window_distinct",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(DISTINCT o_orderstatus)
+                OVER (PARTITION BY o_custkey) AS INTEGER) AS distinct_statuses
+    FROM orders WHERE o_custkey < 300
+    """,
+    doc="Distinct aggregate over a window: Spark has no DISTINCT window "
+    "aggregates, so the idiom is size(collect_set() OVER w) — same "
+    "per-partition state a native distinct window keeps. Whole-partition "
+    "frame, key-partitioned.",
+)
+def window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderstatus").over(w)).alias("distinct_statuses"),
+    )
