@@ -443,3 +443,41 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("q8", zero, lambda acc, x: acc + F.abs(x)).alias("q8_l1"),
         F.size(F.filter("q8", lambda x: F.abs(x) > 127)).cast("bigint").alias("overflow_cnt"),
     )
+
+
+CENTROID_DIMS = 8  # verify key bounds output to the first 8 dimensions
+
+
+@register(
+    "embedding_class_centroids",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, {sql_scaled_vec("embedding")} AS sv FROM embeddings
+    ), dims AS (
+      SELECT unnest(generate_series(1, {CENTROID_DIMS})) AS d
+    ), ex AS (
+      SELECT label, vec_id, d - 1 AS dim, sv[d] AS comp
+      FROM v, dims
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(SUM(comp) AS BIGINT) AS dim_sum,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors
+    FROM ex GROUP BY label, dim
+    """,
+    doc="Per-class embedding centroid components (training-data class "
+    "analytics over the label column): posexplode to (label, dim, "
+    "component) rows and aggregate per (label, dim) — the distributed "
+    "shape for wide-vector centroids (each dim aggregates independently; "
+    "no vector ever needs to sit whole in one reducer). Scaled-long "
+    "components keep every per-dimension sum exact.",
+)
+def embedding_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", scaled_vec("embedding").alias("sv"))
+    ex = v.select(
+        "label", "vec_id", F.posexplode("sv").alias("dim", "comp")
+    ).filter(F.col("dim") < CENTROID_DIMS)
+    return ex.groupBy("label", "dim").agg(
+        F.sum("comp").alias("dim_sum"),
+        F.countDistinct("vec_id").alias("n_vectors"),
+    )
