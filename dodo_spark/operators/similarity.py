@@ -481,3 +481,58 @@ def embedding_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("comp").alias("dim_sum"),
         F.countDistinct("vec_id").alias("n_vectors"),
     )
+
+
+@register(
+    "similarity_knn_classify",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, {sql_scaled_vec("embedding")} AS sv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, sv AS qv FROM v WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, v.label,
+             {sql_cosine("q.qv", "v.sv")} AS cos_sim
+      FROM q JOIN v ON v.vec_id != q.query_id
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {TOP_K}
+    ), votes AS (
+      SELECT query_id, label, COUNT(*) AS cnt FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id, CAST(label AS INTEGER) AS predicted_label,
+           CAST(cnt AS BIGINT) AS votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cnt DESC, label) AS r
+      FROM votes
+    ) WHERE r = 1
+    """,
+    doc="kNN classification over the embedding corpus: exact top-10 cosine "
+    "neighbors vote on the label, majority wins (ties to the smallest "
+    "label — deterministic). The similarity kernel is the broadcast-query "
+    "scan-side fold; voting adds one tiny aggregation over k x queries "
+    "rows.",
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity_topk(spark, sf_dir)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cnt").desc(), "label")
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            F.col("cnt").alias("votes"),
+        )
+    )
