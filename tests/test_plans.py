@@ -100,11 +100,15 @@ def test_no_row_at_a_time_python(plans, name):
 def test_no_global_window(plans, name):
     """No registered plan may contain a Window with empty partitionBy — that
     funnels every row into ONE task (the analytics_top_supplier round-1 bug).
-    In formatted explain a partitioned Window's Arguments line carries three
-    bracketed lists ([funcs], [partSpec], [orderSpec]); a global one only two."""
-    for line in plans(name).splitlines():
+    In formatted explain a fully-specified Window's Arguments line carries
+    three bracketed lists ([funcs], [partSpec], [orderSpec]); two lists is
+    ambiguous (either partition-only — fine — or order-only — the bug), so
+    the tiebreaker is whether the plan funnels into Exchange SinglePartition."""
+    plan = plans(name)
+    for line in plan.splitlines():
         if "windowspecdefinition" in line and line.strip().startswith("Arguments:"):
-            assert line.count("], [") >= 2, (name, line)
+            if line.count("], [") < 2:
+                assert "Exchange SinglePartition" not in plan, (name, line)
 
 
 # Non-equi/broadcast-nested-loop joins that are deliberate:
@@ -122,6 +126,7 @@ BNLJ_ALLOWED = {
     "dedup_embedding",
     "dedup_ngram",
     "similarity_topk",
+    "similarity_knn_classify",  # composes similarity_topk's broadcast-query scan
     "stats_histogram",
     "analytics_inactive_rich",
 }
