@@ -142,3 +142,44 @@ def agg_key_merge(spark, sf_dir):
         "latest_order",
         F.size("order_set").cast("bigint").alias("order_set_card"),
     )
+
+
+_UNIQ_DDL = """
+CREATE TABLE `cust_latest` (
+  `c_custkey` bigint NULL,
+  `acctbal` double NULL,
+  `segment` varchar(16) NULL
+) ENGINE=OLAP UNIQUE KEY(`c_custkey`)
+DISTRIBUTED BY HASH(`c_custkey`) BUCKETS 4
+"""
+
+
+@register(
+    "unique_key_upsert",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           arg_max(CAST(o_totalprice AS DOUBLE), o_orderkey) AS acctbal,
+           arg_max(o_orderstatus, o_orderkey) AS segment
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Doris UNIQUE-KEY upsert (SURVEY §1.3): repeated loads of the same "
+    "key collapse to the row with the highest load sequence — max_by on a "
+    "struct of the value columns, ONE shuffle, no window sort. The "
+    "'loads' are orders rows keyed by customer with o_orderkey as the "
+    "load sequence; oracle is arg_max per value column on the same "
+    "sequence.",
+)
+def unique_key_upsert_key(spark, sf_dir):
+    from dodo_spark.catalog import load_table
+    from dodo_spark.ddl import parse_create_table
+
+    table = parse_create_table(_UNIQ_DDL)
+    o = load_table(spark, sf_dir, "orders")
+    loads = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").cast("double").alias("acctbal"),
+        F.col("o_orderstatus").alias("segment"),
+        F.col("o_orderkey").alias("__seq"),
+    )
+    return unique_key_upsert(loads, table, order_col="__seq")
