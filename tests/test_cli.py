@@ -263,3 +263,26 @@ def test_cli_clean(tmp_path):
     (extra / "f.txt").write_text("x")
     assert main(["clean", "--yes", "--dirs", str(extra)]) == 0
     assert not extra.exists()
+
+
+def test_cli_dump_single_line_matches_reassembly(spark, tmp_path):
+    """--single-line must produce the identical statement set when every
+    record IS one line (it skips the reassembly passes, nothing else)."""
+    from dodo_spark.cli import main
+
+    # the fixture log contains multi-line records; build a single-line-only
+    # variant by keeping records whose statement fits one line
+    lines = [
+        l
+        for l in open(FIXTURE_LOG, encoding="utf-8").read().splitlines()
+        if l[:4].isdigit()  # record-start lines only
+    ]
+    single = tmp_path / "single.log"
+    single.write_text("\n".join(lines) + "\n")
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    assert main(["dump", "--audit-log", str(single), "--output", str(out_a)]) == 0
+    assert main(["dump", "--audit-log", str(single), "--output", str(out_b), "--single-line"]) == 0
+    a = sorted((out_a / "q0.sql").read_text().splitlines())
+    b = sorted((out_b / "q0.sql").read_text().splitlines())
+    assert a == b and len(a) > 0
