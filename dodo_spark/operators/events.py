@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from dodo_spark.catalog import load_table
@@ -175,7 +176,11 @@ def events_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def replay_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # cast("timestamp") is a no-op for TIMESTAMP and makes TIMESTAMP_NTZ
+    # parquet work (unix_micros requires LTZ); the lag-subtraction cancels
+    # any session-timezone offset so the gap is type-invariant
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
     return (
         ev.select("user_id", gap.alias("gap_us"))
         .groupBy("user_id")
@@ -208,17 +213,25 @@ def asof_join(
     """
     payload = payload or [c for c in right.columns if c not in (*on, ts)]
     l_cols = [c for c in left.columns if c not in (*on, ts)]
+    # the whole matched right row travels as ONE struct so a single
+    # last(ignorenulls=True) carries it atomically: a NULL inside the latest
+    # right row's payload stays NULL (it is NOT back-filled from an older
+    # right row, which per-column carry-forward would wrongly do)
+    r_struct = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+        + [T.StructField("__ts", right.schema[ts].dataType)]
+    )
     lt = left.select(
         *on, ts, F.lit(1).alias("__side"),
         *l_cols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in payload],
-        F.lit(None).cast(right.schema[ts].dataType).alias(ts + suffix),
+        F.lit(None).cast(r_struct).alias("__r"),
     )
     rt = right.select(
         *on, ts, F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
-        *[F.col(c).alias(c + suffix) for c in payload],
-        F.col(ts).alias(ts + suffix),
+        F.struct(
+            *[F.col(c) for c in payload], F.col(ts).alias("__ts")
+        ).cast(r_struct).alias("__r"),
     )
     # right rows sort BEFORE left rows at equal ts (__side 0 < 1), so a
     # same-instant right row matches — the ASOF '>=' tie rule
@@ -227,10 +240,15 @@ def asof_join(
         .orderBy(ts, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = lt.unionByName(rt)
-    for c in [*[p + suffix for p in payload], ts + suffix]:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return merged.filter(F.col("__side") == 1).drop("__side")
+    merged = lt.unionByName(rt).withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    return (
+        merged.filter(F.col("__side") == 1)
+        .select(
+            *on, ts, *l_cols,
+            *[F.col(f"__r.{c}").alias(c + suffix) for c in payload],
+            F.col("__r.__ts").alias(ts + suffix),
+        )
+    )
 
 
 @register(

@@ -19,8 +19,9 @@ a distributed job, clients run in a thread pool.
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,64 +97,50 @@ def replay_statements(
     speed: float | None = None,
     max_hash_rows: int = 0,
     parallel: int = 8,
+    queue_depth: int = 256,
 ) -> DataFrame:
     """Execute decoded statements grouped per client, ordered by (ts,
     query_id) within each client; returns the ReplayResult DataFrame.
+
+    The corpus is STREAMED off the cluster (``toLocalIterator`` over a
+    Spark-side sort), never collected: driver memory is O(clients x
+    ``queue_depth``) buffered statements, matching the reference's
+    "tens of MB" envelope (introduction.md:833-838) at any corpus size.
+    One dispatcher thread feeds one worker thread per client through a
+    bounded queue (full queue = backpressure on the iterator); ``parallel``
+    caps how many statements EXECUTE concurrently via a semaphore, so
+    thread count scales with clients but cluster load does not.
 
     ``speed``: None disables timing sleeps (default); otherwise the
     reference's interval formula (ts2-ts1-dur1)/speed applies.
     ``max_hash_rows``: cap on rows hashed per statement (0 = all), matching
     the reference's --max-hash-rows.
     """
-    rows = decoded.select("ts", "client", "query_id", "duration_ms", "stmt").collect()
-    by_client: dict[str, list] = {}
-    for r in sorted(rows, key=lambda r: (r["ts"], r["query_id"])):
-        by_client.setdefault(r["client"], []).append(r)
+    exec_sem = threading.Semaphore(max(1, parallel))
 
     def parse_ts(s: str) -> float:
         from datetime import datetime
 
         return datetime.fromisoformat(s).timestamp()
 
-    def run_client(client: str, stmts: list) -> list[ReplayResult]:
+    _DONE = object()
+
+    def run_client(client: str, q: queue.Queue) -> list[ReplayResult]:
         out = []
         prev_ts = prev_dur = None
-        for r in stmts:
+        while True:
+            r = q.get()
+            if r is _DONE:
+                return out
             if speed and prev_ts is not None:
                 gap = (parse_ts(r["ts"]) - prev_ts - prev_dur / 1000.0) / speed
                 if gap > 0:
                     time.sleep(min(gap, 60.0))
             t0 = time.perf_counter()
             try:
-                res = spark.sql(r["stmt"])
-                if max_hash_rows > 0:
-                    # Reference semantics (src/replay.go:254-272): return_rows
-                    # counts ALL rows; the cap applies only to the hashed
-                    # subset. Order the capped subset by its own row hash so
-                    # the hash is deterministic across runs (a bare limit()
-                    # would pick arbitrary rows).
-                    from dodo_spark.functions.hashing import HASH_MOD, row_hash_int
-
-                    n = res.count()
-                    h = (
-                        res.select(row_hash_int(*res.columns).alias("__rh"))
-                        .orderBy("__rh")
-                        .limit(max_hash_rows)
-                        .agg(
-                            F.pmod(
-                                F.sum(F.col("__rh").cast("decimal(38,0)")),
-                                F.lit(HASH_MOD),
-                            )
-                            .cast("bigint")
-                            .alias("h")
-                        )
-                        .first()["h"]
-                    )
-                    agg = {"n": n, "h": h}
-                else:
-                    agg = res.agg(
-                        F.count("*").alias("n"), result_hash(*res.columns).alias("h")
-                    ).first()
+                with exec_sem:
+                    res = spark.sql(r["stmt"])
+                    agg = _capture(res)
                 out.append(
                     ReplayResult(
                         ts=r["ts"],
@@ -180,11 +167,62 @@ def replay_statements(
                     )
                 )
             prev_ts, prev_dur = parse_ts(r["ts"]), r["duration_ms"]
-        return out
 
-    with ThreadPoolExecutor(max_workers=max(1, parallel)) as pool:
-        futures = [pool.submit(run_client, c, s) for c, s in by_client.items()]
-        results = [r for f in futures for r in f.result()]
+    def _capture(res: DataFrame) -> dict:
+        if max_hash_rows > 0:
+            # DELIBERATE DEVIATION from the reference: src/replay.go:254-272
+            # hashes the FIRST rows in result order (and, because rowCount++
+            # precedes the rowCount<maxHashRows check, only maxHashRows-1 of
+            # them). That subset is order-dependent — meaningless on a
+            # distributed engine where result order is not stable. We hash
+            # the N SMALLEST row-hashes instead: deterministic across runs
+            # and partitionings, but NOT comparable against a reference-
+            # style first-N capture. return_rows still counts ALL rows,
+            # as in the reference.
+            from dodo_spark.functions.hashing import HASH_MOD, row_hash_int
+
+            n = res.count()
+            h = (
+                res.select(row_hash_int(*res.columns).alias("__rh"))
+                .orderBy("__rh")
+                .limit(max_hash_rows)
+                .agg(
+                    F.pmod(
+                        F.sum(F.col("__rh").cast("decimal(38,0)")),
+                        F.lit(HASH_MOD),
+                    )
+                    .cast("bigint")
+                    .alias("h")
+                )
+                .first()["h"]
+            )
+            return {"n": n, "h": h}
+        return res.agg(F.count("*").alias("n"), result_hash(*res.columns).alias("h")).first()
+
+    # dispatcher: stream the Spark-side-sorted corpus; per-client order is
+    # the global (ts, query_id) order restricted to that client, identical
+    # to the old sort-then-group semantics
+    workers: dict[str, tuple[threading.Thread, queue.Queue, list]] = {}
+    stream = decoded.select("ts", "client", "query_id", "duration_ms", "stmt").orderBy(
+        "ts", "query_id"
+    )
+    for r in stream.toLocalIterator(prefetchPartitions=True):
+        client = r["client"]
+        if client not in workers:
+            q: queue.Queue = queue.Queue(maxsize=max(1, queue_depth))
+            holder: list = []
+            t = threading.Thread(
+                target=lambda q=q, c=client, h=holder: h.extend(run_client(c, q)),
+                daemon=True,
+            )
+            t.start()
+            workers[client] = (t, q, holder)
+        workers[client][1].put(r)
+    for _t, q, _h in workers.values():
+        q.put(_DONE)
+    for t, _q, _h in workers.values():
+        t.join()
+    results = [r for _t, _q, h in workers.values() for r in h]
 
     return spark.createDataFrame(
         [

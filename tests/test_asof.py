@@ -82,6 +82,26 @@ def test_asof_randomized_against_naive(spark):
             assert got[eid] == expect, (trial, eid, uid, lts, got[eid], expect)
 
 
+def test_asof_null_in_matched_row_stays_null(spark):
+    """When the matched (latest) right row has a NULL payload column, the
+    output must carry that NULL — not back-fill the column from an OLDER
+    right row (the whole matched row travels as one struct)."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 23:00:00"))], "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 01:00:00"), 1.0, "old"),
+            (7, _ts("2024-01-01 22:00:00"), None, "new"),  # latest: v is NULL
+        ],
+        "user_id BIGINT, ts TIMESTAMP, v DOUBLE, tag STRING",
+    )
+    [row] = asof_join(left, right, on=["user_id"]).collect()
+    assert row["tag_r"] == "new"
+    assert row["v_r"] is None  # NOT 1.0 from the older row
+    assert row["ts_r"] == _ts("2024-01-01 22:00:00")
+
+
 def test_range_join_bucket_boundaries(spark):
     """Intervals spanning multiple day buckets and points exactly on
     interval endpoints (BETWEEN is inclusive both ends)."""

@@ -77,6 +77,41 @@ def test_replay_captures_errors(spark):
     assert res["bad1"].err is not None and "no_such_table" in res["bad1"].err
 
 
+def test_replay_never_collects_the_corpus(spark):
+    """Scale guard: replay_statements must STREAM the decoded corpus
+    (toLocalIterator), never materialize it on the driver. An instance-level
+    collect() shim on the decoded frame fails the test if the replay path
+    calls it. Also checks per-client order survives streaming dispatch."""
+    stmts = [
+        f'/*dodo{{"ts":"2025-01-01 00:00:{i:02d}.000","client":"c{i % 3}","user":"u",'
+        f'"db":"d","queryId":"q{i}","durationMs":1}}*/ SELECT {i} AS x;'
+        for i in range(12)
+    ]
+    decoded = decode_replay_sqls(_encoded(spark, stmts))
+
+    cls = type(decoded)
+    orig_collect = cls.collect
+
+    def _guarded(self, *a, **k):
+        # any frame still carrying the corpus signature = the decoded
+        # corpus (or a projection of it) being materialized on the driver
+        if {"client", "query_id", "stmt"} <= set(self.columns):
+            raise AssertionError("replay path collected the full corpus on the driver")
+        return orig_collect(self, *a, **k)
+
+    cls.collect = _guarded
+    try:
+        res_df = replay_statements(spark, decoded, parallel=3)
+    finally:
+        cls.collect = orig_collect
+    res = res_df.collect()
+    assert len(res) == 12 and all(r.err is None for r in res)
+    for c in ("c0", "c1", "c2"):
+        qids = [int(r.query_id[1:]) for r in sorted(
+            (r for r in res if r.client == c), key=lambda r: r.ts)]
+        assert qids == sorted(qids)
+
+
 def test_replay_speed_preserves_order_and_sleeps(spark):
     """interval = (ts2-ts1-dur1)/speed (reference replay.go:227): two
     statements 2s apart at speed 10 must take ~>=0.19s, and per-client
