@@ -30,10 +30,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return registry.queries()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Driver adapter only: keys are evidence-ordered (never-oracle-checked
+    first) so a capped driver correctness pass spends its budget on keys
+    that still lack a green CORRECTNESS row. The library API
+    (``dodo_spark.registry.queries``) keeps stable registration order."""
+    qs = registry.queries()
+    return {name: qs[name] for name in registry.evidence_order(list(qs))}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle twins for every SQL-expressible verify key."""
-    return registry.oracle_sql()
+    """DuckDB oracle twins for every SQL-expressible verify key
+    (evidence-ordered to match ``queries()``)."""
+    os_ = registry.oracle_sql()
+    return {name: os_[name] for name in registry.evidence_order(list(os_))}

@@ -989,15 +989,32 @@ def agg_ndv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_ndv_approx",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="A37: approximate NDV — hll_union_agg equivalent via HyperLogLog++ "
-    "(approx_count_distinct). Sketch values differ across engines: rows-only.",
+    "(approx_count_distinct). Raw sketch values differ across engines, so "
+    "the checkable output is (exact NDV, within_bound): within_bound "
+    "asserts |approx-exact|/exact <= 5x the configured rsd (0.02), a bound "
+    "HLL++ holds with overwhelming probability — the oracle expects TRUE, "
+    "so a drifting sketch now FAILS the hash instead of passing rows-only.",
 )
 def agg_ndv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    rsd = 0.02
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (err <= F.lit(5 * rsd)).alias("within_bound"),
     )
 
 

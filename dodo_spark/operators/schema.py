@@ -25,6 +25,35 @@ from dodo_spark.sources.writers import export_table
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
+# stale per-invocation scratch dirs older than this are garbage-collected
+# at the next allocation of the same prefix
+_SCRATCH_TTL_S = 1800
+
+
+def scratch_dir(name: str) -> str:
+    """Unique per-invocation scratch directory ``{name}-{uuid}``.
+
+    Fixed shared paths race when two sessions run the same key
+    concurrently (bench + verify): one rmtree's the directory the other
+    is lazily reading. A unique suffix isolates every invocation; the
+    returned DataFrames stay lazily readable until the caller's action
+    completes. Siblings of the same prefix older than _SCRATCH_TTL_S are
+    best-effort reaped here so the scratch area stays bounded."""
+    import time
+    import uuid
+
+    os.makedirs(_SCRATCH, exist_ok=True)
+    now = time.time()
+    for entry in os.listdir(_SCRATCH):
+        if entry.startswith(name + "-"):
+            p = os.path.join(_SCRATCH, entry)
+            try:
+                if now - os.path.getmtime(p) > _SCRATCH_TTL_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    return os.path.join(_SCRATCH, f"{name}-{uuid.uuid4().hex[:12]}")
+
 
 _TABLE_LIST = ", ".join(f"'{t}'" for t in TABLES)
 
@@ -92,8 +121,7 @@ def schema_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
 def export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     cols = ["n_nationkey", "n_name", "n_regionkey"]
-    base = os.path.join(_SCRATCH, "export_roundtrip")
-    shutil.rmtree(base, ignore_errors=True)
+    base = scratch_dir("export_roundtrip")
 
     p_path = export_table(nat, base + "/{db}/{table}_parquet", db="test", table="nation")
     c_path = export_table(
@@ -146,8 +174,7 @@ def import_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
-    base = os.path.join(_SCRATCH, "import_roundtrip")
-    shutil.rmtree(base, ignore_errors=True)
+    base = scratch_dir("import_roundtrip")
     path = export_table(
         cust, base + "/{db}/{table}", fmt="csv", db="test", table="customer",
         options={"header": "true"},

@@ -291,14 +291,10 @@ def _ivf_topk(cells: DataFrame, probes: DataFrame) -> DataFrame:
     "directories instead of scanning the corpus.",
 )
 def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-
-    from dodo_spark.operators.schema import _SCRATCH
+    from dodo_spark.operators.schema import scratch_dir
 
     cells, probes = _ivf_index(spark, sf_dir)
-    path = os.path.join(_SCRATCH, "ivf_cells")
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_dir("ivf_cells")
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
     stored = spark.read.parquet(path)
     # tiny collect: N_QUERIES x N_PROBE cell ids — the query's probe list

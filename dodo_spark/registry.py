@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["QuerySpec", "REGISTRY", "register", "queries", "oracle_sql"]
+__all__ = ["QuerySpec", "REGISTRY", "register", "queries", "oracle_sql", "evidence_order"]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -77,38 +77,48 @@ def _load_all() -> None:
     from dodo_spark import anonymize, multimodal  # noqa: F401
 
 
-def _evidence_order(names: list[str]) -> list[str]:
-    """Order verify keys so those WITHOUT a green row in any prior
-    CORRECTNESS_r*.json run first: if the driver's correctness pass has a
-    key/time budget, it spends it on keys that still lack hard evidence.
-    Stable within each group (registration order)."""
-    import glob
-    import json
-    import os
+_EVIDENCE_CACHE: list[str] | None = None
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
-    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(p) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
-        for k, v in data.items():
-            if isinstance(v, dict) and (v.get("hash_match") or v.get("err") == "no_oracle"):
-                seen.add(k)
-    return sorted(names, key=lambda n: n in seen)
+
+def evidence_order(names: list[str]) -> list[str]:
+    """DRIVER-TOOL ordering (used only by ``__spark_entry__``, never by the
+    library API): verify keys WITHOUT a green row in any prior
+    CORRECTNESS_r*.json run first, so a driver pass with a key/time budget
+    spends it on keys that still lack hard evidence. ``err == "no_oracle"``
+    counts as evidence because it records a completed rows-only run (the
+    driver's deliberate weaker tier for non-SQL-expressible keys).
+    Stable within each group (registration order); the CORRECTNESS files
+    are parsed once per process (cached), so the ordering cannot drift
+    mid-run."""
+    global _EVIDENCE_CACHE
+    if _EVIDENCE_CACHE is None:
+        import glob
+        import json
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        seen: set[str] = set()
+        for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            try:
+                with open(p) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                continue
+            for k, v in data.items():
+                if isinstance(v, dict) and (v.get("hash_match") or v.get("err") == "no_oracle"):
+                    seen.add(k)
+        _EVIDENCE_CACHE = sorted(seen)
+    seen_set = set(_EVIDENCE_CACHE)
+    return sorted(names, key=lambda n: n in seen_set)
 
 
 def queries() -> dict[str, QueryFn]:
+    """All verify keys in stable registration order."""
     _load_all()
-    return {name: REGISTRY[name].fn for name in _evidence_order(list(REGISTRY))}
+    return {name: REGISTRY[name].fn for name in REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
+    """Oracle twins in stable registration order."""
     _load_all()
-    return {
-        name: REGISTRY[name].oracle
-        for name in _evidence_order(list(REGISTRY))
-        if REGISTRY[name].oracle is not None
-    }
+    return {name: s.oracle for name, s in REGISTRY.items() if s.oracle is not None}

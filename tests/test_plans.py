@@ -243,3 +243,16 @@ def test_ivf_pruned_reads_only_probed_partitions(spark, sf_dir):
     plan = plan_of(similarity_ivf_pruned(spark, sf_dir))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "cell" in l]
     assert pf and any(" IN " in l for l in pf), plan
+
+
+def test_market_share_reuses_nat_exchange(spark, sf_dir):
+    """The per-(year,nation) aggregate feeds BOTH the total branch and the
+    share join; Spark must compute it once (ReusedExchange on the second
+    consumer), not re-scan lineitem twice. AQE finalizes reuse at runtime,
+    so assert on the executed plan."""
+    from dodo_spark.operators.analytics import analytics_market_share
+
+    df = analytics_market_share(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
