@@ -3,9 +3,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-The per-query number is wall-clock for plan + execution + a driver-side
-count-style consumption (collect of the already-small result). A warmup
-query runs first so JVM/codegen startup isn't billed to the first key.
+The per-query number is the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+wall-clock runs — plan + execution + driver-side collect of the
+already-small result — so a one-off GC/compilation hiccup doesn't read as
+a regression at ~1 s granularity. A warmup query runs first so
+JVM/codegen startup isn't billed to the first key.
 """
 
 from __future__ import annotations
@@ -13,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -54,6 +57,16 @@ HEADLINE = [
     "stats_column",
     "agg_key_merge",
     "events_funnel",
+    # LLM-pipeline families (beyond-reference surface, perf evidence)
+    "similarity_topk_vectorized",
+    "similarity_ivf_pruned",
+    "corpus_clean",
+    # stats form, not raw pairs: the pair list is 1.9M rows at sf0.1 and a
+    # bench collect() would measure driver transfer, not the banded join
+    "dedup_simhash_stats",
+    # audit-dump pipeline stages at bench scale
+    "auditlog_extract",
+    "query_filter_dedup",
 ]
 
 
@@ -69,16 +82,20 @@ def main() -> None:
     # warmup: touch the biggest table once (JVM + codegen + FS cache)
     all_queries["agg_group"](spark, sf_dir).collect()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = all_queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        rows = df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        del rows
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            rows = df.collect()
+            samples.append(time.perf_counter() - t0)
+            del rows
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -89,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
             }
         )
     )

@@ -270,10 +270,8 @@ SIMHASH_MAX_HAMMING = 2
 # 100% recall, which is why the brute-force oracle is exactly equal
 _SIMHASH_BANDS = ((11, 0x1F), (6, 0x1F), (0, 0x3F))
 
-
-@register(
-    "dedup_simhash_pairs",
-    oracle=f"""
+# shared oracle prefix: tokens -> per-bit votes -> 16-bit simhash
+_SIMHASH_SH_CTE = f"""
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct(
                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))) AS tok
@@ -289,7 +287,13 @@ _SIMHASH_BANDS = ((11, 0x1F), (6, 0x1F), (0, 0x3F))
              CAST({" + ".join(f"(CASE WHEN v{k} > 0 THEN 1 ELSE 0 END) * {1 << k}" for k in range(SIMHASH_BITS))}
                   AS BIGINT) AS simhash
       FROM votes
-    )
+    )"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    {_SIMHASH_SH_CTE}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -331,6 +335,36 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@register(
+    "dedup_simhash_stats",
+    oracle=f"""
+    {_SIMHASH_SH_CTE}, pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    )
+    SELECT hamming,
+           CAST(COUNT(*) AS BIGINT) AS pair_cnt,
+           CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS docs_as_a
+    FROM pairs GROUP BY hamming
+    """,
+    doc="SimHash near-dup pair STATISTICS (per-hamming pair count + "
+    "distinct left docs) — the scale-honest consumption of the pair set: "
+    "a 100 TB dedup pipeline aggregates or joins pairs cluster-side, it "
+    "never ships the O(n^2/2^bits) raw pair list to the driver (at sf0.1 "
+    "that list is already 1.9M rows; the aggregate is 3). Same banded "
+    "join as dedup_simhash_pairs, so this is the key that belongs in "
+    "bench.py.",
+)
+def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_simhash_pairs(spark, sf_dir)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").alias("pair_cnt"),
+        F.countDistinct("doc_a").alias("docs_as_a"),
     )
 
 

@@ -70,7 +70,7 @@ def _load_all() -> None:
         stats,
         text,
     )
-    from dodo_spark.sources import auditlog  # noqa: F401
+    from dodo_spark.sources import auditlog, versioned  # noqa: F401
     from dodo_spark.plans import replay, diff  # noqa: F401
     from dodo_spark.gendata import plan  # noqa: F401
     from dodo_spark.streaming import events_stream  # noqa: F401

@@ -165,10 +165,20 @@ def extract_statements(records: DataFrame, record_col: str = "record") -> DataFr
     spliced = F.regexp_replace(
         c, pat, _SPLICE.join(f"${i + 1}" for i in range(len(_GROUPS))) + _SPLICE
     )
-    g = F.split(spliced, _SPLICE, -1)
-    cols = {name: F.element_at(g, i + 1) for i, name in enumerate(_GROUPS)}
+    # one-element explode = a Generate barrier: downstream filters CANNOT
+    # be pushed below it, so the regexp_replace+split chain runs ONCE per
+    # row. Without the barrier, Catalyst substitutes the chain into every
+    # predicate that references a parsed column, and short-circuit filter
+    # conditions are exempt from codegen subexpression elimination —
+    # measured ~6x the regex cost on a filter chain (real money on a
+    # 100 TB log dump). Only the expensive array goes through the barrier
+    # (GenerateExec does no CSE); the per-field element_at reads above it
+    # are cheap even when filters duplicate them.
+    g = F.explode(F.array(F.split(spliced, _SPLICE, -1)))
+    cols = {name: F.element_at(F.col("__g"), i + 1) for i, name in enumerate(_GROUPS)}
     return (
         records.filter(matched)
+        .select(g.alias("__g"))
         .select(
             F.regexp_replace(cols["ts"], ",", ".").alias("ts"),
             cols["client"].alias("client"),

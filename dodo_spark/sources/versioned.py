@@ -1,0 +1,159 @@
+"""Versioned parquet tables: `FOR VERSION AS OF` over plain parquet
+(SURVEY.md §2.A A25; reference grammar ``tableSnapshot``
+``DorisParser.g4:1754-1757``).
+
+Delta/Iceberg are not available in this environment, so time travel is
+built from the same primitive those formats use underneath: IMMUTABLE
+snapshot directories plus a tiny commit manifest. Each version is a full
+parquet snapshot under ``v=<n>/``; ``_versions.json`` is the commit log
+(append-only, written last, so a torn write never exposes a half-visible
+version — readers only see versions the manifest names). Reads are plain
+``spark.read.parquet`` on one snapshot directory: every Catalyst
+optimization (pushdown, pruning) applies unchanged, and no state is
+shared between versions, so concurrent readers of different versions
+never interfere.
+
+At 100 TB you would use Delta/Iceberg proper (copy-on-write per file,
+not per table); the API here is shaped so ``read_version`` swaps to
+``spark.read.format("delta").option("versionAsOf", n)`` without touching
+call sites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_versions.json"
+
+
+def write_version(df: DataFrame, table_path: str, version: int) -> str:
+    """Commit ``df`` as snapshot ``version`` of the table at ``table_path``.
+
+    Versions must be committed in increasing order; re-committing an
+    existing version is an error (snapshots are immutable)."""
+    manifest_path = os.path.join(table_path, MANIFEST)
+    versions: list[int] = []
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            versions = json.load(f)["versions"]
+    if version in versions:
+        raise ValueError(f"version {version} already committed at {table_path}")
+    if versions and version < max(versions):
+        raise ValueError(
+            f"versions commit in increasing order: {version} < max {max(versions)}"
+        )
+    snap = os.path.join(table_path, f"v={version}")
+    df.write.mode("errorifexists").parquet(snap)
+    # manifest written AFTER the snapshot: the commit point
+    os.makedirs(table_path, exist_ok=True)
+    with open(manifest_path, "w") as f:
+        json.dump({"versions": versions + [version]}, f)
+    return snap
+
+
+def list_versions(table_path: str) -> list[int]:
+    manifest_path = os.path.join(table_path, MANIFEST)
+    if not os.path.exists(manifest_path):
+        return []
+    with open(manifest_path) as f:
+        return list(json.load(f)["versions"])
+
+
+def read_version(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """``FOR VERSION AS OF version``; ``None`` reads the latest snapshot."""
+    versions = list_versions(table_path)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    if version is None:
+        version = max(versions)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions} at {table_path}")
+    return spark.read.parquet(os.path.join(table_path, f"v={version}"))
+
+
+# --------------------------------------------------------------------------
+# verify key
+# --------------------------------------------------------------------------
+def _register_time_travel() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel",
+        oracle="""
+        WITH v0 AS (
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey < 1000
+        ), v1 AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey < 500 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey < 1000
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+        )
+        SELECT CAST(0 AS BIGINT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS rows_at,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custs,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM v0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        FROM v1
+        """,
+        doc="A25: time travel FOR VERSION AS OF (reference tableSnapshot "
+        "DorisParser.g4:1754-1757) over versioned parquet snapshots "
+        "(sources/versioned.py — immutable v=<n>/ dirs + append-only "
+        "manifest, the Delta/Iceberg primitive without the format "
+        "dependency). v0 = bounded orders slice; v1 = v0 with an UPDATE "
+        "(price doubled below key 500 — exact in binary FP) and an "
+        "APPEND (keys 1000-1199). Both snapshots are read back via "
+        "read_version and aggregated; the oracle recomputes each snapshot "
+        "from the source table, so any version bleed (update visible in "
+        "v0, append missing in v1) hash-mismatches.",
+    )
+    def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        o = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        v0 = o.filter(k < 1000).select("o_orderkey", "o_custkey", "o_totalprice")
+        updated = v0.withColumn(
+            "o_totalprice",
+            F.when(k < 500, F.col("o_totalprice") * 2).otherwise(F.col("o_totalprice")),
+        )
+        appended = o.filter((k >= 1000) & (k < 1200)).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        v1 = updated.unionByName(appended)
+
+        table = scratch_dir("time_travel")
+        write_version(v0, table, 0)
+        write_version(v1, table, 1)
+
+        def snap_agg(version: int) -> DataFrame:
+            snap = read_version(spark, table, version)
+            return snap.agg(
+                F.lit(version).cast("bigint").alias("version"),
+                F.count("*").alias("rows_at"),
+                F.countDistinct("o_custkey").alias("custs"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+            )
+
+        return snap_agg(0).unionByName(snap_agg(1))
+
+
+_register_time_travel()

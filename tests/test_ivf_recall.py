@@ -1,0 +1,89 @@
+"""IVF centroid quality: trained (seeded-sample k-means) vs fixed first-16.
+
+The pathological corpus for the fixed quantizer: ALL 16 fixed centroids
+(vec_id < 16) sit inside one tiny tight cluster A, so A's points scatter
+one-per-cell across near-duplicate centroids — a query's true neighbors
+(the rest of A) land in 15 different cells and 2 probes recover almost
+none of them. Spherical k-means trained on a bounded sample dedicates ~1
+cell to A (2% of mass) and splits the big cluster B across the rest, so
+the query's probe captures all of A. Everything is seeded/deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from dodo_spark.operators.similarity import (
+    N_QUERIES,
+    similarity_ivf,
+    similarity_ivf_kmeans,
+    similarity_topk,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def skewed_dir(spark, tmp_path_factory):
+    rng = np.random.default_rng(42)
+    a = rng.normal(size=DIM)
+    a /= np.linalg.norm(a)
+    b = -a  # maximally separated direction
+    rows = []
+    for i in range(20):  # cluster A: tiny, tight, holds ALL fixed centroids
+        v = a + 0.05 * rng.normal(size=DIM)
+        rows.append((i, v / np.linalg.norm(v)))
+    for i in range(20, 1020):  # cluster B: the bulk
+        v = b + 0.05 * rng.normal(size=DIM)
+        rows.append((i, v / np.linalg.norm(v)))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], int(i % 3)) for i, v in rows],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    path = str(tmp_path_factory.mktemp("skewed_sf"))
+    df.coalesce(4).write.mode("overwrite").parquet(os.path.join(path, "embeddings.parquet"))
+    return path
+
+
+def _recall(exact_df, approx_df) -> float:
+    exact = {}
+    for r in exact_df.collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in approx_df.collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    per_q = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert len(per_q) == N_QUERIES
+    return sum(per_q) / len(per_q)
+
+
+def test_kmeans_centroids_fix_skewed_recall(spark, skewed_dir):
+    exact = similarity_topk(spark, skewed_dir)
+    fixed = similarity_ivf(spark, skewed_dir)
+    trained = similarity_ivf_kmeans(spark, skewed_dir)
+
+    r_fixed = _recall(exact, fixed)
+    r_trained = _recall(exact, trained)
+    # fixed first-16 collapses on this corpus; trained must not
+    assert r_trained >= 0.8, (r_trained, r_fixed)
+    assert r_trained > r_fixed, (r_trained, r_fixed)
+
+
+def test_kmeans_centroids_deterministic(spark, skewed_dir):
+    """Same seed + same corpus -> identical centroid literals (retry- and
+    rerun-stable, like every other plan in the repo)."""
+    from dodo_spark.catalog import load_table
+    from dodo_spark.functions.vectors import scaled_vec
+    from dodo_spark.operators.similarity import train_centroids_kmeans
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, skewed_dir, "embeddings")
+    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+    c1 = train_centroids_kmeans(v)
+    c2 = train_centroids_kmeans(v.repartition(7))
+    assert c1 == c2

@@ -1,0 +1,71 @@
+"""Versioned-parquet time travel: snapshot isolation + commit rules."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dodo_spark.sources.versioned import (
+    MANIFEST,
+    list_versions,
+    read_version,
+    write_version,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    v0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, val DOUBLE")
+    write_version(v0, path, 0)
+    return path
+
+
+def test_read_old_version_unchanged_after_new_commit(spark, table):
+    v1 = spark.createDataFrame([(1, 99.0), (2, 20.0), (3, 30.0)], "k BIGINT, val DOUBLE")
+    write_version(v1, table, 1)
+
+    old = {r["k"]: r["val"] for r in read_version(spark, table, 0).collect()}
+    new = {r["k"]: r["val"] for r in read_version(spark, table, 1).collect()}
+    latest = {r["k"]: r["val"] for r in read_version(spark, table).collect()}
+    assert old == {1: 10.0, 2: 20.0}  # the UPDATE is not visible in v0
+    assert new == {1: 99.0, 2: 20.0, 3: 30.0}
+    assert latest == new
+    assert list_versions(table) == [0, 1]
+
+
+def test_snapshots_are_immutable(spark, table):
+    dup = spark.createDataFrame([(9, 9.0)], "k BIGINT, val DOUBLE")
+    with pytest.raises(ValueError, match="already committed"):
+        write_version(dup, table, 0)
+
+
+def test_versions_commit_in_order(spark, table):
+    v5 = spark.createDataFrame([(5, 5.0)], "k BIGINT, val DOUBLE")
+    write_version(v5, table, 5)
+    stale = spark.createDataFrame([(3, 3.0)], "k BIGINT, val DOUBLE")
+    with pytest.raises(ValueError, match="increasing order"):
+        write_version(stale, table, 3)
+
+
+def test_unknown_version_rejected(spark, table):
+    with pytest.raises(ValueError, match="not in"):
+        read_version(spark, table, 7)
+    with pytest.raises(ValueError, match="no committed versions"):
+        read_version(spark, str(table) + "_missing")
+
+
+def test_uncommitted_snapshot_is_invisible(spark, table):
+    """The manifest is the commit point: a snapshot directory that exists
+    but is not named by the manifest (torn write) must not be readable."""
+    v9 = spark.createDataFrame([(9, 9.0)], "k BIGINT, val DOUBLE")
+    v9.write.parquet(os.path.join(table, "v=9"))  # snapshot without commit
+    assert list_versions(table) == [0]
+    with pytest.raises(ValueError, match="not in"):
+        read_version(spark, table, 9)
+    # latest still resolves to the last COMMITTED version
+    assert {r["k"] for r in read_version(spark, table).collect()} == {1, 2}
+    manifest = json.load(open(os.path.join(table, MANIFEST)))
+    assert manifest == {"versions": [0]}
