@@ -18,25 +18,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (read via nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos -> timestamp)."""
+    """File-source stream over the events parquet.
+
+    The stream schema must match the file's physical type, and testdata
+    vintages differ: TIMESTAMP(NANOS) scans as raw long (via nanosAsLong,
+    converted to timestamp here) while TIMESTAMP(MICROS) scans natively
+    (as TIMESTAMP_NTZ). A batch-schema probe picks the right one — a
+    hardcoded long schema silently misparses a micros file (timestamps
+    collapse ~1000x and every window aggregate is wrong)."""
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
+        probed = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema["ts"].dataType
+        )
         raw = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+            spark.readStream.schema(_events_schema(probed))
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
@@ -45,7 +58,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probed, T.LongType):  # nanos vintage: long -> timestamp
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probed, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); under a UTC session the cast
+        # is a faithful reinterpretation of the same micros value
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -42,19 +42,23 @@ def test_stateful_totals_cross_batch(spark, sf_dir, tmp_path):
     cumulative totals equal the batch aggregation."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import types as T
+
     from dodo_spark.catalog import load_table
     from dodo_spark.streaming.events_stream import (
-        EVENTS_SCHEMA,
+        _events_schema,
         running_user_totals_stream,
     )
 
     ev = load_table(spark, sf_dir, "events")
     src = str(tmp_path / "ev_src")
-    # two parquet files -> two micro-batches
-    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(2).write.parquet(src)
+    # two parquet files -> two micro-batches; ts written as nanos long
+    ev.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    ).repartition(2).write.parquet(src)
 
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(T.LongType()))
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
