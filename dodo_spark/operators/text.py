@@ -268,3 +268,156 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dropped = dedup_near(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
     return keepers.join(dropped, "doc_id", "left_anti")
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination + repetition + PII redaction
+# --------------------------------------------------------------------------
+NGRAM_N = 5  # word n-gram width for decontamination / repetition
+BENCH_DOCS = 20  # doc_id < BENCH_DOCS plays the held-out benchmark set
+
+
+def _word_ngrams(col: str = "text", n: int = NGRAM_N) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc has
+    fewer than n tokens (matches the oracle's empty generate_series)."""
+    toks = _ws_tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+_SQL_NGRAMS_CTE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), ngi AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - {NGRAM_N - 1}, 0))) AS i
+      FROM toks
+    ), ng AS (
+      SELECT doc_id, array_to_string(t[i:i+{NGRAM_N - 1}], ' ') AS ng FROM ngi
+    )"""
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    {_SQL_NGRAMS_CTE}, bench AS (
+      SELECT DISTINCT ng FROM ng WHERE doc_id < {BENCH_DOCS}
+    ), corp AS (
+      SELECT DISTINCT doc_id, ng FROM ng WHERE doc_id >= {BENCH_DOCS}
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(b.ng) > 0 AS BOOLEAN) AS contaminated,
+           CAST(COUNT(b.ng) AS BIGINT) AS matched_ngrams
+    FROM corp c LEFT JOIN bench b ON b.ng = c.ng
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark decontamination (training-data hygiene): flag every "
+    f"corpus doc sharing a {NGRAM_N}-gram with the held-out benchmark set "
+    f"(doc_id < {BENCH_DOCS}) — the standard n-gram-overlap test run "
+    "before training. Plan shape: the benchmark n-gram set is tiny and "
+    "BROADCASTS; the corpus side streams its distinct n-grams through "
+    "the broadcast join and re-aggregates per doc — the corpus is never "
+    "shuffled on text, so the check is one scan at 100 TB.",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ng = docs.select("doc_id", F.explode(_word_ngrams()).alias("ng"))
+    bench = ng.filter(F.col("doc_id") < BENCH_DOCS).select("ng").distinct()
+    corp = ng.filter(F.col("doc_id") >= BENCH_DOCS).distinct()
+    hit = corp.join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "ng", "left")
+    return hit.groupBy("doc_id").agg(
+        (F.count("__hit") > 0).alias("contaminated"),
+        F.count("__hit").alias("matched_ngrams"),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    {_SQL_NGRAMS_CTE}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS ngrams_total,
+           CAST(COUNT(DISTINCT ng) AS BIGINT) AS ngrams_distinct,
+           1.0 - CAST(COUNT(DISTINCT ng) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS dup_ratio
+    FROM ng GROUP BY doc_id
+    """,
+    doc="Within-document repetition (Gopher-style quality signal): the "
+    f"fraction of duplicated word {NGRAM_N}-grams per doc. Computed "
+    "entirely scan-side (ngram array -> size vs array_distinct size): "
+    "no explode, NO shuffle — the cheapest possible shape for a per-doc "
+    "signal at 100 TB. Docs shorter than the n-gram width drop out, "
+    "matching the oracle's empty generate_series.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word_ngrams()
+    g = docs.select("doc_id", grams.alias("g")).filter(F.size("g") > 0)
+    total = F.size("g").cast("bigint")
+    distinct = F.size(F.array_distinct("g")).cast("bigint")
+    return g.select(
+        "doc_id",
+        total.alias("ngrams_total"),
+        distinct.alias("ngrams_distinct"),
+        (F.lit(1.0) - distinct.cast("double") / total.cast("double")).alias("dup_ratio"),
+    )
+
+
+PII_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+"
+PII_PHONE_RE = r"[0-9]{3}-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+      SELECT c_custkey,
+             'contact ' || lower(replace(c_name, '#', '')) || '@example.com'
+             || ' or call ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+             || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || ' about order ' || CAST(c_custkey AS VARCHAR) AS body
+      FROM customer WHERE c_custkey < 500
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(body, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(body, '{PII_EMAIL_RE}')) AS BIGINT) AS emails_found,
+           CAST(len(regexp_extract_all(body, '{PII_PHONE_RE}')) AS BIGINT) AS phones_found
+    FROM synth
+    """,
+    doc="PII redaction (training-data hygiene): regex-scrub emails and "
+    "phone numbers to typed placeholders, with per-doc found-counts for "
+    "the scrub audit. Pure scan-side regexp_replace/extract_all — "
+    "codegen'd, no shuffle, no Python. PII text is synthesized "
+    "deterministically from the customer table so both engines see the "
+    "same corpus (the testdata has no real PII).",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    k = F.col("c_custkey")
+    body = F.concat(
+        F.lit("contact "),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com or call "),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" about order "),
+        k.cast("string"),
+    )
+    syn = cust.select("c_custkey", body.alias("body"))
+    red = F.regexp_replace(
+        F.regexp_replace("body", PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    return syn.select(
+        "c_custkey",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("body", F.lit(PII_EMAIL_RE), 0)).cast("bigint").alias("emails_found"),
+        F.size(F.regexp_extract_all("body", F.lit(PII_PHONE_RE), 0)).cast("bigint").alias("phones_found"),
+    )
