@@ -227,6 +227,52 @@ def _register_key() -> None:
 _register_key()
 
 
+def _register_enrich_key() -> None:
+    from dodo_spark.operators.relational import sql_dsum
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_enrich_drain",
+        oracle=f"""
+        SELECT c.c_mktsegment AS segment,
+               time_bucket(INTERVAL '1 hour', e.ts) AS ws,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               {sql_dsum("e.value", "value_sum")}
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2
+        """,
+        doc="Stream-static enrichment end-to-end (the standard streaming "
+        "feature-pipeline shape): readStream events JOIN a static customer "
+        "dimension on user_id, then a watermarked tumbling aggregate per "
+        "market segment. The dim side is a broadcast hash join against "
+        "each micro-batch — the stream is never shuffled for the join, "
+        "only for the windowed aggregate; at 100 TB/day the dim refresh "
+        "is a re-broadcast, not a repartition. One availableNow drain of "
+        "a static source equals the batch join+window SQL, the oracle.",
+    )
+    def streaming_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.catalog import load_table
+
+        ev = read_events_stream(spark, sf_dir)
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+        )
+        enriched = ev.join(F.broadcast(dim), "user_id")
+        agg = (
+            enriched.withWatermark("ts", "10 minutes")
+            .groupBy("segment", F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"),
+            )
+            .select("segment", F.col("w.start").alias("ws"), "cnt", "value_sum")
+        )
+        return run_available_now(agg, "vk_stream_enrich")
+
+
+_register_enrich_key()
+
+
 def _register_session_key() -> None:
     from dodo_spark.registry import register
 
