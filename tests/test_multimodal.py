@@ -58,3 +58,32 @@ def test_resize_bounds_and_payload_passthrough(spark, sf_dir):
     for r in out:
         assert 1 <= r.width <= 128 and 1 <= r.height <= 128
         assert r.content is not None  # payload stays in the batch
+
+
+def test_header_parser_reads_independently_written_wav():
+    """parse_media_header must accept a WAV produced by an INDEPENDENT
+    writer (the stdlib `wave` module) — proving the kernel is a real
+    format parser, not a round-trip of our own synthesizer."""
+    import io
+    import wave
+
+    from dodo_spark.multimodal import parse_media_header
+
+    for rate in (8000, 16000, 44100):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * 16)
+        fmt, width, height, sr = parse_media_header(buf.getvalue())
+        assert (fmt, width, height, sr) == ("wav", None, None, rate)
+
+
+def test_header_parser_rejects_garbage():
+    from dodo_spark.multimodal import parse_media_header
+
+    assert parse_media_header(b"") == ("unknown", None, None, None)
+    assert parse_media_header(b"\x89PNG\r\n\x1a\x00 truncated") == (
+        "unknown", None, None, None,
+    )
