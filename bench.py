@@ -67,6 +67,9 @@ HEADLINE = [
     # audit-dump pipeline stages at bench scale
     "auditlog_extract",
     "query_filter_dedup",
+    # round-3 additions: broadcast n-gram decontamination, Arrow-batch decode
+    "text_decontaminate",
+    "multimodal_headers",
 ]
 
 

@@ -320,20 +320,31 @@ _SQL_NGRAMS_CTE = f"""
     doc="Benchmark decontamination (training-data hygiene): flag every "
     f"corpus doc sharing a {NGRAM_N}-gram with the held-out benchmark set "
     f"(doc_id < {BENCH_DOCS}) — the standard n-gram-overlap test run "
-    "before training. Plan shape: the benchmark n-gram set is tiny and "
-    "BROADCASTS; the corpus side streams its distinct n-grams through "
-    "the broadcast join and re-aggregates per doc — the corpus is never "
-    "shuffled on text, so the check is one scan at 100 TB.",
+    "before training. Plan shape: per-doc n-grams dedupe SCAN-SIDE "
+    "(array_distinct — the corpus n-gram stream is never shuffled), the "
+    "tiny benchmark n-gram set BROADCASTS, and the match join is INNER "
+    "so only HITS shuffle for the per-doc count (at 100 TB almost every "
+    "doc is clean, so that shuffle is near-empty); clean docs rejoin via "
+    "a doc_id-only left join.",
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ng = docs.select("doc_id", F.explode(_word_ngrams()).alias("ng"))
-    bench = ng.filter(F.col("doc_id") < BENCH_DOCS).select("ng").distinct()
-    corp = ng.filter(F.col("doc_id") >= BENCH_DOCS).distinct()
-    hit = corp.join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "ng", "left")
-    return hit.groupBy("doc_id").agg(
-        (F.count("__hit") > 0).alias("contaminated"),
-        F.count("__hit").alias("matched_ngrams"),
+    ngd = docs.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams())).alias("ng")
+    )
+    bench = ngd.filter(F.col("doc_id") < BENCH_DOCS).select("ng").distinct()
+    matches = (
+        ngd.filter(F.col("doc_id") >= BENCH_DOCS)
+        .join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("m"))
+    )
+    corpus_docs = docs.filter(F.col("doc_id") >= BENCH_DOCS).select("doc_id")
+    hit = F.coalesce(F.col("m"), F.lit(0))
+    return corpus_docs.join(matches, "doc_id", "left").select(
+        "doc_id",
+        (hit > 0).alias("contaminated"),
+        hit.cast("bigint").alias("matched_ngrams"),
     )
 
 
