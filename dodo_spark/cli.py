@@ -315,6 +315,30 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+# ------------------------------------------------------------ snapshot ----
+def cmd_snapshot(args: argparse.Namespace) -> int:
+    """Versioned-table operations (A25 time travel): commit a table as a
+    new snapshot version, list versions, or read one version to CSV-ish
+    stdout preview."""
+    from dodo_spark.catalog import load_table
+    from dodo_spark.sources.versioned import list_versions, read_version, write_version
+
+    if args.action == "list":
+        print(list_versions(args.path) or "no versions")
+        return 0
+    spark = _spark(args.parallel)
+    if args.action == "commit":
+        df = load_table(spark, args.sf_dir, args.table)
+        snap = write_version(df, args.path, args.version)
+        print(f"committed {args.table} as v{args.version} -> {snap}")
+        return 0
+    # read
+    df = read_version(spark, args.path, args.version)
+    for row in df.limit(args.limit).collect():
+        print(row)
+    return 0
+
+
 # --------------------------------------------------------------- clean ----
 def cmd_clean(args: argparse.Namespace) -> int:
     """Delete local scratch/output data (reference cmd/clean.go:44-49:
@@ -435,6 +459,15 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     e.add_argument("--db", default="default")
     e.set_defaults(fn=cmd_export)
+
+    sn = sub.add_parser("snapshot", help="versioned-table commit/list/read (time travel)")
+    sn.add_argument("action", choices=["commit", "list", "read"])
+    sn.add_argument("--path", required=True, help="versioned table directory")
+    sn.add_argument("--version", type=int, default=None)
+    sn.add_argument("--sf-dir", default=None, help="source data dir (commit)")
+    sn.add_argument("--table", default=None, help="source table name (commit)")
+    sn.add_argument("--limit", type=int, default=20, help="rows to print (read)")
+    sn.set_defaults(fn=cmd_snapshot)
 
     cl = sub.add_parser("clean", help="delete local scratch/output data")
     cl.add_argument("--yes", action="store_true", help="skip confirmation")

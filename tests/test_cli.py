@@ -286,3 +286,17 @@ def test_cli_dump_single_line_matches_reassembly(spark, tmp_path):
     a = sorted((out_a / "q0.sql").read_text().splitlines())
     b = sorted((out_b / "q0.sql").read_text().splitlines())
     assert a == b and len(a) > 0
+
+
+def test_cli_snapshot_commit_list_read(spark, sf_dir, tmp_path, capsys):
+    table = str(tmp_path / "vt")
+    assert main(["snapshot", "commit", "--path", table, "--version", "0",
+                 "--sf-dir", sf_dir, "--table", "nation"]) == 0
+    assert main(["snapshot", "commit", "--path", table, "--version", "1",
+                 "--sf-dir", sf_dir, "--table", "region"]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", "list", "--path", table]) == 0
+    assert "[0, 1]" in capsys.readouterr().out
+    assert main(["snapshot", "read", "--path", table, "--version", "0",
+                 "--limit", "3"]) == 0
+    assert "n_nationkey" in capsys.readouterr().out
