@@ -177,3 +177,41 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_signup_then_error_adjacent"
         ),
     )
+
+
+@register(
+    "events_intersect_count",
+    oracle="""
+    WITH n AS (SELECT COUNT(DISTINCT event_type) AS n FROM events),
+    pu AS (
+      SELECT user_id, COUNT(DISTINCT event_type) AS nt
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS users_any,
+           CAST(SUM(CASE WHEN nt = (SELECT n FROM n) THEN 1 ELSE 0 END) AS BIGINT)
+             AS users_all
+    FROM pu
+    """,
+    doc="Doris orthogonal_bitmap_intersect_count idiom: how many users "
+    "performed EVERY event type (multi-dimensional audience intersection). "
+    "Doris materializes per-dimension bitmaps and intersects them; the "
+    "Spark-first shape is ONE groupBy(user_id) with countDistinct "
+    "(per-user type fan-in) compared against the global type count via a "
+    "1-row broadcast cross join — a single shuffle of |users| rows, no "
+    "bitmap structures, no per-dimension scans.",
+)
+def events_intersect_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("nt")
+    )
+    n_types = ev.agg(F.countDistinct("event_type").alias("n"))
+    return (
+        per_user.crossJoin(F.broadcast(n_types))
+        .agg(
+            F.first("n").alias("n_types"),
+            F.count("*").alias("users_any"),
+            F.sum((F.col("nt") == F.col("n")).cast("bigint")).alias("users_all"),
+        )
+    )

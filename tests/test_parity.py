@@ -125,3 +125,33 @@ def test_shingles_cross_engine_fuzz(spark):
         if sorted(got[i]) != sorted(want[i])
     ]
     assert not diffs, diffs[:2]
+
+
+def test_evidence_order_puts_unproven_keys_first(tmp_path, monkeypatch):
+    """The driver adapter's evidence ordering must sort keys with no green
+    CORRECTNESS row ahead of proven ones (stable within groups), parse the
+    files once (cached), and count a completed rows-only run (no_oracle)
+    as evidence."""
+    import glob as glob_mod
+    import json
+
+    from dodo_spark import registry as reg
+
+    f = tmp_path / "CORRECTNESS_r01.json"
+    f.write_text(json.dumps({
+        "green": {"hash_match": True},
+        "rows_only": {"hash_match": False, "err": "no_oracle"},
+        "failed": {"hash_match": False, "err": "boom"},
+    }))
+    saved = reg._EVIDENCE_CACHE
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [str(f)])
+    try:
+        reg._EVIDENCE_CACHE = None
+        order = reg.evidence_order(["green", "rows_only", "failed", "never_seen"])
+        # unproven (failed / never_seen) first, stable; proven last, stable
+        assert order == ["failed", "never_seen", "green", "rows_only"]
+        # cached: mutating the file must NOT change the order mid-process
+        f.write_text(json.dumps({}))
+        assert reg.evidence_order(["green", "failed"]) == ["failed", "green"]
+    finally:
+        reg._EVIDENCE_CACHE = saved
