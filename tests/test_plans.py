@@ -129,6 +129,7 @@ BNLJ_ALLOWED = {
     "similarity_knn_classify",  # composes similarity_topk's broadcast-query scan
     "stats_histogram",
     "analytics_inactive_rich",
+    "events_intersect_count",  # 1-row broadcast global-type-count cross join
 }
 
 
