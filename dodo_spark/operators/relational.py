@@ -968,6 +968,29 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_collect_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="A36 variant: GROUP_CONCAT(DISTINCT ... ORDER BY) (Doris supports "
+    "the DISTINCT qualifier inside GROUP_CONCAT) = collect_set + "
+    "array_sort + concat_ws — the set dedupes pre-shuffle in the partial "
+    "aggregate, so the exchange carries distinct values, not rows.",
+)
+def agg_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.concat_ws("|", F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@register(
     "agg_ndv_exact",
     oracle="""
     SELECT o_orderstatus,
