@@ -77,39 +77,69 @@ def _load_all() -> None:
     from dodo_spark import anonymize, multimodal  # noqa: F401
 
 
-_EVIDENCE_CACHE: list[str] | None = None
+_EVIDENCE_CACHE: dict[str, tuple[int, str]] | None = None
 
 
-def evidence_order(names: list[str]) -> list[str]:
-    """DRIVER-TOOL ordering (used only by ``__spark_entry__``, never by the
-    library API): verify keys WITHOUT a green row in any prior
-    CORRECTNESS_r*.json run first, so a driver pass with a key/time budget
-    spends it on keys that still lack hard evidence. ``err == "no_oracle"``
-    counts as evidence because it records a completed rows-only run (the
-    driver's deliberate weaker tier for non-SQL-expressible keys).
-    Stable within each group (registration order); the CORRECTNESS files
-    are parsed once per process (cached), so the ordering cannot drift
-    mid-run."""
+def _evidence_rows() -> dict[str, tuple[int, str]]:
+    """Latest completed driver evidence per key: name -> (round, tier) where
+    tier is ``"green"`` (hash_match) or ``"no_oracle"`` (completed rows-only
+    run). Parsed once per process (cached) so ordering cannot drift mid-run."""
     global _EVIDENCE_CACHE
     if _EVIDENCE_CACHE is None:
         import glob
         import json
         import os
+        import re
 
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        seen: set[str] = set()
+        latest: dict[str, tuple[int, str]] = {}
         for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+            rnd = int(m.group(1)) if m else 0
             try:
                 with open(p) as f:
                     data = json.load(f)
             except (OSError, ValueError):
                 continue
             for k, v in data.items():
-                if isinstance(v, dict) and (v.get("hash_match") or v.get("err") == "no_oracle"):
-                    seen.add(k)
-        _EVIDENCE_CACHE = sorted(seen)
-    seen_set = set(_EVIDENCE_CACHE)
-    return sorted(names, key=lambda n: n in seen_set)
+                if not isinstance(v, dict):
+                    continue
+                if v.get("hash_match"):
+                    latest[k] = (rnd, "green")
+                elif v.get("err") == "no_oracle":
+                    latest[k] = (rnd, "no_oracle")
+        _EVIDENCE_CACHE = latest
+    return _EVIDENCE_CACHE
+
+
+def evidence_order(names: list[str]) -> list[str]:
+    """DRIVER-TOOL ordering (used only by ``__spark_entry__``, never by the
+    library API), so a driver pass with a key/time budget spends it where
+    evidence is weakest:
+
+    1. UNPROVEN keys first: no completed row in any CORRECTNESS_r*.json, or
+       the latest completed row is the rows-only tier (``err == "no_oracle"``)
+       while the key NOW has an oracle twin — an oracle-tier upgrade
+       invalidates the old weaker evidence and the key must re-queue.
+    2. Then PROVEN keys by evidence age, oldest round first, so a capped pass
+       rotates through stale rows instead of re-picking the same recent ones.
+
+    Stable within each tier/round (registration order preserved by the sort's
+    stability over the incoming ``names`` order)."""
+    _load_all()
+    latest = _evidence_rows()
+
+    def key(n: str) -> tuple[int, int]:
+        row = latest.get(n)
+        if row is None:
+            return (0, 0)  # never checked -> front
+        rnd, tier = row
+        spec = REGISTRY.get(n)
+        if tier == "no_oracle" and spec is not None and spec.oracle is not None:
+            return (0, 1)  # upgraded to full oracle since the rows-only run
+        return (1, rnd)  # proven: oldest evidence first
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, QueryFn]:

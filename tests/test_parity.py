@@ -131,7 +131,7 @@ def test_evidence_order_puts_unproven_keys_first(tmp_path, monkeypatch):
     """The driver adapter's evidence ordering must sort keys with no green
     CORRECTNESS row ahead of proven ones (stable within groups), parse the
     files once (cached), and count a completed rows-only run (no_oracle)
-    as evidence."""
+    as evidence for keys that still have no oracle twin."""
     import glob as glob_mod
     import json
 
@@ -153,5 +153,64 @@ def test_evidence_order_puts_unproven_keys_first(tmp_path, monkeypatch):
         # cached: mutating the file must NOT change the order mid-process
         f.write_text(json.dumps({}))
         assert reg.evidence_order(["green", "failed"]) == ["failed", "green"]
+    finally:
+        reg._EVIDENCE_CACHE = saved
+
+
+def test_evidence_order_requeues_oracle_tier_upgrades(tmp_path, monkeypatch):
+    """A key whose latest completed row is the rows-only tier (err=no_oracle)
+    but which NOW has an oracle twin must re-queue as unproven — the oracle
+    upgrade invalidates the weaker evidence (round-3 judge finding on
+    agg_ndv_approx)."""
+    import glob as glob_mod
+    import json
+
+    from dodo_spark import registry as reg
+
+    reg._load_all()
+    # pick a real registry key WITH an oracle and one WITHOUT
+    with_oracle = next(n for n, s in reg.REGISTRY.items() if s.oracle is not None)
+    without_oracle = next(n for n, s in reg.REGISTRY.items() if s.oracle is None)
+    f = tmp_path / "CORRECTNESS_r01.json"
+    f.write_text(json.dumps({
+        with_oracle: {"hash_match": False, "err": "no_oracle"},
+        without_oracle: {"hash_match": False, "err": "no_oracle"},
+        "plain_green": {"hash_match": True},
+    }))
+    saved = reg._EVIDENCE_CACHE
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [str(f)])
+    try:
+        reg._EVIDENCE_CACHE = None
+        order = reg.evidence_order(["plain_green", with_oracle, without_oracle])
+        # the upgraded key re-queues ahead of everything proven; the genuinely
+        # oracle-less key keeps its rows-only run as valid evidence
+        assert order.index(with_oracle) < order.index("plain_green")
+        assert order.index(with_oracle) < order.index(without_oracle)
+    finally:
+        reg._EVIDENCE_CACHE = saved
+
+
+def test_evidence_order_rotates_proven_keys_by_age(tmp_path, monkeypatch):
+    """Among proven keys, older evidence sorts first so a capped driver pass
+    refreshes stale rows instead of re-picking recent ones."""
+    import glob as glob_mod
+    import json
+
+    from dodo_spark import registry as reg
+
+    f1 = tmp_path / "CORRECTNESS_r01.json"
+    f1.write_text(json.dumps({"old_green": {"hash_match": True},
+                              "refreshed": {"hash_match": True}}))
+    f3 = tmp_path / "CORRECTNESS_r03.json"
+    f3.write_text(json.dumps({"refreshed": {"hash_match": True},
+                              "new_green": {"hash_match": True}}))
+    saved = reg._EVIDENCE_CACHE
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [str(f1), str(f3)])
+    try:
+        reg._EVIDENCE_CACHE = None
+        order = reg.evidence_order(["refreshed", "new_green", "old_green", "fresh"])
+        assert order[0] == "fresh"  # unproven still first
+        assert order[1] == "old_green"  # r1 vintage before r3 vintage
+        assert order[2:] == ["refreshed", "new_green"]  # stable within r3
     finally:
         reg._EVIDENCE_CACHE = saved
