@@ -23,6 +23,26 @@ from dodo_spark.operators.similarity import (
     similarity_topk,
 )
 
+
+def _trained_topk(spark, sf_dir):
+    """The trained-IVF answer set (the key itself now returns the contract
+    row; the top-k it certifies is built from the same pieces)."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.functions.vectors import scaled_vec
+    from dodo_spark.operators.similarity import (
+        _ivf_index,
+        _ivf_topk,
+        train_centroids_kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+    cents = train_centroids_kmeans(v)
+    cells, probes = _ivf_index(spark, sf_dir, centroids=cents)
+    return _ivf_topk(cells, probes)
+
 DIM = 64
 
 
@@ -65,13 +85,23 @@ def _recall(exact_df, approx_df) -> float:
 def test_kmeans_centroids_fix_skewed_recall(spark, skewed_dir):
     exact = similarity_topk(spark, skewed_dir)
     fixed = similarity_ivf(spark, skewed_dir)
-    trained = similarity_ivf_kmeans(spark, skewed_dir)
+    trained = _trained_topk(spark, skewed_dir)
 
     r_fixed = _recall(exact, fixed)
     r_trained = _recall(exact, trained)
     # fixed first-16 collapses on this corpus; trained must not
     assert r_trained >= 0.8, (r_trained, r_fixed)
     assert r_trained > r_fixed, (r_trained, r_fixed)
+
+
+def test_kmeans_contract_row_on_skewed_corpus(spark, skewed_dir):
+    """The verify key's oracle contract (recall lift over chance probing,
+    cell balance, full assignment) must hold on the clustered corpus too."""
+    [row] = similarity_ivf_kmeans(spark, skewed_dir).collect()
+    assert row["n_queries"] == N_QUERIES
+    assert row["corpus_assigned"] == 1020
+    assert row["recall_lift_ok"] is True
+    assert row["balance_ok"] is True
 
 
 def test_kmeans_centroids_deterministic(spark, skewed_dir):

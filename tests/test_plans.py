@@ -130,6 +130,9 @@ BNLJ_ALLOWED = {
     "stats_histogram",
     "analytics_inactive_rich",
     "events_intersect_count",  # 1-row broadcast global-type-count cross join
+    # contract row assembly: brute-force reference (bounded broadcast-query
+    # scan, same shape as similarity_topk) + 1-row aggregate cross joins
+    "similarity_ivf_kmeans",
 }
 
 
