@@ -126,47 +126,50 @@ def replay_statements(
     _DONE = object()
 
     def run_client(client: str, q: queue.Queue) -> list[ReplayResult]:
+        """Worker loop. EVERY per-statement step (pacing-gap parse, execute,
+        capture, timing bookkeeping) sits inside a try: a malformed ts or
+        NULL duration becomes an err row on that statement, never a dead
+        worker — a dead worker would silently drop the whole client's
+        results and deadlock the dispatcher once its bounded queue fills."""
         out = []
         prev_ts = prev_dur = None
         while True:
             r = q.get()
             if r is _DONE:
                 return out
-            if speed and prev_ts is not None:
-                gap = (parse_ts(r["ts"]) - prev_ts - prev_dur / 1000.0) / speed
-                if gap > 0:
-                    time.sleep(min(gap, 60.0))
             t0 = time.perf_counter()
+            rows, rhash, err = 0, None, None
+            try:
+                if speed and prev_ts is not None and prev_dur is not None:
+                    gap = (parse_ts(r["ts"]) - prev_ts - prev_dur / 1000.0) / speed
+                    if gap > 0:
+                        time.sleep(min(gap, 60.0))
+            except Exception:  # noqa: BLE001
+                pass  # unparseable pacing metadata: execute without a gap
             try:
                 with exec_sem:
                     res = spark.sql(r["stmt"])
                     agg = _capture(res)
-                out.append(
-                    ReplayResult(
-                        ts=r["ts"],
-                        query_id=r["query_id"],
-                        client=client,
-                        return_rows=agg["n"],
-                        return_rows_hash=agg["h"],
-                        duration_ms=int((time.perf_counter() - t0) * 1000),
-                        err=None,
-                        stmt=r["stmt"],
-                    )
-                )
+                rows, rhash = agg["n"], agg["h"]
             except Exception as e:  # noqa: BLE001 — error capture is the product
-                out.append(
-                    ReplayResult(
-                        ts=r["ts"],
-                        query_id=r["query_id"],
-                        client=client,
-                        return_rows=0,
-                        return_rows_hash=None,
-                        duration_ms=int((time.perf_counter() - t0) * 1000),
-                        err=str(e).split("\n")[0][:500],
-                        stmt=r["stmt"],
-                    )
+                err = str(e).split("\n")[0][:500]
+            out.append(
+                ReplayResult(
+                    ts=r["ts"],
+                    query_id=r["query_id"],
+                    client=client,
+                    return_rows=rows,
+                    return_rows_hash=rhash,
+                    duration_ms=int((time.perf_counter() - t0) * 1000),
+                    err=err,
+                    stmt=r["stmt"],
                 )
-            prev_ts, prev_dur = parse_ts(r["ts"]), r["duration_ms"]
+            )
+            try:
+                prev_ts, prev_dur = parse_ts(r["ts"]), float(r["duration_ms"])
+            except (TypeError, ValueError):
+                # unusable timing row: skip pacing until the next good one
+                prev_ts = prev_dur = None
 
     def _capture(res: DataFrame) -> dict:
         if max_hash_rows > 0:
@@ -217,7 +220,19 @@ def replay_statements(
             )
             t.start()
             workers[client] = (t, q, holder)
-        workers[client][1].put(r)
+        t, q, _h = workers[client]
+        # bounded put with a liveness check: if the worker thread died anyway
+        # (e.g. MemoryError escaping the per-statement try), fail loudly
+        # instead of blocking forever on its full queue
+        while True:
+            try:
+                q.put(r, timeout=5.0)
+                break
+            except queue.Full:
+                if not t.is_alive():
+                    raise RuntimeError(
+                        f"replay worker for client {client!r} died; aborting dispatch"
+                    ) from None
     for _t, q, _h in workers.values():
         q.put(_DONE)
     for t, _q, _h in workers.values():

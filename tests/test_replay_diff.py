@@ -135,6 +135,54 @@ def test_replay_speed_preserves_order_and_sleeps(spark):
     assert all(r.err is None for r in rows)
 
 
+def test_replay_survives_malformed_timing_metadata(spark):
+    """Regression (round-4 advice): a malformed ts or NULL duration_ms in
+    the SPEED path used to raise outside the per-statement try, killing the
+    worker thread — every result for that client silently vanished and the
+    dispatcher could deadlock on the dead client's bounded queue. All
+    statements must still execute; pacing is best-effort."""
+    decoded = spark.createDataFrame(
+        [
+            ("2025-01-01 00:00:00.000", "c1", "u", "d", "m1", 1, "SELECT 1 AS x"),
+            ("not-a-timestamp", "c1", "u", "d", "m2", None, "SELECT 2 AS x"),
+            ("2025-01-01 00:00:01.000", "c1", "u", "d", "m3", 1, "SELECT 3 AS x"),
+        ],
+        "ts STRING, client STRING, user STRING, db STRING, query_id STRING, "
+        "duration_ms BIGINT, stmt STRING",
+    )
+    res = {r.query_id: r for r in replay_statements(spark, decoded, speed=100.0).collect()}
+    assert set(res) == {"m1", "m2", "m3"}
+    assert all(r.err is None for r in res.values())
+    assert [res[q].return_rows for q in ("m1", "m2", "m3")] == [1, 1, 1]
+
+
+def test_replay_dispatcher_raises_on_dead_worker(spark, monkeypatch):
+    """If a worker dies anyway (error escaping even the hardened loop), the
+    dispatcher must raise instead of blocking forever on the full queue."""
+    import dodo_spark.plans.replay as rp
+
+    monkeypatch.setattr(
+        rp.threading,
+        "Thread",
+        lambda *a, **k: type(
+            "DeadThread",
+            (),
+            {"start": lambda self: None, "is_alive": lambda self: False,
+             "join": lambda self: None},
+        )(),
+    )
+    decoded = spark.createDataFrame(
+        [("2025-01-01 00:00:00.000", "c1", "u", "d", f"q{i}", 1, "SELECT 1 AS x")
+         for i in range(4)],
+        "ts STRING, client STRING, user STRING, db STRING, query_id STRING, "
+        "duration_ms BIGINT, stmt STRING",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="died"):
+        replay_statements(spark, decoded, queue_depth=2)
+
+
 def test_multiline_statement_roundtrip(spark):
     """dump->replay of a statement containing REAL newlines (the dump
     pipeline unescapes \\n before encoding; reference reassembles
