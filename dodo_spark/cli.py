@@ -70,11 +70,14 @@ def cmd_dump(args: argparse.Namespace) -> int:
 
     os.makedirs(args.output, exist_ok=True)
     out = os.path.join(args.output, "q0.sql")
-    rows = encoded.select("replay_sql").collect()
+    # stream the encoded corpus off the cluster (same scale guard as the
+    # replay executor): driver memory stays O(one partition), never O(corpus)
+    n = 0
     with open(out, "w", encoding="utf-8") as f:
-        for r in rows:
+        for r in encoded.select("replay_sql").toLocalIterator(prefetchPartitions=True):
             f.write(r[0] + "\n")
-    print(f"dumped {len(rows)} statements -> {out}")
+            n += 1
+    print(f"dumped {n} statements -> {out}")
     return 0
 
 

@@ -24,6 +24,30 @@ def test_cli_dump(spark, tmp_path):
     assert text.startswith("/*dodo{") and "SELECT" in text
 
 
+def test_cli_dump_never_collects_the_corpus(spark, tmp_path):
+    """Scale guard (same as replay_statements): the dump writer must STREAM
+    the encoded corpus to q0.sql via toLocalIterator, never collect() it on
+    the driver."""
+    from pyspark.sql import DataFrame
+
+    orig_collect = DataFrame.collect
+
+    def _guarded(self, *a, **k):
+        if "replay_sql" in self.columns or {"client", "query_id", "stmt"} <= set(
+            self.columns
+        ):
+            raise AssertionError("dump path collected the statement corpus on the driver")
+        return orig_collect(self, *a, **k)
+
+    DataFrame.collect = _guarded
+    out = tmp_path / "dump"
+    try:
+        assert main(["dump", "--audit-log", FIXTURE_LOG, "--output", str(out)]) == 0
+    finally:
+        DataFrame.collect = orig_collect
+    assert (out / "q0.sql").read_text().startswith("/*dodo{")
+
+
 def test_cli_replay_diff_roundtrip(spark, sf_dir, tmp_path):
     q = tmp_path / "queries.sql"
     q.write_text(QUERIES)
