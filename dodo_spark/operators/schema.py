@@ -26,8 +26,22 @@ from dodo_spark.sources.writers import export_table
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
 # stale per-invocation scratch dirs older than this are garbage-collected
-# at the next allocation of the same prefix
-_SCRATCH_TTL_S = 1800
+# at the next allocation of the same prefix — but ONLY if their creating
+# process is gone (pid marker), so a long bench/verify run can never lose a
+# lazily-readable dir to a sibling session's reaper
+_SCRATCH_TTL_S = 6 * 3600
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+    return True
 
 
 def scratch_dir(name: str) -> str:
@@ -37,22 +51,45 @@ def scratch_dir(name: str) -> str:
     concurrently (bench + verify): one rmtree's the directory the other
     is lazily reading. A unique suffix isolates every invocation; the
     returned DataFrames stay lazily readable until the caller's action
-    completes. Siblings of the same prefix older than _SCRATCH_TTL_S are
-    best-effort reaped here so the scratch area stays bounded."""
+    completes. Siblings of the same prefix are best-effort reaped here so
+    the scratch area stays bounded — only past the TTL AND only when the
+    ``.pid`` marker written at allocation names a process that no longer
+    exists (a live marker means the dir may still be lazily read, however
+    old it is)."""
     import time
     import uuid
 
     os.makedirs(_SCRATCH, exist_ok=True)
     now = time.time()
     for entry in os.listdir(_SCRATCH):
-        if entry.startswith(name + "-"):
-            p = os.path.join(_SCRATCH, entry)
+        if not entry.startswith(name + "-") or entry.endswith(".pid"):
+            continue
+        p = os.path.join(_SCRATCH, entry)
+        try:
+            if now - os.path.getmtime(p) <= _SCRATCH_TTL_S:
+                continue
+            pid = None
             try:
-                if now - os.path.getmtime(p) > _SCRATCH_TTL_S:
-                    shutil.rmtree(p, ignore_errors=True)
+                with open(p + ".pid") as f:
+                    pid = int(f.read().strip())
+            except (OSError, ValueError):
+                pid = None
+            if pid is not None and _pid_alive(pid):
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            try:
+                os.unlink(p + ".pid")
             except OSError:
                 pass
-    return os.path.join(_SCRATCH, f"{name}-{uuid.uuid4().hex[:12]}")
+        except OSError:
+            pass
+    path = os.path.join(_SCRATCH, f"{name}-{uuid.uuid4().hex[:12]}")
+    try:
+        with open(path + ".pid", "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+    return path
 
 
 _TABLE_LIST = ", ".join(f"'{t}'" for t in TABLES)

@@ -32,8 +32,16 @@ MANIFEST = "_versions.json"
 def write_version(df: DataFrame, table_path: str, version: int) -> str:
     """Commit ``df`` as snapshot ``version`` of the table at ``table_path``.
 
-    Versions must be committed in increasing order; re-committing an
-    existing version is an error (snapshots are immutable)."""
+    Versions must be committed in increasing order; re-committing a version
+    the MANIFEST names is an error (snapshots are immutable). A ``v=<n>/``
+    directory that exists but is absent from the manifest is by definition
+    an uncommitted torn write (crash between snapshot write and manifest
+    commit) — it is overwritten, so a crashed commit never bricks its
+    version number. The manifest itself is replaced atomically
+    (tempfile + os.replace), so readers and a concurrent crash can never
+    observe a half-written commit log."""
+    import tempfile
+
     manifest_path = os.path.join(table_path, MANIFEST)
     versions: list[int] = []
     if os.path.exists(manifest_path):
@@ -46,11 +54,22 @@ def write_version(df: DataFrame, table_path: str, version: int) -> str:
             f"versions commit in increasing order: {version} < max {max(versions)}"
         )
     snap = os.path.join(table_path, f"v={version}")
-    df.write.mode("errorifexists").parquet(snap)
+    # overwrite: anything already at this path is an orphan of a torn commit
+    # (the manifest — checked above — never named it)
+    df.write.mode("overwrite").parquet(snap)
     # manifest written AFTER the snapshot: the commit point
     os.makedirs(table_path, exist_ok=True)
-    with open(manifest_path, "w") as f:
-        json.dump({"versions": versions + [version]}, f)
+    fd, tmp = tempfile.mkstemp(dir=table_path, prefix=MANIFEST, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"versions": versions + [version]}, f)
+        os.replace(tmp, manifest_path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return snap
 
 

@@ -57,6 +57,43 @@ def test_unknown_version_rejected(spark, table):
         read_version(spark, str(table) + "_missing")
 
 
+def test_orphan_snapshot_dir_can_be_recommitted(spark, table):
+    """A v=<n>/ dir absent from the manifest is a torn write from a crashed
+    commit — re-committing that version must succeed (overwrite), not fail
+    errorifexists forever (round-4 advice)."""
+    orphan = spark.createDataFrame([(7, 7.0)], "k BIGINT, val DOUBLE")
+    orphan.write.parquet(os.path.join(table, "v=1"))  # crash before manifest
+    good = spark.createDataFrame([(1, 11.0)], "k BIGINT, val DOUBLE")
+    write_version(good, table, 1)
+    assert list_versions(table) == [0, 1]
+    assert {(r["k"], r["val"]) for r in read_version(spark, table, 1).collect()} == {
+        (1, 11.0)
+    }
+
+
+def test_manifest_write_is_atomic(spark, table, monkeypatch):
+    """The manifest must be replaced via os.replace (no in-place truncate):
+    a crash mid-commit leaves the OLD manifest intact and no temp litter
+    visible as the manifest."""
+    import dodo_spark.sources.versioned as vz
+
+    calls = []
+    orig_replace = os.replace
+
+    def spy(src, dst):
+        calls.append((src, dst))
+        return orig_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", spy)
+    v1 = spark.createDataFrame([(3, 3.0)], "k BIGINT, val DOUBLE")
+    write_version(v1, table, 1)
+    assert any(dst.endswith(vz.MANIFEST) and src != dst for src, dst in calls)
+    assert list_versions(table) == [0, 1]
+    # no temp files left behind
+    litter = [e for e in os.listdir(table) if e.endswith(".tmp")]
+    assert litter == []
+
+
 def test_uncommitted_snapshot_is_invisible(spark, table):
     """The manifest is the commit point: a snapshot directory that exists
     but is not named by the manifest (torn write) must not be readable."""
