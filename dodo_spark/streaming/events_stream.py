@@ -95,18 +95,50 @@ def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+import contextlib
+
+
+# Stateful streaming cost scales with the number of state partitions (one
+# state store + one Arrow/Python round-trip per partition per micro-batch),
+# and the partition count is frozen into the checkpoint at first start. A
+# vanilla session's 200 default partitions cost ~10x wall-clock at test SFs
+# for zero benefit; cap the drains at this unless the session is already
+# tuned lower. (Values don't change — only parallelism does.)
+_MAX_STREAM_STATE_PARTITIONS = 32
+
+
+@contextlib.contextmanager
+def _bounded_state_partitions(spark: SparkSession):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    try:
+        cur = int(prev) if prev is not None else 200
+    except ValueError:
+        cur = 200
+    target = min(cur, _MAX_STREAM_STATE_PARTITIONS)
+    spark.conf.set(key, str(target))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the stream with availableNow into a memory sink; returns the
     materialized result (test/verification harness)."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _bounded_state_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -356,14 +388,15 @@ def _register_stateful_key() -> None:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        q = (
-            out.writeStream.format("memory")
-            .queryName("vk_stateful_totals")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with _bounded_state_partitions(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName("vk_stateful_totals")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
         # update mode appends one row per user per batch: keep the final row
         # (max_by on the monotone count — a bare MAX of the value would be
         # wrong when negative values make the running sum non-monotone)
