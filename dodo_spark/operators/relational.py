@@ -947,6 +947,60 @@ def text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATCH_ANY / MATCH_ALL term set for the posting-list key (A27)
+MATCH_TERMS = ("data", "model", "query")
+
+
+@register(
+    "text_match_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS token
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nhit
+      FROM toks
+      WHERE token IN {MATCH_TERMS!r}
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS any_docs,
+           CAST(SUM(CASE WHEN nhit = {len(MATCH_TERMS)} THEN 1 ELSE 0 END) AS BIGINT)
+             AS all_docs
+    FROM hits GROUP BY lang
+    """,
+    doc="A27 honest form: MATCH_ANY / MATCH_ALL as a tokenized posting list "
+    "(ref DorisParser.g4:1513 — Doris MATCH_* runs on an inverted index, "
+    "not a substring scan). Per-doc distinct tokens explode to (token, doc) "
+    "postings; the term predicate filters the postings SCAN-SIDE (before "
+    "any exchange — only matching postings ever shuffle, the inverted-"
+    "index access pattern), then per-doc hit counts roll up to per-lang "
+    "MATCH_ANY (>=1 term) and MATCH_ALL (every term) doc counts. At "
+    "100 TB the posting list materializes bucketed by token and the term "
+    "filter becomes bucket pruning; the in-plan shape is identical. "
+    "text_match keeps the single-term substring approximation.",
+)
+def text_match_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("token"),
+    )
+    hits = (
+        toks.filter(F.col("token").isin(*MATCH_TERMS))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("nhit"))  # tokens are per-doc distinct already
+    )
+    return hits.groupBy("lang").agg(
+        F.count("*").alias("any_docs"),
+        F.sum(F.when(F.col("nhit") == len(MATCH_TERMS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("all_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A36/A37 collect + NDV aggregates
 # ---------------------------------------------------------------------------

@@ -311,11 +311,16 @@ _SQL_NGRAMS_CTE = f"""
     ), corp AS (
       SELECT DISTINCT doc_id, ng FROM ng WHERE doc_id >= {BENCH_DOCS}
     )
-    SELECT c.doc_id,
+    -- corpus doc list comes from documents, NOT from the n-gram stream:
+    -- a doc shorter than the n-gram width has no n-grams but is still a
+    -- (trivially clean) corpus member, matching the Spark plan
+    SELECT d.doc_id,
            CAST(COUNT(b.ng) > 0 AS BOOLEAN) AS contaminated,
            CAST(COUNT(b.ng) AS BIGINT) AS matched_ngrams
-    FROM corp c LEFT JOIN bench b ON b.ng = c.ng
-    GROUP BY c.doc_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {BENCH_DOCS}) d
+    LEFT JOIN corp c ON c.doc_id = d.doc_id
+    LEFT JOIN bench b ON b.ng = c.ng
+    GROUP BY d.doc_id
     """,
     doc="Benchmark decontamination (training-data hygiene): flag every "
     f"corpus doc sharing a {NGRAM_N}-gram with the held-out benchmark set "

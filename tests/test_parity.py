@@ -127,6 +127,44 @@ def test_shingles_cross_engine_fuzz(spark):
     assert not diffs, diffs[:2]
 
 
+def test_decontaminate_keeps_subngram_docs(spark, tmp_path):
+    """A corpus doc shorter than the n-gram width has no n-grams but is
+    still a (trivially clean) corpus member — BOTH engines must emit it.
+    Caught by the round-4 scale rehearsal: the old oracle derived the doc
+    list from the n-gram stream and silently dropped short docs."""
+    import duckdb
+
+    from dodo_spark import registry
+    from dodo_spark.operators.text import BENCH_DOCS
+
+    long = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, long, "en", "web", len(long)) for i in range(BENCH_DOCS)]
+    rows += [(BENCH_DOCS, long, "en", "web", len(long)),          # contaminated
+             (BENCH_DOCS + 1, "tiny doc", "en", "web", 8)]        # sub-n-gram
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["contaminated"], r["matched_ngrams"])
+        for r in registry.queries()["text_decontaminate"](spark, d).collect()
+    }
+    assert got[BENCH_DOCS][0] is True
+    assert got[BENCH_DOCS + 1] == (False, 0)  # present, clean
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        int(r[0]): (bool(r[1]), int(r[2]))
+        for r in con.execute(registry.oracle_sql()["text_decontaminate"]).fetchall()
+    }
+    assert want == got
+
+
 def test_evidence_order_puts_unproven_keys_first(tmp_path, monkeypatch):
     """The driver adapter's evidence ordering must sort keys with no green
     CORRECTNESS row ahead of proven ones (stable within groups), parse the
@@ -168,9 +206,11 @@ def test_evidence_order_requeues_oracle_tier_upgrades(tmp_path, monkeypatch):
     from dodo_spark import registry as reg
 
     reg._load_all()
-    # pick a real registry key WITH an oracle and one WITHOUT
+    # a real registry key WITH an oracle; every registered key has one as of
+    # round 4, so the genuinely-oracle-less case is an unregistered name
+    # (evidence_order treats unknown names as having no oracle twin)
     with_oracle = next(n for n, s in reg.REGISTRY.items() if s.oracle is not None)
-    without_oracle = next(n for n, s in reg.REGISTRY.items() if s.oracle is None)
+    without_oracle = "some_rows_only_key"
     f = tmp_path / "CORRECTNESS_r01.json"
     f.write_text(json.dumps({
         with_oracle: {"hash_match": False, "err": "no_oracle"},

@@ -145,6 +145,26 @@ def test_no_unbounded_nested_loop_join(plans, name):
     assert "BroadcastNestedLoopJoin" not in plans(name), name
 
 
+def test_text_match_tokens_filters_postings_before_any_exchange(plans):
+    """The inverted-index MATCH key must filter the exploded posting list
+    SCAN-SIDE: in formatted explain (ids increase bottom-up from the scan)
+    the term Filter must sit between Generate and the first Exchange —
+    shuffling unfiltered postings would move the whole token stream."""
+    import re
+
+    plan = plans("text_match_tokens")
+    ids = {}
+    for m in re.finditer(r"^\s*(?:[+\-:*\s]*)\((\d+)\)\s+(\w+)", plan, re.M):
+        ids.setdefault(m.group(2), []).append(int(m.group(1)))
+    assert "Generate" in ids and "Filter" in ids and "Exchange" in ids, sorted(ids)
+    gen = min(ids["Generate"])
+    tok_filter = min(i for i in ids["Filter"] if i > gen)
+    first_exchange = min(ids["Exchange"])
+    assert gen < tok_filter < first_exchange, (gen, tok_filter, first_exchange)
+    # and the whole key needs exactly the two aggregate exchanges
+    assert len(set(ids["Exchange"])) == 2, ids["Exchange"]
+
+
 @pytest.mark.parametrize("name", ["agg_group", "agg_distinct", "dedup_exact"])
 def test_two_phase_aggregation(plans, name):
     """Partial (map-side) + final HashAggregate — the combine must happen
