@@ -230,6 +230,59 @@ def test_evidence_order_requeues_oracle_tier_upgrades(tmp_path, monkeypatch):
         reg._EVIDENCE_CACHE = saved
 
 
+def test_evidence_order_requeues_oracle_text_changes(tmp_path, monkeypatch):
+    """A key whose oracle SQL was edited after its last green row must
+    re-queue: the old row proved a different contract. Detected via
+    ORACLE_SNAPSHOT.json (md5 per oracle, regenerated each round end);
+    a key absent from the snapshot counts as changed."""
+    import glob as glob_mod
+    import json
+
+    from dodo_spark import registry as reg
+
+    reg._load_all()
+    k1, k2 = list(reg.REGISTRY)[:2]
+    f = tmp_path / "CORRECTNESS_r02.json"
+    f.write_text(json.dumps({k1: {"hash_match": True}, k2: {"hash_match": True}}))
+    saved = reg._EVIDENCE_CACHE
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [str(f)])
+    # snapshot knows k2's current oracle but not k1's (= k1 edited since)
+    monkeypatch.setattr(
+        reg, "_oracle_snapshot",
+        lambda: {k2: reg._oracle_md5(reg.REGISTRY[k2].oracle)},
+    )
+    try:
+        reg._EVIDENCE_CACHE = None
+        order = reg.evidence_order([k2, k1])
+        assert order == [k1, k2]
+    finally:
+        reg._EVIDENCE_CACHE = saved
+
+
+def test_oracle_snapshot_is_current_except_declared_stale(tmp_path):
+    """The committed ORACLE_SNAPSHOT.json must match the registry's current
+    oracle md5s for every key it names — a mismatch means someone edited an
+    oracle without regenerating the snapshot (tools/snapshot_oracles.py)."""
+    import json
+    import os
+
+    from dodo_spark import registry as reg
+
+    reg._load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(reg.__file__)))
+    with open(os.path.join(root, "ORACLE_SNAPSHOT.json")) as f:
+        snap = json.load(f)
+    mismatched = [
+        n for n, h in snap.items()
+        if n in reg.REGISTRY and reg.REGISTRY[n].oracle is not None
+        and reg._oracle_md5(reg.REGISTRY[n].oracle) != h
+    ]
+    assert mismatched == [], (
+        f"oracles edited without snapshot regen (run tools/snapshot_oracles.py "
+        f"--stale {' '.join(mismatched)}): {mismatched}"
+    )
+
+
 def test_evidence_order_rotates_proven_keys_by_age(tmp_path, monkeypatch):
     """Among proven keys, older evidence sorts first so a capped driver pass
     refreshes stale rows instead of re-picking recent ones."""
