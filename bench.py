@@ -70,6 +70,8 @@ HEADLINE = [
     # round-3 additions: broadcast n-gram decontamination, Arrow-batch decode
     "text_decontaminate",
     "multimodal_headers",
+    # round-4 addition: posting-list MATCH (scan-side term filter)
+    "text_match_tokens",
 ]
 
 
