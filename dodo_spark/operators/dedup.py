@@ -368,6 +368,120 @@ def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Over-dense band buckets are skipped as known degenerate/spam clusters —
+# the standard production LSH mitigation. Cap grounded by the round-4 scale
+# rehearsal: on a low-diversity corpus the true near-dup pair mass grows
+# quadratically and the banded join honestly enumerates it (59.8x wall at
+# 10x data); capping bounds per-bucket work at cap^2 while keeping exact
+# recall for every pair that shares at least one sparse band.
+SIMHASH_BUCKET_CAP = 100
+
+_SIMHASH_POSTS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {i} AS band_idx, (simhash >> {shift}) & {mask} AS band_val FROM sh"
+    for i, (shift, mask) in enumerate(_SIMHASH_BANDS)
+)
+
+
+@register(
+    "dedup_simhash_capped",
+    oracle=f"""
+    {_SIMHASH_SH_CTE}, posts AS (
+      {_SIMHASH_POSTS_SQL}
+    ), sizes AS (
+      SELECT band_idx, band_val, COUNT(*) AS cnt FROM posts GROUP BY band_idx, band_val
+    ), kept AS (
+      SELECT p.* FROM posts p
+      JOIN sizes s ON s.band_idx = p.band_idx AND s.band_val = p.band_val
+      WHERE s.cnt <= {SIMHASH_BUCKET_CAP}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ), audit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS buckets_total,
+             CAST(SUM(CASE WHEN cnt > {SIMHASH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS buckets_skipped,
+             CAST(SUM(CASE WHEN cnt > {SIMHASH_BUCKET_CAP} THEN cnt ELSE 0 END) AS BIGINT)
+               AS postings_skipped
+      FROM sizes
+    )
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS pair_cnt,
+           CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS docs_as_a,
+           buckets_total, buckets_skipped, postings_skipped
+    FROM pairs CROSS JOIN audit
+    GROUP BY hamming, buckets_total, buckets_skipped, postings_skipped
+    """,
+    doc="SimHash near-dup stats with an OVER-DENSE-BUCKET CAP — the "
+    f"production LSH posture at 100 TB: band buckets holding more than "
+    f"{SIMHASH_BUCKET_CAP} postings are skipped as degenerate/spam "
+    "clusters (bounding per-bucket join work at cap^2; motivated by the "
+    "round-4 scale rehearsal, where a low-diversity corpus made the "
+    "uncapped pair mass quadratic — SCALE.md). A pair is still found if "
+    "ANY of its shared bands is sparse; the skipped bucket/posting mass "
+    "is reported alongside the per-hamming pair stats so recall loss is "
+    "audited, never silent. Cluster-side representation for the dense "
+    "mass itself is dedup_clusters.",
+)
+def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup_simhash(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for i, (shift, mask) in enumerate(_SIMHASH_BANDS)
+        ]
+    )
+    posts = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    sizes = posts.groupBy("band_idx", "band_val").agg(F.count("*").alias("cnt"))
+    # sizes is tiny (<= bands * 2^band_bits rows): broadcast, keep postings
+    # scan-side
+    kept = posts.join(
+        F.broadcast(sizes.filter(F.col("cnt") <= SIMHASH_BUCKET_CAP)),
+        ["band_idx", "band_val"],
+    ).drop("cnt")
+    a, b = kept.alias("a"), kept.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    audit = sizes.agg(
+        F.count("*").alias("buckets_total"),
+        F.sum((F.col("cnt") > SIMHASH_BUCKET_CAP).cast("bigint")).alias("buckets_skipped"),
+        F.sum(
+            F.when(F.col("cnt") > SIMHASH_BUCKET_CAP, F.col("cnt")).otherwise(0)
+        ).alias("postings_skipped"),
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count("*").alias("pair_cnt"),
+            F.countDistinct("doc_a").alias("docs_as_a"),
+        )
+        .crossJoin(F.broadcast(audit))
+    )
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 COSINE_DUP_THRESHOLD = 0.99
 EMBEDDING_BRUTE_MAX_ROWS = 100_000  # brute-force O(n²) gate; scale path = LSH/IVF

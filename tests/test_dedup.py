@@ -90,6 +90,44 @@ def test_connected_components_two_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_simhash_cap_skips_dense_buckets_keeps_sparse_pairs(spark, tmp_path):
+    """The over-dense-bucket cap must (a) drop the degenerate cluster's
+    quadratic pair mass, (b) still find near-dup pairs whose shared bands
+    are sparse, and (c) report the skipped mass in the audit columns."""
+    from dodo_spark.operators.dedup import (
+        SIMHASH_BUCKET_CAP,
+        dedup_simhash_capped,
+        dedup_simhash_stats,
+    )
+
+    spam = "buy cheap pills now limited offer click here today"
+    uniq_a = "the migratory patterns of arctic terns span both hemispheres yearly"
+    uniq_b = "the migratory patterns of arctic terns span both hemispheres"  # near-dup of a
+    rows = [(i, spam, "en", "web", len(spam)) for i in range(SIMHASH_BUCKET_CAP + 50)]
+    rows += [(9001, uniq_a, "en", "web", len(uniq_a)),
+             (9002, uniq_b, "en", "web", len(uniq_b))]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    capped = dedup_simhash_capped(spark, d).collect()
+    assert capped, "sparse near-dup pair must survive the cap"
+    row = capped[0]
+    assert row["buckets_skipped"] >= 1
+    assert row["postings_skipped"] >= SIMHASH_BUCKET_CAP
+    capped_pairs = sum(r["pair_cnt"] for r in capped)
+    # uncapped stats enumerate the dense cluster's ~n^2/2 identical pairs
+    uncapped_pairs = sum(
+        r["pair_cnt"] for r in dedup_simhash_stats(spark, d).collect()
+    )
+    n_spam = SIMHASH_BUCKET_CAP + 50
+    assert uncapped_pairs >= n_spam * (n_spam - 1) // 2
+    # capped output keeps the sparse pair and drops the quadratic mass
+    assert 1 <= capped_pairs <= 10, (capped_pairs, uncapped_pairs)
+
+
 def test_dedup_embedding_brute_force_gate(spark, sf_dir):
     import pytest
 

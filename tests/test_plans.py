@@ -133,6 +133,7 @@ BNLJ_ALLOWED = {
     # contract row assembly: brute-force reference (bounded broadcast-query
     # scan, same shape as similarity_topk) + 1-row aggregate cross joins
     "similarity_ivf_kmeans",
+    "dedup_simhash_capped",  # 1-row skipped-mass audit broadcast cross join
 }
 
 
