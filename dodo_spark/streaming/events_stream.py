@@ -345,6 +345,104 @@ def _register_session_key() -> None:
 _register_session_key()
 
 
+def _register_interval_join_key() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_interval_join_drain",
+        oracle="""
+        WITH clicks AS (
+          SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+          FROM events WHERE event_type = 'purchase'
+        ), attributed AS (
+          SELECT c.user_id, c.click_id, p.purchase_id, p.value,
+                 ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+          FROM clicks c JOIN purchases p
+            ON p.user_id = c.user_id
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS attributed_purchases,
+               CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                 AS attributed_value_e4
+        FROM attributed WHERE rn = 1
+        GROUP BY user_id
+        """,
+        doc="Stream-stream INTERVAL JOIN end-to-end (the canonical hard "
+        "streaming op — click->purchase attribution): two watermarked "
+        "readStream branches of the events source join per user with a "
+        "[click_ts, click_ts+30m] time-range condition; Spark keeps both "
+        "sides' state bounded by watermark + range (the join condition "
+        "itself defines state eviction). Each purchase then attributes to "
+        "its LATEST qualifying click (max_by over the drained join) and "
+        "rolls up per user; value accumulates in exact 1e-4 integer units "
+        "so the hash checks exactly. A one-batch availableNow drain of the "
+        "static source equals the batch range join, the oracle.",
+    )
+    def streaming_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "30 minutes")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                "value",
+            )
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        with _bounded_state_partitions(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName("vk_stream_interval")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        # latest qualifying click wins per purchase (deterministic tiebreak
+        # on click_id), then per-user rollup in exact 1e-4 units
+        return spark.sql(
+            """
+            WITH attributed AS (
+              SELECT p_user AS user_id, purchase_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                        ORDER BY click_ts DESC, click_id DESC) AS rn
+              FROM vk_stream_interval
+            )
+            SELECT user_id,
+                   COUNT(*) AS attributed_purchases,
+                   CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                     AS attributed_value_e4
+            FROM attributed WHERE rn = 1
+            GROUP BY user_id
+            """
+        )
+
+
+_register_interval_join_key()
+
+
 def _register_stateful_key() -> None:
     from dodo_spark.registry import register
 

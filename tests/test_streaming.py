@@ -95,6 +95,79 @@ def test_stateful_totals_cross_batch(spark, sf_dir, tmp_path):
         assert abs(r.vsum - (wv or 0.0)) < 1e-6 * max(1.0, abs(wv or 0.0))
 
 
+def test_interval_join_attributes_across_micro_batches(spark, tmp_path):
+    """Stream-stream interval join state must span micro-batches: a click
+    arriving in batch 1 must still join a purchase arriving in batch 2
+    (within the 30-minute window), and an out-of-window purchase must not
+    attribute."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dodo_spark.streaming.events_stream import _events_schema
+
+    base = "2024-06-01 10:00:00"
+    rows_b1 = [
+        (1, base, 7, "click", 0.0, "{}"),                      # click @10:00
+        (2, "2024-06-01 10:05:00", 7, "purchase", 12.5, "{}"), # in-window (same batch)
+    ]
+    rows_b2 = [
+        (3, "2024-06-01 10:20:00", 7, "purchase", 5.25, "{}"),  # in-window, later batch
+        (4, "2024-06-01 11:30:00", 7, "purchase", 99.0, "{}"),  # out of window
+        (5, "2024-06-01 11:00:00", 8, "purchase", 1.0, "{}"),   # user with no click
+    ]
+    src = str(tmp_path / "ev_src")
+    for i, rows in enumerate((rows_b1, rows_b2)):
+        spark.createDataFrame(
+            rows, "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    ev = (
+        spark.readStream.schema(_events_schema(T.TimestampType()))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"), "value")
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM interval_test").collect()
+    }
+    # purchase 2 (same batch) AND purchase 3 (later batch) attribute to
+    # click 1; purchase 4 (out of window) and purchase 5 (no click) do not
+    assert got == {(1, 2), (1, 3)}
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """D3: an event older than (max event time - watermark delay) arriving
     after the watermark has been committed must be dropped from the
