@@ -215,3 +215,59 @@ def events_intersect_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("nt") == F.col("n")).cast("bigint")).alias("users_all"),
         )
     )
+
+
+COHORT_MAX_OFFSET = 7
+
+
+@register(
+    "analytics_cohort_retention",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY cohort_day
+    ), joined AS (
+      SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) AS day_offset,
+             d.user_id
+      FROM days d JOIN first f ON f.user_id = d.user_id
+      WHERE date_diff('day', f.cohort_day, d.day) <= {COHORT_MAX_OFFSET}
+    )
+    SELECT j.cohort_day, CAST(j.day_offset AS BIGINT) AS day_offset,
+           s.cohort_size,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS retained_users
+    FROM joined j JOIN sizes s ON s.cohort_day = j.cohort_day
+    GROUP BY j.cohort_day, j.day_offset, s.cohort_size
+    """,
+    doc="Cohort retention matrix (classic product analytics, the table "
+    "behind every retention curve; composes the same per-user anchoring "
+    "idiom as Doris retention(), src/../funnel family): cohort = each "
+    "user's first active day, retained = active again at day-offset "
+    f"0..{COHORT_MAX_OFFSET}. Plan shape for 100 TB: ONE distinct over "
+    "(user, day) — the only shuffle of raw-event cardinality — then "
+    "min-day and the offset join both reuse the user_id partitioning "
+    "(ReusedExchange), and the output is |cohorts| x |offsets| rows. "
+    "DateType never surfaces (date_trunc keeps timestamps) per the "
+    "oracle-comparator convention.",
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    joined = (
+        days.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("bigint"))
+        .filter(F.col("day_offset") <= COHORT_MAX_OFFSET)
+    )
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("retained_users"))
+        .join(sizes, "cohort_day")
+        .select("cohort_day", "day_offset", "cohort_size", "retained_users")
+    )
