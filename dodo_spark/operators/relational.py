@@ -1001,6 +1001,79 @@ def text_match_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANK_TOP_K = 20
+_RANK_TERMS_SQL = ", ".join(f"'{t}'" for t in MATCH_TERMS)
+
+
+@register(
+    "text_rank_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS token
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({_RANK_TERMS_SQL})
+      GROUP BY doc_id, token
+    ), dfs AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dprod AS (SELECT CAST(PRODUCT(df) AS BIGINT) AS d FROM dfs),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS matched_terms,
+             CAST(SUM(h.tf * (SELECT n FROM nd)
+                      * ((SELECT d FROM dprod) // d.df)) AS BIGINT) AS score_num
+      FROM hits h JOIN dfs d ON d.token = h.token
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, matched_terms, score_num
+    FROM scored ORDER BY score_num DESC, doc_id LIMIT {RANK_TOP_K}
+    """,
+    doc="Ranked retrieval over the posting list (the search engine on top "
+    "of text_match_tokens): per-doc term frequency weighted by inverse "
+    "document frequency, top-k by score. The tf-idf score is computed in "
+    "EXACT integer arithmetic — contribution = tf * N * (D/df) where D = "
+    "product of all query-term dfs, so D/df is an exact integer and no "
+    "log/float ever enters the plan (engine-identical by construction; "
+    "bound: tf*N*D < 2^63 holds through sf100 for a 3-term query). The "
+    "term dfs and N are bounded driver-side literals (ref-pool idiom, "
+    "|terms|+1 values). Top-k is orderBy+limit — TakeOrderedAndProject, "
+    "per-partition heaps, NO global window. At 100 TB the posting list "
+    "materializes bucketed by token and df comes from the index stats.",
+)
+def text_rank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != "")
+        ).alias("token"),
+    ).filter(F.col("token").isin(*MATCH_TERMS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+
+    # bounded driver-side literals: one df per query term + the doc count
+    dfs = {r["token"]: int(r["cnt"]) for r in
+           tf.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    n_docs = docs.count()
+    d_prod = 1
+    for v in dfs.values():
+        d_prod *= v
+    weight = F.create_map(
+        *[x for t in dfs for x in (F.lit(t), F.lit(n_docs * (d_prod // dfs[t])))]
+    )
+    scored = tf.groupBy("doc_id").agg(
+        F.count("*").alias("matched_terms"),
+        F.sum(F.col("tf") * F.element_at(weight, F.col("token"))).alias("score_num"),
+    )
+    return (
+        scored.select("doc_id", "matched_terms", F.col("score_num").cast("bigint").alias("score_num"))
+        .orderBy(F.col("score_num").desc(), "doc_id")
+        .limit(RANK_TOP_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # A36/A37 collect + NDV aggregates
 # ---------------------------------------------------------------------------
