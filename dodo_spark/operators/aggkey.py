@@ -183,3 +183,62 @@ def unique_key_upsert_key(spark, sf_dir):
         F.col("o_orderkey").alias("__seq"),
     )
     return unique_key_upsert(loads, table, order_col="__seq")
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ), chg AS (
+      SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey AS dim_key,
+           o_orderpriority AS attr_value,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CAST(row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             AS version_n,
+           (lead(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL)
+             AS is_current
+    FROM chg
+    """,
+    doc="SCD type-2 dimension build — the warehouse-side twin of the "
+    "UNIQUE-KEY upsert: instead of keeping only the latest row per key, "
+    "compress the change stream into validity intervals. Orders act as "
+    "the per-customer change feed of o_orderpriority: (1) change "
+    "detection drops rows equal to their lag (consecutive duplicates "
+    "never open a new version); (2) lead() closes each surviving "
+    "version's interval, NULL valid_to = current. Both windows share one "
+    "partitioning (custkey, ordered by date+key tiebreak), so the plan "
+    "is a single shuffle on the dimension key with the sort reused — at "
+    "100 TB an SCD build is exactly this shape, never a self-join.",
+)
+def scd2_history(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from dodo_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        o.withColumn("prev", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    )
+    # same partitioning over the compressed stream; Spark reuses the exchange
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w2)
+    return chg.select(
+        F.col("o_custkey").alias("dim_key"),
+        F.col("o_orderpriority").alias("attr_value"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w2).cast("bigint").alias("version_n"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -529,3 +529,50 @@ def analytics_inactive_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "analytics_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer distribution): histogram-of-counts — a "
+    "CONDITIONAL left join (the filter lives in the ON clause, so "
+    "customers keep their row even when every order is excluded), "
+    "count(o_orderkey) per customer counting only matches, then a second "
+    "aggregation grouping customers BY their count. Distinctive plan: two "
+    "chained shuffles on shrinking keys (custkey -> c_count); the first "
+    "aggregation is pre-shrunk by counting orders per custkey BEFORE the "
+    "join so the join carries one row per (active) customer, not one per "
+    "order — at 100 TB the orders-side pre-aggregation is the difference "
+    "between shuffling the fact table and shuffling a per-key summary.",
+)
+def analytics_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # pre-aggregate the fact side on the join key; the ON-clause filter
+    # becomes a plain scan filter because it references only the orders side
+    per_key = (
+        o.filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    per_cust = (
+        c.join(per_key, per_key.o_custkey == c.c_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
