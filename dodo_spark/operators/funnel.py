@@ -271,3 +271,61 @@ def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "cohort_day")
         .select("cohort_day", "day_offset", "cohort_size", "retained_users")
     )
+
+
+PATH_LEN = 3
+PATH_TOP_K = 15
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+    doc=f"Top event paths (user-journey mining, the aggregate behind sankey "
+    "/ flow charts in product analytics; same replayed-workload family as "
+    "window_funnel, Doris fn grammar DorisParser.g4:1588-1599): each "
+    f"user's event stream becomes sliding {PATH_LEN}-grams via lead() "
+    "twice over ONE (user_id, ts) window — no self-joins, no explode of "
+    "the stream — then paths aggregate globally with occurrence and "
+    "distinct-user counts. Plan: one shuffle on user_id (sort reused by "
+    "both leads), one shrinking shuffle on the path string; top-k is "
+    "TakeOrderedAndProject. The tail beyond the lead horizon is dropped "
+    "scan-side (e3 IS NOT NULL) before the aggregate.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    path = F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    return (
+        seq.select("user_id", path)
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(PATH_TOP_K)
+    )

@@ -187,3 +187,86 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+@register(
+    "stats_correlation",
+    oracle="""
+    WITH scaled AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(round(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ), sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(q * p AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(p * d AS DECIMAL(38,0))) AS DOUBLE) AS spd,
+             CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(p * p AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE) AS sdd
+      FROM scaled GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           ((n_rows * sqp) - (sq * sp))
+             / (sqrt((n_rows * sqq) - (sq * sq)) * sqrt((n_rows * spp) - (sp * sp)))
+             AS corr_qty_price,
+           ((n_rows * spd) - (sp * sd))
+             / (sqrt((n_rows * spp) - (sp * sp)) * sqrt((n_rows * sdd) - (sd * sd)))
+             AS corr_price_disc
+    FROM sums
+    """,
+    doc="B2 extension — column-pair statistics (correlation matrix entries, "
+    "the numbers behind an optimizer's column-group stats / a data-quality "
+    "drift monitor). Engine-exact by construction: inputs quantize to "
+    "integer units (qty, cents, discount-percent) so every sum and "
+    "sum-of-products is an EXACT integer accumulated in DECIMAL(38,0) "
+    "(order-independent, overflow-free through sf1k); the Pearson formula "
+    "then runs as a fixed sequence of IEEE double ops on identical inputs "
+    "in both engines. Never uses the engines' own corr() (their float "
+    "accumulation orders differ). Plan: one fused hash-agg pass over the "
+    "scan — 8 sums + count in a single shuffle on the group key, same "
+    "cost profile as stats_column.",
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    p = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    scaled = li.select(F.col("l_returnflag"), q.alias("q"), p.alias("p"), d.alias("d"))
+
+    def dsum38(c):
+        return F.sum(c.cast("decimal(38,0)")).cast("double")
+
+    sums = scaled.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        dsum38(F.col("q")).alias("sq"),
+        dsum38(F.col("p")).alias("sp"),
+        dsum38(F.col("d")).alias("sd"),
+        dsum38(F.col("q") * F.col("p")).alias("sqp"),
+        dsum38(F.col("p") * F.col("d")).alias("spd"),
+        dsum38(F.col("q") * F.col("q")).alias("sqq"),
+        dsum38(F.col("p") * F.col("p")).alias("spp"),
+        dsum38(F.col("d") * F.col("d")).alias("sdd"),
+    )
+    n = F.col("n_rows")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = (n * sxy) - (sx * sy)
+        den = F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))
+        return num / den
+
+    return sums.select(
+        "l_returnflag",
+        "n_rows",
+        corr(F.col("sqp"), F.col("sq"), F.col("sp"), F.col("sqq"), F.col("spp")).alias(
+            "corr_qty_price"
+        ),
+        corr(F.col("spd"), F.col("sp"), F.col("sd"), F.col("spp"), F.col("sdd")).alias(
+            "corr_price_disc"
+        ),
+    )

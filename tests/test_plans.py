@@ -134,6 +134,7 @@ BNLJ_ALLOWED = {
     # scan, same shape as similarity_topk) + 1-row aggregate cross joins
     "similarity_ivf_kmeans",
     "dedup_simhash_capped",  # 1-row skipped-mass audit broadcast cross join
+    "search_hybrid_rrf",  # 1-row broadcast probe-embedding cross join
 }
 
 
