@@ -117,3 +117,50 @@ def test_kmeans_centroids_deterministic(spark, skewed_dir):
     c1 = train_centroids_kmeans(v)
     c2 = train_centroids_kmeans(v.repartition(7))
     assert c1 == c2
+
+
+def test_pq_contract_row_on_skewed_corpus(spark, skewed_dir):
+    """similarity_pq's contract must hold on a clustered corpus too: on
+    two tight antipodal clusters the codebooks nail the cluster structure,
+    so recall and reconstruction error are far better than the isotropic
+    testdata the bounds were grounded on."""
+    from dodo_spark.operators.similarity import similarity_pq
+
+    [row] = similarity_pq(spark, skewed_dir).collect()
+    assert row["corpus_encoded"] == 1020
+    assert row["bytes_raw"] == 256 and row["bytes_code"] == 8
+    assert row["codes_ok"] is True
+    assert row["recall_ok"] is True
+    assert row["mse_ok"] is True
+
+
+def test_pq_codebooks_deterministic(spark, skewed_dir):
+    """Same seed + same corpus -> identical codebooks regardless of
+    partitioning (the crc32-ordered bounded sample is partition-stable)."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.functions.vectors import scaled_vec
+    from dodo_spark.operators.similarity import train_pq_codebooks
+
+    emb = load_table(spark, skewed_dir, "embeddings")
+    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+    b1 = train_pq_codebooks(v)
+    b2 = train_pq_codebooks(v.repartition(7))
+    assert b1 == b2
+
+
+def test_pq_encoding_is_scan_side(spark, sf_dir):
+    """PQ encoding must be a scan-side projection: no exchange between the
+    parquet scan and the codes column (the codebooks are literals)."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.functions.vectors import scaled_vec
+    from dodo_spark.operators.similarity import _pq_encode, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+    enc = _pq_encode(v, train_pq_codebooks(v)).select("vec_id", "codes")
+    plan = enc._sc._jvm.PythonSQLUtils.explainString(enc._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan

@@ -135,6 +135,7 @@ BNLJ_ALLOWED = {
     "similarity_ivf_kmeans",
     "dedup_simhash_capped",  # 1-row skipped-mass audit broadcast cross join
     "search_hybrid_rrf",  # 1-row broadcast probe-embedding cross join
+    "similarity_pq",  # bounded broadcast-query ADC scan + contract cross joins
 }
 
 
