@@ -939,3 +939,75 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("err_sum") <= PQ_MSE_FRAC * F.col("energy_sum")).alias("mse_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-outlier detection (mislabeled-example mining)
+# ---------------------------------------------------------------------------
+
+OUTLIER_BOTTOM_K = 3
+_EMB_DIM = 64  # testdata embedding dimensionality (same constant as LSH_DIM)
+
+
+def _outlier_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(round(CAST(SUM(sv[{j + 1}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        for j in range(_EMB_DIM)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, {sql_scaled_vec("embedding")} AS sv FROM embeddings
+    ), cent AS (
+      SELECT label, [{sums}] AS cmean FROM v GROUP BY label
+    ), scored AS (
+      SELECT v.vec_id, v.label,
+             {sql_cosine("v.sv", "cent.cmean")} AS cos_to_centroid
+      FROM v JOIN cent ON cent.label = v.label
+    )
+    SELECT label, vec_id, cos_to_centroid, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY cos_to_centroid, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {OUTLIER_BOTTOM_K}
+    """
+
+
+@register(
+    "embedding_outlier_detect",
+    oracle=_outlier_oracle(),
+    doc="Mislabeled-example mining (training-data quality): each vector is "
+    "scored by cosine to its OWN label's centroid and the bottom-k per "
+    "label surface as candidate label errors — the classic "
+    "confident-learning / datamap pruning signal. Engine-exact: the "
+    f"centroid is {_EMB_DIM} fused integer SUMs per label (one hash-agg "
+    "pass, NO explode — the per-dim element_at sums stay inside one "
+    "codegen stage), rounded to a scaled-long mean (cosine is "
+    "scale-invariant, and the rounded mean keeps every later dot product "
+    "exact and overflow-safe at any group size); scoring is an equi "
+    "broadcast join of the 10-row centroid table back onto the corpus "
+    "scan. Bottom-k per label = WindowGroupLimit heaps. At 100 TB: one "
+    "shuffle of 10 x 64 longs, one corpus scan, zero vector shuffles.",
+)
+def embedding_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", scaled_vec("embedding").alias("sv"))
+    cent = v.groupBy("label").agg(
+        F.array(
+            *[
+                F.round(
+                    F.sum(F.element_at("sv", j + 1)).cast("double") / F.count("*")
+                ).cast("bigint")
+                for j in range(_EMB_DIM)
+            ]
+        ).alias("cmean")
+    )
+    scored = v.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", cosine(F.col("sv"), F.col("cmean")).alias("cos_to_centroid")
+    )
+    w = Window.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= OUTLIER_BOTTOM_K)
+        .select("label", "vec_id", "cos_to_centroid", "rnk")
+    )
