@@ -1592,3 +1592,60 @@ def window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.size(F.collect_set("o_orderstatus").over(w)).alias("distinct_statuses"),
     )
+
+
+PPS_W_TARGET_CENTS = 2_000_000_000  # inclusion prob = price_cents / this
+_PPS_U20 = 1 << 20  # 20-bit uniform from the row digest
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+             CAST(concat('0x', substring(
+               md5(CAST(o_orderkey AS VARCHAR) || ':pps:42'), 1, 5))
+               AS BIGINT) AS u20
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS sampled_rows,
+           CAST(SUM(CAST(w_cents AS DECIMAL(38,0))) AS DOUBLE) / 100
+             AS sampled_value,
+           (CAST(COUNT(*) AS DOUBLE) * {PPS_W_TARGET_CENTS}) / 100
+             AS ht_estimate
+    FROM w
+    WHERE u20 * CAST({PPS_W_TARGET_CENTS} AS BIGINT)
+          < w_cents * CAST({_PPS_U20} AS BIGINT)
+    GROUP BY o_orderpriority
+    """,
+    doc="Weighted (probability-proportional-to-size) sampling, the "
+    "distributed-honest Poisson form: each row is kept iff a seeded "
+    "20-bit row digest falls under weight/W_TARGET — a pure scan-side "
+    "integer comparison (u20 * W < w * 2^20, overflow-safe), NO ordering, "
+    "NO cumulative window, NO shuffle before the final rollup, and "
+    "reproducible under retries/partitioning/engines exactly like "
+    "sample_rows (A24). Sample size is random with mean sum(w)/W — the "
+    "price of scan-side parallelism (fixed-size PPS needs a global "
+    "cumulative order, which does not distribute); the Horvitz-Thompson "
+    "estimate (each sampled row contributes w/p = W_TARGET) is emitted "
+    "per group next to the sampled mass. The weight column is exact "
+    "cents, sums are decimal-accumulated.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w_cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digest = F.md5(F.concat_ws(":", F.col("o_orderkey").cast("string"), F.lit("pps"), F.lit("42")))
+    u20 = F.conv(F.substring(digest, 1, 5), 16, 10).cast("bigint")
+    kept = o.select("o_orderpriority", w_cents.alias("w_cents"), u20.alias("u20")).filter(
+        F.col("u20") * F.lit(PPS_W_TARGET_CENTS).cast("bigint")
+        < F.col("w_cents") * F.lit(_PPS_U20).cast("bigint")
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("sampled_rows"),
+        (F.sum(F.col("w_cents").cast("decimal(38,0)")).cast("double") / 100).alias(
+            "sampled_value"
+        ),
+        ((F.count("*").cast("double") * PPS_W_TARGET_CENTS) / 100).alias("ht_estimate"),
+    )

@@ -437,3 +437,61 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("body", F.lit(PII_EMAIL_RE), 0)).cast("bigint").alias("emails_found"),
         F.size(F.regexp_extract_all("body", F.lit(PII_PHONE_RE), 0)).cast("bigint").alias("phones_found"),
     )
+
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_split",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, text,
+             1 + (greatest(0, len(text) - {CHUNK_CHARS}) + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} AS n_chunks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM sized
+    )
+    SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+           substr(s.text, 1 + c.chunk_id * {CHUNK_STRIDE}, {CHUNK_CHARS})
+             AS chunk_text,
+           CAST(len(substr(s.text, 1 + c.chunk_id * {CHUNK_STRIDE},
+                           {CHUNK_CHARS})) AS BIGINT) AS chunk_chars
+    FROM chunks c JOIN sized s ON s.doc_id = c.doc_id
+    """,
+    doc="RAG-style document chunking: sliding character windows of "
+    f"{CHUNK_CHARS} chars with {CHUNK_CHARS - CHUNK_STRIDE}-char overlap "
+    "(the standard retrieval-corpus preprocessing step before embedding). "
+    "Chunk count is exact integer arithmetic (ceil-div on non-negative "
+    "lengths, engine-identical), chunk ids come from sequence+explode and "
+    "the chunk text from substr — one scan-side Generate, NO shuffle, no "
+    "Python; short docs still yield exactly one chunk. At 100 TB this is "
+    "the map stage feeding the embedding UDF: output rows ~ L/stride per "
+    "doc, partition sizes grow by the same factor, nothing exchanges.",
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    extra = F.greatest(F.lit(0).cast("bigint"), F.length("text") - CHUNK_CHARS)
+    n_chunks = F.lit(1) + (extra + (CHUNK_STRIDE - 1)) / F.lit(CHUNK_STRIDE)
+    sized = docs.select(
+        "doc_id", "text", F.floor(n_chunks).cast("bigint").alias("n_chunks")
+    )
+    chunks = sized.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk_text = F.substring(
+        F.col("text"), F.lit(1) + (F.col("chunk_id") * CHUNK_STRIDE).cast("int"), CHUNK_CHARS
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).cast("bigint").alias("chunk_chars"),
+    )
