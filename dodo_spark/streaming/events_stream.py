@@ -507,3 +507,44 @@ def _register_stateful_key() -> None:
 
 
 _register_stateful_key()
+
+
+def _register_dedup_key() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_dedup_drain",
+        oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props FROM events
+        """,
+        doc="Streaming exact-dedup (D5's stream twin) through the driver "
+        "gate: the source is unioned with itself — every event arrives "
+        "exactly twice, the at-least-once delivery a deployed pipeline "
+        "must survive — and dropDuplicatesWithinWatermark(event_id) "
+        "restores exactly-once while the watermark bounds the dedup "
+        "state by event time (unbounded dropDuplicates is not deployable "
+        "on an infinite stream). Duplicates are bit-identical rows, so "
+        "the kept row is well-defined and the availableNow append drain "
+        "must equal the raw events table row-for-row (the oracle).",
+    )
+    def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        doubled = read_events_stream(spark, sf_dir).union(
+            read_events_stream(spark, sf_dir)
+        )
+        dd = dedup_stream(doubled)
+        with _bounded_state_partitions(spark):
+            q = (
+                dd.writeStream.format("memory")
+                .queryName("vk_stream_dedup")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        return spark.sql(
+            "SELECT event_id, ts, user_id, event_type, value, props "
+            "FROM vk_stream_dedup"
+        )
+
+
+_register_dedup_key()
