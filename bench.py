@@ -72,6 +72,15 @@ HEADLINE = [
     "multimodal_headers",
     # round-4 addition: posting-list MATCH (scan-side term filter)
     "text_match_tokens",
+    # round-4 continuation: retrieval, PQ, warehouse and journey shapes
+    "search_hybrid_rrf",
+    "similarity_pq",
+    "events_top_paths",
+    "text_chunk_split",
+    "scd2_history",
+    "analytics_customer_distribution",
+    "stats_correlation",
+    "embedding_outlier_detect",
 ]
 
 
