@@ -343,3 +343,55 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
     )
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text FROM documents WHERE doc_id % 5 = 0
+    ), per AS (
+      SELECT md5(text) AS h,
+             CAST(COUNT(*) AS BIGINT) AS copies,
+             CAST(MIN(octet_length(encode(text))) AS BIGINT) AS blen
+      FROM corpus GROUP BY 1
+    )
+    SELECT copies,
+           CAST(COUNT(*) AS BIGINT) AS n_digests,
+           CAST(SUM(copies) AS BIGINT) AS n_payloads,
+           CAST(SUM(blen * (copies - 1)) AS BIGINT) AS bytes_dedup_saved
+    FROM per GROUP BY copies ORDER BY copies
+    """,
+    doc="Exact dedup over BINARY media payloads — the first stage of any "
+    "multimodal training-data pipeline (identical files arrive from many "
+    "crawls; here every fifth payload is re-ingested once to model that): "
+    "payloads group GLOBALLY on their md5 digest computed scan-side over "
+    "the bytes — only the 16-byte digest plus counters ever shuffle, "
+    "never the payload, the property that makes this the 100 TB shape — "
+    "then roll up to the duplicate-multiplicity histogram (copies -> "
+    "digest count, payload mass, bytes reclaimed). dedup_exact's idiom "
+    "lifted onto binary columns.",
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_from_documents(spark, sf_dir).select("media_id", "content")
+    reingested = m.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"), "content"
+    )
+    corpus = m.unionByName(reingested)
+    per = corpus.groupBy(F.md5("content").alias("h")).agg(
+        F.count("*").alias("copies"),
+        F.min(F.octet_length("content")).cast("bigint").alias("blen"),
+    )
+    return (
+        per.groupBy("copies")
+        .agg(
+            F.count("*").alias("n_digests"),
+            F.sum("copies").cast("bigint").alias("n_payloads"),
+            F.sum(F.col("blen") * (F.col("copies") - 1))
+            .cast("bigint")
+            .alias("bytes_dedup_saved"),
+        )
+        .orderBy("copies")
+    )

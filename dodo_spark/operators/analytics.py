@@ -576,3 +576,50 @@ def analytics_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@register(
+    "analytics_supplier_parts",
+    oracle="""
+    WITH excluded AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'SMALL%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape (supplier relationship counting): distinct "
+    "suppliers per surviving (brand, type) after a NOT-IN anti-subquery "
+    "over a complaint list (here: negative-balance suppliers; no partsupp "
+    "table in the corpus, lineitem provides the part-supplier pairs). "
+    "Plan: part predicates broadcast-prune the fact scan, the NOT IN "
+    "becomes a broadcast left-anti join (the excluded list is tiny and "
+    "null-free by construction), then COUNT(DISTINCT) expands to the "
+    "standard two-phase distinct aggregate on (brand, type, suppkey). At "
+    "100 TB the only full shuffle is that distinct expansion, on keys "
+    "that shrink with every phase.",
+)
+def analytics_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    kept = li.join(
+        F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )

@@ -402,3 +402,114 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("aws").isNull().alias("filled"),
         )
     )
+
+
+MAD_K = 3  # anomaly threshold: |x - median| > MAD_K * MAD
+
+
+@register(
+    "events_robust_anomaly",
+    oracle=f"""
+    WITH bins AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cumc
+      FROM bins
+    ), med AS (
+      SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_rows,
+             MIN(CASE WHEN cumc >= (n + 1) // 2 THEN bin END) AS median_cents
+      FROM cum GROUP BY event_type
+    ), devs AS (
+      SELECT b.event_type, abs(b.bin - m.median_cents) AS dev, b.cnt, m.n_rows
+      FROM bins b JOIN med m ON m.event_type = b.event_type
+    ), dcum AS (
+      SELECT event_type, dev, cnt, n_rows,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cumd
+      FROM (SELECT event_type, dev, CAST(SUM(cnt) AS BIGINT) AS cnt,
+                   MIN(n_rows) AS n_rows
+            FROM devs GROUP BY event_type, dev)
+    ), mad AS (
+      SELECT event_type,
+             MIN(CASE WHEN cumd >= (n_rows + 1) // 2 THEN dev END) AS mad_cents
+      FROM dcum GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_rows, m.median_cents, x.mad_cents,
+           CAST(COALESCE(SUM(CASE WHEN d.dev > {MAD_K} * x.mad_cents
+                                  THEN d.cnt END), 0) AS BIGINT) AS n_anomalies
+    FROM med m
+    JOIN mad x ON x.event_type = m.event_type
+    LEFT JOIN devs d ON d.event_type = m.event_type
+    GROUP BY m.event_type, m.n_rows, m.median_cents, x.mad_cents
+    """,
+    doc="Robust anomaly detection (median + MAD outlier flags) in its "
+    "scale-honest GRID form: values quantize to exact integer cents, raw "
+    "events shuffle ONCE onto (type, bin) counts, and every order "
+    "statistic — the median and the median absolute deviation — is then "
+    "read off cumulative sums over the BIN table, whose size is bounded "
+    "by the value grid (<=49k bins here), not by the data. The usual "
+    "sort-based median funnels each type's raw rows into one sorted "
+    "partition (billions per type at 100 TB); this plan's windows only "
+    "ever see bin rows. Anomaly count = mass at deviation > "
+    f"{MAD_K}*MAD, read from the same bin table. All arithmetic is exact "
+    "integers — medians are grid order statistics, engine-identical.",
+)
+def events_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bins = (
+        ev.select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wt = Window.partitionBy("event_type")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.withColumn("n", F.sum("cnt").over(wt)).withColumn(
+        "cumc", F.sum("cnt").over(wb)
+    )
+    half = F.floor((F.col("n") + 1) / 2)
+    med = (
+        cum.groupBy("event_type")
+        .agg(
+            F.min("n").cast("bigint").alias("n_rows"),
+            F.min(F.when(F.col("cumc") >= half, F.col("bin"))).alias("median_cents"),
+        )
+    )
+    devs = bins.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("bin") - F.col("median_cents")).alias("dev"),
+        "cnt",
+        "n_rows",
+    )
+    dgrp = devs.groupBy("event_type", "dev").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"), F.min("n_rows").alias("n_rows")
+    )
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dgrp.withColumn("cumd", F.sum("cnt").over(wd))
+    half_d = F.floor((F.col("n_rows") + 1) / 2)
+    mad = dcum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cumd") >= half_d, F.col("dev"))).alias("mad_cents")
+    )
+    return (
+        med.join(F.broadcast(mad), "event_type")
+        .join(devs.select("event_type", "dev", "cnt"), "event_type", "left")
+        .groupBy("event_type", "n_rows", "median_cents", "mad_cents")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dev") > MAD_K * F.col("mad_cents"), F.col("cnt"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_anomalies")
+        )
+    )
