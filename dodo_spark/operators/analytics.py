@@ -623,3 +623,141 @@ def analytics_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
     )
+
+
+# RFM segment thresholds (business constants, scan-side — a global ntile
+# would funnel every customer into one ranking partition; fixed grid
+# thresholds are the shape that distributes)
+RFM_RECENT_DAYS = 365
+RFM_FREQ_HI = 12
+RFM_MONEY_HI_CENTS = 150_000_000  # $1.5M lifetime
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), TIMESTAMP '1998-08-02') AS rec_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS money_cents
+      FROM orders GROUP BY o_custkey
+    ), seg AS (
+      SELECT o_custkey,
+             CASE WHEN rec_days <= {RFM_RECENT_DAYS}
+                       AND freq >= {RFM_FREQ_HI}
+                       AND money_cents >= {RFM_MONEY_HI_CENTS} THEN 'champion'
+                  WHEN rec_days <= {RFM_RECENT_DAYS} AND freq >= {RFM_FREQ_HI}
+                    THEN 'loyal'
+                  WHEN rec_days <= {RFM_RECENT_DAYS} THEN 'recent'
+                  WHEN money_cents >= {RFM_MONEY_HI_CENTS} THEN 'at_risk_big'
+                  ELSE 'hibernating' END AS segment,
+             freq, money_cents
+      FROM rfm
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS customers,
+           CAST(SUM(freq) AS BIGINT) AS orders_total,
+           CAST(SUM(money_cents) AS BIGINT) AS money_cents_total
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+    doc="RFM (recency / frequency / monetary) customer segmentation, the "
+    "standard CRM mart build: one groupBy(custkey) pass computes the "
+    "three signals (recency vs a fixed as-of date, exact cents for "
+    "monetary), then FIXED business thresholds map customers to segments "
+    "scan-side and a tiny final rollup counts them. Deliberately NOT "
+    "quantile-based: a global ntile funnels every customer into one "
+    "ranking partition, while fixed thresholds (or grid-derived ones, "
+    "events_robust_anomaly's idiom) keep the plan at one data-sized "
+    "shuffle on the natural key.",
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("1998-08-02").cast("timestamp"), F.max("o_orderdate")).alias(
+            "rec_days"
+        ),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("money_cents"),
+    )
+    recent = F.col("rec_days") <= RFM_RECENT_DAYS
+    freq_hi = F.col("freq") >= RFM_FREQ_HI
+    money_hi = F.col("money_cents") >= RFM_MONEY_HI_CENTS
+    seg = rfm.select(
+        F.when(recent & freq_hi & money_hi, "champion")
+        .when(recent & freq_hi, "loyal")
+        .when(recent, "recent")
+        .when(money_hi, "at_risk_big")
+        .otherwise("hibernating")
+        .alias("segment"),
+        "freq",
+        "money_cents",
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count("*").alias("customers"),
+            F.sum("freq").cast("bigint").alias("orders_total"),
+            F.sum("money_cents").cast("bigint").alias("money_cents_total"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "analytics_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, yr, rev_cents,
+           lag(rev_cents) OVER (PARTITION BY nation ORDER BY yr) AS prev_cents,
+           CAST(rev_cents - lag(rev_cents) OVER (PARTITION BY nation ORDER BY yr)
+                AS BIGINT) AS delta_cents
+    FROM yearly ORDER BY nation, yr
+    """,
+    doc="Year-over-year revenue growth per nation — the lag-over-periods "
+    "report every BI layer runs: fact rows aggregate to (nation, year) "
+    "exact-cents revenue FIRST (the only data-sized shuffle, and the dim "
+    "joins broadcast before it), then lag() runs over the tiny "
+    "nation-partitioned year series. Growth is reported as an exact "
+    "integer delta: a ratio would put a division between two engines' "
+    "displays for no analytic gain.",
+)
+def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return yearly.select(
+        "nation",
+        "yr",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        (F.col("rev_cents") - prev).cast("bigint").alias("delta_cents"),
+    ).orderBy("nation", "yr")
