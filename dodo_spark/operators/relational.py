@@ -1649,3 +1649,59 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.count("*").cast("double") * PPS_W_TARGET_CENTS) / 100).alias("ht_estimate"),
     )
+
+
+SKETCH_ACC = 100  # percentile_approx accuracy: rank error <= n / SKETCH_ACC
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_within_bound,
+           TRUE AS p90_within_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="The MERGEABLE-SKETCH percentile path (agg_percentile's 100 TB "
+    "form): percentile_approx keeps a constant-memory quantile summary "
+    "per group that merges associatively across partitions — the exact "
+    "percentile() needs the group's values collected/sorted somewhere. "
+    "Sketch estimates are partition-order dependent, so instead of "
+    "hashing the estimate the key emits the published GUARANTEE as "
+    "in-plan booleans a static oracle expects TRUE (agg_ndv_approx's "
+    "within_bound idiom): the exact RANK of the sketch's p50/p90 answer "
+    "(one integer count-below pass over exact cents) must sit within "
+    "n/accuracy (+1 for ties) of the target rank. A sketch whose error "
+    "exceeds its contract fails the hash.",
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    vals = o.select("o_orderstatus", cents.alias("cents"))
+    approx = vals.groupBy("o_orderstatus").agg(
+        F.percentile_approx("cents", 0.5, SKETCH_ACC).alias("a50"),
+        F.percentile_approx("cents", 0.9, SKETCH_ACC).alias("a90"),
+    )
+    ranked = vals.join(F.broadcast(approx), "o_orderstatus").groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("cents") <= F.col("a50"), 1).otherwise(0)).alias("rank50"),
+        F.sum(F.when(F.col("cents") <= F.col("a90"), 1).otherwise(0)).alias("rank90"),
+        # ties at the answer value can legitimately push the <= rank past
+        # the bound; count them so the check brackets the tie run
+        F.sum(F.when(F.col("cents") == F.col("a50"), 1).otherwise(0)).alias("ties50"),
+        F.sum(F.when(F.col("cents") == F.col("a90"), 1).otherwise(0)).alias("ties90"),
+    )
+    err = F.col("n_rows") / SKETCH_ACC
+
+    def within(rank, ties, q):
+        target = q * F.col("n_rows")
+        lo = F.col(rank) - F.col(ties)  # rank of the first tied value - 1
+        return (lo - err <= target) & (target <= F.col(rank) + err)
+
+    return ranked.select(
+        "o_orderstatus",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        within("rank50", "ties50", 0.5).alias("p50_within_bound"),
+        within("rank90", "ties90", 0.9).alias("p90_within_bound"),
+    )

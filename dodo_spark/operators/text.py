@@ -495,3 +495,60 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_text.alias("chunk_text"),
         F.length(chunk_text).cast("bigint").alias("chunk_chars"),
     )
+
+
+LONG_WORD_CHARS = 7
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS BIGINT)
+               AS sentences,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> length(x) >= {LONG_WORD_CHARS})) AS BIGINT)
+               AS long_words
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(words) AS BIGINT) AS words_total,
+           CAST(SUM(sentences) AS BIGINT) AS sentences_total,
+           CAST(SUM(long_words) AS BIGINT) AS long_words_total,
+           CAST(SUM(words) AS DOUBLE) / SUM(sentences) AS words_per_sentence,
+           CAST(SUM(long_words) AS DOUBLE) / SUM(words) AS long_word_ratio
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Readability metrics per language (the complexity signal next to "
+    "text_quality in corpus curation — a syllable-free LIX/Flesch "
+    "surrogate): words per sentence and long-word ratio from exact "
+    "integer token/sentence/long-word counts (sentence count floors at 1 "
+    "so fragment docs divide cleanly); the two ratios are single double "
+    "divisions of identical exact integers. Pure scan-side regex + "
+    "filter, one tiny shuffle on lang.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+", -1), lambda x: x != "")
+    words = F.size(toks).cast("bigint")
+    sentences = F.greatest(
+        F.lit(1).cast("bigint"), F.size(F.regexp_extract_all("text", F.lit("[.!?]"), 0)).cast("bigint")
+    )
+    long_words = F.size(
+        F.filter(toks, lambda x: F.length(x) >= LONG_WORD_CHARS)
+    ).cast("bigint")
+    per_doc = docs.select(
+        "lang", words.alias("words"), sentences.alias("sentences"), long_words.alias("long_words")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("words").cast("bigint").alias("words_total"),
+        F.sum("sentences").cast("bigint").alias("sentences_total"),
+        F.sum("long_words").cast("bigint").alias("long_words_total"),
+        (F.sum("words").cast("double") / F.sum("sentences")).alias("words_per_sentence"),
+        (F.sum("long_words").cast("double") / F.sum("words")).alias("long_word_ratio"),
+    )
