@@ -552,3 +552,91 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("words").cast("double") / F.sum("sentences")).alias("words_per_sentence"),
         (F.sum("long_words").cast("double") / F.sum("words")).alias("long_word_ratio"),
     )
+
+
+COOC_MIN_DF = 20  # vocabulary bound: tokens must appear in >= this many docs
+COOC_MIN_LEN = 4  # and be at least this long (drops particles/stopwords)
+COOC_MIN_PAIR = 5  # pair support floor
+COOC_TOP_K = 20
+
+
+@register(
+    "text_cooccur",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               x -> length(x) >= {COOC_MIN_LEN}))) AS t
+      FROM documents
+    ), df AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM toks
+      GROUP BY t HAVING COUNT(*) >= {COOC_MIN_DF}
+    ), posts AS (
+      SELECT toks.doc_id, toks.t, df.df FROM toks JOIN df ON df.t = toks.t
+    ), pairs AS (
+      SELECT a.t AS t1, b.t AS t2,
+             CAST(COUNT(*) AS BIGINT) AS n_ab,
+             MIN(a.df) AS n_a, MIN(b.df) AS n_b
+      FROM posts a JOIN posts b ON b.doc_id = a.doc_id AND a.t < b.t
+      GROUP BY a.t, b.t HAVING COUNT(*) >= {COOC_MIN_PAIR}
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT t1, t2, n_ab,
+           (CAST(n_ab AS DOUBLE) * (SELECT n FROM nd))
+             / (CAST(n_a AS DOUBLE) * n_b) AS lift
+    FROM pairs
+    ORDER BY lift DESC, t1, t2 LIMIT {COOC_TOP_K}
+    """,
+    doc="Collocation mining (co-occurrence lift, the integer core of "
+    "PMI-based phrase detection): per-doc DISTINCT tokens filter against "
+    "an IN-PLAN vocabulary (df >= threshold, no driver literals — the "
+    "oracle derives the same vocabulary), surviving postings self-join "
+    "per doc into ordered pairs, and lift = P(ab)/(P(a)P(b)) is a single "
+    "double division of exact integer counts (log-free, so "
+    "engine-identical; ranking by lift == ranking by PMI since log is "
+    "monotone). Scale shape: the pair join is bucketed by doc_id and "
+    "bounded by the VOCABULARY selectivity per doc, not raw token count "
+    "— the df filter is what keeps v_doc^2 small, exactly how production "
+    "collocation miners bound their pair space. Top-k is "
+    "TakeOrderedAndProject.",
+)
+def text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+", -1),
+                    lambda x: F.length(x) >= COOC_MIN_LEN,
+                )
+            )
+        ).alias("t"),
+    )
+    df = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= COOC_MIN_DF)
+    )
+    posts = toks.join(F.broadcast(df), "t").select("doc_id", "t", "df")
+    a = posts.alias("a")
+    b = posts.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("t1"), F.col("b.t").alias("t2"))
+        .agg(
+            F.count("*").alias("n_ab"),
+            F.min("a.df").alias("n_a"),
+            F.min("b.df").alias("n_b"),
+        )
+        .filter(F.col("n_ab") >= COOC_MIN_PAIR)
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    lift = (F.col("n_ab").cast("double") * F.col("n")) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select("t1", "t2", "n_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "t1", "t2")
+        .limit(COOC_TOP_K)
+    )

@@ -136,6 +136,7 @@ BNLJ_ALLOWED = {
     "dedup_simhash_capped",  # 1-row skipped-mass audit broadcast cross join
     "search_hybrid_rrf",  # 1-row broadcast probe-embedding cross join
     "similarity_pq",  # bounded broadcast-query ADC scan + contract cross joins
+    "text_cooccur",  # 1-row doc-count broadcast cross join onto the pair list
 }
 
 
