@@ -195,6 +195,13 @@ KEYS = [
     "analytics_market_share",
     "dedup_near",
     "agg_group",
+    # round-4 continuation: the new heavy keys
+    "similarity_pq",
+    "search_hybrid_rrf",
+    "events_top_paths",
+    "events_robust_anomaly",
+    "text_chunk_split",
+    "scd2_history",
 ]
 
 
