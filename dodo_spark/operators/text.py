@@ -640,3 +640,72 @@ def text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "t1", "t2")
         .limit(COOC_TOP_K)
     )
+
+
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # winnowing window (hashes)
+
+
+@register(
+    "text_winnow",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id, lang,
+             list_transform(
+               generate_series(1, greatest(1, len(text) - {WINNOW_K} + 1)),
+               i -> CAST(concat('0x',
+                      substring(md5(substring(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 8))
+                    AS BIGINT)) AS h
+      FROM documents WHERE len(text) >= {WINNOW_K + WINNOW_W - 1}
+    ), fp AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, len(h) - {WINNOW_W} + 1),
+               i -> list_min(h[CAST(i AS INTEGER):CAST(i + {WINNOW_W} - 1 AS INTEGER)])))
+               AS fps
+      FROM hs
+    )
+    SELECT doc_id, lang,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+    FROM fp
+    """,
+    doc="Winnowing document fingerprints (the MOSS local-fingerprinting "
+    f"algorithm, Schleimer et al. SIGMOD'03): {WINNOW_K}-gram hashes, "
+    f"then the minimum of every {WINNOW_W}-hash window is selected — "
+    "guaranteeing any shared substring of length >= k+w-1 contributes a "
+    "shared fingerprint, the property substring-level dedup needs that "
+    "whole-doc minhash (dedup_near) lacks. Entirely scan-side "
+    "higher-order functions (transform over positions, array_min over "
+    "slices, array_distinct) — no shuffle, no Python. Hashes here are "
+    "md5-prefix derived (the repo's deterministic-hash idiom, engine- "
+    "identical); a production kernel swaps in a rolling Rabin hash with "
+    "the identical plan shape. Sub-(k+w-1) docs are excluded scan-side.",
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    # SQL expr form: F.substring takes literal ints, but the k-gram start
+    # is the lambda variable — substring(text, i, k) needs expression SQL
+    hs = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform(sequence(1, greatest(1, length(text) - {WINNOW_K - 1})), "
+            f"i -> cast(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 8), 16, 10) as bigint))"
+        ).alias("h"),
+    )
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(h) - {WINNOW_W - 1}), "
+            f"i -> array_min(slice(h, i, {WINNOW_W})))"
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return hs.select(
+        "doc_id",
+        "lang",
+        F.size(fps).cast("bigint").alias("n_fingerprints"),
+        F.aggregate(fps, zero, lambda acc, x: acc + x).alias("fp_checksum"),
+    )
