@@ -81,6 +81,10 @@ HEADLINE = [
     "analytics_customer_distribution",
     "stats_correlation",
     "embedding_outlier_detect",
+    "events_robust_anomaly",
+    "text_cooccur",
+    "text_winnow",
+    "agg_quantile_sketch",
 ]
 
 

@@ -692,3 +692,95 @@ def connected_components(
             "raise max_iters (graph diameter exceeds 2^iters after doubling)"
         )
     return labels
+
+
+# --- winnowing near-dup: substring-level candidate pairs ------------------
+
+WINNOW_FP_MAXDF = 10  # drop boilerplate fingerprints shared by > this many docs
+WINNOW_MIN_SHARED = 3  # pair support: shared (rare) fingerprints required
+
+
+def _winnow_fp_cte() -> str:
+    """DuckDB CTE producing (doc_id, f) winnow-fingerprint postings —
+    mirrors operators.text.text_winnow's kernel (k=8, w=4)."""
+    from dodo_spark.operators.text import WINNOW_K, WINNOW_W
+
+    return f"""
+    hs AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(1, len(text) - {WINNOW_K} + 1)),
+               i -> CAST(concat('0x',
+                      substring(md5(substring(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 8))
+                    AS BIGINT)) AS h
+      FROM documents WHERE len(text) >= {WINNOW_K + WINNOW_W - 1}
+    ), fp AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(h) - {WINNOW_W} + 1),
+               i -> list_min(h[CAST(i AS INTEGER):CAST(i + {WINNOW_W} - 1 AS INTEGER)]))))
+               AS f
+      FROM hs
+    )"""
+
+
+@register(
+    "dedup_winnow",
+    oracle=f"""
+    WITH {_winnow_fp_cte()},
+    df AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS df FROM fp GROUP BY f),
+    kept AS (
+      SELECT fp.doc_id, fp.f FROM fp JOIN df ON df.f = fp.f
+      WHERE df.df <= {WINNOW_FP_MAXDF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM kept a JOIN kept b ON b.f = a.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+    doc="SUBSTRING-level near-dup candidates from winnowing fingerprints "
+    "(the MOSS pipeline's second half, on top of text_winnow's kernel): "
+    "docs sharing >= MIN_SHARED rare fingerprints are candidate partial "
+    "copies — catches copied PASSAGES inside otherwise-different docs, "
+    "which whole-doc minhash (dedup_near) structurally cannot. Scale "
+    "shape mirrors dedup_simhash_capped: postings self-join ONLY within "
+    "fingerprint buckets, and an in-plan df filter drops boilerplate "
+    f"fingerprints (df > {WINNOW_FP_MAXDF}) BEFORE the join, bounding "
+    "every bucket — the join is candidate-bucketed, never all-pairs.",
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dodo_spark.operators.text import WINNOW_K, WINNOW_W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    hs = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(1, length(text) - {WINNOW_K - 1})), "
+            f"i -> cast(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 8), 16, 10) as bigint))"
+        ).alias("h"),
+    )
+    fp = hs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(h) - {WINNOW_W - 1}), "
+                    f"i -> array_min(slice(h, i, {WINNOW_W})))"
+                )
+            )
+        ).alias("f"),
+    )
+    df = fp.groupBy("f").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= WINNOW_FP_MAXDF
+    )
+    kept = fp.join(df.select("f"), "f")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(b, (F.col("b.f") == F.col("a.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )
