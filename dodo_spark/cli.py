@@ -342,6 +342,30 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     return 0
 
 
+# -------------------------------------------------------------- search ----
+def cmd_search(args: argparse.Namespace) -> int:
+    """Hybrid retrieval over the documents+embeddings tables: lexical
+    term-frequency top-R fused with embedding-cosine top-R by reciprocal
+    rank fusion (operators/search.py)."""
+    from dodo_spark.operators.search import hybrid_search
+
+    spark = _spark(args.parallel)
+    df = hybrid_search(
+        spark,
+        args.sf_dir,
+        terms=tuple(t.strip().lower() for t in args.terms.split(",") if t.strip()),
+        query_vec_id=args.query_vec_id,
+        list_r=args.list_depth,
+        final_k=args.topk,
+    )
+    for row in df.collect():  # bounded: <= --topk rows by construction
+        print(
+            f"doc_id={row['doc_id']} rrf={row['rrf_score']:.6f} "
+            f"text_rank={row['text_rank']} vec_rank={row['vec_rank']}"
+        )
+    return 0
+
+
 # --------------------------------------------------------------- clean ----
 def cmd_clean(args: argparse.Namespace) -> int:
     """Delete local scratch/output data (reference cmd/clean.go:44-49:
@@ -471,6 +495,14 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--table", default=None, help="source table name (commit)")
     sn.add_argument("--limit", type=int, default=20, help="rows to print (read)")
     sn.set_defaults(fn=cmd_snapshot)
+
+    se = sub.add_parser("search", help="hybrid lexical+vector retrieval (RRF)")
+    se.add_argument("--sf-dir", required=True, help="data dir with documents/embeddings")
+    se.add_argument("--terms", required=True, help="comma-separated query terms")
+    se.add_argument("--query-vec-id", type=int, default=0, help="probe embedding row")
+    se.add_argument("--topk", type=int, default=20, help="fused results returned")
+    se.add_argument("--list-depth", type=int, default=50, help="per-retriever top-R")
+    se.set_defaults(fn=cmd_search)
 
     cl = sub.add_parser("clean", help="delete local scratch/output data")
     cl.add_argument("--yes", action="store_true", help="skip confirmation")

@@ -98,6 +98,20 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in MATCH_TERMS)
     f"shape, each partition <= {LIST_R} rows by construction.",
 )
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hybrid_search(spark, sf_dir)
+
+
+def hybrid_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = MATCH_TERMS,
+    query_vec_id: int = QUERY_VEC_ID,
+    list_r: int = LIST_R,
+    final_k: int = FINAL_K,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Parameterized hybrid retrieval (the CLI `search` verb's engine);
+    the verify key pins the defaults so the oracle stays static."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(
@@ -106,7 +120,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != "")
             ).alias("token"),
         )
-        .filter(F.col("token").isin(*MATCH_TERMS))
+        .filter(F.col("token").isin(*terms))
         .groupBy("doc_id")
         .agg(F.count("*").alias("tf"))
     )
@@ -115,8 +129,8 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-probe serving shape, where each query ranks its own candidates
     text_top = (
         tf.orderBy(F.col("tf").desc(), "doc_id")
-        .limit(LIST_R)
-        .withColumn("query_id", F.lit(QUERY_VEC_ID))
+        .limit(list_r)
+        .withColumn("query_id", F.lit(query_vec_id))
     )
     text_ranked = text_top.select(
         "doc_id",
@@ -128,15 +142,15 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
-    qv = v.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    qv = v.filter(F.col("vec_id") == query_vec_id).select(
         F.col("vec_id").alias("query_id"), F.col("sv").alias("qv")
     )
     scored = (
-        v.filter(F.col("vec_id") != QUERY_VEC_ID)
+        v.filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(qv))
         .select("query_id", "vec_id", cosine(F.col("sv"), F.col("qv")).alias("cos_sim"))
     )
-    vec_top = scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(LIST_R)
+    vec_top = scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(list_r)
     vec_ranked = vec_top.select(
         "vec_id",
         F.row_number()
@@ -152,8 +166,8 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_rank",
         "vec_rank",
         (
-            F.coalesce(F.lit(1.0) / (RRF_K + F.col("text_rank")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("vec_rank")), F.lit(0.0))
+            F.coalesce(F.lit(1.0) / (rrf_k + F.col("text_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (rrf_k + F.col("vec_rank")), F.lit(0.0))
         ).alias("rrf_score"),
     )
-    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(FINAL_K)
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(final_k)

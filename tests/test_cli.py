@@ -324,3 +324,19 @@ def test_cli_snapshot_commit_list_read(spark, sf_dir, tmp_path, capsys):
     assert main(["snapshot", "read", "--path", table, "--version", "0",
                  "--limit", "3"]) == 0
     assert "n_nationkey" in capsys.readouterr().out
+
+
+def test_cli_search_hybrid(spark, sf_dir, capsys):
+    """The search verb prints <= topk fused results and honors custom
+    terms/probe; the fused scores must be descending."""
+    from dodo_spark.cli import main as cli_main
+
+    rc = cli_main(
+        ["search", "--sf-dir", sf_dir, "--terms", "data,model",
+         "--query-vec-id", "1", "--topk", "5", "--list-depth", "10"]
+    )
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("doc_id=")]
+    assert 0 < len(out) <= 5
+    scores = [float(l.split("rrf=")[1].split()[0]) for l in out]
+    assert scores == sorted(scores, reverse=True)
