@@ -176,3 +176,88 @@ def _register_time_travel() -> None:
 
 
 _register_time_travel()
+
+
+def _register_time_travel_diff() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel_diff",
+        oracle="""
+        WITH diff AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey >= 1000 THEN 'insert'
+                      WHEN o_orderkey < 500 THEN 'update'
+                      ELSE 'unchanged' END AS change_type,
+                 CASE WHEN o_orderkey >= 1000 OR o_orderkey < 500
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END AS delta_cents
+          FROM orders WHERE o_orderkey < 1200
+        )
+        SELECT change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(delta_cents) AS BIGINT) AS delta_cents
+        FROM diff GROUP BY change_type ORDER BY change_type
+        """,
+        doc="Change-data-capture between table versions (the Delta CDF / "
+        "Iceberg changelog primitive, built on the same snapshot store as "
+        "A25 time travel): v0 and v1 of time_travel's orders slice are "
+        "committed, read back, and FULL-OUTER joined on the table key — "
+        "rows only in v1 are inserts, rows whose value changed are "
+        "updates (exact cents delta), equal rows are unchanged; deletes "
+        "would surface as v0-only rows. The oracle recomputes every class "
+        "from the base table, so a snapshot bleeding between versions or "
+        "a wrong join side flips a class and hash-mismatches. Keyed CDC "
+        "is one SMJ on the table key — the incremental-view maintenance "
+        "shape at any scale.",
+    )
+    def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        o = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        v0 = o.filter(k < 1000).select("o_orderkey", "o_custkey", "o_totalprice")
+        updated = v0.withColumn(
+            "o_totalprice",
+            F.when(k < 500, F.col("o_totalprice") * 2).otherwise(F.col("o_totalprice")),
+        )
+        appended = o.filter((k >= 1000) & (k < 1200)).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        v1 = updated.unionByName(appended)
+
+        table = scratch_dir("time_travel_diff")
+        write_version(v0, table, 0)
+        write_version(v1, table, 1)
+
+        a = read_version(spark, table, 0).select(
+            F.col("o_orderkey").alias("k0"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c0"),
+        )
+        b = read_version(spark, table, 1).select(
+            F.col("o_orderkey").alias("k1"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c1"),
+        )
+        joined = a.join(b, a.k0 == b.k1, "full_outer")
+        change = (
+            F.when(F.col("k0").isNull(), "insert")
+            .when(F.col("k1").isNull(), "delete")
+            .when(F.col("c0") != F.col("c1"), "update")
+            .otherwise("unchanged")
+        )
+        delta = F.coalesce(F.col("c1"), F.lit(0)) - F.coalesce(F.col("c0"), F.lit(0))
+        return (
+            joined.select(change.alias("change_type"), delta.alias("delta_cents"))
+            .groupBy("change_type")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("delta_cents").cast("bigint").alias("delta_cents"),
+            )
+            .orderBy("change_type")
+        )
+
+
+_register_time_travel_diff()
