@@ -85,6 +85,10 @@ HEADLINE = [
     "text_cooccur",
     "text_winnow",
     "agg_quantile_sketch",
+    "dedup_winnow",
+    "time_travel_diff",
+    "multimodal_dedup",
+    "sample_weighted",
 ]
 
 

@@ -771,7 +771,9 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("f"),
-    )
+        # postings feed both the df filter and the pair join; checkpoint so
+        # the per-doc k-gram hashing runs once, not once per consumer
+    ).localCheckpoint(eager=False)
     df = fp.groupBy("f").agg(F.count("*").alias("df")).filter(
         F.col("df") <= WINNOW_FP_MAXDF
     )

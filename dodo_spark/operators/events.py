@@ -463,6 +463,11 @@ def events_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count("*").alias("cnt"))
+        # the bin table feeds THREE consumers (median cumsum, deviation
+        # build, anomaly rollup); without truncation Catalyst re-derives it
+        # from the raw scan each time (5 fact scans observed). Checkpoint
+        # the bounded table so the raw data is scanned and shuffled ONCE.
+        .localCheckpoint(eager=False)
     )
     wt = Window.partitionBy("event_type")
     wb = (

@@ -611,7 +611,9 @@ def text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("t"),
-    )
+        # postings feed both the df table and the pair join; checkpoint so
+        # the tokenize+explode scan runs once, not once per consumer
+    ).localCheckpoint(eager=False)
     df = (
         toks.groupBy("t")
         .agg(F.count("*").alias("df"))

@@ -548,3 +548,120 @@ def _register_dedup_key() -> None:
 
 
 _register_dedup_key()
+
+
+def _register_left_outer_key() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_left_outer_drain",
+        oracle="""
+        WITH clicks AS (
+          SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+          -- the stream's final global watermark: min of both sides' event-
+          -- time maxima minus the 30-minute delay
+          SELECT least((SELECT max(click_ts) FROM clicks),
+                       (SELECT max(purchase_ts) FROM purchases))
+                 - INTERVAL '30 minutes' AS w
+        ), matched AS (
+          SELECT c.user_id, c.click_id, p.purchase_id
+          FROM clicks c JOIN purchases p
+            ON p.user_id = c.user_id
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+        ), unmatched_closed AS (
+          -- a miss is only decidable once the watermark passes the end of
+          -- the click's match window; still-open windows stay in state
+          SELECT c.user_id, c.click_id, NULL AS purchase_id
+          FROM clicks c, wm
+          WHERE c.click_ts + INTERVAL '30 minutes' <= wm.w
+            AND NOT EXISTS (
+              SELECT 1 FROM purchases p
+              WHERE p.user_id = c.user_id
+                AND p.purchase_ts >= c.click_ts
+                AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes')
+        ), j AS (
+          SELECT * FROM matched UNION ALL SELECT * FROM unmatched_closed
+        )
+        SELECT user_id,
+               CAST(COUNT(DISTINCT click_id) AS BIGINT) AS clicks_total,
+               CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                                        THEN click_id END) AS BIGINT)
+                 AS converted_clicks,
+               CAST(COUNT(DISTINCT click_id)
+                    - COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                                          THEN click_id END) AS BIGINT)
+                 AS unconverted_clicks
+        FROM j GROUP BY user_id
+        """,
+        doc="Stream-stream LEFT OUTER interval join — the semantically "
+        "hardest streaming drain here: matched (click, purchase) pairs "
+        "emit as they join, but an UNMATCHED click may only emit its "
+        "null-extended row once the watermark proves no purchase can "
+        "still arrive inside its 30-minute window (state-store eviction "
+        "drives the outer semantics; an inner join never has to decide "
+        "'no match ever'). The oracle models the REAL emission contract: "
+        "matched pairs always emit, but a miss only emits once the final "
+        "watermark (min of both sides' event-time maxima - delay) passes "
+        "the end of the click's match window — clicks whose window is "
+        "still open at end-of-stream remain in state and are absent from "
+        "BOTH sides. The hash proves the drain emits exactly the decidable "
+        "set, no more (no premature nulls) and no less (terminal no-data "
+        "batch flushed every closed window).",
+    )
+    def streaming_left_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "30 minutes")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        with _bounded_state_partitions(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName("vk_stream_left_outer")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        return spark.sql(
+            """
+            SELECT c_user AS user_id,
+                   COUNT(DISTINCT click_id) AS clicks_total,
+                   COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                                       THEN click_id END) AS converted_clicks,
+                   COUNT(DISTINCT click_id)
+                     - COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                                           THEN click_id END) AS unconverted_clicks
+            FROM vk_stream_left_outer GROUP BY c_user
+            """
+        )
+
+
+_register_left_outer_key()
