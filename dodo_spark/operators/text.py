@@ -19,6 +19,10 @@ from dodo_spark.registry import register
 STOPWORDS = ("the", "a", "of", "and", "to")
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
 TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# winnowing kernel (text_winnow + dedup_winnow); defined before any operator
+# so dedup.py can import them even while this module is mid-initialization
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # winnowing window (hashes)
 
 
 def _ws_tokens(col: str = "text") -> Column:
@@ -644,10 +648,6 @@ def text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINNOW_K = 8  # k-gram length (chars)
-WINNOW_W = 4  # winnowing window (hashes)
-
-
 @register(
     "text_winnow",
     oracle=f"""
@@ -710,4 +710,96 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(fps).cast("bigint").alias("n_fingerprints"),
         F.aggregate(fps, zero, lambda acc, x: acc + x).alias("fp_checksum"),
+    )
+
+
+ER_BLOCK_CHARS = 3  # blocking key: name prefix (perturbation never touches it)
+ER_MAX_EDIT = 2  # match threshold
+
+
+@register(
+    "entity_resolution",
+    oracle=f"""
+    WITH registry AS (
+      SELECT DISTINCT p_name AS clean_name FROM part
+    ), dirty AS (
+      -- deterministic corruption: delete one mid-string character (never
+      -- inside the blocking prefix), keyed by the part key
+      SELECT p_partkey, p_name AS orig_name,
+             substring(p_name, 1,
+                       CAST(4 + p_partkey % (strlen(p_name) - 4) AS INTEGER) - 1)
+             || substring(p_name,
+                          CAST(4 + p_partkey % (strlen(p_name) - 4) AS INTEGER) + 1)
+               AS dirty_name
+      FROM part
+    ), cand AS (
+      SELECT d.p_partkey, d.orig_name, d.dirty_name, r.clean_name,
+             levenshtein(d.dirty_name, r.clean_name) AS lev
+      FROM dirty d JOIN registry r
+        ON substring(r.clean_name, 1, {ER_BLOCK_CHARS})
+           = substring(d.dirty_name, 1, {ER_BLOCK_CHARS})
+      WHERE levenshtein(d.dirty_name, r.clean_name) <= {ER_MAX_EDIT}
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                   ORDER BY lev, clean_name) AS rn
+      FROM cand
+    )
+    SELECT substring(d.dirty_name, 1, {ER_BLOCK_CHARS}) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_dirty,
+           CAST(COUNT(b.p_partkey) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN b.clean_name = d.orig_name THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.p_partkey = d.p_partkey
+    GROUP BY block ORDER BY block
+    """,
+    doc="Entity resolution / record linkage (the dedup family's fuzzy "
+    "cousin — matching dirty strings back to a clean registry): dirty "
+    "records are the part names with one deterministically-deleted "
+    "mid-string character; candidates come from a BLOCKED join (prefix "
+    "block key — the standard way record linkage avoids the n x m cross "
+    "product; the broadcastable registry makes the block join a map-side "
+    "lookup), scored by built-in levenshtein (JVM-side in Spark, native "
+    "in DuckDB — identical edit-distance definition), best match per "
+    "record by (distance, name) tiebreak, and the rollup reports match "
+    "and accuracy counts per block. At 100 TB the registry side is the "
+    "broadcast dimension and dirty records never shuffle.",
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part")
+    registry = part.select(F.col("p_name").alias("clean_name")).distinct()
+    dirty = part.select(
+        "p_partkey",
+        F.col("p_name").alias("orig_name"),
+        F.concat(
+            F.expr(f"substring(p_name, 1, (4 + p_partkey % (length(p_name) - 4)) - 1)"),
+            F.expr(f"substring(p_name, (4 + p_partkey % (length(p_name) - 4)) + 1)"),
+        ).alias("dirty_name"),
+    )
+    cand = (
+        dirty.join(
+            F.broadcast(registry),
+            F.substring("clean_name", 1, ER_BLOCK_CHARS)
+            == F.substring("dirty_name", 1, ER_BLOCK_CHARS),
+        )
+        .withColumn("lev", F.levenshtein("dirty_name", "clean_name"))
+        .filter(F.col("lev") <= ER_MAX_EDIT)
+    )
+    w = Window.partitionBy("p_partkey").orderBy("lev", "clean_name")
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    joined = dirty.join(
+        best.select("p_partkey", "clean_name"), "p_partkey", "left"
+    )
+    return (
+        joined.groupBy(F.substring("dirty_name", 1, ER_BLOCK_CHARS).alias("block"))
+        .agg(
+            F.count("*").alias("n_dirty"),
+            F.count("clean_name").alias("n_matched"),
+            F.sum(F.when(F.col("clean_name") == F.col("orig_name"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("block")
     )
