@@ -270,3 +270,91 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_price_disc"
         ),
     )
+
+
+EQD_BUCKETS = 10
+EQD_COARSE = 1000  # dollars per coarse block of the two-phase prefix sum
+
+
+@register(
+    "stats_equidepth",
+    oracle=f"""
+    WITH bins AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT d, cnt,
+             SUM(cnt) OVER (ORDER BY d) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM bins
+    ), x AS (
+      SELECT d, cum, n,
+             (cum * {EQD_BUCKETS}) // n AS qsat,
+             ((cum - cnt) * {EQD_BUCKETS}) // n AS prevq
+      FROM c
+    )
+    SELECT CAST(unnest(generate_series(CAST(prevq + 1 AS BIGINT),
+                CAST(least(qsat, {EQD_BUCKETS}) AS BIGINT))) AS BIGINT) AS bucket,
+           d AS upper_dollar,
+           CAST(cum AS BIGINT) AS cum_rows
+    FROM x WHERE qsat > prevq
+    """,
+    doc="EQUI-DEPTH histogram boundaries (the optimizer-stats companion of "
+    "the equi-width stats_histogram — Doris's stats subsystem collects "
+    "depth histograms for selectivity estimation): the q-th boundary is "
+    "the smallest value whose cumulative count covers q/N of the rows. "
+    "Built scale-honest: values quantize to an integer dollar GRID (one "
+    "data-sized shuffle onto bin counts), and the cumulative sum is the "
+    "classic DISTRIBUTED TWO-PHASE prefix sum — within-block cumsum "
+    "windows partitioned by a coarse block key, plus per-block offsets "
+    "from a triangular join of the tiny block-total table — so no window "
+    "ever sees more than EQD_COARSE grid rows and nothing funnels into "
+    "one partition. Boundary extraction is pure integer arithmetic "
+    "(cum*K vs q*n, no division), engine-identical.",
+)
+def stats_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    bins = (
+        orders.select(F.floor("o_totalprice").cast("bigint").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("coarse", (F.col("d") / EQD_COARSE).cast("bigint"))
+        # three consumers (within-cumsum, block totals, final join)
+        .localCheckpoint(eager=False)
+    )
+    w_in = (
+        Window.partitionBy("coarse")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bins.withColumn("cum_in", F.sum("cnt").over(w_in))
+    totals = bins.groupBy("coarse").agg(F.sum("cnt").alias("tot"))
+    t1 = totals.alias("t1")
+    t2 = totals.alias("t2")
+    offsets = (
+        t1.join(F.broadcast(t2), F.col("t2.coarse") < F.col("t1.coarse"), "left")
+        .groupBy(F.col("t1.coarse").alias("coarse"))
+        .agg(F.coalesce(F.sum("t2.tot"), F.lit(0)).alias("offset"))
+    )
+    n_rows = bins.agg(F.sum("cnt").alias("n"))
+    c = (
+        within.join(F.broadcast(offsets), "coarse")
+        .withColumn("cum", F.col("offset") + F.col("cum_in"))
+        .crossJoin(F.broadcast(n_rows))
+    )
+    qsat = F.least((F.col("cum") * EQD_BUCKETS) / F.col("n"), F.lit(float(EQD_BUCKETS)))
+    prevq = ((F.col("cum") - F.col("cnt")) * EQD_BUCKETS) / F.col("n")
+    x = c.select(
+        "d",
+        "cum",
+        F.floor(qsat).cast("bigint").alias("qsat"),
+        F.floor(prevq).cast("bigint").alias("prevq"),
+    ).filter(F.col("qsat") > F.col("prevq"))
+    return x.select(
+        F.explode(F.sequence(F.col("prevq") + 1, F.col("qsat"))).alias("bucket"),
+        F.col("d").alias("upper_dollar"),
+        F.col("cum").cast("bigint").alias("cum_rows"),
+    )

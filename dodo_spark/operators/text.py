@@ -803,3 +803,70 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+BOILER_MIN_DOCS = 2  # a chunk shared by >= this many docs is boilerplate
+
+
+@register(
+    "text_boilerplate_chunks",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, text,
+             1 + (greatest(0, len(text) - {CHUNK_CHARS}) + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} AS n_chunks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             md5(substr(text, 1 + CAST(i AS INTEGER) * {CHUNK_STRIDE},
+                        {CHUNK_CHARS})) AS chunk_md5,
+             CAST(len(substr(text, 1 + CAST(i AS INTEGER) * {CHUNK_STRIDE},
+                             {CHUNK_CHARS})) AS BIGINT) AS chunk_chars
+      FROM sized, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    )
+    SELECT chunk_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS occurrences,
+           CAST(MIN(chunk_chars) AS BIGINT) AS chunk_chars
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    """,
+    doc="Boilerplate-chunk detection (the training-data cleanup that "
+    "removes repeated headers/footers/navigation text): the corpus is "
+    "chunked with text_chunk_split's sliding-window formula, chunks "
+    "group on their md5 digest computed scan-side — only 16-byte "
+    "digests and counters shuffle, never chunk text, multimodal_dedup's "
+    "scale idiom — and any chunk appearing in >= "
+    f"{BOILER_MIN_DOCS} distinct documents surfaces with its document "
+    "reach and occurrence mass. Downstream cleanup is a broadcast "
+    "anti-join of this (small) digest set against the chunk stream.",
+)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    extra = F.greatest(F.lit(0).cast("bigint"), F.length("text") - CHUNK_CHARS)
+    n_chunks = F.floor(
+        F.lit(1) + (extra + (CHUNK_STRIDE - 1)) / F.lit(CHUNK_STRIDE)
+    ).cast("bigint")
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("i"),
+    )
+    chunk_text = F.substring(
+        F.col("text"), F.lit(1) + (F.col("i") * CHUNK_STRIDE).cast("int"), CHUNK_CHARS
+    )
+    per = chunks.select(
+        "doc_id",
+        F.md5(chunk_text).alias("chunk_md5"),
+        F.length(chunk_text).cast("bigint").alias("chunk_chars"),
+    )
+    return (
+        per.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("occurrences"),
+            F.min("chunk_chars").alias("chunk_chars"),
+        )
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
