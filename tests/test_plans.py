@@ -137,6 +137,9 @@ BNLJ_ALLOWED = {
     "search_hybrid_rrf",  # 1-row broadcast probe-embedding cross join
     "similarity_pq",  # bounded broadcast-query ADC scan + contract cross joins
     "text_cooccur",  # 1-row doc-count broadcast cross join onto the pair list
+    # grid-bounded triangular join of coarse-block totals (two-phase prefix
+    # sum) + 1-row total-count broadcast
+    "stats_equidepth",
 }
 
 
