@@ -89,6 +89,9 @@ HEADLINE = [
     "time_travel_diff",
     "multimodal_dedup",
     "sample_weighted",
+    "entity_resolution",
+    "stats_equidepth",
+    "text_boilerplate_chunks",
 ]
 
 
