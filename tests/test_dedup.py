@@ -135,3 +135,66 @@ def test_dedup_embedding_brute_force_gate(spark, sf_dir):
 
     with pytest.raises(ValueError, match="similarity_lsh"):
         dedup_embedding(spark, sf_dir, max_rows=3)
+
+
+# --- winnowing guarantee (property-based) ----------------------------------
+
+def _py_winnow_fps(text: str, k: int = 8, w: int = 4) -> set:
+    """Pure-python mirror of the text_winnow/dedup_winnow kernel."""
+    import hashlib
+
+    if len(text) < k + w - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(text) - k + 1)
+    ]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_py_winnow_matches_spark_kernel(spark, tmp_path):
+    """The python mirror must compute the same fingerprint sets as the
+    Spark kernel (checksum + count per doc)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dodo_spark.operators.text import text_winnow
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+            (1, "pack my box with five dozen liquor jugs!!", "en", "s", 42),
+            (2, "short", "en", "s", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    d = str(tmp_path / "wd")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: (r["n_fingerprints"], r["fp_checksum"])
+           for r in text_winnow(spark, d).collect()}
+    for doc_id, text, *_ in rows:
+        fps = _py_winnow_fps(text)
+        if not fps:
+            assert doc_id not in got  # sub-(k+w-1) docs excluded scan-side
+        else:
+            assert got[doc_id] == (len(fps), sum(fps)), doc_id
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_alpha = st.text(alphabet="abcdefg ", min_size=0, max_size=60)
+
+
+@given(prefix_a=_alpha, suffix_a=_alpha, prefix_b=_alpha, suffix_b=_alpha,
+       shared=st.text(alphabet="hijklmnop", min_size=11, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_winnow_guarantee_shared_substring_shares_fingerprint(
+    prefix_a, suffix_a, prefix_b, suffix_b, shared
+):
+    """Schleimer et al.'s winnowing guarantee: any shared substring of
+    length >= k + w - 1 (= 11 here) contributes at least one shared
+    fingerprint — regardless of what surrounds it. (Checked on the pure
+    mirror; the Spark kernel is asserted identical above.)"""
+    a = prefix_a + shared + suffix_a
+    b = prefix_b + shared + suffix_b
+    assert _py_winnow_fps(a) & _py_winnow_fps(b)
