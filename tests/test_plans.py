@@ -140,6 +140,9 @@ BNLJ_ALLOWED = {
     # grid-bounded triangular join of coarse-block totals (two-phase prefix
     # sum) + 1-row total-count broadcast
     "stats_equidepth",
+    # Q11: 1-row global supply-total broadcast cross join (the scalar
+    # subquery bound), same class as analytics_inactive_rich
+    "analytics_important_stock",
 }
 
 
