@@ -92,6 +92,13 @@ HEADLINE = [
     "entity_resolution",
     "stats_equidepth",
     "text_boilerplate_chunks",
+    # round-4: the TPC-H completion set's heavy shapes (Q6 scan probe,
+    # Q9 5-table profit tree, Q20 double-agg nested-IN, Q21 lone-late-
+    # supplier aggregate rewrite)
+    "analytics_forecast_revenue",
+    "analytics_product_profit",
+    "analytics_excess_suppliers",
+    "analytics_waiting_suppliers",
 ]
 
 
