@@ -518,3 +518,46 @@ def events_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies")
         )
     )
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bar_day,
+           ARG_MIN(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           ARG_MAX(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type, bar_day
+    ORDER BY event_type, bar_day
+    """,
+    doc="OHLC bar resampling (the hypertable/financial downsample idiom: "
+    "TimescaleDB time_bucket + first/last, Doris windowFrame MIN_BY/MAX_BY "
+    "DorisParser.g4 aggClause): one bar per (series, day) with open/close "
+    "selected by earliest/latest timestamp via min_by/max_by — exact "
+    "positional selection, no sort of raw rows, no window function. ONE "
+    "shuffle on the (series, day) bar key; partial min_by/max_by combine "
+    "map-side, so at 100 TB each executor emits one candidate row per bar "
+    "regardless of tick volume. Timestamps are unique per bar in this "
+    "corpus (asserted by the oracle equality), making min_by/arg_min "
+    "deterministic in both engines.",
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", ts).alias("bar_day")
+        )
+        .agg(
+            F.min_by("value", ts).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ts).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type", "bar_day")
+    )

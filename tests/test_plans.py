@@ -143,6 +143,9 @@ BNLJ_ALLOWED = {
     # Q11: 1-row global supply-total broadcast cross join (the scalar
     # subquery bound), same class as analytics_inactive_rich
     "analytics_important_stock",
+    # 1-row global token-count broadcast onto the candidate recount (the
+    # n/k heavy-hitter threshold)
+    "agg_heavy_hitters",
 }
 
 

@@ -1,0 +1,54 @@
+"""Misra-Gries heavy-hitter guarantee, exercised where it matters: a vocab
+far larger than MG_K, so the decrement path actually evicts counters. The
+registry key's parity test proves exact end-to-end equality on the real
+corpus; this proves the sketch's candidate-superset property — the thing
+the exactness DEPENDS on — under adversarial skew."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dodo_spark.operators.profiling import MG_K, _mg_partition_candidates
+
+
+def _run_mg(tokens: list[str], n_batches: int = 3) -> set[str]:
+    chunks = np.array_split(np.asarray(tokens, dtype=object), n_batches)
+    out = list(
+        _mg_partition_candidates(
+            iter(pd.DataFrame({"tok": c}) for c in chunks if len(c))
+        )
+    )
+    return set(pd.concat(out)["tok"]) if out else set()
+
+
+def test_mg_captures_all_heavy_hitters_under_zipf_skew():
+    rng = np.random.default_rng(7)
+    # zipf over a 5000-token vocab, 200k draws: a handful of tokens exceed
+    # n/MG_K, thousands of tail tokens force constant evictions
+    draws = rng.zipf(1.3, size=200_000)
+    draws = draws[draws <= 5000]
+    tokens = [f"tok{int(d)}" for d in draws]
+    n = len(tokens)
+    freq = pd.Series(tokens).value_counts()
+    heavy = set(freq[freq > n / MG_K].index)
+    assert heavy, "fixture must contain at least one true heavy hitter"
+    candidates = _run_mg(tokens, n_batches=5)
+    assert len(candidates) <= MG_K
+    assert heavy <= candidates, heavy - candidates
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=2000),
+    st.integers(min_value=1, max_value=4),
+)
+def test_mg_superset_property(vals, n_batches):
+    tokens = [f"t{v}" for v in vals]
+    n = len(tokens)
+    freq = pd.Series(tokens).value_counts()
+    heavy = set(freq[freq > n / MG_K].index)
+    candidates = _run_mg(tokens, n_batches=n_batches)
+    assert heavy <= candidates
