@@ -146,6 +146,9 @@ BNLJ_ALLOWED = {
     # 1-row global token-count broadcast onto the candidate recount (the
     # n/k heavy-hitter threshold)
     "agg_heavy_hitters",
+    # 1-row node-count broadcast into each PageRank iteration (the
+    # teleport term (1-d)/N)
+    "graph_pagerank",
 }
 
 
