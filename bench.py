@@ -99,6 +99,11 @@ HEADLINE = [
     "analytics_product_profit",
     "analytics_excess_suppliers",
     "analytics_waiting_suppliers",
+    # round-4: sketch/graph/profiling additions
+    "graph_pagerank",
+    "agg_heavy_hitters",
+    "events_ohlc",
+    "stats_fd_check",
 ]
 
 

@@ -202,6 +202,13 @@ KEYS = [
     "events_robust_anomaly",
     "text_chunk_split",
     "scd2_history",
+    # round-4 session 2: TPC-H completion heavies + sketch/graph keys
+    "analytics_product_profit",
+    "analytics_waiting_suppliers",
+    "analytics_excess_suppliers",
+    "agg_heavy_hitters",
+    "graph_pagerank",
+    "events_ohlc",
 ]
 
 
