@@ -145,3 +145,124 @@ def stats_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_ in frames[1:]:
         out = out.unionAll(f_)
     return out.orderBy("det", "dep")
+
+
+@register(
+    "agg_rollup_ndv",
+    oracle="""
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(DATE_TRUNC('day', ts)) AS INTEGER) AS g_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY ROLLUP (event_type, DATE_TRUNC('day', ts))
+    ORDER BY g_type, g_day, event_type, day
+    """,
+    doc="Hierarchical distinct-user rollup: exact COUNT(DISTINCT user_id) "
+    "at every level of the (event_type, day) hierarchy in one pass — the "
+    "Doris bitmap_union rollup idiom (BITMAP_UNION_COUNT at each "
+    "materialized-view level) computed via ROLLUP + distinct aggregation. "
+    "Spark plans this as Expand (one replica per grouping set) + "
+    "two-phase distinct aggregate: the distinct key set is partially "
+    "deduplicated map-side BEFORE the shuffle, so at 100 TB the exchange "
+    "carries (level x distinct-user) rows, not raw events — the exact "
+    "analogue of shipping per-segment bitmaps to a merge node.",
+)
+def agg_rollup_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    return (
+        ev.select("event_type", day.alias("day"), "user_id")
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.countDistinct("user_id").alias("ndv_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("g_type", "g_day", "event_type", "day")
+    )
+
+
+@register(
+    "stats_ttest",
+    oracle="""
+    WITH moments AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'N')
+      GROUP BY l_returnflag),
+    stats AS (
+      SELECT l_returnflag, n,
+             (s1 / n) / 100 AS mean,
+             ((s2 - (s1 / n) * s1) / (n - 1)) / 10000 AS var
+      FROM moments)
+    SELECT a.n AS n_r, b.n AS n_n,
+           a.mean AS mean_r, b.mean AS mean_n,
+           a.var AS var_r, b.var AS var_n,
+           (a.mean - b.mean)
+             / SQRT(a.var / a.n + b.var / b.n) AS t_stat
+    FROM (SELECT * FROM stats WHERE l_returnflag = 'R') a,
+         (SELECT * FROM stats WHERE l_returnflag = 'N') b
+    """,
+    doc="Welch two-sample t statistic (returned vs normal lineitems, "
+    "extended price): prices quantize to integer cents, count / sum / "
+    "sum-of-squares accumulate as EXACT integers in DECIMAL(38,0) "
+    "(order-independent; the scale-0 decimal->double cast is a plain "
+    "integer conversion, correctly rounded in both engines — fractional-"
+    "scale decimal casts are NOT, the stats_correlation lesson), and "
+    "every subsequent step — mean, Welch variance, the t statistic — is "
+    "the same fixed double expression tree whose +,-,*,/,sqrt are IEEE "
+    "correctly-rounded, so the final statistic hashes bit-identical with "
+    "NO tolerance. One scan, one 2-group aggregate, two 1-row broadcast "
+    "sides; the inferential-statistics twin of stats_correlation.",
+)
+def stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    moments = li.select(F.col("l_returnflag"), cents.alias("p")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    stats = moments.select(
+        "l_returnflag",
+        "n",
+        ((F.col("s1") / F.col("n")) / 100).alias("mean"),
+        (
+            ((F.col("s2") - (F.col("s1") / F.col("n")) * F.col("s1")) / (F.col("n") - 1))
+            / 10000
+        ).alias("var"),
+    )
+    a = stats.filter(F.col("l_returnflag") == "R").select(
+        F.col("n").alias("n_r"), F.col("mean").alias("mean_r"), F.col("var").alias("var_r")
+    )
+    b = stats.filter(F.col("l_returnflag") == "N").select(
+        F.col("n").alias("n_n"), F.col("mean").alias("mean_n"), F.col("var").alias("var_n")
+    )
+    return a.join(F.broadcast(b)).select(
+        "n_r",
+        "n_n",
+        "mean_r",
+        "mean_n",
+        "var_r",
+        "var_n",
+        (
+            (F.col("mean_r") - F.col("mean_n"))
+            / F.sqrt(F.col("var_r") / F.col("n_r") + F.col("var_n") / F.col("n_n"))
+        ).alias("t_stat"),
+    )

@@ -149,6 +149,8 @@ BNLJ_ALLOWED = {
     # 1-row node-count broadcast into each PageRank iteration (the
     # teleport term (1-d)/N)
     "graph_pagerank",
+    # 1-row x 1-row group-moment broadcast join (the two-sample combine)
+    "stats_ttest",
 }
 
 
