@@ -786,3 +786,109 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
     )
+
+
+# --- leakage-safe corpus split -------------------------------------------
+
+_SPLIT_MIX = 2654435761  # Knuth multiplicative hash constant
+_SPLIT_MOD = 4294967296  # 2^32
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle().replace(chr(10), chr(10) + '  ')}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), lbl(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, LEAST(l.label, e.dst)
+      FROM lbl l JOIN edges e ON e.dst = l.id
+    ), final AS (
+      SELECT id, MIN(label) AS cluster FROM lbl GROUP BY id
+    ), assign AS (
+      SELECT d.doc_id,
+             COALESCE(f.cluster, d.doc_id) AS cluster,
+             CASE WHEN (COALESCE(f.cluster, d.doc_id) * {_SPLIT_MIX})
+                       % {_SPLIT_MOD} % 10 <= 7 THEN 'train'
+                  WHEN (COALESCE(f.cluster, d.doc_id) * {_SPLIT_MIX})
+                       % {_SPLIT_MOD} % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN final f ON f.id = d.doc_id
+    ), leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cross
+      FROM pairs p
+      JOIN assign a ON a.doc_id = p.doc_a
+      JOIN assign b ON b.doc_id = p.doc_b
+      WHERE a.split <> b.split
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.cluster) AS BIGINT) AS n_clusters,
+           (MIN(l.n_cross) = 0) AS no_leakage
+    FROM assign a CROSS JOIN leak l
+    GROUP BY a.split
+    ORDER BY a.split
+    """,
+    doc="Leakage-safe train/val/test split: near-duplicate documents must "
+    "land in the SAME split (else eval leaks training data), so the unit "
+    "of assignment is the near-dup CLUSTER, not the document — connected "
+    "components over the verified MinHash pair graph, cluster id hashed "
+    "with a Knuth multiplicative mix (exact 64-bit integer arithmetic, "
+    "engine-identical) into 80/10/10 buckets, singletons hashing their "
+    "own id. Output: per-split doc/cluster counts + an in-plan no_leakage "
+    "contract (count of cross-split near-dup pairs == 0 — TRUE by "
+    "construction, asserted in both engines). The split-assignment scan "
+    "is one broadcast join of the (small) cluster label map onto the "
+    "corpus; at 100 TB labels stay proportional to CLUSTERED docs only.",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    assign = (
+        docs.join(F.broadcast(labels), docs.doc_id == labels.id, "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster"),
+            (
+                (cluster * F.lit(_SPLIT_MIX)) % F.lit(_SPLIT_MOD) % 10
+            ).alias("bucket"),
+        )
+        .select(
+            "doc_id",
+            "cluster",
+            F.when(F.col("bucket") <= 7, "train")
+            .when(F.col("bucket") == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    leak = (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("split_a") != F.col("split_b")).cast("bigint")), F.lit(0)
+            ).alias("n_cross")
+        )
+    )
+    return (
+        assign.join(F.broadcast(leak))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            (F.min("n_cross") == 0).alias("no_leakage"),
+        )
+        .orderBy("split")
+    )

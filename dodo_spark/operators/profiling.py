@@ -266,3 +266,111 @@ def stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("var_r") / F.col("n_r") + F.col("var_n") / F.col("n_n"))
         ).alias("t_stat"),
     )
+
+
+# Referential-integrity edges of the star schema: child table/column ->
+# parent table/key, in dependency order.
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_edge_sql(child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+    SELECT '{child}.{ckey}' AS fk,
+           '{parent}.{pkey}' AS refs,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           (SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END) = 0) AS intact
+    FROM {child} c LEFT JOIN {parent} p ON p.{pkey} = c.{ckey}"""
+
+
+@register(
+    "stats_fk_orphans",
+    oracle=" UNION ALL ".join(_fk_edge_sql(*e) for e in FK_EDGES)
+    + " ORDER BY fk, refs",
+    doc="Referential-integrity audit over every FK edge of the star "
+    "schema: per edge, child row count, orphan count (child keys with no "
+    "parent), and an intact flag. Each edge is a LEFT join counting "
+    "misses — dimension parents broadcast, and the one fact-fact edge "
+    "(lineitem->orders) is a single shuffle on orderkey that bucketing "
+    "removes. The cross-table completion of stats_fd_check's in-table "
+    "rules; together they are the dbt-style test pack a warehouse runs "
+    "after every load (reference analogue: the FE meta consistency the "
+    "audit-log pipeline assumes, src/save.go).",
+)
+def stats_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for child, ckey, parent, pkey in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(ckey)
+        p = load_table(spark, sf_dir, parent).select(pkey)
+        if parent != "orders":
+            p = F.broadcast(p)
+        joined = c.join(p, p[pkey] == c[ckey], "left")
+        frames.append(
+            joined.agg(
+                F.lit(f"{child}.{ckey}").alias("fk"),
+                F.lit(f"{parent}.{pkey}").alias("refs"),
+                F.count("*").alias("n_child_rows"),
+                F.sum(F.col(pkey).isNull().cast("bigint")).alias("n_orphans"),
+                (F.sum(F.col(pkey).isNull().cast("bigint")) == 0).alias("intact"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionAll(f_)
+    return out.orderBy("fk", "refs")
+
+
+@register(
+    "stats_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS o
+      FROM embeddings GROUP BY label),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM obs)
+    SELECT t.k AS n_classes, t.n AS n_rows,
+           CAST(t.k - 1 AS BIGINT) AS dof,
+           CAST(CAST(SUM((o * t.k - t.n) * (o * t.k - t.n)) AS BIGINT)
+                AS DOUBLE) / (t.n * t.k) AS chi2
+    FROM obs CROSS JOIN tot t
+    GROUP BY t.k, t.n
+    """,
+    doc="Chi-square goodness-of-fit of the embedding label distribution "
+    "against uniform — the class-balance check before training on a "
+    "labeled corpus. Algebraically restated to stay in EXACT integers "
+    "until one final division: sum((o - n/k)^2 / (n/k)) == "
+    "sum((o*k - n)^2) / (n*k), where o, k, n are integers — so the "
+    "accumulated sum is an order-independent bigint and the only double "
+    "op is the last division, bit-identical in both engines with no "
+    "accumulation-order exposure. One scan, one k-row aggregate, one "
+    "1-row broadcast.",
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    obs = emb.groupBy("label").agg(F.count("*").alias("o"))
+    tot = obs.agg(
+        F.sum("o").cast("bigint").alias("n"), F.count("*").cast("bigint").alias("k")
+    )
+    dev = F.col("o") * F.col("k") - F.col("n")
+    return (
+        obs.join(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(F.sum(dev * dev).cast("bigint").alias("ss"))
+        .select(
+            F.col("k").alias("n_classes"),
+            F.col("n").alias("n_rows"),
+            (F.col("k") - 1).cast("bigint").alias("dof"),
+            (F.col("ss").cast("double") / (F.col("n") * F.col("k"))).alias("chi2"),
+        )
+    )

@@ -151,6 +151,10 @@ BNLJ_ALLOWED = {
     "graph_pagerank",
     # 1-row x 1-row group-moment broadcast join (the two-sample combine)
     "stats_ttest",
+    # 1-row cross-split-pair-count broadcast (the no_leakage contract)
+    "split_leakage_safe",
+    # 1-row (n, k) totals broadcast onto the k-row observed counts
+    "stats_chi_square",
 }
 
 
