@@ -665,3 +665,59 @@ def _register_left_outer_key() -> None:
 
 
 _register_left_outer_key()
+
+
+def _register_ohlc_key() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_ohlc_drain",
+        oracle="""
+        SELECT event_type,
+               time_bucket(INTERVAL '1 day', ts) AS bar_day,
+               ARG_MIN(value, ts) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               ARG_MAX(value, ts) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type, bar_day
+        """,
+        doc="Streaming OHLC bars: readStream events -> watermarked 1-day "
+        "tumbling window per series with min_by/max_by positional "
+        "open/close selection -> availableNow drain. min_by/max_by are "
+        "declarative aggregates, so the state store holds ONE candidate "
+        "row per open (bar, series) — not the ticks — and partial values "
+        "merge across micro-batches exactly like the batch two-phase "
+        "plan; the watermark evicts closed bars. The streaming twin of "
+        "events_ohlc; one drain over a static source equals the batch "
+        "bar SQL, the oracle.",
+    )
+    def streaming_ohlc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        ts = F.col("ts").cast("timestamp")
+        agg = (
+            ev.withColumn("ts", ts)
+            .withWatermark("ts", "10 minutes")
+            .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.min_by("value", F.col("ts")).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", F.col("ts")).alias("close"),
+                F.count("*").alias("n_events"),
+            )
+            .select(
+                "event_type",
+                F.col("w.start").alias("bar_day"),
+                "open",
+                "high",
+                "low",
+                "close",
+                "n_events",
+            )
+        )
+        return run_available_now(agg, "vk_stream_ohlc")
+
+
+_register_ohlc_key()
