@@ -88,7 +88,10 @@ def analytics_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(
             li,
             (li.l_orderkey == o.o_orderkey)
-            & (li.l_shipdate > F.date_add(o.o_orderdate, 365)),
+            # full-timestamp interval add — date_add() would truncate
+            # o_orderdate to DATE and misclassify borderline rows when
+            # order timestamps carry a time-of-day component
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 365 DAYS")),
             "left_semi",
         )
         .groupBy("o_orderpriority")
@@ -419,7 +422,9 @@ def analytics_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderdate")
     s = load_table(spark, sf_dir, "supplier")
     joined = li.join(o, o.o_orderkey == li.l_orderkey).withColumn(
-        "is_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365)
+        # full-timestamp interval add (not date_add — see priority_lateness)
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"),
     )
     per_order = joined.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
