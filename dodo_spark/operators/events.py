@@ -525,38 +525,43 @@ def events_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bar_day,
-           ARG_MIN(value, ts) AS open,
+           ARG_MIN(value, printf('%018d-%012d', epoch_us(ts), event_id))
+             AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           ARG_MAX(value, ts) AS close,
+           ARG_MAX(value, printf('%018d-%012d', epoch_us(ts), event_id))
+             AS close,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY event_type, bar_day
     ORDER BY event_type, bar_day
     """,
     doc="OHLC bar resampling (the hypertable/financial downsample idiom: "
-    "TimescaleDB time_bucket + first/last, Doris windowFrame MIN_BY/MAX_BY "
-    "DorisParser.g4 aggClause): one bar per (series, day) with open/close "
-    "selected by earliest/latest timestamp via min_by/max_by — exact "
-    "positional selection, no sort of raw rows, no window function. ONE "
-    "shuffle on the (series, day) bar key; partial min_by/max_by combine "
-    "map-side, so at 100 TB each executor emits one candidate row per bar "
-    "regardless of tick volume. Timestamps are unique per bar in this "
-    "corpus (asserted by the oracle equality), making min_by/arg_min "
-    "deterministic in both engines.",
+    "TimescaleDB time_bucket + first/last, Doris MIN_BY/MAX_BY): one bar "
+    "per (series, day) with open/close selected by earliest/latest event "
+    "via min_by/max_by — exact positional selection, no sort of raw "
+    "rows, no window function. The selection key is the fixed-width "
+    "string (epoch_micros, event_id): zero-padded so lexicographic == "
+    "numeric order, and UNIQUE per event, so ties at equal timestamps "
+    "(second-granularity feeds) break deterministically in BOTH engines "
+    "— a bare ts key is nondeterministic under collisions. ONE shuffle "
+    "on the bar key; partial min_by/max_by combine map-side, so at "
+    "100 TB each executor emits one candidate row per bar regardless of "
+    "tick volume.",
 )
 def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
+    pos = F.format_string("%018d-%012d", F.unix_micros(ts), F.col("event_id"))
     return (
         ev.groupBy(
             "event_type", F.date_trunc("day", ts).alias("bar_day")
         )
         .agg(
-            F.min_by("value", ts).alias("open"),
+            F.min_by("value", pos).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", ts).alias("close"),
+            F.max_by("value", pos).alias("close"),
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type", "bar_day")

@@ -675,36 +675,44 @@ def _register_ohlc_key() -> None:
         oracle="""
         SELECT event_type,
                time_bucket(INTERVAL '1 day', ts) AS bar_day,
-               ARG_MIN(value, ts) AS open,
+               ARG_MIN(value, printf('%018d-%012d', epoch_us(ts), event_id))
+                 AS open,
                MAX(value) AS high,
                MIN(value) AS low,
-               ARG_MAX(value, ts) AS close,
+               ARG_MAX(value, printf('%018d-%012d', epoch_us(ts), event_id))
+                 AS close,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events
         GROUP BY event_type, bar_day
         """,
         doc="Streaming OHLC bars: readStream events -> watermarked 1-day "
         "tumbling window per series with min_by/max_by positional "
-        "open/close selection -> availableNow drain. min_by/max_by are "
-        "declarative aggregates, so the state store holds ONE candidate "
-        "row per open (bar, series) — not the ticks — and partial values "
-        "merge across micro-batches exactly like the batch two-phase "
-        "plan; the watermark evicts closed bars. The streaming twin of "
-        "events_ohlc; one drain over a static source equals the batch "
-        "bar SQL, the oracle.",
+        "open/close selection -> availableNow drain. The selection key is "
+        "the unique fixed-width (epoch_micros, event_id) string, so ties "
+        "at equal timestamps break deterministically (see events_ohlc). "
+        "min_by/max_by are declarative aggregates, so the state store "
+        "holds ONE candidate row per open (bar, series) — not the ticks — "
+        "and partial values merge across micro-batches exactly like the "
+        "batch two-phase plan; the watermark evicts closed bars. The "
+        "streaming twin of events_ohlc; one drain over a static source "
+        "equals the batch bar SQL, the oracle.",
     )
     def streaming_ohlc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = read_events_stream(spark, sf_dir)
         ts = F.col("ts").cast("timestamp")
         agg = (
             ev.withColumn("ts", ts)
+            .withColumn(
+                "pos",
+                F.format_string("%018d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")),
+            )
             .withWatermark("ts", "10 minutes")
             .groupBy("event_type", F.window("ts", "1 day").alias("w"))
             .agg(
-                F.min_by("value", F.col("ts")).alias("open"),
+                F.min_by("value", F.col("pos")).alias("open"),
                 F.max("value").alias("high"),
                 F.min("value").alias("low"),
-                F.max_by("value", F.col("ts")).alias("close"),
+                F.max_by("value", F.col("pos")).alias("close"),
                 F.count("*").alias("n_events"),
             )
             .select(
