@@ -366,6 +366,41 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+# ------------------------------------------------------------- profile ----
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Data-hygiene profile: functional dependencies, FK orphan audit,
+    label balance, vocabulary heavy hitters (operators/profiling.py) —
+    the dbt-style test pack over a warehouse dir, one verb."""
+    from dodo_spark.operators.profiling import (
+        agg_heavy_hitters,
+        stats_chi_square,
+        stats_fd_check,
+        stats_fk_orphans,
+    )
+
+    spark = _spark(args.parallel)
+    checks = {
+        "fd": stats_fd_check,
+        "fk": stats_fk_orphans,
+        "balance": stats_chi_square,
+        "vocab": agg_heavy_hitters,
+    }
+    names = args.checks.split(",") if args.checks else list(checks)
+    rc = 0
+    for name in names:
+        fn = checks.get(name.strip())
+        if fn is None:
+            print(f"unknown check: {name} (choose from {', '.join(checks)})")
+            return 2
+        print(f"== {name} ==")
+        rows = fn(spark, args.sf_dir).collect()  # bounded: profile outputs
+        for row in rows:
+            print("  " + " ".join(f"{k}={row[k]}" for k in row.asDict()))
+        if name == "fk" and any(not r["intact"] for r in rows):
+            rc = 1  # orphaned foreign keys: fail like a test runner would
+    return rc
+
+
 # --------------------------------------------------------------- clean ----
 def cmd_clean(args: argparse.Namespace) -> int:
     """Delete local scratch/output data (reference cmd/clean.go:44-49:
@@ -503,6 +538,11 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--topk", type=int, default=20, help="fused results returned")
     se.add_argument("--list-depth", type=int, default=50, help="per-retriever top-R")
     se.set_defaults(fn=cmd_search)
+
+    pr = sub.add_parser("profile", help="data-hygiene profile (FDs, FK orphans, balance, vocab)")
+    pr.add_argument("--sf-dir", required=True, help="data dir to profile")
+    pr.add_argument("--checks", default=None, help="comma list: fd,fk,balance,vocab (default all)")
+    pr.set_defaults(fn=cmd_profile)
 
     cl = sub.add_parser("clean", help="delete local scratch/output data")
     cl.add_argument("--yes", action="store_true", help="skip confirmation")

@@ -340,3 +340,20 @@ def test_cli_search_hybrid(spark, sf_dir, capsys):
     assert 0 < len(out) <= 5
     scores = [float(l.split("rrf=")[1].split()[0]) for l in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_profile(spark, sf_dir, capsys):
+    """The profile verb runs the hygiene pack: all four sections print,
+    known-true FDs hold, every star-schema FK edge is intact (rc 0), and
+    an unknown check name is rejected."""
+    from dodo_spark.cli import main as cli_main
+
+    rc = cli_main(["profile", "--sf-dir", sf_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for section in ("== fd ==", "== fk ==", "== balance ==", "== vocab =="):
+        assert section in out
+    assert "det=p_partkey dep=p_name" in out and "holds=True" in out
+    assert "intact=False" not in out
+
+    assert cli_main(["profile", "--sf-dir", sf_dir, "--checks", "nope"]) == 2
