@@ -40,19 +40,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (as TIMESTAMP_NTZ). A batch-schema probe picks the right one — a
     hardcoded long schema silently misparses a micros file (timestamps
     collapse ~1000x and every window aggregate is wrong)."""
+    import os
+
+    from dodo_spark.catalog import table_path
+
+    # events.parquet is a single FILE in the driver testdata but a
+    # DIRECTORY of part files in generated corpora. The streaming file
+    # source requires a directory basePath, so: directory layout streams
+    # the table path itself; file layout streams the parent dir with a
+    # pathGlobFilter (which matches files only — useless for the dir
+    # layout, hence the branch). The batch probe reads the exact path.
+    path = table_path(sf_dir, "events")
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
-        probed = (
-            spark.read.option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .schema["ts"].dataType
-        )
-        raw = (
-            spark.readStream.schema(_events_schema(probed))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        probed = spark.read.parquet(path).schema["ts"].dataType
+        if os.path.isdir(path):
+            raw = spark.readStream.schema(_events_schema(probed)).parquet(path)
+        else:
+            raw = (
+                spark.readStream.schema(_events_schema(probed))
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -161,7 +161,7 @@ def genconf(scale: int) -> dict:
                 {"name": "event_type",
                  "gen": {"enum": ["view", "click", "purchase", "signup", "error"],
                          "weights": [0.55, 0.3, 0.08, 0.04, 0.03]}},
-                {"name": "value", "min": 0.0, "max": 100.0},
+                {"name": "value", **{"gen": {"type": "DECIMAL"}, "precision": 4, "scale": 2, "min": 0, "max": 99}},
                 {"name": "props"},
             ]},
             {"name": "documents", "row_count": r["documents"], "columns": [
