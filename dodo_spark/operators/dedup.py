@@ -792,6 +792,14 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLIT_MIX = 2654435761  # Knuth multiplicative hash constant
 _SPLIT_MOD = 4294967296  # 2^32
+# Pre-reduce cluster ids mod 2^31 BEFORE the multiply: (2^31-1) * MIX
+# ~= 5.7e18 < 2^63-1, so the product provably fits int64 in both engines.
+# Without this, cluster ids past ~3.47e9 overflow: Spark (non-ANSI) wraps
+# silently to a negative product (and % preserves sign, routing every
+# overflowed doc to 'train'), while DuckDB raises — engine divergence.
+# The positive-mod guard ((x % m + m) % m) keeps the bucket non-negative
+# even for negative ids, so a sign bug can never classify as 'train'.
+_SPLIT_PRE = 2147483648  # 2^31
 
 
 @register(
@@ -814,9 +822,11 @@ _SPLIT_MOD = 4294967296  # 2^32
     ), assign AS (
       SELECT d.doc_id,
              COALESCE(f.cluster, d.doc_id) AS cluster,
-             CASE WHEN (COALESCE(f.cluster, d.doc_id) * {_SPLIT_MIX})
+             CASE WHEN ((COALESCE(f.cluster, d.doc_id) % {_SPLIT_PRE}
+                         + {_SPLIT_PRE}) % {_SPLIT_PRE} * {_SPLIT_MIX})
                        % {_SPLIT_MOD} % 10 <= 7 THEN 'train'
-                  WHEN (COALESCE(f.cluster, d.doc_id) * {_SPLIT_MIX})
+                  WHEN ((COALESCE(f.cluster, d.doc_id) % {_SPLIT_PRE}
+                         + {_SPLIT_PRE}) % {_SPLIT_PRE} * {_SPLIT_MIX})
                        % {_SPLIT_MOD} % 10 = 8 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents d LEFT JOIN final f ON f.id = d.doc_id
@@ -839,13 +849,16 @@ _SPLIT_MOD = 4294967296  # 2^32
     "land in the SAME split (else eval leaks training data), so the unit "
     "of assignment is the near-dup CLUSTER, not the document — connected "
     "components over the verified MinHash pair graph, cluster id hashed "
-    "with a Knuth multiplicative mix (exact 64-bit integer arithmetic, "
-    "engine-identical) into 80/10/10 buckets, singletons hashing their "
-    "own id. Output: per-split doc/cluster counts + an in-plan no_leakage "
-    "contract (count of cross-split near-dup pairs == 0 — TRUE by "
-    "construction, asserted in both engines). The split-assignment scan "
-    "is one broadcast join of the (small) cluster label map onto the "
-    "corpus; at 100 TB labels stay proportional to CLUSTERED docs only.",
+    "with a Knuth multiplicative mix into 80/10/10 buckets (id "
+    "pre-reduced mod 2^31 so the product provably fits int64 — exact and "
+    "engine-identical at ANY id scale — plus a positive-mod guard so a "
+    "negative bucket can never classify as 'train'), singletons hashing "
+    "their own id. Output: per-split doc/cluster counts + an in-plan "
+    "no_leakage contract (count of cross-split near-dup pairs == 0 — "
+    "TRUE by construction, asserted in both engines). The assignment "
+    "scan broadcasts only the cluster label map (proportional to "
+    "CLUSTERED docs); the leak audit shuffle-joins pair endpoints on "
+    "doc_id rather than broadcasting the full per-doc split map.",
 )
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -858,7 +871,9 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             cluster.alias("cluster"),
             (
-                (cluster * F.lit(_SPLIT_MIX)) % F.lit(_SPLIT_MOD) % 10
+                (F.pmod(cluster, F.lit(_SPLIT_PRE)) * F.lit(_SPLIT_MIX))
+                % F.lit(_SPLIT_MOD)
+                % 10
             ).alias("bucket"),
         )
         .select(
@@ -871,11 +886,14 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # leak audit: shuffle-join the pair endpoints onto the assignment on
+    # doc_id — NOT a broadcast of the full per-doc split map, which at
+    # 100 TB would OOM the driver/executors (pairs, not docs, bound this)
     a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     b = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     leak = (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .agg(
             F.coalesce(
                 F.sum((F.col("split_a") != F.col("split_b")).cast("bigint")), F.lit(0)

@@ -250,13 +250,13 @@ COHORT_MAX_OFFSET = 7
     "(user, day) — the only shuffle of raw-event cardinality — then "
     "min-day and the offset join both reuse the user_id partitioning "
     "(ReusedExchange), and the output is |cohorts| x |offsets| rows. "
-    "DateType never surfaces (date_trunc keeps timestamps) per the "
-    "oracle-comparator convention.",
+    "cohort_day is DateType (to_date) matching DuckDB's "
+    "date_trunc('day', ts) which yields DATE for day-or-coarser units.",
 )
 def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     days = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
     ).distinct()
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     sizes = first.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))

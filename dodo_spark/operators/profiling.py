@@ -341,8 +341,9 @@ def stats_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM obs)
     SELECT t.k AS n_classes, t.n AS n_rows,
            CAST(t.k - 1 AS BIGINT) AS dof,
-           CAST(CAST(SUM((o * t.k - t.n) * (o * t.k - t.n)) AS BIGINT)
-                AS DOUBLE) / (t.n * t.k) AS chi2
+           CAST(SUM(CAST(o * t.k - t.n AS DECIMAL(19,0))
+                    * CAST(o * t.k - t.n AS DECIMAL(19,0))) AS DOUBLE)
+                / (t.n * t.k) AS chi2
     FROM obs CROSS JOIN tot t
     GROUP BY t.k, t.n
     """,
@@ -350,11 +351,12 @@ def stats_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against uniform — the class-balance check before training on a "
     "labeled corpus. Algebraically restated to stay in EXACT integers "
     "until one final division: sum((o - n/k)^2 / (n/k)) == "
-    "sum((o*k - n)^2) / (n*k), where o, k, n are integers — so the "
-    "accumulated sum is an order-independent bigint and the only double "
-    "op is the last division, bit-identical in both engines with no "
-    "accumulation-order exposure. One scan, one k-row aggregate, one "
-    "1-row broadcast.",
+    "sum((o*k - n)^2) / (n*k), where o, k, n are integers. The square is "
+    "taken in DECIMAL(19,0) so the product is an exact DECIMAL(38,0) in "
+    "both engines at ANY corpus size (int64 dev*dev would wrap past "
+    "dev^2 > 2^63); the only double op is the last division, "
+    "bit-identical in both engines with no accumulation-order exposure. "
+    "One scan, one k-row aggregate, one 1-row broadcast.",
 )
 def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -362,11 +364,15 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = obs.agg(
         F.sum("o").cast("bigint").alias("n"), F.count("*").cast("bigint").alias("k")
     )
-    dev = F.col("o") * F.col("k") - F.col("n")
+    # |dev| < n*k <= int64 max (19 digits), so DECIMAL(19,0) holds it and
+    # the square lands in DECIMAL(38,0) — exact in Spark AND DuckDB (a
+    # 38x38 multiply is illegal in DuckDB; int64 dev*dev silently wraps in
+    # Spark once dev^2 > 2^63). Only the final division is a double op.
+    dev = (F.col("o") * F.col("k") - F.col("n")).cast("decimal(19,0)")
     return (
         obs.join(F.broadcast(tot))
         .groupBy("k", "n")
-        .agg(F.sum(dev * dev).cast("bigint").alias("ss"))
+        .agg(F.sum(dev * dev).alias("ss"))
         .select(
             F.col("k").alias("n_classes"),
             F.col("n").alias("n_rows"),

@@ -202,7 +202,8 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY partkey)
     SELECT partkey, value
     FROM supply
-    WHERE value > (SELECT SUM(value) * 0.002 FROM supply)
+    WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                          * 0.002 FROM supply)
     ORDER BY value DESC, partkey
     """,
     doc="TPC-H Q11 shape (important stock identification): per-part supply "
@@ -227,7 +228,14 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(dsum("l_extendedprice", "value", 4))
     )
-    total = supply.agg((F.sum("value") * F.lit(0.002)).alias("bound"))
+    # decimal accumulation => order-independent bound (value has scale 4,
+    # so the cast is lossless); one double cast + multiply afterwards is
+    # bit-identical in both engines
+    total = supply.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double") * F.lit(0.002)
+        ).alias("bound")
+    )
     return (
         supply.join(F.broadcast(total))
         .filter(F.col("value") > F.col("bound"))

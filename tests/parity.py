@@ -54,7 +54,14 @@ def _canon_cell(v) -> str:
     if isinstance(v, (pd.Timestamp, datetime)):
         if pd.isna(v):
             return "∅"
-        return pd.Timestamp(v).isoformat()
+        t = pd.Timestamp(v)
+        # DuckDB DATE columns arrive as datetime64 via .df(); render naive
+        # midnight as the date form (the driver's normalizer does the same)
+        # so they compare equal to a Spark DateType — consistent with the
+        # dtype-level date/datetime _COMPAT rule below
+        if t.tzinfo is None and t == t.normalize():
+            return t.date().isoformat()
+        return t.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (np.bool_, bool)):
