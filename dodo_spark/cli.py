@@ -229,12 +229,16 @@ def cmd_replay(args: argparse.Namespace) -> int:
     )
     os.makedirs(args.output, exist_ok=True)
     out = os.path.join(args.output, "results.jsonl")
-    rows = [r.asDict() for r in results.collect()]
+    # stream the per-statement log off the cluster (same scale guard as
+    # cmd_dump): driver memory stays O(one partition), never O(log)
+    n = errs = 0
     with open(out, "w", encoding="utf-8") as f:
-        for r in rows:
+        for row in results.toLocalIterator(prefetchPartitions=True):
+            r = row.asDict()
             f.write(json.dumps(r, default=str) + "\n")
-    errs = sum(1 for r in rows if r.get("err"))
-    print(f"replayed {len(rows)} statements ({errs} errors) -> {out}")
+            n += 1
+            errs += 1 if r.get("err") else 0
+    print(f"replayed {n} statements ({errs} errors) -> {out}")
     return 0
 
 

@@ -48,6 +48,43 @@ def test_cli_dump_never_collects_the_corpus(spark, tmp_path):
     assert (out / "q0.sql").read_text().startswith("/*dodo{")
 
 
+def test_cli_replay_never_collects_the_result_log(spark, sf_dir, tmp_path):
+    """Scale guard (same as the dump path): the replay CLI must STREAM the
+    per-statement result log to results.jsonl via toLocalIterator, never
+    collect() the full log DataFrame on the driver."""
+    from pyspark.sql import DataFrame
+
+    orig_collect = DataFrame.collect
+
+    def _guarded(self, *a, **k):
+        if {"query_id", "return_rows_hash", "stmt"} <= set(self.columns):
+            raise AssertionError("replay path collected the result log on the driver")
+        return orig_collect(self, *a, **k)
+
+    q = tmp_path / "queries.sql"
+    q.write_text(QUERIES)
+    DataFrame.collect = _guarded
+    try:
+        assert (
+            main(
+                [
+                    "replay",
+                    "--queries",
+                    str(q),
+                    "--sf-dir",
+                    sf_dir,
+                    "--output",
+                    str(tmp_path / "r"),
+                ]
+            )
+            == 0
+        )
+    finally:
+        DataFrame.collect = orig_collect
+    lines = (tmp_path / "r" / "results.jsonl").read_text().splitlines()
+    assert len(lines) == 2
+
+
 def test_cli_replay_diff_roundtrip(spark, sf_dir, tmp_path):
     q = tmp_path / "queries.sql"
     q.write_text(QUERIES)
