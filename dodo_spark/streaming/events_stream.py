@@ -109,11 +109,16 @@ import contextlib
 
 
 # Stateful streaming cost scales with the number of state partitions (one
-# state store + one Arrow/Python round-trip per partition per micro-batch),
-# and the partition count is frozen into the checkpoint at first start. A
-# vanilla session's 200 default partitions cost ~10x wall-clock at test SFs
-# for zero benefit; cap the drains at this unless the session is already
-# tuned lower. (Values don't change — only parallelism does.)
+# state store + one Arrow/Python round-trip per partition per micro-batch —
+# a stream-stream join carries FOUR stores per partition), and the partition
+# count is frozen into the checkpoint at first start. A vanilla session's
+# 200 default partitions cost ~10x wall-clock at test SFs for zero benefit;
+# cap the drains at min(session value, 32, core count) — for a one-shot
+# availableNow drain there is no reason to run more state stores than cores.
+# A long-lived production stream would instead FIX a higher partition count
+# up front (it cannot change after the first checkpoint) sized to peak key
+# cardinality, not to one machine's cores. (Values don't change — only
+# parallelism does.)
 _MAX_STREAM_STATE_PARTITIONS = 32
 
 
@@ -125,7 +130,8 @@ def _bounded_state_partitions(spark: SparkSession):
         cur = int(prev) if prev is not None else 200
     except ValueError:
         cur = 200
-    target = min(cur, _MAX_STREAM_STATE_PARTITIONS)
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    target = min(cur, _MAX_STREAM_STATE_PARTITIONS, cores)
     spark.conf.set(key, str(target))
     try:
         yield
@@ -134,6 +140,42 @@ def _bounded_state_partitions(spark: SparkSession):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@contextlib.contextmanager
+def _set_nodata_finalize(spark: SparkSession, enabled: bool):
+    """Pin spark.sql.streaming.noDataMicroBatches.enabled for one drain,
+    restoring the session value after. See the two named wrappers below for
+    which drains may skip the trailing no-data batch and which REQUIRE it."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(enabled).lower())
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _skip_nodata_finalize(spark: SparkSession):
+    """Disable the trailing no-data micro-batch for drains whose output is
+    emit-on-match (stream-stream INNER join; dropDuplicates append). Those
+    operators never hold output back for the watermark, so the extra batch
+    only evicts state — pure cost in a one-shot availableNow drain (~30-40%
+    of its wall-clock). NEVER use for outer joins or append-mode windowed
+    aggregates: their results are emitted BY the watermark-advancing no-data
+    batch (left-outer null rows vanish without it — covered by a test)."""
+    return _set_nodata_finalize(spark, False)
+
+
+def _require_nodata_finalize(spark: SparkSession):
+    """Force-ENABLE the trailing no-data micro-batch: outer-join null rows
+    (and any watermark-held append output) are emitted by it, so a user
+    session that globally disabled noDataMicroBatches would silently drop
+    them. Correctness pin, not a tuning."""
+    return _set_nodata_finalize(spark, True)
 
 
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
@@ -421,7 +463,9 @@ def _register_interval_join_key() -> None:
             & (F.col("purchase_ts") >= F.col("click_ts"))
             & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
         )
-        with _bounded_state_partitions(spark):
+        with _bounded_state_partitions(spark), _skip_nodata_finalize(spark):
+            # INNER join emits on match — the trailing no-data batch would
+            # only evict state, so skip it (see _skip_nodata_finalize)
             q = (
                 joined.writeStream.format("memory")
                 .queryName("vk_stream_interval")
@@ -651,7 +695,9 @@ def _register_left_outer_key() -> None:
             & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
             "left_outer",
         )
-        with _bounded_state_partitions(spark):
+        with _bounded_state_partitions(spark), _require_nodata_finalize(spark):
+            # outer-null rows are emitted BY the trailing no-data batch —
+            # pin it on even if the session globally disabled it
             q = (
                 joined.writeStream.format("memory")
                 .queryName("vk_stream_left_outer")

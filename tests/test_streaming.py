@@ -321,3 +321,33 @@ def test_exactly_once_parquet_sink(spark, tmp_path):
     assert spark.read.parquet(out).count() == 100
     drain()  # nothing new to process; a replay must not duplicate
     assert spark.read.parquet(out).count() == 100
+
+
+def test_left_outer_drain_pins_nodata_batch_on(spark, sf_dir):
+    """Outer-null rows are emitted by the trailing no-data micro-batch; the
+    drain must force-enable it even when the session globally disabled
+    noDataMicroBatches (otherwise unconverted clicks silently vanish)."""
+    from dodo_spark import registry
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    spark.conf.set(key, "false")
+    try:
+        out = registry.queries()["streaming_left_outer_drain"](spark, sf_dir)
+        rows = out.collect()
+    finally:
+        spark.conf.set(key, "true")
+    assert any(r["unconverted_clicks"] > 0 for r in rows), (
+        "no outer-null (unconverted) clicks emitted — the drain lost the "
+        "watermark-finalizing no-data batch"
+    )
+
+
+def test_interval_join_skip_nodata_restores_session_conf(spark, sf_dir):
+    """The inner-join drain disables the no-data batch for its own run only
+    and must restore the session value afterwards."""
+    from dodo_spark import registry
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    spark.conf.set(key, "true")
+    registry.queries()["streaming_interval_join_drain"](spark, sf_dir).count()
+    assert spark.conf.get(key) == "true"
