@@ -702,18 +702,13 @@ WINNOW_MIN_SHARED = 3  # pair support: shared (rare) fingerprints required
 
 def _winnow_fp_cte() -> str:
     """DuckDB CTE producing (doc_id, f) winnow-fingerprint postings —
-    mirrors operators.text.text_winnow's kernel (k=8, w=4)."""
-    from dodo_spark.operators.text import WINNOW_K, WINNOW_W
+    mirrors operators.text.text_winnow's kernel (k=8, w=4, polynomial
+    Rabin-Karp hash, sql_winnow_hs)."""
+    from dodo_spark.operators.text import WINNOW_W, sql_winnow_hs
 
     return f"""
     hs AS (
-      SELECT doc_id,
-             list_transform(
-               generate_series(1, greatest(1, len(text) - {WINNOW_K} + 1)),
-               i -> CAST(concat('0x',
-                      substring(md5(substring(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 8))
-                    AS BIGINT)) AS h
-      FROM documents WHERE len(text) >= {WINNOW_K + WINNOW_W - 1}
+      {sql_winnow_hs("doc_id")}
     ), fp AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                generate_series(1, len(h) - {WINNOW_W} + 1),
@@ -749,18 +744,20 @@ def _winnow_fp_cte() -> str:
     "every bucket — the join is candidate-bucketed, never all-pairs.",
 )
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dodo_spark.operators.text import WINNOW_K, WINNOW_W
+    from dodo_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        spread_scan,
+        winnow_codes_spark,
+        winnow_hashes_spark,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= WINNOW_K + WINNOW_W - 1
     )
-    hs = docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, greatest(1, length(text) - {WINNOW_K - 1})), "
-            f"i -> cast(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 8), 16, 10) as bigint))"
-        ).alias("h"),
-    )
+    hs = spread_scan(docs).selectExpr(
+        "doc_id", winnow_codes_spark() + " AS codes"
+    ).selectExpr("doc_id", winnow_hashes_spark() + " AS h")
     fp = hs.select(
         "doc_id",
         F.explode(

@@ -23,6 +23,59 @@ TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 # so dedup.py can import them even while this module is mid-initialization
 WINNOW_K = 8  # k-gram length (chars)
 WINNOW_W = 4  # winnowing window (hashes)
+# Polynomial (Rabin-Karp-style) k-gram hash over Unicode code points:
+#   h = fold(codes[i..i+k-1], 0, (a, c) -> (a*B + c) % M)
+# with M = 2^31-1 (Mersenne prime) so every intermediate fits int64
+# exactly ((M-1)*B + max_codepoint < 2^40) — engine-identical integer
+# arithmetic, and ~10x cheaper than the previous md5-per-position kernel
+# (one md5 + hex-substring + base-conv per position vs k fused int ops).
+# Cross-engine parity of ascii()/substring() code points is fuzz-tested
+# (tests/test_parity.py::test_winnow_hash_cross_engine_fuzz).
+WINNOW_B = 257  # polynomial base
+WINNOW_M = 2147483647  # modulus 2^31-1
+
+
+def spread_scan(df) -> "DataFrame":
+    """Round-robin repartition a CPU-heavy scan input up to core count when
+    the source provides fewer splits: a single-file, single-row-group local
+    input gives the whole corpus to ONE task, serializing per-doc kernels
+    (winnowing measured 5.7s serial vs ~1s spread at sf0.1). No-op when the
+    source already has >= cores partitions — at warehouse scale file splits
+    provide the parallelism and no shuffle is added."""
+    spark = df.sparkSession
+    p = max(1, spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
+def winnow_codes_spark() -> str:
+    """Spark SQL expr: per-character Unicode code points of `text`."""
+    return "transform(sequence(1, length(text)), p -> ascii(substring(text, p, 1)))"
+
+
+def winnow_hashes_spark() -> str:
+    """Spark SQL expr: per-position k-gram polynomial hashes from `codes`."""
+    return (
+        f"transform(sequence(1, greatest(1, size(codes) - {WINNOW_K - 1})), "
+        f"i -> aggregate(slice(codes, i, {WINNOW_K}), 0L, "
+        f"(a, c) -> (a * {WINNOW_B} + CAST(c AS BIGINT)) % {WINNOW_M}))"
+    )
+
+
+def sql_winnow_hs(select_cols: str) -> str:
+    """DuckDB subquery body: ({select_cols}, h) where h is the per-position
+    k-gram hash list — the oracle twin of winnow_codes/hashes_spark."""
+    return f"""
+      SELECT {select_cols},
+             list_transform(
+               generate_series(1, greatest(1, len(codes) - {WINNOW_K} + 1)),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      codes[CAST(i AS INTEGER):CAST(i + {WINNOW_K} - 1 AS INTEGER)]),
+                      (a, c) -> (a * {WINNOW_B} + c) % {WINNOW_M})) AS h
+      FROM (SELECT *, list_transform(generate_series(1, len(text)),
+              p -> ascii(substring(text, CAST(p AS INTEGER), 1))) AS codes
+            FROM documents WHERE len(text) >= {WINNOW_K + WINNOW_W - 1}) src"""
 
 
 def _ws_tokens(col: str = "text") -> Column:
@@ -652,13 +705,7 @@ def text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_winnow",
     oracle=f"""
     WITH hs AS (
-      SELECT doc_id, lang,
-             list_transform(
-               generate_series(1, greatest(1, len(text) - {WINNOW_K} + 1)),
-               i -> CAST(concat('0x',
-                      substring(md5(substring(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 8))
-                    AS BIGINT)) AS h
-      FROM documents WHERE len(text) >= {WINNOW_K + WINNOW_W - 1}
+      {sql_winnow_hs("doc_id, lang")}
     ), fp AS (
       SELECT doc_id, lang,
              list_distinct(list_transform(
@@ -679,25 +726,21 @@ def text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shared fingerprint, the property substring-level dedup needs that "
     "whole-doc minhash (dedup_near) lacks. Entirely scan-side "
     "higher-order functions (transform over positions, array_min over "
-    "slices, array_distinct) — no shuffle, no Python. Hashes here are "
-    "md5-prefix derived (the repo's deterministic-hash idiom, engine- "
-    "identical); a production kernel swaps in a rolling Rabin hash with "
-    "the identical plan shape. Sub-(k+w-1) docs are excluded scan-side.",
+    "slices, array_distinct) — no shuffle, no Python. Hashes are "
+    "polynomial Rabin-Karp k-gram hashes over code points in exact int64 "
+    "arithmetic (WINNOW_B/WINNOW_M, engine-identical; replaced the "
+    "md5-per-position kernel for ~2x wall-clock at identical plan "
+    "shape). Sub-(k+w-1) docs are excluded scan-side.",
 )
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= WINNOW_K + WINNOW_W - 1
     )
-    # SQL expr form: F.substring takes literal ints, but the k-gram start
-    # is the lambda variable — substring(text, i, k) needs expression SQL
-    hs = docs.select(
-        "doc_id",
-        "lang",
-        F.expr(
-            f"transform(sequence(1, greatest(1, length(text) - {WINNOW_K - 1})), "
-            f"i -> cast(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 8), 16, 10) as bigint))"
-        ).alias("h"),
-    )
+    # SQL expr form: the k-gram start is a lambda variable, so the kernel
+    # lives in expression SQL (shared with dedup_winnow)
+    hs = spread_scan(docs).selectExpr(
+        "doc_id", "lang", winnow_codes_spark() + " AS codes"
+    ).selectExpr("doc_id", "lang", winnow_hashes_spark() + " AS h")
     fps = F.array_distinct(
         F.expr(
             f"transform(sequence(1, size(h) - {WINNOW_W - 1}), "

@@ -140,15 +140,21 @@ def test_dedup_embedding_brute_force_gate(spark, sf_dir):
 # --- winnowing guarantee (property-based) ----------------------------------
 
 def _py_winnow_fps(text: str, k: int = 8, w: int = 4) -> set:
-    """Pure-python mirror of the text_winnow/dedup_winnow kernel."""
-    import hashlib
+    """Pure-python mirror of the text_winnow/dedup_winnow kernel
+    (polynomial Rabin-Karp k-gram hash over code points, WINNOW_B/M)."""
+    from dodo_spark.operators.text import WINNOW_B, WINNOW_M
 
     if len(text) < k + w - 1:
         return set()
-    hs = [
-        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
-        for i in range(len(text) - k + 1)
-    ]
+    codes = [ord(c) for c in text]
+
+    def kh(i: int) -> int:
+        a = 0
+        for c in codes[i : i + k]:
+            a = (a * WINNOW_B + c) % WINNOW_M
+        return a
+
+    hs = [kh(i) for i in range(len(text) - k + 1)]
     return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
 
 

@@ -307,3 +307,44 @@ def test_evidence_order_rotates_proven_keys_by_age(tmp_path, monkeypatch):
         assert order[2:] == ["refreshed", "new_green"]  # stable within r3
     finally:
         reg._EVIDENCE_CACHE = saved
+
+
+def test_winnow_hash_cross_engine_fuzz(spark):
+    """Unicode documents through the Spark winnow hash kernel vs its DuckDB
+    twin — ascii()/substring() code-point semantics and the int64 polynomial
+    fold must agree exactly (multibyte and astral chars included)."""
+    import random
+
+    import duckdb
+
+    from dodo_spark.operators.text import (
+        winnow_codes_spark,
+        winnow_hashes_spark,
+        sql_winnow_hs,
+    )
+
+    rng = random.Random(5)
+    alphabet = ["a", "b", "Z", "9", "\t", "'", '"', "☆", "汉", "🦆", " ", "\\", ",", "é"]
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(11, 60))),
+         "xx", "s", 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.selectExpr("doc_id", winnow_codes_spark() + " AS codes")
+        .selectExpr("doc_id", winnow_hashes_spark() + " AS h")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", docs)
+    want = dict(con.execute(f"SELECT doc_id, h FROM ({sql_winnow_hs('doc_id')})").fetchall())
+    diffs = [(i, docs[i][1], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not diffs, diffs[:2]
