@@ -106,3 +106,43 @@ def test_uncommitted_snapshot_is_invisible(spark, table):
     assert {r["k"] for r in read_version(spark, table).collect()} == {1, 2}
     manifest = json.load(open(os.path.join(table, MANIFEST)))
     assert manifest == {"versions": [0]}
+
+
+def test_append_version_shares_prior_files_without_rewrite(spark, table):
+    """File-level commits: an append's manifest adds only its own files and
+    removes nothing — every v0 data file stays live (same path, mtime
+    untouched), so appending never rewrites history."""
+    from dodo_spark.sources.versioned import append_version, live_files
+
+    v0_files = live_files(table, 0)
+    mtimes = {f: os.path.getmtime(os.path.join(table, f)) for f in v0_files}
+    extra = spark.createDataFrame([(3, 30.0), (4, 40.0)], "k BIGINT, val DOUBLE")
+    append_version(extra, table, 1)
+
+    v1_files = live_files(table, 1)
+    assert set(v0_files) < set(v1_files)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(table, f)) == m, f
+
+    got0 = {r["k"] for r in read_version(spark, table, 0).collect()}
+    got1 = {r["k"] for r in read_version(spark, table, 1).collect()}
+    assert got0 == {1, 2}
+    assert got1 == {1, 2, 3, 4}
+
+
+def test_write_version_after_append_replaces_all_live_files(spark, table):
+    """A full (replace) commit after appends removes the whole live set —
+    the table is exactly the new content, and older versions still read
+    their own file lists."""
+    from dodo_spark.sources.versioned import append_version, live_files
+
+    append_version(
+        spark.createDataFrame([(3, 30.0)], "k BIGINT, val DOUBLE"), table, 1
+    )
+    write_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), table, 2
+    )
+    assert {r["k"] for r in read_version(spark, table, 2).collect()} == {9}
+    assert {r["k"] for r in read_version(spark, table, 1).collect()} == {1, 2, 3}
+    v2 = set(live_files(table, 2))
+    assert not v2 & set(live_files(table, 1))
