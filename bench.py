@@ -104,6 +104,9 @@ HEADLINE = [
     "agg_heavy_hitters",
     "events_ohlc",
     "stats_fd_check",
+    # round-5: unified ANN dispatcher (ivf tier) + incremental time travel
+    "ann_dispatch",
+    "time_travel_incremental",
 ]
 
 
