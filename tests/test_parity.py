@@ -348,3 +348,24 @@ def test_winnow_hash_cross_engine_fuzz(spark):
     want = dict(con.execute(f"SELECT doc_id, h FROM ({sql_winnow_hs('doc_id')})").fetchall())
     diffs = [(i, docs[i][1], got[i], want[i]) for i in got if got[i] != want[i]]
     assert not diffs, diffs[:2]
+
+
+def test_verify_local_artifact_covers_registry():
+    """Evidence logistics: the committed per-round full-sweep artifact
+    (VERIFY_LOCAL_r{N}.json, tools/verify_local.py --out) must name every
+    registered key — with a ~50-key driver budget per round, this artifact
+    is what keeps all keys' evidence current with the round's code."""
+    import glob
+    import json
+    import os
+
+    from dodo_spark import registry as reg
+
+    reg._load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(reg.__file__)))
+    arts = sorted(glob.glob(os.path.join(root, "VERIFY_LOCAL_r*.json")))
+    assert arts, "no VERIFY_LOCAL_r{N}.json committed (run tools/verify_local.py --out)"
+    with open(arts[-1]) as f:
+        art = json.load(f)
+    missing = set(reg.queries()) - set(art["results"])
+    assert not missing, f"latest sweep artifact missing keys: {sorted(missing)[:10]}"

@@ -209,6 +209,17 @@ KEYS = [
     "agg_heavy_hitters",
     "graph_pagerank",
     "events_ohlc",
+    # round-5: the 8 streaming drains (omitted from the r4 table) — the
+    # stateful keys where a 10x data step exercises state-store volume,
+    # watermark bookkeeping, and the stream-stream join state
+    "streaming_tumbling_drain",
+    "streaming_session_drain",
+    "streaming_enrich_drain",
+    "streaming_stateful_totals",
+    "streaming_dedup_drain",
+    "streaming_interval_join_drain",
+    "streaming_left_outer_drain",
+    "streaming_ohlc_drain",
 ]
 
 
@@ -303,6 +314,20 @@ def main() -> None:
             print(f"parity[{mode}] {name}@{label} {time.perf_counter() - t0:.1f}s",
                   flush=True)
         con.close()
+
+    # dedup_near slope evidence: the r4 table showed 4.13x for 10x data;
+    # root-cause it by measuring OUTPUT PAIR MASS at both scales — if the
+    # generated corpus's duplicate density makes pairs grow super-linearly,
+    # the slope is output-bound (data property), not plan-bound
+    pair_mass = {
+        label: qs["dedup_near"](spark, d).count() for label, d in dirs.items()
+    }
+    print(
+        f"dedup_near pair mass: gen0.1={pair_mass['gen0.1']} "
+        f"gen1={pair_mass['gen1']} "
+        f"ratio={round(pair_mass['gen1'] / max(1, pair_mass['gen0.1']), 2)}",
+        flush=True,
+    )
 
     results = {}
     for name in KEYS:

@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--keys", default=None)
     ap.add_argument("--timing-only", action="store_true",
                     help="skip oracle compare; just time Spark side")
+    ap.add_argument("--out", default="/tmp/verify_local.json",
+                    help="result path; at round end commit the full sweep "
+                    "as VERIFY_LOCAL_r{N}.json next to CORRECTNESS_r{N}")
     args = ap.parse_args()
 
     import duckdb
@@ -113,9 +116,15 @@ def main():
             flag = " MISMATCH"
         print(f"{name:32s} spark={entry['spark_s']}s oracle={entry.get('oracle_s')}s{flag}",
               flush=True)
-    print(f"TOTAL {round(time.monotonic() - total0, 1)}s for {len(keys)} keys", flush=True)
-    with open("/tmp/verify_local.json", "w") as f:
-        json.dump(results, f, indent=1)
+    n_pass = sum(1 for e in results.values()
+                 if e.get("hash_match") and e.get("rows_match"))
+    print(f"TOTAL {round(time.monotonic() - total0, 1)}s for {len(keys)} keys "
+          f"({n_pass} hash-green)", flush=True)
+    with open(args.out, "w") as f:
+        json.dump(
+            {"sf_dir": args.sf_dir, "n_keys": len(keys), "results": results},
+            f, indent=1, sort_keys=True,
+        )
 
 
 if __name__ == "__main__":
