@@ -138,7 +138,9 @@ def _minhash_oracle() -> str:
     "buckets — the 100 TB-safe shape.",
 )
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from dodo_spark.operators.text import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", _shingles().alias("sh"))
     # one md5 per shingle; per-hash ordering = 4-hex window + full-digest
     # tiebreak (see _minhash_oracle comment for why the digest must stay
@@ -240,7 +242,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ReusedExchange). A scan-side aggregate() fold was measured SLOWER —
     # 16 vote expressions re-evaluate the md5-per-token array and every
     # join alias recomputes the whole fingerprint pass.
-    docs = load_table(spark, sf_dir, "documents")
+    from dodo_spark.operators.text import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(

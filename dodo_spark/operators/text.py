@@ -390,7 +390,7 @@ _SQL_NGRAMS_CTE = f"""
     "a doc_id-only left join.",
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     ngd = docs.select(
         "doc_id", F.explode(F.array_distinct(_word_ngrams())).alias("ng")
     )

@@ -618,9 +618,15 @@ def _register_left_outer_key() -> None:
           FROM events WHERE event_type = 'purchase'
         ), wm AS (
           -- the stream's final global watermark: min of both sides' event-
-          -- time maxima minus the 30-minute delay
-          SELECT least((SELECT max(click_ts) FROM clicks),
-                       (SELECT max(purchase_ts) FROM purchases))
+          -- time maxima minus the 30-minute delay. Spark tracks event-time
+          -- maxima in MILLISECONDS (EventTimeStats), so the maxima are
+          -- floored to ms before subtracting — sub-ms event times would
+          -- otherwise put boundary clicks on the wrong side (4/330k at the
+          -- gen1 rehearsal scale)
+          SELECT least((SELECT date_trunc('milliseconds', max(click_ts))
+                        FROM clicks),
+                       (SELECT date_trunc('milliseconds', max(purchase_ts))
+                        FROM purchases))
                  - INTERVAL '30 minutes' AS w
         ), matched AS (
           SELECT c.user_id, c.click_id, p.purchase_id
@@ -630,10 +636,13 @@ def _register_left_outer_key() -> None:
            AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
         ), unmatched_closed AS (
           -- a miss is only decidable once the watermark passes the end of
-          -- the click's match window; still-open windows stay in state
+          -- the click's match window; still-open windows stay in state.
+          -- STRICT <: at window_end == wm a purchase stamped exactly wm is
+          -- not yet late and could still match, and Spark's state-eviction
+          -- predicate (click_ts < wm - delay) is likewise strict
           SELECT c.user_id, c.click_id, NULL AS purchase_id
           FROM clicks c, wm
-          WHERE c.click_ts + INTERVAL '30 minutes' <= wm.w
+          WHERE c.click_ts + INTERVAL '30 minutes' < wm.w
             AND NOT EXISTS (
               SELECT 1 FROM purchases p
               WHERE p.user_id = c.user_id
