@@ -370,6 +370,30 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+# ----------------------------------------------------------------- ann ----
+def cmd_ann(args: argparse.Namespace) -> int:
+    """Tiered ANN search over the embeddings table (operators/ann.py):
+    one entry point, tier chosen by --method."""
+    from dodo_spark.operators.ann import ann_search
+
+    spark = _spark(args.parallel)
+    df = ann_search(
+        spark,
+        args.sf_dir,
+        method=args.method,
+        k=args.topk,
+        n_queries=args.n_queries,
+    )
+    # bounded: <= n_queries * topk rows by construction
+    for row in df.collect():
+        print(
+            f"query={row['query_id']} rank={row['rnk']} "
+            f"neighbor={row['neighbor_id']} score={row['score']:.6f} "
+            f"method={row['method']}"
+        )
+    return 0
+
+
 # ------------------------------------------------------------- profile ----
 def cmd_profile(args: argparse.Namespace) -> int:
     """Data-hygiene profile: functional dependencies, FK orphan audit,
@@ -542,6 +566,18 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--topk", type=int, default=20, help="fused results returned")
     se.add_argument("--list-depth", type=int, default=50, help="per-retriever top-R")
     se.set_defaults(fn=cmd_search)
+
+    an = sub.add_parser("ann", help="approximate-nearest-neighbor search (tiered)")
+    an.add_argument("--sf-dir", required=True, help="data dir with embeddings")
+    an.add_argument(
+        "--method",
+        default="brute",
+        choices=["brute", "lsh", "ivf", "ivf_kmeans", "pq"],
+        help="ANN tier (see SCALE.md §ANN for the measured tier table)",
+    )
+    an.add_argument("--topk", type=int, default=10, help="neighbors per query")
+    an.add_argument("--n-queries", type=int, default=5, help="first N vec_ids as queries")
+    an.set_defaults(fn=cmd_ann)
 
     pr = sub.add_parser("profile", help="data-hygiene profile (FDs, FK orphans, balance, vocab)")
     pr.add_argument("--sf-dir", required=True, help="data dir to profile")

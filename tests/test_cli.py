@@ -394,3 +394,11 @@ def test_cli_profile(spark, sf_dir, capsys):
     assert "intact=False" not in out
 
     assert cli_main(["profile", "--sf-dir", sf_dir, "--checks", "nope"]) == 2
+
+
+def test_cli_ann(spark, sf_dir, capsys):
+    assert main(["ann", "--sf-dir", sf_dir, "--method", "lsh", "--topk", "3"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("query=")]
+    assert lines and all("method=lsh" in l for l in lines)
+    assert all(int(l.split("rank=")[1].split()[0]) <= 3 for l in lines)
