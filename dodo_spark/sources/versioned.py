@@ -134,6 +134,54 @@ def append_version(df: DataFrame, table_path: str, version: int) -> str:
     return os.path.join(table_path, f"v={version}")
 
 
+def delete_where(
+    spark: SparkSession, table_path: str, version: int, predicate: str
+) -> dict:
+    """Commit ``version`` as the previous live content MINUS rows matching
+    ``predicate`` (a SQL boolean expression) — the file-level DELETE /
+    MERGE primitive: only files that actually CONTAIN matching rows are
+    rewritten (without the matches) and swapped in the manifest; untouched
+    files stay live as-is. Returns {"files_rewritten", "files_kept",
+    "rows_deleted"}. At warehouse scale the touched-file probe is one scan
+    with per-file match counts (Delta narrows it further with file-level
+    min/max stats before the scan — the same commit algebra applies)."""
+    from pyspark.sql import functions as F
+
+    versions = _check_commit_order(table_path, version)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    prev_live = live_files(table_path, versions[-1])
+    paths = {f: os.path.join(table_path, f) for f in prev_live}
+    # one scan: per-file count of matching rows (bounded collect: one row
+    # per live file)
+    counts: dict[str, int] = {}
+    for r in (
+        spark.read.parquet(*paths.values())
+        .filter(predicate)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        p = r["f"]
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        counts[os.path.abspath(p)] = r["n"]
+    touched = [f for f in prev_live if os.path.abspath(paths[f]) in counts]
+    rows_deleted = sum(counts[os.path.abspath(paths[f])] for f in touched)
+    add: list[str] = []
+    if touched:
+        survivors = spark.read.parquet(*[paths[f] for f in touched]).filter(
+            f"NOT ({predicate})"
+        )
+        add = _write_data_files(survivors, table_path, version)
+    _commit(table_path, version, add=add, remove=touched)
+    return {
+        "files_rewritten": len(touched),
+        "files_kept": len(prev_live) - len(touched),
+        "rows_deleted": int(rows_deleted),
+    }
+
+
 def list_versions(table_path: str) -> list[int]:
     manifest_path = os.path.join(table_path, MANIFEST)
     if not os.path.exists(manifest_path):
@@ -413,3 +461,72 @@ def _register_time_travel_incremental() -> None:
 
 
 _register_time_travel_incremental()
+
+
+def _register_time_travel_delete() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel_delete",
+        oracle="""
+        WITH v1 AS (
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_orderkey < 1200
+        ), v2 AS (
+          SELECT * FROM v1
+          WHERE NOT (o_orderkey >= 1000 AND o_orderkey % 10 = 3)
+        )
+        SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS rows_at,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               TRUE AS v0_files_untouched
+        FROM v1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), TRUE
+        FROM v2
+        ORDER BY version
+        """,
+        doc="Row-level DELETE over file-level manifests (delete_where — the "
+        "Delta DELETE/MERGE primitive on the same commit algebra as "
+        "time_travel_incremental): v0 commits orders below key 1000, v1 "
+        "appends 1000-1199 as its own file, v2 deletes keys ending in 3 "
+        "FROM THE APPENDED RANGE ONLY — so the probe scan finds matches "
+        "solely in v1's file, rewrites just that file without the "
+        "matches, and leaves every v0 file live untouched. Output: "
+        "pre/post-delete aggregates plus the v0_files_untouched contract "
+        "(v0's live set is a subset of v2's — FALSE if the delete "
+        "rewrote history it didn't need to touch). The oracle recomputes "
+        "both states from the source table.",
+    )
+    def time_travel_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        o = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        table = scratch_dir("time_travel_delete")
+        write_version(o.filter(k < 1000).select(cols), table, 0)
+        v0_live = set(live_files(table, 0))
+        append_version(
+            o.filter((k >= 1000) & (k < 1200)).select(cols).coalesce(1), table, 1
+        )
+        delete_where(spark, table, 2, "o_orderkey >= 1000 AND o_orderkey % 10 = 3")
+        untouched = v0_live <= set(live_files(table, 2))
+
+        def snap_agg(version: int) -> DataFrame:
+            return read_version(spark, table, version).agg(
+                F.lit(version).cast("bigint").alias("version"),
+                F.count("*").alias("rows_at"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+                F.lit(untouched).alias("v0_files_untouched"),
+            )
+
+        return snap_agg(1).unionByName(snap_agg(2)).orderBy("version")
+
+
+_register_time_travel_delete()

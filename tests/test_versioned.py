@@ -146,3 +146,52 @@ def test_write_version_after_append_replaces_all_live_files(spark, table):
     assert {r["k"] for r in read_version(spark, table, 1).collect()} == {1, 2, 3}
     v2 = set(live_files(table, 2))
     assert not v2 & set(live_files(table, 1))
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """File-level DELETE: only files containing matching rows are rewritten
+    and swapped; untouched files stay live byte-identical, and every prior
+    version still reads its own state."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        delete_where,
+        live_files,
+    )
+
+    path = str(tmp_path / "dt")
+    # two single-file commits so the delete provably touches one file only
+    write_version(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1),
+        path, 0,
+    )
+    append_version(
+        spark.createDataFrame([(3, 30.0), (4, 40.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1),
+        path, 1,
+    )
+    v1_files = live_files(path, 1)
+    assert len(v1_files) == 2
+    untouched = [f for f in v1_files if f.startswith("v=0/")]
+    mtimes = {f: os.path.getmtime(os.path.join(path, f)) for f in untouched}
+
+    stats = delete_where(spark, path, 2, "k = 3")
+    assert stats == {"files_rewritten": 1, "files_kept": 1, "rows_deleted": 1}
+    assert {r["k"] for r in read_version(spark, path, 2).collect()} == {1, 2, 4}
+    # prior versions unaffected; untouched file not rewritten
+    assert {r["k"] for r in read_version(spark, path, 1).collect()} == {1, 2, 3, 4}
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, f)) == m
+    assert set(untouched) < set(live_files(path, 2))
+
+
+def test_delete_where_no_match_is_metadata_only(spark, table):
+    """A DELETE matching nothing rewrites nothing — pure manifest commit."""
+    from dodo_spark.sources.versioned import delete_where, live_files
+
+    before = live_files(table, 0)
+    stats = delete_where(spark, table, 1, "k = 999")
+    assert stats == {"files_rewritten": 0, "files_kept": len(before),
+                     "rows_deleted": 0}
+    assert live_files(table, 1) == before
+    assert {r["k"] for r in read_version(spark, table, 1).collect()} == {1, 2}
