@@ -271,9 +271,19 @@ def duckdb_con_glob(sf_dir: str):
 
 
 def main() -> None:
-    workdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_rehearsal"
-    )
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_rehearsal"))
+    ap.add_argument("--keys", default=None,
+                    help="comma subset of KEYS (resume after a crash)")
+    ap.add_argument("--skip-parity", action="store_true",
+                    help="timing only (parity already proven this session)")
+    args = ap.parse_args()
+    workdir = args.workdir
+    keys = args.keys.split(",") if args.keys else KEYS
     os.makedirs(workdir, exist_ok=True)
 
     from dodo_spark import registry
@@ -297,9 +307,9 @@ def main() -> None:
     # their hash evidence comes from gen0.1 + the driver gate
     heavy_oracle = {"dedup_near", "dedup_simhash_stats", "corpus_clean",
                     "similarity_ivf_pruned"}
-    for label, d in dirs.items():
+    for label, d in ({} if args.skip_parity else dirs).items():
         con = duckdb_con_glob(d)
-        for name in KEYS:
+        for name in keys:
             t0 = time.perf_counter()
             if label == "gen1" and name in heavy_oracle:
                 assert qs[name](spark, d).count() > 0, f"{name}@{label}: empty"
@@ -319,18 +329,25 @@ def main() -> None:
     # root-cause it by measuring OUTPUT PAIR MASS at both scales — if the
     # generated corpus's duplicate density makes pairs grow super-linearly,
     # the slope is output-bound (data property), not plan-bound
-    pair_mass = {
-        label: qs["dedup_near"](spark, d).count() for label, d in dirs.items()
-    }
-    print(
-        f"dedup_near pair mass: gen0.1={pair_mass['gen0.1']} "
-        f"gen1={pair_mass['gen1']} "
-        f"ratio={round(pair_mass['gen1'] / max(1, pair_mass['gen0.1']), 2)}",
-        flush=True,
+    pair_mass = (
+        {label: qs["dedup_near"](spark, d).count() for label, d in dirs.items()}
+        if "dedup_near" in keys else None
     )
+    if pair_mass:
+        print(
+            f"dedup_near pair mass: gen0.1={pair_mass['gen0.1']} "
+            f"gen1={pair_mass['gen1']} "
+            f"ratio={round(pair_mass['gen1'] / max(1, pair_mass['gen0.1']), 2)}",
+            flush=True,
+        )
 
     results = {}
-    for name in KEYS:
+    for name in keys:
+        # a 45-min session accumulates localCheckpoint RDDs across keys;
+        # drop cached SQL state and nudge the JVM GC so the timing loop
+        # cannot OOM on accumulation from PRIOR keys' lineage
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         row = {}
         for label, d in dirs.items():
             samples = []
