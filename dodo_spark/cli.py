@@ -370,6 +370,55 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+# ---------------------------------------------------------- completion ----
+def cmd_completion(args: argparse.Namespace) -> int:
+    """Emit a shell completion script for this CLI (reference
+    cmd/completion.go — cobra generates it; here it is derived from the
+    live argparse tree so verbs/flags never drift). Bash:
+    `source <(python -m dodo_spark.cli completion bash)`; zsh users run
+    `autoload -U +X bashcompinit && bashcompinit` first."""
+    if args.shell not in ("bash", "zsh"):
+        print(f"unsupported shell {args.shell!r}: use bash or zsh")
+        return 1
+    parser = build_parser()
+    subs = next(
+        a for a in parser._actions if isinstance(a, argparse._SubParsersAction)
+    )
+    verbs = sorted(subs.choices)
+    flags = {
+        verb: sorted(
+            opt
+            for action in sub._actions
+            for opt in action.option_strings
+            if opt.startswith("--")
+        )
+        for verb, sub in subs.choices.items()
+    }
+    lines = [
+        "# dodo_spark CLI completion (generated by `completion`)",
+        "_dodo_spark_complete() {",
+        "  local cur verb",
+        '  cur="${COMP_WORDS[COMP_CWORD]}"',
+        '  verb="${COMP_WORDS[1]}"',
+        "  if [ $COMP_CWORD -eq 1 ]; then",
+        f'    COMPREPLY=($(compgen -W "{" ".join(verbs)}" -- "$cur")); return',
+        "  fi",
+        "  case $verb in",
+    ]
+    for verb in verbs:
+        lines.append(
+            f'    {verb}) COMPREPLY=($(compgen -W "{" ".join(flags[verb])}" -- "$cur"));;'
+        )
+    lines += [
+        "  esac",
+        "}",
+        "complete -F _dodo_spark_complete dodo-spark",
+        "complete -F _dodo_spark_complete dodo_spark",
+    ]
+    print("\n".join(lines))
+    return 0
+
+
 # ----------------------------------------------------------------- ann ----
 def cmd_ann(args: argparse.Namespace) -> int:
     """Tiered ANN search over the embeddings table (operators/ann.py):
@@ -583,6 +632,10 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--sf-dir", required=True, help="data dir to profile")
     pr.add_argument("--checks", default=None, help="comma list: fd,fk,balance,vocab (default all)")
     pr.set_defaults(fn=cmd_profile)
+
+    co = sub.add_parser("completion", help="emit shell completion script")
+    co.add_argument("shell", nargs="?", default="bash", choices=["bash", "zsh"])
+    co.set_defaults(fn=cmd_completion, parallel=None)
 
     cl = sub.add_parser("clean", help="delete local scratch/output data")
     cl.add_argument("--yes", action="store_true", help="skip confirmation")

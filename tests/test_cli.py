@@ -402,3 +402,16 @@ def test_cli_ann(spark, sf_dir, capsys):
     lines = [l for l in out.splitlines() if l.startswith("query=")]
     assert lines and all("method=lsh" in l for l in lines)
     assert all(int(l.split("rank=")[1].split()[0]) <= 3 for l in lines)
+
+
+def test_cli_completion(capsys):
+    """completion emits a bash-parsable script naming every verb and the
+    per-verb flags, derived from the live argparse tree."""
+    import subprocess
+
+    assert main(["completion", "bash"]) == 0
+    out = capsys.readouterr().out
+    for verb in ("dump", "replay", "gendata", "ann", "profile", "completion"):
+        assert verb in out
+    assert "--sf-dir" in out and "complete -F" in out
+    subprocess.run(["bash", "-n"], input=out, text=True, check=True)
