@@ -182,6 +182,68 @@ def delete_where(
     }
 
 
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    updates: DataFrame,
+    key: str,
+) -> dict:
+    """Commit ``version`` as the previous live content UPSERTED with
+    ``updates`` (MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+    INSERT, keyed on ``key``, assumed unique on both sides): live files
+    containing a matched key are rewritten with those rows replaced;
+    untouched files stay live as-is; unmatched update rows are appended.
+    File algebra identical to delete_where — probe scan for touched
+    files, rewrite touched + new rows, manifest remove/add. The update
+    set broadcasts (it is the small side by construction; a billion-row
+    reconciliation would instead shuffle-join on the key — same commit).
+    Returns {"files_rewritten", "files_kept", "rows_updated",
+    "rows_inserted"}."""
+    from pyspark.sql import functions as F
+
+    versions = _check_commit_order(table_path, version)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    prev_live = live_files(table_path, versions[-1])
+    paths = {f: os.path.join(table_path, f) for f in prev_live}
+    updates = updates.localCheckpoint(eager=True)  # one computation, 3 uses
+    keys_df = F.broadcast(updates.select(key).distinct())
+
+    live_df = spark.read.parquet(*paths.values())
+    counts: dict[str, int] = {}
+    for r in (
+        live_df.join(keys_df, key, "semi")
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        p = r["f"]
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        counts[os.path.abspath(p)] = r["n"]
+    touched = [f for f in prev_live if os.path.abspath(paths[f]) in counts]
+    rows_updated = sum(counts[os.path.abspath(paths[f])] for f in touched)
+    rows_inserted = updates.count() - rows_updated
+
+    if touched:
+        survivors = (
+            spark.read.parquet(*[paths[f] for f in touched])
+            .join(keys_df, key, "anti")
+        )
+        new_rows = survivors.unionByName(updates)
+    else:
+        new_rows = updates
+    add = _write_data_files(new_rows, table_path, version)
+    _commit(table_path, version, add=add, remove=touched)
+    return {
+        "files_rewritten": len(touched),
+        "files_kept": len(prev_live) - len(touched),
+        "rows_updated": int(rows_updated),
+        "rows_inserted": int(rows_inserted),
+    }
+
+
 def list_versions(table_path: str) -> list[int]:
     manifest_path = os.path.join(table_path, MANIFEST)
     if not os.path.exists(manifest_path):
@@ -530,3 +592,86 @@ def _register_time_travel_delete() -> None:
 
 
 _register_time_travel_delete()
+
+
+def _register_time_travel_merge() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel_merge",
+        oracle="""
+        WITH v1 AS (
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_orderkey < 1200
+        ), upd AS (
+          SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+          FROM orders WHERE o_orderkey >= 1100 AND o_orderkey < 1300
+        ), v2 AS (
+          SELECT v1.o_orderkey, v1.o_custkey,
+                 COALESCE(u.o_totalprice, v1.o_totalprice) AS o_totalprice
+          FROM v1 LEFT JOIN upd u ON u.o_orderkey = v1.o_orderkey
+          UNION ALL
+          SELECT u.o_orderkey, u.o_custkey, u.o_totalprice
+          FROM upd u WHERE u.o_orderkey >= 1200
+        )
+        SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS rows_at,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               TRUE AS v0_files_untouched
+        FROM v1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), TRUE
+        FROM v2
+        ORDER BY version
+        """,
+        doc="MERGE upsert over file-level manifests (merge_upsert — Delta's "
+        "WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT on the same commit "
+        "algebra as delete_where): v0 commits orders below key 1000, v1 "
+        "appends 1000-1199 as its own file, v2 merges doubled-price rows "
+        "for keys 1100-1299 — 1100-1199 UPDATE rows living only in v1's "
+        "file (so only that file rewrites), 1200-1299 INSERT. Output: "
+        "pre/post-merge aggregates + the v0_files_untouched contract (v0's "
+        "live set survives into v2 — FALSE if the merge rewrote files "
+        "containing no matched keys). Doubling a 2-decimal price is exact "
+        "in binary FP, so the oracle's recomputed states hash exactly.",
+    )
+    def time_travel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        o = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        table = scratch_dir("time_travel_merge")
+        write_version(o.filter(k < 1000).select(cols), table, 0)
+        v0_live = set(live_files(table, 0))
+        append_version(
+            o.filter((k >= 1000) & (k < 1200)).select(cols).coalesce(1), table, 1
+        )
+        updates = (
+            o.filter((k >= 1100) & (k < 1300))
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            )
+        )
+        merge_upsert(spark, table, 2, updates, "o_orderkey")
+        untouched = v0_live <= set(live_files(table, 2))
+
+        def snap_agg(version: int) -> DataFrame:
+            return read_version(spark, table, version).agg(
+                F.lit(version).cast("bigint").alias("version"),
+                F.count("*").alias("rows_at"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+                F.lit(untouched).alias("v0_files_untouched"),
+            )
+
+        return snap_agg(1).unionByName(snap_agg(2)).orderBy("version")
+
+
+_register_time_travel_merge()

@@ -195,3 +195,56 @@ def test_delete_where_no_match_is_metadata_only(spark, table):
                      "rows_deleted": 0}
     assert live_files(table, 1) == before
     assert {r["k"] for r in read_version(spark, table, 1).collect()} == {1, 2}
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    """MERGE: matched keys replaced in-place (only their files rewritten),
+    unmatched update rows inserted; untouched files survive."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        live_files,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "mt")
+    write_version(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1),
+        path, 0,
+    )
+    append_version(
+        spark.createDataFrame([(3, 30.0), (4, 40.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1),
+        path, 1,
+    )
+    untouched = [f for f in live_files(path, 1) if f.startswith("v=0/")]
+    mtimes = {f: os.path.getmtime(os.path.join(path, f)) for f in untouched}
+
+    updates = spark.createDataFrame(
+        [(3, 333.0), (9, 90.0)], "k BIGINT, val DOUBLE"
+    )
+    stats = merge_upsert(spark, path, 2, updates, "k")
+    assert stats == {"files_rewritten": 1, "files_kept": 1,
+                     "rows_updated": 1, "rows_inserted": 1}
+    got = {r["k"]: r["val"] for r in read_version(spark, path, 2).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 333.0, 4: 40.0, 9: 90.0}
+    # history intact, v0 files untouched
+    assert {r["k"]: r["val"] for r in read_version(spark, path, 1).collect()} \
+        == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0}
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, f)) == m
+    assert set(untouched) < set(live_files(path, 2))
+
+
+def test_merge_upsert_all_new_keys_is_pure_append(spark, table):
+    """A merge whose keys match nothing rewrites no files — append only."""
+    from dodo_spark.sources.versioned import live_files, merge_upsert
+
+    before = live_files(table, 0)
+    stats = merge_upsert(
+        spark, table, 1,
+        spark.createDataFrame([(7, 70.0)], "k BIGINT, val DOUBLE"), "k",
+    )
+    assert stats["files_rewritten"] == 0 and stats["rows_inserted"] == 1
+    assert set(before) < set(live_files(table, 1))
+    assert {r["k"] for r in read_version(spark, table, 1).collect()} == {1, 2, 7}
