@@ -324,11 +324,19 @@ def cmd_export(args: argparse.Namespace) -> int:
 
 # ------------------------------------------------------------ snapshot ----
 def cmd_snapshot(args: argparse.Namespace) -> int:
-    """Versioned-table operations (A25 time travel): commit a table as a
-    new snapshot version, list versions, or read one version to CSV-ish
+    """Versioned-table operations (A25 time travel over file-level
+    manifests): commit a table as a new version (full replace), append /
+    delete / merge incrementally, list versions, or read one version to
     stdout preview."""
     from dodo_spark.catalog import load_table
-    from dodo_spark.sources.versioned import list_versions, read_version, write_version
+    from dodo_spark.sources.versioned import (
+        append_version,
+        delete_where,
+        list_versions,
+        merge_upsert,
+        read_version,
+        write_version,
+    )
 
     if args.action == "list":
         print(list_versions(args.path) or "no versions")
@@ -338,6 +346,26 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         df = load_table(spark, args.sf_dir, args.table)
         snap = write_version(df, args.path, args.version)
         print(f"committed {args.table} as v{args.version} -> {snap}")
+        return 0
+    if args.action == "append":
+        df = load_table(spark, args.sf_dir, args.table)
+        snap = append_version(df, args.path, args.version)
+        print(f"appended {args.table} as v{args.version} -> {snap}")
+        return 0
+    if args.action == "delete":
+        if not args.where:
+            print("delete requires --where <sql predicate>")
+            return 1
+        stats = delete_where(spark, args.path, args.version, args.where)
+        print(f"deleted as v{args.version}: {stats}")
+        return 0
+    if args.action == "merge":
+        if not args.key:
+            print("merge requires --key <column>")
+            return 1
+        updates = load_table(spark, args.sf_dir, args.table)
+        stats = merge_upsert(spark, args.path, args.version, updates, args.key)
+        print(f"merged {args.table} as v{args.version}: {stats}")
         return 0
     # read
     df = read_version(spark, args.path, args.version)
@@ -600,11 +628,15 @@ def build_parser() -> argparse.ArgumentParser:
     e.set_defaults(fn=cmd_export)
 
     sn = sub.add_parser("snapshot", help="versioned-table commit/list/read (time travel)")
-    sn.add_argument("action", choices=["commit", "list", "read"])
+    sn.add_argument(
+        "action", choices=["commit", "append", "delete", "merge", "list", "read"]
+    )
     sn.add_argument("--path", required=True, help="versioned table directory")
     sn.add_argument("--version", type=int, default=None)
-    sn.add_argument("--sf-dir", default=None, help="source data dir (commit)")
-    sn.add_argument("--table", default=None, help="source table name (commit)")
+    sn.add_argument("--sf-dir", default=None, help="source data dir (commit/append/merge)")
+    sn.add_argument("--table", default=None, help="source table name (commit/append/merge)")
+    sn.add_argument("--where", default=None, help="SQL predicate (delete)")
+    sn.add_argument("--key", default=None, help="merge key column (merge)")
     sn.add_argument("--limit", type=int, default=20, help="rows to print (read)")
     sn.set_defaults(fn=cmd_snapshot)
 

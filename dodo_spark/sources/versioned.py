@@ -223,8 +223,15 @@ def merge_upsert(
             p = p[len("file:"):]
         counts[os.path.abspath(p)] = r["n"]
     touched = [f for f in prev_live if os.path.abspath(paths[f]) in counts]
+    # rows_updated = live rows REPLACED (if live carries duplicate keys,
+    # every duplicate is replaced by the single update row — MERGE also
+    # dedups); rows_inserted counts update rows whose key has no live
+    # match, computed directly so duplicate live keys can't skew it
     rows_updated = sum(counts[os.path.abspath(paths[f])] for f in touched)
-    rows_inserted = updates.count() - rows_updated
+    matched_update_rows = updates.join(
+        live_df.select(key).distinct(), key, "semi"
+    ).count()
+    rows_inserted = updates.count() - matched_update_rows
 
     if touched:
         survivors = (

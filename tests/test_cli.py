@@ -415,3 +415,35 @@ def test_cli_completion(capsys):
         assert verb in out
     assert "--sf-dir" in out and "complete -F" in out
     subprocess.run(["bash", "-n"], input=out, text=True, check=True)
+
+
+def test_cli_snapshot_append_delete_merge(spark, sf_dir, tmp_path, capsys):
+    """Incremental versioned-table verbs end-to-end: commit region, append
+    region again (doubling rows), delete one key, merge region keyed on
+    r_regionkey (deduping the doubles), and read every version back."""
+    table = str(tmp_path / "vt2")
+    assert main(["snapshot", "commit", "--path", table, "--version", "0",
+                 "--sf-dir", sf_dir, "--table", "region"]) == 0
+    assert main(["snapshot", "append", "--path", table, "--version", "1",
+                 "--sf-dir", sf_dir, "--table", "region"]) == 0
+    assert main(["snapshot", "delete", "--path", table, "--version", "2",
+                 "--where", "r_regionkey = 0"]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", "list", "--path", table]) == 0
+    assert "[0, 1, 2]" in capsys.readouterr().out
+    from dodo_spark.sources.versioned import read_version
+
+    n0 = read_version(spark, table, 0).count()
+    assert read_version(spark, table, 1).count() == 2 * n0
+    v2 = read_version(spark, table, 2)
+    assert v2.filter("r_regionkey = 0").count() == 0
+    assert v2.count() == 2 * (n0 - 1)
+    # merge: re-upsert region keyed on r_regionkey -> dedups the doubled rows
+    assert main(["snapshot", "merge", "--path", table, "--version", "3",
+                 "--sf-dir", sf_dir, "--table", "region",
+                 "--key", "r_regionkey"]) == 0
+    assert read_version(spark, table, 3).count() == n0
+    # guard rails
+    assert main(["snapshot", "delete", "--path", table, "--version", "4"]) == 1
+    assert main(["snapshot", "merge", "--path", table, "--version", "4",
+                 "--sf-dir", sf_dir, "--table", "region"]) == 1
