@@ -69,7 +69,9 @@ def _rank_topk(scored: DataFrame, score_col: str, k: int, descending: bool) -> D
 
 
 def _corpus_and_queries(spark: SparkSession, sf_dir: str, n_queries: int):
-    emb = load_table(spark, sf_dir, "embeddings")
+    from dodo_spark.operators.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
     q = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("sv").alias("qv")

@@ -32,6 +32,16 @@ from dodo_spark.functions.vectors import (
 )
 from dodo_spark.registry import register
 
+
+def _emb(spark, sf_dir):
+    """Embeddings corpus scan, spread up to core count when the local
+    source is a single split (spread_scan no-ops at warehouse file
+    counts) — the scan-side cosine/ADC folds are the CPU cost here."""
+    from dodo_spark.operators.text import spread_scan
+
+    return spread_scan(load_table(spark, sf_dir, "embeddings"))
+
+
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 
@@ -60,7 +70,7 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
     "a bounded per-partition heap for the top-k.",
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
     q = (
         v.filter(F.col("vec_id") < N_QUERIES)
@@ -131,7 +141,7 @@ def _lsh_oracle() -> str:
     "top-k runs only within the query's bucket.",
 )
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
 
     def bucket_bit(j: int):
@@ -300,7 +310,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str, centroids=None):
     ``centroids``: optional ``[(cid, components)]`` (e.g. from
     ``train_centroids_kmeans``); default is the fixed first-N_CENTROIDS
     sample that the DuckDB oracle mirrors."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
 
     if centroids is None:
@@ -413,7 +423,7 @@ KMEANS_BALANCE_C = 2.0
     "quantizer now FAILS the hash instead of passing rows-only.",
 )
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
     cents = train_centroids_kmeans(v)
     cells, probes = _ivf_index(spark, sf_dir, centroids=cents)
@@ -519,7 +529,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np  # noqa: F401  (imported in the workers too)
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
     q_rows = sorted(
         v.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
@@ -604,7 +614,7 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantized values hash-check exactly. Scan-side only — no shuffle.",
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
     maxabs = F.array_max(F.transform("sv", lambda x: F.abs(x)))
     m = v.select("vec_id", "sv", maxabs.alias("maxabs"))
@@ -653,7 +663,7 @@ CENTROID_DIMS = 8  # verify key bounds output to the first 8 dimensions
     "components keep every per-dimension sum exact.",
 )
 def embedding_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", "label", scaled_vec("embedding").alias("sv"))
     ex = v.select(
         "label", "vec_id", F.posexplode("sv").alias("dim", "comp")
@@ -699,7 +709,7 @@ def embedding_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows.",
 )
 def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     topk = similarity_topk(spark, sf_dir)
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
     votes = (
@@ -859,7 +869,7 @@ def _pq_encode(v: DataFrame, books: list[list[list[int]]]) -> DataFrame:
     "queries x codebooks.",
 )
 def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
     books = train_pq_codebooks(v)
     enc = _pq_encode(v, books)
@@ -990,7 +1000,7 @@ def _outlier_oracle() -> str:
     "shuffle of 10 x 64 longs, one corpus scan, zero vector shuffles.",
 )
 def embedding_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", "label", scaled_vec("embedding").alias("sv"))
     cent = v.groupBy("label").agg(
         F.array(
