@@ -1,3 +1,4 @@
+"""Text-operator unit tests (spread_scan et al.)."""
 
 
 def test_spread_scan_conditional(spark):
