@@ -63,15 +63,67 @@ def _read_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
-def live_files(table_path: str, version: int) -> list[str]:
-    """The live file set AT ``version``: add/remove algebra replayed over
-    the committed manifests <= version (relative paths, stable order)."""
-    live: list[str] = []
-    for v in [x for x in list_versions(table_path) if x <= version]:
+def _checkpoint_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, f"_checkpoint_{version}.json")
+
+
+def checkpoint_manifest(table_path: str, version: int | None = None) -> str:
+    """Write a CHECKPOINT of the live file set at ``version`` (default:
+    latest) — the Delta checkpoint primitive: replaying a long commit
+    chain costs one manifest read per version, so a checkpoint pins the
+    resolved set and ``live_files`` replays only the commits AFTER it.
+    Pure metadata; no data file is read or moved."""
+    versions = list_versions(table_path)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    if version is None:
+        version = max(versions)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions} at {table_path}")
+    path = _checkpoint_path(table_path, version)
+    _atomic_write_json(
+        path, {"version": version, "live": _replay_live(table_path, version, -1, [])}
+    )
+    return path
+
+
+def _latest_checkpoint(table_path: str, version: int) -> tuple[int, list[str]] | None:
+    import glob as _glob
+
+    best = None
+    for p in _glob.glob(os.path.join(table_path, "_checkpoint_*.json")):
+        try:
+            v = int(os.path.basename(p)[len("_checkpoint_"):-len(".json")])
+        except ValueError:
+            continue
+        if v <= version and (best is None or v > best):
+            best = v
+    if best is None:
+        return None
+    with open(_checkpoint_path(table_path, best)) as f:
+        return best, list(json.load(f)["live"])
+
+
+def _replay_live(
+    table_path: str, version: int, after: int, base: list[str]
+) -> list[str]:
+    live = list(base)
+    for v in [x for x in list_versions(table_path) if after < x <= version]:
         m = _read_manifest(table_path, v)
         removed = set(m.get("remove", []))
         live = [f for f in live if f not in removed] + list(m.get("add", []))
     return live
+
+
+def live_files(table_path: str, version: int) -> list[str]:
+    """The live file set AT ``version``: add/remove algebra replayed over
+    the committed manifests <= version (relative paths, stable order),
+    starting from the latest checkpoint <= version when one exists."""
+    cp = _latest_checkpoint(table_path, version)
+    if cp is not None:
+        cp_version, base = cp
+        return _replay_live(table_path, version, cp_version, base)
+    return _replay_live(table_path, version, -1, [])
 
 
 def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]:
@@ -86,15 +138,56 @@ def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]
     )
 
 
+def _footer_stats(abs_path: str) -> dict:
+    """Per-column [min, max] from the parquet FOOTER (free — no data scan;
+    the Delta/Iceberg per-file stats primitive). Only JSON-plain scalar
+    columns are kept."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(abs_path)
+    agg: dict[str, list] = {}
+    for rg in range(f.metadata.num_row_groups):
+        for ci in range(f.metadata.num_columns):
+            col = f.metadata.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or not isinstance(lo, (int, float, str)):
+                continue
+            name = col.path_in_schema
+            if name in agg:
+                agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
+            else:
+                agg[name] = [lo, hi]
+    return agg
+
+
+def file_stats(table_path: str, version: int) -> dict:
+    """{relative file -> {column -> [min, max]}} for the committed
+    manifests <= version (files whose commit predates stats support, or
+    whose columns have no footer stats, are simply absent)."""
+    out: dict[str, dict] = {}
+    for v in [x for x in list_versions(table_path) if x <= version]:
+        out.update(_read_manifest(table_path, v).get("stats", {}))
+    return out
+
+
 def _commit(
     table_path: str, version: int, add: list[str], remove: list[str]
 ) -> None:
-    """Write the per-version manifest, then append ``version`` to the
-    commit log (the commit point; both writes atomic via os.replace)."""
+    """Write the per-version manifest (add/remove lists + per-added-file
+    footer min/max stats), then append ``version`` to the commit log (the
+    commit point; both writes atomic via os.replace)."""
     versions = list_versions(table_path)
+    stats = {
+        f: s
+        for f in add
+        if (s := _footer_stats(os.path.join(table_path, f)))
+    }
     _atomic_write_json(
         _version_manifest_path(table_path, version),
-        {"version": version, "add": add, "remove": remove},
+        {"version": version, "add": add, "remove": remove, "stats": stats},
     )
     _atomic_write_json(
         os.path.join(table_path, MANIFEST), {"versions": versions + [version]}
@@ -210,14 +303,34 @@ def merge_upsert(
     updates = updates.localCheckpoint(eager=True)  # one computation, 3 uses
     keys_df = F.broadcast(updates.select(key).distinct())
 
-    live_df = spark.read.parquet(*paths.values())
+    # file skipping via footer min/max stats: a live file whose [min,max]
+    # range on the merge key cannot overlap the update keys' range cannot
+    # contain a match — the probe scan reads only overlapping files (the
+    # Delta data-skipping primitive; files without stats stay candidates)
+    bounds = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    stats = file_stats(table_path, versions[-1])
+    candidates = [
+        f
+        for f in prev_live
+        if key not in stats.get(f, {})
+        or bounds["lo"] is None
+        or not (
+            stats[f][key][0] > bounds["hi"] or stats[f][key][1] < bounds["lo"]
+        )
+    ]
+
+    probe_df = (
+        spark.read.parquet(*[paths[f] for f in candidates])
+        if candidates
+        else None
+    )
     counts: dict[str, int] = {}
-    for r in (
-        live_df.join(keys_df, key, "semi")
+    for r in (() if probe_df is None else (
+        probe_df.join(keys_df, key, "semi")
         .groupBy(F.input_file_name().alias("f"))
         .agg(F.count("*").alias("n"))
         .collect()
-    ):
+    )):
         p = r["f"]
         if p.startswith("file:"):
             p = p[len("file:"):]
@@ -228,9 +341,11 @@ def merge_upsert(
     # dedups); rows_inserted counts update rows whose key has no live
     # match, computed directly so duplicate live keys can't skew it
     rows_updated = sum(counts[os.path.abspath(paths[f])] for f in touched)
-    matched_update_rows = updates.join(
-        live_df.select(key).distinct(), key, "semi"
-    ).count()
+    matched_update_rows = (
+        0
+        if probe_df is None
+        else updates.join(probe_df.select(key).distinct(), key, "semi").count()
+    )
     rows_inserted = updates.count() - matched_update_rows
 
     if touched:
@@ -249,6 +364,25 @@ def merge_upsert(
         "rows_updated": int(rows_updated),
         "rows_inserted": int(rows_inserted),
     }
+
+
+def compact_files(
+    spark: SparkSession, table_path: str, version: int, target_files: int = 1
+) -> dict:
+    """Commit ``version`` as a bin-packed REWRITE of the live set into
+    ``target_files`` files — logically identical content (the Delta
+    OPTIMIZE primitive; small-file compaction after many incremental
+    commits). Older versions still read their own file lists."""
+    versions = _check_commit_order(table_path, version)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    prev_live = live_files(table_path, versions[-1])
+    df = spark.read.parquet(
+        *[os.path.join(table_path, f) for f in prev_live]
+    ).coalesce(max(1, target_files))
+    add = _write_data_files(df, table_path, version)
+    _commit(table_path, version, add=add, remove=prev_live)
+    return {"files_before": len(prev_live), "files_after": len(add)}
 
 
 def list_versions(table_path: str) -> list[int]:

@@ -248,3 +248,101 @@ def test_merge_upsert_all_new_keys_is_pure_append(spark, table):
     assert stats["files_rewritten"] == 0 and stats["rows_inserted"] == 1
     assert set(before) < set(live_files(table, 1))
     assert {r["k"] for r in read_version(spark, table, 1).collect()} == {1, 2, 7}
+
+
+def test_checkpoint_pins_live_set_and_replay_continues_after(spark, table):
+    """A manifest checkpoint resolves the same live set as full replay,
+    and commits AFTER the checkpoint still apply on top of it."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        checkpoint_manifest,
+        live_files,
+    )
+
+    append_version(
+        spark.createDataFrame([(3, 30.0)], "k BIGINT, val DOUBLE"), table, 1
+    )
+    before = live_files(table, 1)
+    checkpoint_manifest(table)  # checkpoint at latest (v1)
+    assert live_files(table, 1) == before
+    append_version(
+        spark.createDataFrame([(4, 40.0)], "k BIGINT, val DOUBLE"), table, 2
+    )
+    assert set(before) < set(live_files(table, 2))
+    assert {r["k"] for r in read_version(spark, table, 2).collect()} == {1, 2, 3, 4}
+    # historical reads below the checkpoint still resolve
+    assert {r["k"] for r in read_version(spark, table, 0).collect()} == {1, 2}
+
+
+def test_compact_files_preserves_content_and_shrinks_file_count(spark, table):
+    """OPTIMIZE: bin-packing the live set into one file changes nothing
+    logically; prior versions keep their own (many-file) lists."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        compact_files,
+        live_files,
+    )
+
+    for v, k in ((1, 3), (2, 4), (3, 5)):
+        append_version(
+            spark.createDataFrame([(k, k * 10.0)], "k BIGINT, val DOUBLE")
+            .coalesce(1),
+            table, v,
+        )
+    before = live_files(table, 3)
+    stats = compact_files(spark, table, 4, target_files=1)
+    assert stats["files_before"] == len(before) and stats["files_after"] == 1
+    assert {r["k"] for r in read_version(spark, table, 4).collect()} == {1, 2, 3, 4, 5}
+    assert {r["k"] for r in read_version(spark, table, 3).collect()} == {1, 2, 3, 4, 5}
+    assert len(live_files(table, 4)) == 1
+
+
+def test_manifest_records_footer_stats_and_merge_skips_by_range(spark, tmp_path):
+    """Commits record per-file [min,max] from the parquet footer; a merge
+    whose key range cannot overlap any file runs NO probe scan (pure
+    append), and the recorded ranges match the data."""
+    from pyspark.sql import DataFrame
+
+    from dodo_spark.sources.versioned import (
+        append_version,
+        file_stats,
+        live_files,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "st")
+    write_version(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1),
+        path, 0,
+    )
+    append_version(
+        spark.createDataFrame([(100, 1.0), (200, 2.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1),
+        path, 1,
+    )
+    st = file_stats(path, 1)
+    ranges = sorted(tuple(s["k"]) for s in st.values())
+    assert ranges == [(1, 2), (100, 200)]
+
+    # keys far outside every range: the probe must not read ANY live file
+    orig_parquet = type(spark.read).parquet
+    probed = []
+
+    def spy(self, *ps):
+        probed.append(ps)
+        return orig_parquet(self, *ps)
+
+    type(spark.read).parquet = spy
+    try:
+        stats = merge_upsert(
+            spark, path, 2,
+            spark.createDataFrame([(9999, 9.0)], "k BIGINT, val DOUBLE"), "k",
+        )
+    finally:
+        type(spark.read).parquet = orig_parquet
+    assert stats == {"files_rewritten": 0, "files_kept": 2,
+                     "rows_updated": 0, "rows_inserted": 1}
+    assert probed == []  # stats-based skipping: zero probe scans
+    assert {r["k"] for r in read_version(spark, path, 2).collect()} \
+        == {1, 2, 100, 200, 9999}
