@@ -352,6 +352,19 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         snap = append_version(df, args.path, args.version)
         print(f"appended {args.table} as v{args.version} -> {snap}")
         return 0
+    if args.action == "checkpoint":
+        from dodo_spark.sources.versioned import checkpoint_manifest
+
+        print(f"checkpointed -> {checkpoint_manifest(args.path, args.version)}")
+        return 0
+    if args.action == "compact":
+        from dodo_spark.sources.versioned import compact_files
+
+        stats = compact_files(
+            spark, args.path, args.version, target_files=args.target_files
+        )
+        print(f"compacted as v{args.version}: {stats}")
+        return 0
     if args.action == "delete":
         if not args.where:
             print("delete requires --where <sql predicate>")
@@ -629,7 +642,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sn = sub.add_parser("snapshot", help="versioned-table commit/list/read (time travel)")
     sn.add_argument(
-        "action", choices=["commit", "append", "delete", "merge", "list", "read"]
+        "action",
+        choices=["commit", "append", "delete", "merge", "checkpoint",
+                 "compact", "list", "read"],
     )
     sn.add_argument("--path", required=True, help="versioned table directory")
     sn.add_argument("--version", type=int, default=None)
@@ -638,6 +653,7 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--where", default=None, help="SQL predicate (delete)")
     sn.add_argument("--key", default=None, help="merge key column (merge)")
     sn.add_argument("--limit", type=int, default=20, help="rows to print (read)")
+    sn.add_argument("--target-files", type=int, default=1, help="bin-pack target (compact)")
     sn.set_defaults(fn=cmd_snapshot)
 
     se = sub.add_parser("search", help="hybrid lexical+vector retrieval (RRF)")

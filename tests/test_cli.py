@@ -447,3 +447,21 @@ def test_cli_snapshot_append_delete_merge(spark, sf_dir, tmp_path, capsys):
     assert main(["snapshot", "delete", "--path", table, "--version", "4"]) == 1
     assert main(["snapshot", "merge", "--path", table, "--version", "4",
                  "--sf-dir", sf_dir, "--table", "region"]) == 1
+
+
+def test_cli_snapshot_checkpoint_compact(spark, sf_dir, tmp_path, capsys):
+    table = str(tmp_path / "vt3")
+    assert main(["snapshot", "commit", "--path", table, "--version", "0",
+                 "--sf-dir", sf_dir, "--table", "region"]) == 0
+    assert main(["snapshot", "append", "--path", table, "--version", "1",
+                 "--sf-dir", sf_dir, "--table", "region"]) == 0
+    assert main(["snapshot", "checkpoint", "--path", table]) == 0
+    assert main(["snapshot", "compact", "--path", table, "--version", "2",
+                 "--target-files", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "_checkpoint_1.json" in out and "'files_after': 1" in out
+    from dodo_spark.sources.versioned import live_files, read_version
+
+    assert len(live_files(table, 2)) == 1
+    n0 = read_version(spark, table, 0).count()
+    assert read_version(spark, table, 2).count() == 2 * n0
