@@ -290,16 +290,20 @@ def train_centroids_kmeans(
     return [(j, [int(x) for x in scaled[j]]) for j in range(k)]
 
 
-def _centroid_literals(centroids: list[tuple[int, list[int]]]):
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                # cast: int literals would overflow int32 in the norm product
-                F.array(*[F.lit(int(x)) for x in cv]).cast("array<bigint>").alias("cv"),
-            )
-            for cid, cv in centroids
-        ]
+def _centroid_frame(spark: SparkSession, centroids: list[tuple[int, list[int]]]):
+    """ONE-row frame carrying the centroid array<struct<cid, cv>>.
+
+    Joined in as a 1-row broadcast (whitelisted BNLJ) rather than embedded
+    as literal expressions: semantically identical and still scan-side /
+    shuffle-free, but the generated codegen source is literal-free and
+    therefore CACHED across invocations — the 16x64-literal expression
+    form recompiled ~2s of janino on EVERY call (fresh lambda variable ids
+    make the source text unique), which dominated the IVF keys' wall-clock
+    at test scale. At real centroid counts (sqrt(n)) the broadcast join is
+    also the only viable form — the docstring scale note made flesh."""
+    rows = [([(int(cid), [int(x) for x in cv]) for cid, cv in centroids],)]
+    return spark.createDataFrame(
+        rows, "cents array<struct<cid: bigint, cv: array<bigint>>>"
     )
 
 
@@ -314,24 +318,29 @@ def _ivf_index(spark: SparkSession, sf_dir: str, centroids=None):
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
 
     if centroids is None:
-        # bounded centroid sample -> driver -> literal array (like ref pools)
+        # bounded centroid sample -> driver (like ref pools)
         cent_rows = sorted(
             v.filter(F.col("vec_id") < N_CENTROIDS).collect(), key=lambda r: r.vec_id
         )
         centroids = [(int(r.vec_id), [int(x) for x in r.sv]) for r in cent_rows]
-    cent_arr = _centroid_literals(centroids)
 
     # per-row scores against every centroid: array<struct<sim, negcid>>;
     # array_max/array_sort order by (sim, negcid) => max sim, ties to the
-    # SMALLEST cid — mirroring the oracle's ORDER BY sim DESC, cid
+    # SMALLEST cid — mirroring the oracle's ORDER BY sim DESC, cid. The
+    # centroid array rides a 1-row broadcast (see _centroid_frame), keeping
+    # this a scan-side projection with codegen-cacheable source.
     scored = F.transform(
-        cent_arr,
+        F.col("cents"),
         lambda ctr: F.struct(
             cosine(F.col("sv"), ctr.getField("cv")).alias("sim"),
             (-ctr.getField("cid")).alias("negcid"),
         ),
     )
-    v2 = v.withColumn("scored", scored)
+    v2 = (
+        v.crossJoin(F.broadcast(_centroid_frame(spark, centroids)))
+        .withColumn("scored", scored)
+        .drop("cents")
+    )
     cells = v2.select(
         "vec_id", "sv", (-F.array_max("scored").getField("negcid")).alias("cell")
     )
@@ -379,7 +388,11 @@ def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells, probes = _ivf_index(spark, sf_dir)
     path = scratch_dir("ivf_cells")
-    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # cluster by the partition column before the partitioned write: one
+    # file per cell instead of (input partitions x cells) shards — the
+    # standard layout discipline at any scale, and what keeps the probed
+    # read to N_PROBE file opens
+    cells.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
     stored = spark.read.parquet(path)
     # tiny collect: N_QUERIES x N_PROBE cell ids — the query's probe list
     probe_cells = [r["pcell"] for r in probes.select("pcell").distinct().collect()]

@@ -155,6 +155,12 @@ BNLJ_ALLOWED = {
     "split_leakage_safe",
     # 1-row (n, k) totals broadcast onto the k-row observed counts
     "stats_chi_square",
+    # r5: the IVF centroid array rides a 1-row broadcast crossJoin
+    # (_centroid_frame — scan-side cell assignment with codegen-cacheable
+    # source; the literal-expression form recompiled ~2s/call)
+    "similarity_ivf",
+    "similarity_ivf_pruned",
+    "ann_dispatch",
 }
 
 
