@@ -173,25 +173,73 @@ def file_stats(table_path: str, version: int) -> dict:
     return out
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency)."""
+
+
+def _put_if_absent_json(path: str, payload: dict) -> bool:
+    """Atomically create ``path`` with ``payload`` ONLY if absent (write a
+    complete temp file, then hard-link into place — link is atomic and
+    fails if the target exists). Returns False on conflict."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def _commit(
     table_path: str, version: int, add: list[str], remove: list[str]
 ) -> None:
-    """Write the per-version manifest (add/remove lists + per-added-file
-    footer min/max stats), then append ``version`` to the commit log (the
-    commit point; both writes atomic via os.replace)."""
+    """Commit ``version``: put-if-absent the per-version manifest
+    (add/remove lists + per-added-file footer min/max stats), then append
+    ``version`` to the commit log.
+
+    Optimistic concurrency (the Delta put-if-absent commit protocol, via
+    the filesystem's atomic hard-link): the MANIFEST FILE is the commit
+    record — two writers racing the same version number cannot both link
+    it into place, so the loser raises CommitConflict instead of silently
+    overwriting the winner. If a prior writer crashed between its
+    manifest link and the log append, the next committer ROLLS THAT
+    COMMIT FORWARD (the manifest is complete by construction) before
+    reporting the conflict — the table never sticks half-committed.
+    Remaining caveat (documented in SCALE.md): writers proposing the SAME
+    version number share the ``v=<n>/`` data directory before commit, so
+    concurrent writers should propose distinct versions; the commit
+    record itself is race-safe."""
     versions = list_versions(table_path)
     stats = {
         f: s
         for f in add
         if (s := _footer_stats(os.path.join(table_path, f)))
     }
-    _atomic_write_json(
+    manifest_path = os.path.join(table_path, MANIFEST)
+    won = _put_if_absent_json(
         _version_manifest_path(table_path, version),
         {"version": version, "add": add, "remove": remove, "stats": stats},
     )
-    _atomic_write_json(
-        os.path.join(table_path, MANIFEST), {"versions": versions + [version]}
-    )
+    if not won:
+        if version not in list_versions(table_path):
+            # crashed predecessor: complete ITS commit (roll forward)
+            _atomic_write_json(
+                manifest_path, {"versions": versions + [version]}
+            )
+        raise CommitConflict(
+            f"version {version} at {table_path} was already committed by "
+            f"another writer"
+        )
+    _atomic_write_json(manifest_path, {"versions": versions + [version]})
 
 
 def _check_commit_order(table_path: str, version: int) -> list[int]:
@@ -409,7 +457,13 @@ def read_version(
     files = live_files(table_path, version)
     if not files:
         raise ValueError(f"version {version} at {table_path} has no live files")
-    return spark.read.parquet(*[os.path.join(table_path, f) for f in files])
+    # mergeSchema: ADDITIVE schema evolution — an append_version that
+    # introduced new columns unions by name with older files (absent
+    # columns read as NULL), the Delta/Iceberg add-column semantics.
+    # Renames/drops/retypes are rewrites, not evolution, here as there.
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_path, f) for f in files]
+    )
 
 
 # --------------------------------------------------------------------------

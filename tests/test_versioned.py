@@ -346,3 +346,73 @@ def test_manifest_records_footer_stats_and_merge_skips_by_range(spark, tmp_path)
     assert probed == []  # stats-based skipping: zero probe scans
     assert {r["k"] for r in read_version(spark, path, 2).collect()} \
         == {1, 2, 100, 200, 9999}
+
+
+def test_additive_schema_evolution_on_read(spark, table):
+    """An append introducing a NEW column unions by name on read — older
+    files surface NULL for it (additive evolution; renames/drops are
+    rewrites, not evolution)."""
+    from dodo_spark.sources.versioned import append_version
+
+    extra = spark.createDataFrame(
+        [(5, 50.0, "web")], "k BIGINT, val DOUBLE, src STRING"
+    )
+    append_version(extra, table, 1)
+    got = {r["k"]: r["src"] for r in read_version(spark, table, 1).collect()}
+    assert got == {1: None, 2: None, 5: "web"}
+    # the old version's schema is untouched
+    assert "src" not in read_version(spark, table, 0).columns
+
+
+def test_concurrent_commit_same_version_conflicts(spark, table):
+    """Put-if-absent commit record: a second writer linking the same
+    version's manifest loses with CommitConflict and changes nothing."""
+    import pytest as _pytest
+
+    from dodo_spark.sources.versioned import (
+        CommitConflict,
+        _commit,
+        live_files,
+    )
+
+    before = live_files(table, 0)
+    # simulate the racing writer reaching _commit directly (the API-level
+    # _check_commit_order passed for both before either committed)
+    with _pytest.raises(CommitConflict):
+        _commit(str(table), 0, add=[], remove=[])
+    assert live_files(table, 0) == before
+
+
+def test_crashed_commit_rolls_forward(spark, table, monkeypatch):
+    """A writer that crashes between its manifest link and the log append
+    leaves a complete manifest; the NEXT committer completes that commit
+    (roll-forward) rather than leaving the table half-committed."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from dodo_spark.sources.versioned import (
+        CommitConflict,
+        _commit,
+        _version_manifest_path,
+        append_version,
+        list_versions,
+        live_files,
+    )
+
+    # fake the crash: manifest for v1 exists (complete), log still [0]
+    extra = spark.createDataFrame([(3, 30.0)], "k BIGINT, val DOUBLE")
+    append_version(extra, table, 1)
+    mpath = _version_manifest_path(str(table), 1)
+    manifest = _json.load(open(mpath))
+    log_path = _os.path.join(str(table), "_versions.json")
+    _json.dump({"versions": [0]}, open(log_path, "w"))
+    assert list_versions(str(table)) == [0]
+
+    with _pytest.raises(CommitConflict):
+        _commit(str(table), 1, add=[], remove=[])
+    # the crashed writer's commit was completed, not ours
+    assert list_versions(str(table)) == [0, 1]
+    assert _json.load(open(mpath)) == manifest
+    assert set(live_files(table, 1)) == set(manifest["add"]) | set(live_files(table, 0))
