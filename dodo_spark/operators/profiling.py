@@ -195,8 +195,9 @@ def agg_rollup_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
                            AS DECIMAL(38,0))) AS DOUBLE) AS s1,
              CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
-                           * CAST(round(l_extendedprice * 100) AS BIGINT)
-                           AS DECIMAL(38,0))) AS DOUBLE) AS s2
+                           AS DECIMAL(19,0))
+                      * CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS DECIMAL(19,0))) AS DOUBLE) AS s2
       FROM lineitem
       WHERE l_returnflag IN ('R', 'N')
       GROUP BY l_returnflag),
@@ -235,7 +236,9 @@ def stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.col("p").cast("decimal(38,0)")).cast("double").alias("s1"),
-        F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)"))
+        F.sum(
+            F.col("p").cast("decimal(19,0)") * F.col("p").cast("decimal(19,0)")
+        )
         .cast("double")
         .alias("s2"),
     )

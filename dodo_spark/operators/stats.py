@@ -204,11 +204,11 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
              CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE) AS sp,
              CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) AS sd,
-             CAST(SUM(CAST(q * p AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
-             CAST(SUM(CAST(p * d AS DECIMAL(38,0))) AS DOUBLE) AS spd,
-             CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
-             CAST(SUM(CAST(p * p AS DECIMAL(38,0))) AS DOUBLE) AS spp,
-             CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE) AS sdd
+             CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(p AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DOUBLE) AS spd,
+             CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(p AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DOUBLE) AS sdd
       FROM scaled GROUP BY l_returnflag
     )
     SELECT l_returnflag, n_rows,
@@ -242,16 +242,22 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dsum38(c):
         return F.sum(c.cast("decimal(38,0)")).cast("double")
 
+    def dprod(a, b):
+        # multiply in DECIMAL(19,0) so the product is exact DECIMAL(38,0)
+        # at ANY scale — int64 a*b would silently wrap past 2^63 in Spark
+        # while DuckDB errors (the chi-square/split-hash divergence class)
+        return F.sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
+
     sums = scaled.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         dsum38(F.col("q")).alias("sq"),
         dsum38(F.col("p")).alias("sp"),
         dsum38(F.col("d")).alias("sd"),
-        dsum38(F.col("q") * F.col("p")).alias("sqp"),
-        dsum38(F.col("p") * F.col("d")).alias("spd"),
-        dsum38(F.col("q") * F.col("q")).alias("sqq"),
-        dsum38(F.col("p") * F.col("p")).alias("spp"),
-        dsum38(F.col("d") * F.col("d")).alias("sdd"),
+        dprod(F.col("q"), F.col("p")).alias("sqp"),
+        dprod(F.col("p"), F.col("d")).alias("spd"),
+        dprod(F.col("q"), F.col("q")).alias("sqq"),
+        dprod(F.col("p"), F.col("p")).alias("spp"),
+        dprod(F.col("d"), F.col("d")).alias("sdd"),
     )
     n = F.col("n_rows")
 
