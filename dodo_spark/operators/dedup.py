@@ -857,17 +857,22 @@ _SPLIT_PRE = 2147483648  # 2^31
     "their own id. Output: per-split doc/cluster counts + an in-plan "
     "no_leakage contract (count of cross-split near-dup pairs == 0 — "
     "TRUE by construction, asserted in both engines). The assignment "
-    "scan broadcasts only the cluster label map (proportional to "
-    "CLUSTERED docs); the leak audit shuffle-joins pair endpoints on "
-    "doc_id rather than broadcasting the full per-doc split map.",
+    "join carries no broadcast hint — the label map is proportional to "
+    "CLUSTERED docs (large on duplicate-heavy corpora), so AQE picks "
+    "broadcast only when it actually fits; the leak audit shuffle-joins "
+    "pair endpoints on doc_id rather than broadcasting the per-doc map.",
 )
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=False)
     labels = connected_components(pairs, "doc_a", "doc_b")
     cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    # no broadcast hint: the label map is proportional to CLUSTERED docs,
+    # which on a duplicate-heavy corpus is a large fraction of the corpus —
+    # AQE still converts to broadcast at runtime when it is actually small,
+    # without forcing an OOM when it is not
     assign = (
-        docs.join(F.broadcast(labels), docs.doc_id == labels.id, "left")
+        docs.join(labels, docs.doc_id == labels.id, "left")
         .select(
             "doc_id",
             cluster.alias("cluster"),
