@@ -416,3 +416,65 @@ def test_crashed_commit_rolls_forward(spark, table, monkeypatch):
     assert list_versions(str(table)) == [0, 1]
     assert _json.load(open(mpath)) == manifest
     assert set(live_files(table, 1)) == set(manifest["add"]) | set(live_files(table, 0))
+
+
+def test_commit_algebra_randomized_against_model(spark, tmp_path):
+    """Model-based check of the whole commit algebra: a random sequence of
+    append / delete / merge / compact / checkpoint commits must keep EVERY
+    version's readable content equal to a plain-Python dict model replayed
+    to that version — file sharing, stats skipping, checkpoints and
+    compaction are invisible to readers."""
+    import random
+
+    from dodo_spark.sources.versioned import (
+        append_version,
+        checkpoint_manifest,
+        compact_files,
+        delete_where,
+        merge_upsert,
+        write_version,
+    )
+
+    rng = random.Random(17)
+    path = str(tmp_path / "alg")
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "k BIGINT, val DOUBLE"
+        ).coalesce(1)
+
+    model = {k: float(k * 10) for k in range(5)}
+    write_version(df_of(model), path, 0)
+    snapshots = {0: dict(model)}
+    next_key = 100
+    for v in range(1, 13):
+        op = rng.choice(["append", "delete", "merge", "compact", "checkpoint"])
+        if op == "checkpoint":
+            checkpoint_manifest(path)
+            op = "compact" if rng.random() < 0.5 else "append"  # still commit v
+        if op == "append":
+            new = {next_key + i: float(rng.randrange(1000)) for i in range(3)}
+            next_key += 3
+            append_version(df_of(new), path, v)
+            model.update(new)
+        elif op == "delete":
+            # never empty the table (read_version of an empty live set is a
+            # separate error path, unit-tested elsewhere)
+            candidates = sorted(model)[:-1]
+            cutoff = rng.choice(candidates) if candidates else -1
+            delete_where(spark, path, v, f"k <= {cutoff}")
+            model = {k: x for k, x in model.items() if not k <= cutoff}
+        elif op == "merge":
+            keys = rng.sample(sorted(model), k=min(2, len(model))) if model else []
+            upd = {k: float(rng.randrange(1000)) for k in keys}
+            upd[next_key] = 7.0
+            next_key += 1
+            merge_upsert(spark, path, v, df_of(upd), "k")
+            model.update(upd)
+        else:  # compact
+            compact_files(spark, path, v, target_files=1)
+        snapshots[v] = dict(model)
+
+    for v, want in snapshots.items():
+        got = {r["k"]: r["val"] for r in read_version(spark, path, v).collect()}
+        assert got == want, f"version {v}"
