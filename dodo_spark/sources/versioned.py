@@ -433,6 +433,33 @@ def compact_files(
     return {"files_before": len(prev_live), "files_after": len(add)}
 
 
+def vacuum(table_path: str, keep_versions: int = 2) -> dict:
+    """Delete data files referenced ONLY by versions older than the newest
+    ``keep_versions`` (Delta VACUUM): time travel keeps working for the
+    retained versions; older versions become unreadable (their manifests
+    remain as history metadata). Pure driver-side file arithmetic over the
+    manifests — no Spark job."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = list_versions(table_path)
+    if not versions:
+        return {"files_deleted": 0, "versions_retained": []}
+    retained = versions[-keep_versions:]
+    keep: set[str] = set()
+    for v in retained:
+        keep.update(live_files(table_path, v))
+    all_files: set[str] = set()
+    for v in versions:
+        all_files.update(_read_manifest(table_path, v).get("add", []))
+    doomed = sorted(all_files - keep)
+    for f in doomed:
+        try:
+            os.unlink(os.path.join(table_path, f))
+        except FileNotFoundError:
+            pass
+    return {"files_deleted": len(doomed), "versions_retained": retained}
+
+
 def list_versions(table_path: str) -> list[int]:
     manifest_path = os.path.join(table_path, MANIFEST)
     if not os.path.exists(manifest_path):

@@ -478,3 +478,29 @@ def test_commit_algebra_randomized_against_model(spark, tmp_path):
     for v, want in snapshots.items():
         got = {r["k"]: r["val"] for r in read_version(spark, path, v).collect()}
         assert got == want, f"version {v}"
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, table):
+    """VACUUM removes data files referenced only by dropped versions;
+    retained versions stay byte-for-byte readable."""
+    from dodo_spark.sources.versioned import (
+        live_files,
+        vacuum,
+        write_version,
+    )
+
+    write_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), table, 1
+    )
+    write_version(
+        spark.createDataFrame([(8, 80.0)], "k BIGINT, val DOUBLE"), table, 2
+    )
+    stats = vacuum(str(table), keep_versions=2)
+    assert stats["versions_retained"] == [1, 2]
+    assert stats["files_deleted"] >= 1  # v0's files dropped
+    # retained versions still read
+    assert {r["k"] for r in read_version(spark, table, 1).collect()} == {9}
+    assert {r["k"] for r in read_version(spark, table, 2).collect()} == {8}
+    # the dropped version's files are gone from disk
+    for f in live_files(table, 0):
+        assert not os.path.exists(os.path.join(str(table), f))
