@@ -460,6 +460,32 @@ def cmd_completion(args: argparse.Namespace) -> int:
     return 0
 
 
+
+# -------------------------------------------------------- genconf-infer ----
+def cmd_genconf_infer(args: argparse.Namespace) -> int:
+    """Infer a genconf YAML from an observed dataset (offline rule-based
+    core of the reference's LLM genconf authoring, src/llm.go — B15):
+    measure each table, pick per-column generator rules from the stats,
+    write YAML that `gendata --genconf` consumes, so a dataset round-trips
+    into a synthetic sibling."""
+    import yaml
+
+    from dodo_spark.gendata.infer import infer_genconf
+
+    spark = _spark(args.parallel)
+    conf = infer_genconf(
+        spark, args.sf_dir, tables=args.tables.split(",") if args.tables else None
+    )
+    text = yaml.safe_dump(conf, sort_keys=False)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(text)
+        print(f"inferred genconf for {len(conf['tables'])} tables -> {args.output}")
+    else:
+        print(text)
+    return 0
+
+
 # ----------------------------------------------------------------- ann ----
 def cmd_ann(args: argparse.Namespace) -> int:
     """Tiered ANN search over the embeddings table (operators/ann.py):
@@ -663,6 +689,12 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--topk", type=int, default=20, help="fused results returned")
     se.add_argument("--list-depth", type=int, default=50, help="per-retriever top-R")
     se.set_defaults(fn=cmd_search)
+
+    gi = sub.add_parser("genconf-infer", help="infer genconf YAML from a dataset")
+    gi.add_argument("--sf-dir", required=True, help="data dir to measure")
+    gi.add_argument("--tables", default=None, help="comma list (default: all)")
+    gi.add_argument("--output", default=None, help="YAML path (default: stdout)")
+    gi.set_defaults(fn=cmd_genconf_infer)
 
     an = sub.add_parser("ann", help="approximate-nearest-neighbor search (tiered)")
     an.add_argument("--sf-dir", required=True, help="data dir with embeddings")

@@ -348,3 +348,44 @@ def test_golang_rule_clear_error(spark):
         build_generator(
             "INT", {"gen": {"golang": 'rand.Intn(100)'}}, "c", GenContext()
         )
+
+
+def test_genconf_infer_roundtrip(spark, sf_dir, tmp_path):
+    """Offline B15 core: genconf-infer measures a dataset and emits rules
+    that gendata round-trips into a faithful synthetic sibling — matching
+    row counts, contiguous keys, categorical vocabulary, and value ranges."""
+    import os
+
+    import yaml
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.cli import main
+    from dodo_spark.gendata.infer import infer_genconf
+
+    conf = infer_genconf(spark, sf_dir, tables=["region", "nation"])
+    conf_path = tmp_path / "inferred.yaml"
+    conf_path.write_text(yaml.safe_dump(conf, sort_keys=False))
+
+    # schemas via the dump-schema verb (DDL round-trip), then generate
+    ddl_dir = tmp_path / "ddl"
+    assert main(["dump-schema", "--sf-dir", sf_dir, "--output", str(ddl_dir),
+                 "--tables", "region,nation"]) == 0
+    out = tmp_path / "gen"
+    assert main(["gendata",
+                 "--ddl", str(ddl_dir / "region.table.sql"),
+                 str(ddl_dir / "nation.table.sql"),
+                 "--genconf", str(conf_path), "--output", str(out)]) == 0
+
+    orig_r = load_table(spark, sf_dir, "region")
+    gen_r = spark.read.parquet(os.path.join(str(out), "region"))
+    assert gen_r.count() == orig_r.count()
+    keys = sorted(r["r_regionkey"] for r in gen_r.collect())
+    assert keys == list(range(len(keys)))  # inc rule: contiguous from 0
+    vocab = {r["r_name"] for r in orig_r.collect()}
+    assert {r["r_name"] for r in gen_r.collect()} <= vocab  # enum rule
+
+    orig_n = load_table(spark, sf_dir, "nation")
+    gen_n = spark.read.parquet(os.path.join(str(out), "nation"))
+    assert gen_n.count() == orig_n.count()
+    rk = [r["n_regionkey"] for r in gen_n.collect() if r["n_regionkey"] is not None]
+    assert rk and min(rk) >= 0 and max(rk) <= 4  # min/max rule
