@@ -341,6 +341,18 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     if args.action == "list":
         print(list_versions(args.path) or "no versions")
         return 0
+    write_actions = {"commit", "append", "delete", "merge", "compact"}
+    if args.action in write_actions:
+        # validate BEFORE touching the table: a missing/negative --version
+        # must be a usage error, never a half-written v=None/ directory
+        if args.version is None or args.version < 0:
+            print(f"{args.action} requires --version <non-negative int>")
+            return 1
+        if args.action in {"commit", "append", "merge"} and not (
+            args.sf_dir and args.table
+        ):
+            print(f"{args.action} requires --sf-dir and --table")
+            return 1
     spark = _spark(args.parallel)
     if args.action == "commit":
         df = load_table(spark, args.sf_dir, args.table)

@@ -49,6 +49,13 @@ def _infer_column(
     count, ndv, nulls = st["count"], st["ndv"], st["null_count"]
     if count and nulls:
         rule["null_frequency"] = round(nulls / (count + nulls), 6)
+    if count == 0:
+        # all-NULL (or empty) column: min/max are None, so every ranged
+        # branch below would crash — fall back to the type-default rule,
+        # with null_frequency 1.0 when the column has rows (ADVICE r5)
+        if nulls:
+            rule["null_frequency"] = 1.0
+        return rule
 
     if _is_int(dt) and count == row_count and ndv == count and count > 1:
         lo, hi = int(float(st["min"])), int(float(st["max"]))

@@ -6,17 +6,24 @@ Delta/Iceberg are not available in this environment, so time travel is
 built from the same primitive those formats use underneath: IMMUTABLE
 data files plus per-version FILE MANIFESTS (add/remove lists — the Delta
 commit-log / Iceberg snapshot-manifest structure). Each commit writes its
-new parquet files under ``v=<n>/``, then a ``_manifest_<n>.json`` naming
-the files it ADDS and the live files it REMOVES, then appends ``n`` to
-``_versions.json`` (the commit point — written last and replaced
-atomically, so a torn write never exposes a half-visible version; a
-``v=<n>/`` dir or manifest without a commit-log entry is by definition an
-orphan and is overwritten on retry). A version's live file set is the
-add/remove algebra replayed over committed manifests; ``read_version``
-hands that file list straight to ``spark.read.parquet`` so every Catalyst
-optimization (pushdown, pruning, split planning) applies unchanged, and
-no state is shared between versions — concurrent readers of different
-versions never interfere.
+new parquet files under ``v=<n>/``, then PUT-IF-ABSENT publishes a
+``_manifest_<n>.json`` naming the files it ADDS and the live files it
+REMOVES. **The manifest file IS the commit record and the SOLE source of
+truth**: ``list_versions`` is derived from the set of committed manifest
+files, so there is no secondary log to append to — and therefore no
+read-modify-write race between writers committing distinct versions
+(each writer publishes exactly one new immutable file; nothing is ever
+re-written). A ``v=<n>/`` data dir without a manifest is by definition an
+orphan from a crashed writer and is overwritten on retry. Put-if-absent
+is atomic-with-complete-content on every backend (see ``_LocalFS`` /
+``_HadoopFS``), so a visible manifest is always a complete commit — no
+roll-forward step exists or is needed.
+
+A version's live file set is the add/remove algebra replayed over
+committed manifests; ``read_version`` hands that file list straight to
+``spark.read.parquet`` so every Catalyst optimization (pushdown, pruning,
+split planning) applies unchanged, and no state is shared between
+versions — concurrent readers of different versions never interfere.
 
 Because commits are file-level, ``append_version`` commits new rows
 WITHOUT rewriting (or even reading) the files of prior versions — the
@@ -25,6 +32,31 @@ WITHOUT rewriting (or even reading) the files of prior versions — the
 previously-live files), and the API is still shaped so ``read_version``
 swaps to ``spark.read.format("delta").option("versionAsOf", n)`` without
 touching call sites.
+
+Filesystem abstraction
+----------------------
+All metadata IO (manifests, checkpoints, vacuum markers, data-file
+listing/deletion) goes through a small FS shim chosen by the table
+path's scheme:
+
+- plain paths -> ``_LocalFS`` (POSIX: put-if-absent via ``os.link`` of a
+  complete temp file — atomic, fails if the target exists);
+- any URI (``hdfs://``, ``file://``, ``s3a://`` ...) -> ``_HadoopFS``
+  (the live SparkSession's Hadoop ``FileSystem`` via ``spark._jvm``:
+  put-if-absent = write a complete temp file, then ``FileSystem.rename``
+  onto the target — on HDFS rename is atomic at the namenode and returns
+  false if the destination exists, the Delta HDFSLogStore protocol).
+
+S3 caveat (documented, by design): S3A has no atomic rename, so the
+rename-based put-if-absent is not atomic there. The O_EXCL-equivalent
+strategy on S3 is a CONDITIONAL PUT — ``PutObject`` with
+``If-None-Match: *`` (supported by S3 since 2024), or a DynamoDB
+conditional write à la S3DynamoDBLogStore. That would be a third, small
+``_S3FS.put_if_absent_text`` implementation behind the same shim; the
+rest of the commit algebra is backend-agnostic. Listing is safe on
+modern S3 (strongly consistent since 2020). Parquet footer-stats
+harvesting degrades gracefully off the local FS (files without recorded
+stats simply stay merge/delete probe candidates).
 """
 
 from __future__ import annotations
@@ -32,39 +64,206 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
-MANIFEST = "_versions.json"
+_MANIFEST_PREFIX = "_manifest_"
+_CHECKPOINT_PREFIX = "_checkpoint_"
+_VACUUM_PREFIX = "_vacuum_"
 
 
-def _atomic_write_json(path: str, payload: dict) -> None:
-    d = os.path.dirname(path)
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path), suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, path)
-    except BaseException:
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency)."""
+
+
+# --------------------------------------------------------------------------
+# filesystem shim
+# --------------------------------------------------------------------------
+class _LocalFS:
+    """POSIX-local metadata IO. Put-if-absent: write a COMPLETE temp file,
+    then hard-link into place — link(2) is atomic and fails with EEXIST if
+    the target exists, so a visible file always has complete content."""
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def put_if_absent_text(self, path: str, text: str) -> bool:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=d, prefix=os.path.basename(path), suffix=".tmp"
+        )
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def delete(self, path: str) -> bool:
+        try:
+            os.unlink(path)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def list_names(self, dir_path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(dir_path))
+        except FileNotFoundError:
+            return []
+
+
+class _HadoopFS:
+    """Metadata IO over Hadoop ``FileSystem`` via the Spark JVM gateway —
+    the distributed-filesystem path (HDFS, and any scheme the cluster's
+    Hadoop conf knows). Put-if-absent: write a complete ``.tmp`` sibling,
+    close it, then ``FileSystem.rename(tmp, target)`` — atomic at the
+    HDFS namenode, returning false if the target exists (the Delta
+    HDFSLogStore protocol). A pre-check keeps the same contract on
+    FileSystems whose local rename would overwrite (e.g. ``file://`` used
+    by the test suite). S3A needs a conditional-PUT implementation
+    instead (module docstring)."""
+
+    def __init__(self, spark: SparkSession, base_uri: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        conf = spark._jsc.hadoopConfiguration()
+        uri = jvm.java.net.URI.create(base_uri)
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def read_text(self, path: str) -> str:
+        stm = self._fs.open(self._p(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stm, "UTF-8"
+            )
+        finally:
+            stm.close()
+
+    def put_if_absent_text(self, path: str, text: str) -> bool:
+        target = self._p(path)
+        if self._fs.exists(target):
+            return False
+        tmp = self._p(path + ".tmp")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        try:
+            # atomic on HDFS; returns false if target appeared meanwhile
+            return bool(self._fs.rename(tmp, target))
+        finally:
+            try:
+                if self._fs.exists(tmp):
+                    self._fs.delete(tmp, False)
+            except Exception:
+                pass
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def delete(self, path: str) -> bool:
+        return bool(self._fs.delete(self._p(path), False))
+
+    def list_names(self, dir_path: str) -> list[str]:
+        try:
+            statuses = self._fs.listStatus(self._p(dir_path))
+        except Exception:  # FileNotFoundException via py4j
+            return []
+        return sorted(s.getPath().getName() for s in statuses)
+
+
+def _fs_for(table_path: str):
+    """Scheme dispatch: URIs go through the Hadoop FileSystem of the live
+    SparkSession (so ``file://`` exercises the Hadoop path end-to-end in
+    tests and ``hdfs://`` works unchanged on a real cluster); plain local
+    paths use direct POSIX IO."""
+    if "://" in table_path:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"a SparkSession is required for non-local table path "
+                f"{table_path!r}"
+            )
+        return _HadoopFS(spark, table_path)
+    return _LocalFS()
+
+
+def _join(base: str, *names: str) -> str:
+    out = base.rstrip("/")
+    for n in names:
+        out += "/" + n.strip("/")
+    return out
+
+
+def _local_path(path: str) -> str | None:
+    """The POSIX path for local / file:// locations; None off-box."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        return "/" + rest.lstrip("/")
+    if "://" in path:
+        return None
+    return path
+
+
+def _canon_file_ref(p: str) -> str:
+    """Canonicalize a file reference for equality between paths we
+    constructed and URIs Spark reports from ``input_file_name()``
+    (scheme-stripped + URL-decoded for local; full URI otherwise)."""
+    p = unquote(p)
+    lp = _local_path(p)
+    return os.path.abspath(lp) if lp is not None else p
+
+
+# --------------------------------------------------------------------------
+# table metadata (manifests are the sole source of truth)
+# --------------------------------------------------------------------------
+def _meta_versions(names: list[str], prefix: str) -> list[int]:
+    out = []
+    for n in names:
+        if n.startswith(prefix) and n.endswith(".json"):
+            try:
+                out.append(int(n[len(prefix):-len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def _version_manifest_path(table_path: str, version: int) -> str:
-    return os.path.join(table_path, f"_manifest_{version}.json")
+    return _join(table_path, f"{_MANIFEST_PREFIX}{version}.json")
 
 
-def _read_manifest(table_path: str, version: int) -> dict:
-    with open(_version_manifest_path(table_path, version)) as f:
-        return json.load(f)
+def _read_manifest(table_path: str, version: int, fs=None) -> dict:
+    fs = fs or _fs_for(table_path)
+    return json.loads(fs.read_text(_version_manifest_path(table_path, version)))
+
+
+def list_versions(table_path: str) -> list[int]:
+    """Committed versions = the set of published manifest files (one
+    immutable put-if-absent file per commit; no secondary log)."""
+    fs = _fs_for(table_path)
+    return _meta_versions(fs.list_names(table_path), _MANIFEST_PREFIX)
 
 
 def _checkpoint_path(table_path: str, version: int) -> str:
-    return os.path.join(table_path, f"_checkpoint_{version}.json")
+    return _join(table_path, f"{_CHECKPOINT_PREFIX}{version}.json")
 
 
 def checkpoint_manifest(table_path: str, version: int | None = None) -> str:
@@ -72,7 +271,9 @@ def checkpoint_manifest(table_path: str, version: int | None = None) -> str:
     latest) — the Delta checkpoint primitive: replaying a long commit
     chain costs one manifest read per version, so a checkpoint pins the
     resolved set and ``live_files`` replays only the commits AFTER it.
-    Pure metadata; no data file is read or moved."""
+    Pure metadata; no data file is read or moved. Idempotent: a
+    checkpoint's content is a pure function of the immutable manifests,
+    so a lost put-if-absent race is a no-op success."""
     versions = list_versions(table_path)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
@@ -81,35 +282,37 @@ def checkpoint_manifest(table_path: str, version: int | None = None) -> str:
     if version not in versions:
         raise ValueError(f"version {version} not in {versions} at {table_path}")
     path = _checkpoint_path(table_path, version)
-    _atomic_write_json(
-        path, {"version": version, "live": _replay_live(table_path, version, -1, [])}
+    fs = _fs_for(table_path)
+    fs.put_if_absent_text(
+        path,
+        json.dumps(
+            {"version": version, "live": _replay_live(table_path, version, -1, [])}
+        ),
     )
     return path
 
 
 def _latest_checkpoint(table_path: str, version: int) -> tuple[int, list[str]] | None:
-    import glob as _glob
-
-    best = None
-    for p in _glob.glob(os.path.join(table_path, "_checkpoint_*.json")):
-        try:
-            v = int(os.path.basename(p)[len("_checkpoint_"):-len(".json")])
-        except ValueError:
-            continue
-        if v <= version and (best is None or v > best):
-            best = v
-    if best is None:
+    fs = _fs_for(table_path)
+    cps = [
+        v
+        for v in _meta_versions(fs.list_names(table_path), _CHECKPOINT_PREFIX)
+        if v <= version
+    ]
+    if not cps:
         return None
-    with open(_checkpoint_path(table_path, best)) as f:
-        return best, list(json.load(f)["live"])
+    best = max(cps)
+    payload = json.loads(fs.read_text(_checkpoint_path(table_path, best)))
+    return best, list(payload["live"])
 
 
 def _replay_live(
     table_path: str, version: int, after: int, base: list[str]
 ) -> list[str]:
+    fs = _fs_for(table_path)
     live = list(base)
     for v in [x for x in list_versions(table_path) if after < x <= version]:
-        m = _read_manifest(table_path, v)
+        m = _read_manifest(table_path, v, fs)
         removed = set(m.get("remove", []))
         live = [f for f in live if f not in removed] + list(m.get("add", []))
     return live
@@ -129,11 +332,12 @@ def live_files(table_path: str, version: int) -> list[str]:
 def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]:
     """Write ``df``'s parquet files under ``v=<version>/`` (overwriting any
     orphan of a torn commit) and return their table-relative paths."""
-    snap = os.path.join(table_path, f"v={version}")
+    snap = _join(table_path, f"v={version}")
     df.write.mode("overwrite").parquet(snap)
+    fs = _fs_for(table_path)
     return sorted(
         f"v={version}/{name}"
-        for name in os.listdir(snap)
+        for name in fs.list_names(snap)
         if name.endswith(".parquet")
     )
 
@@ -141,10 +345,15 @@ def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]
 def _footer_stats(abs_path: str) -> dict:
     """Per-column [min, max] from the parquet FOOTER (free — no data scan;
     the Delta/Iceberg per-file stats primitive). Only JSON-plain scalar
-    columns are kept."""
+    columns are kept. Off the local filesystem the harvest degrades to {}
+    (files without stats simply stay probe candidates — correctness is
+    unaffected, only data skipping)."""
+    lp = _local_path(abs_path)
+    if lp is None:
+        return {}
     import pyarrow.parquet as pq
 
-    f = pq.ParquetFile(abs_path)
+    f = pq.ParquetFile(lp)
     agg: dict[str, list] = {}
     for rg in range(f.metadata.num_row_groups):
         for ci in range(f.metadata.num_columns):
@@ -167,82 +376,57 @@ def file_stats(table_path: str, version: int) -> dict:
     """{relative file -> {column -> [min, max]}} for the committed
     manifests <= version (files whose commit predates stats support, or
     whose columns have no footer stats, are simply absent)."""
+    fs = _fs_for(table_path)
     out: dict[str, dict] = {}
     for v in [x for x in list_versions(table_path) if x <= version]:
-        out.update(_read_manifest(table_path, v).get("stats", {}))
+        out.update(_read_manifest(table_path, v, fs).get("stats", {}))
     return out
-
-
-class CommitConflict(RuntimeError):
-    """Another writer committed this version first (optimistic concurrency)."""
-
-
-def _put_if_absent_json(path: str, payload: dict) -> bool:
-    """Atomically create ``path`` with ``payload`` ONLY if absent (write a
-    complete temp file, then hard-link into place — link is atomic and
-    fails if the target exists). Returns False on conflict."""
-    d = os.path.dirname(path)
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path), suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f)
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-    finally:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
 
 
 def _commit(
     table_path: str, version: int, add: list[str], remove: list[str]
 ) -> None:
-    """Commit ``version``: put-if-absent the per-version manifest
-    (add/remove lists + per-added-file footer min/max stats), then append
-    ``version`` to the commit log.
+    """Commit ``version``: put-if-absent publish the per-version manifest
+    (add/remove lists + per-added-file footer min/max stats). The
+    manifest file is the ENTIRE commit record — visible iff committed,
+    complete by construction (put-if-absent only ever exposes a fully
+    written file), immutable forever after.
 
-    Optimistic concurrency (the Delta put-if-absent commit protocol, via
-    the filesystem's atomic hard-link): the MANIFEST FILE is the commit
-    record — two writers racing the same version number cannot both link
-    it into place, so the loser raises CommitConflict instead of silently
-    overwriting the winner. If a prior writer crashed between its
-    manifest link and the log append, the next committer ROLLS THAT
-    COMMIT FORWARD (the manifest is complete by construction) before
-    reporting the conflict — the table never sticks half-committed.
-    Remaining caveat (documented in SCALE.md): writers proposing the SAME
-    version number share the ``v=<n>/`` data directory before commit, so
-    concurrent writers should propose distinct versions; the commit
-    record itself is race-safe."""
-    versions = list_versions(table_path)
+    Optimistic concurrency (the Delta put-if-absent commit protocol): two
+    writers racing the SAME version number cannot both publish the
+    manifest, so the loser raises CommitConflict instead of silently
+    overwriting the winner. Writers committing DISTINCT versions never
+    contend at all — each publishes its own new file and no shared file
+    is read-modify-written (there is no secondary version log). A writer
+    that crashes before its manifest publish leaves only an orphan
+    ``v=<n>/`` data dir, which the next attempt at that version
+    overwrites. Remaining caveat (documented in SCALE.md): writers
+    proposing the SAME version number share the ``v=<n>/`` data directory
+    before commit, so concurrent writers should propose distinct
+    versions; the commit record itself is race-safe."""
     stats = {
         f: s
         for f in add
-        if (s := _footer_stats(os.path.join(table_path, f)))
+        if (s := _footer_stats(_join(table_path, f)))
     }
-    manifest_path = os.path.join(table_path, MANIFEST)
-    won = _put_if_absent_json(
+    won = _fs_for(table_path).put_if_absent_text(
         _version_manifest_path(table_path, version),
-        {"version": version, "add": add, "remove": remove, "stats": stats},
+        json.dumps(
+            {"version": version, "add": add, "remove": remove, "stats": stats}
+        ),
     )
     if not won:
-        if version not in list_versions(table_path):
-            # crashed predecessor: complete ITS commit (roll forward)
-            _atomic_write_json(
-                manifest_path, {"versions": versions + [version]}
-            )
         raise CommitConflict(
             f"version {version} at {table_path} was already committed by "
             f"another writer"
         )
-    _atomic_write_json(manifest_path, {"versions": versions + [version]})
 
 
 def _check_commit_order(table_path: str, version: int) -> list[int]:
+    if version is None or not isinstance(version, int) or version < 0:
+        raise ValueError(
+            f"commit version must be a non-negative int, got {version!r}"
+        )
     versions = list_versions(table_path)
     if version in versions:
         raise ValueError(f"version {version} already committed at {table_path}")
@@ -262,7 +446,7 @@ def write_version(df: DataFrame, table_path: str, version: int) -> str:
     prev_live = live_files(table_path, versions[-1]) if versions else []
     add = _write_data_files(df, table_path, version)
     _commit(table_path, version, add=add, remove=prev_live)
-    return os.path.join(table_path, f"v={version}")
+    return _join(table_path, f"v={version}")
 
 
 def append_version(df: DataFrame, table_path: str, version: int) -> str:
@@ -272,7 +456,7 @@ def append_version(df: DataFrame, table_path: str, version: int) -> str:
     _check_commit_order(table_path, version)
     add = _write_data_files(df, table_path, version)
     _commit(table_path, version, add=add, remove=[])
-    return os.path.join(table_path, f"v={version}")
+    return _join(table_path, f"v={version}")
 
 
 def delete_where(
@@ -285,34 +469,36 @@ def delete_where(
     files stay live as-is. Returns {"files_rewritten", "files_kept",
     "rows_deleted"}. At warehouse scale the touched-file probe is one scan
     with per-file match counts (Delta narrows it further with file-level
-    min/max stats before the scan — the same commit algebra applies)."""
+    min/max stats before the scan — the same commit algebra applies).
+    All multi-file reads use mergeSchema so additive schema evolution
+    survives a rewrite (a narrower sampled schema would silently drop
+    newer columns)."""
     from pyspark.sql import functions as F
 
     versions = _check_commit_order(table_path, version)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
     prev_live = live_files(table_path, versions[-1])
-    paths = {f: os.path.join(table_path, f) for f in prev_live}
+    paths = {f: _join(table_path, f) for f in prev_live}
     # one scan: per-file count of matching rows (bounded collect: one row
     # per live file)
     counts: dict[str, int] = {}
     for r in (
-        spark.read.parquet(*paths.values())
+        spark.read.option("mergeSchema", "true").parquet(*paths.values())
         .filter(predicate)
         .groupBy(F.input_file_name().alias("f"))
         .agg(F.count("*").alias("n"))
         .collect()
     ):
-        p = r["f"]
-        if p.startswith("file:"):
-            p = p[len("file:"):]
-        counts[os.path.abspath(p)] = r["n"]
-    touched = [f for f in prev_live if os.path.abspath(paths[f]) in counts]
-    rows_deleted = sum(counts[os.path.abspath(paths[f])] for f in touched)
+        counts[_canon_file_ref(r["f"])] = r["n"]
+    touched = [f for f in prev_live if _canon_file_ref(paths[f]) in counts]
+    rows_deleted = sum(counts[_canon_file_ref(paths[f])] for f in touched)
     add: list[str] = []
     if touched:
-        survivors = spark.read.parquet(*[paths[f] for f in touched]).filter(
-            f"NOT ({predicate})"
+        survivors = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[paths[f] for f in touched])
+            .filter(f"NOT ({predicate})")
         )
         add = _write_data_files(survivors, table_path, version)
     _commit(table_path, version, add=add, remove=touched)
@@ -347,7 +533,7 @@ def merge_upsert(
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
     prev_live = live_files(table_path, versions[-1])
-    paths = {f: os.path.join(table_path, f) for f in prev_live}
+    paths = {f: _join(table_path, f) for f in prev_live}
     updates = updates.localCheckpoint(eager=True)  # one computation, 3 uses
     keys_df = F.broadcast(updates.select(key).distinct())
 
@@ -368,7 +554,8 @@ def merge_upsert(
     ]
 
     probe_df = (
-        spark.read.parquet(*[paths[f] for f in candidates])
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[paths[f] for f in candidates])
         if candidates
         else None
     )
@@ -379,16 +566,13 @@ def merge_upsert(
         .agg(F.count("*").alias("n"))
         .collect()
     )):
-        p = r["f"]
-        if p.startswith("file:"):
-            p = p[len("file:"):]
-        counts[os.path.abspath(p)] = r["n"]
-    touched = [f for f in prev_live if os.path.abspath(paths[f]) in counts]
+        counts[_canon_file_ref(r["f"])] = r["n"]
+    touched = [f for f in prev_live if _canon_file_ref(paths[f]) in counts]
     # rows_updated = live rows REPLACED (if live carries duplicate keys,
     # every duplicate is replaced by the single update row — MERGE also
     # dedups); rows_inserted counts update rows whose key has no live
     # match, computed directly so duplicate live keys can't skew it
-    rows_updated = sum(counts[os.path.abspath(paths[f])] for f in touched)
+    rows_updated = sum(counts[_canon_file_ref(paths[f])] for f in touched)
     matched_update_rows = (
         0
         if probe_df is None
@@ -398,10 +582,11 @@ def merge_upsert(
 
     if touched:
         survivors = (
-            spark.read.parquet(*[paths[f] for f in touched])
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[paths[f] for f in touched])
             .join(keys_df, key, "anti")
         )
-        new_rows = survivors.unionByName(updates)
+        new_rows = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         new_rows = updates
     add = _write_data_files(new_rows, table_path, version)
@@ -420,27 +605,45 @@ def compact_files(
     """Commit ``version`` as a bin-packed REWRITE of the live set into
     ``target_files`` files — logically identical content (the Delta
     OPTIMIZE primitive; small-file compaction after many incremental
-    commits). Older versions still read their own file lists."""
+    commits). Older versions still read their own file lists. Reads with
+    mergeSchema so a compaction after additive schema evolution keeps
+    every column (older files surface NULLs, same as read_version)."""
     versions = _check_commit_order(table_path, version)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
     prev_live = live_files(table_path, versions[-1])
-    df = spark.read.parquet(
-        *[os.path.join(table_path, f) for f in prev_live]
-    ).coalesce(max(1, target_files))
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[_join(table_path, f) for f in prev_live])
+        .coalesce(max(1, target_files))
+    )
     add = _write_data_files(df, table_path, version)
     _commit(table_path, version, add=add, remove=prev_live)
     return {"files_before": len(prev_live), "files_after": len(add)}
+
+
+def _vacuum_markers(table_path: str, fs=None) -> list[dict]:
+    fs = fs or _fs_for(table_path)
+    names = fs.list_names(table_path)
+    out = []
+    for n in _meta_versions(names, _VACUUM_PREFIX):
+        out.append(
+            json.loads(fs.read_text(_join(table_path, f"{_VACUUM_PREFIX}{n}.json")))
+        )
+    return out
 
 
 def vacuum(table_path: str, keep_versions: int = 2) -> dict:
     """Delete data files referenced ONLY by versions older than the newest
     ``keep_versions`` (Delta VACUUM): time travel keeps working for the
     retained versions; older versions become unreadable (their manifests
-    remain as history metadata). Pure driver-side file arithmetic over the
-    manifests — no Spark job."""
+    remain as history metadata) and ``read_version`` reports them as
+    vacuumed via a put-if-absent vacuum MARKER recording the retained
+    set. Pure driver-side file arithmetic over the manifests — no Spark
+    job."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    fs = _fs_for(table_path)
     versions = list_versions(table_path)
     if not versions:
         return {"files_deleted": 0, "versions_retained": []}
@@ -450,22 +653,20 @@ def vacuum(table_path: str, keep_versions: int = 2) -> dict:
         keep.update(live_files(table_path, v))
     all_files: set[str] = set()
     for v in versions:
-        all_files.update(_read_manifest(table_path, v).get("add", []))
+        all_files.update(_read_manifest(table_path, v, fs).get("add", []))
     doomed = sorted(all_files - keep)
+    # publish the marker BEFORE deleting so a crash mid-delete still
+    # reports affected versions as vacuumed rather than file-not-found
+    if doomed:
+        seq = len(_vacuum_markers(table_path, fs))
+        while not fs.put_if_absent_text(
+            _join(table_path, f"{_VACUUM_PREFIX}{seq}.json"),
+            json.dumps({"retained": retained, "files_deleted": len(doomed)}),
+        ):
+            seq += 1
     for f in doomed:
-        try:
-            os.unlink(os.path.join(table_path, f))
-        except FileNotFoundError:
-            pass
+        fs.delete(_join(table_path, f))
     return {"files_deleted": len(doomed), "versions_retained": retained}
-
-
-def list_versions(table_path: str) -> list[int]:
-    manifest_path = os.path.join(table_path, MANIFEST)
-    if not os.path.exists(manifest_path):
-        return []
-    with open(manifest_path) as f:
-        return list(json.load(f)["versions"])
 
 
 def read_version(
@@ -473,7 +674,11 @@ def read_version(
 ) -> DataFrame:
     """``FOR VERSION AS OF version``; ``None`` reads the latest version.
     Reads exactly the version's live FILE LIST (never a directory), so
-    appended-to versions share unchanged files with their ancestors."""
+    appended-to versions share unchanged files with their ancestors.
+    A version whose files were removed by ``vacuum`` raises a clean
+    "was vacuumed" error (checked against the vacuum markers — pure
+    metadata, no per-file existence probe) instead of a parquet
+    file-not-found deep in the scan."""
     versions = list_versions(table_path)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
@@ -484,15 +689,28 @@ def read_version(
     files = live_files(table_path, version)
     if not files:
         raise ValueError(f"version {version} at {table_path} has no live files")
+    # vacuum guard: a vacuum run deleted every file not live in ITS
+    # retained set — any version whose live set is not covered by some
+    # marker's kept-file union lost files and is unreadable by design
+    for marker in _vacuum_markers(table_path):
+        if version in marker["retained"]:
+            continue
+        kept: set[str] = set()
+        for rv in marker["retained"]:
+            if rv in versions:
+                kept.update(live_files(table_path, rv))
+        if not set(files) <= kept:
+            raise ValueError(
+                f"version {version} at {table_path} was vacuumed "
+                f"(retained: {marker['retained']})"
+            )
     # mergeSchema: ADDITIVE schema evolution — an append_version that
     # introduced new columns unions by name with older files (absent
     # columns read as NULL), the Delta/Iceberg add-column semantics.
     # Renames/drops/retypes are rewrites, not evolution, here as there.
     return spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table_path, f) for f in files]
+        *[_join(table_path, f) for f in files]
     )
-
-
 # --------------------------------------------------------------------------
 # verify key
 # --------------------------------------------------------------------------

@@ -363,6 +363,30 @@ def test_cli_snapshot_commit_list_read(spark, sf_dir, tmp_path, capsys):
     assert "n_nationkey" in capsys.readouterr().out
 
 
+def test_cli_snapshot_missing_version_is_usage_error(spark, sf_dir, tmp_path, capsys):
+    """A forgotten --version on a write action must be a usage error (rc 1)
+    BEFORE anything touches the table — not a v=None/ directory that
+    bricks it (ADVICE r5)."""
+    table = str(tmp_path / "vt")
+    for action, extra in [
+        ("commit", ["--sf-dir", sf_dir, "--table", "nation"]),
+        ("append", ["--sf-dir", sf_dir, "--table", "nation"]),
+        ("delete", ["--where", "n_nationkey = 1"]),
+        ("merge", ["--sf-dir", sf_dir, "--table", "nation", "--key", "n_nationkey"]),
+        ("compact", []),
+    ]:
+        assert main(["snapshot", action, "--path", table] + extra) == 1
+        assert "requires --version" in capsys.readouterr().out
+    # negative versions rejected too; missing --sf-dir/--table caught
+    assert main(["snapshot", "commit", "--path", table, "--version", "-1",
+                 "--sf-dir", sf_dir, "--table", "nation"]) == 1
+    capsys.readouterr()
+    assert main(["snapshot", "commit", "--path", table, "--version", "0"]) == 1
+    assert "requires --sf-dir and --table" in capsys.readouterr().out
+    import os
+    assert not os.path.exists(table)  # nothing was written
+
+
 def test_cli_search_hybrid(spark, sf_dir, capsys):
     """The search verb prints <= topk fused results and honors custom
     terms/probe; the fused scores must be descending."""

@@ -389,3 +389,24 @@ def test_genconf_infer_roundtrip(spark, sf_dir, tmp_path):
     assert gen_n.count() == orig_n.count()
     rk = [r["n_regionkey"] for r in gen_n.collect() if r["n_regionkey"] is not None]
     assert rk and min(rk) >= 0 and max(rk) <= 4  # min/max rule
+
+
+def test_genconf_infer_all_null_column_falls_back(spark):
+    """An all-NULL numeric/timestamp column has no min/max — inference must
+    emit the type-default rule with null_frequency 1.0, not crash on
+    float(None) (ADVICE r5)."""
+    from pyspark.sql import types as T
+
+    from dodo_spark.gendata.infer import _infer_column
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,)], T.StructType([T.StructField("x", T.DoubleType())])
+    )
+    st = {"count": 0, "ndv": 0, "null_count": 3, "min": None, "max": None,
+          "avg_size_byte": None}
+    rule = _infer_column(df, df.schema.fields[0], st, 3)
+    assert rule == {"name": "x", "null_frequency": 1.0}
+    # same guard for int and timestamp types
+    for dt in (T.LongType(), T.TimestampType()):
+        f = T.StructField("y", dt)
+        assert _infer_column(df, f, st, 3) == {"name": "y", "null_frequency": 1.0}

@@ -8,7 +8,6 @@ import os
 import pytest
 
 from dodo_spark.sources.versioned import (
-    MANIFEST,
     list_versions,
     read_version,
     write_version,
@@ -71,27 +70,34 @@ def test_orphan_snapshot_dir_can_be_recommitted(spark, table):
     }
 
 
-def test_manifest_write_is_atomic(spark, table, monkeypatch):
-    """The manifest must be replaced via os.replace (no in-place truncate):
-    a crash mid-commit leaves the OLD manifest intact and no temp litter
-    visible as the manifest."""
-    import dodo_spark.sources.versioned as vz
-
-    calls = []
-    orig_replace = os.replace
-
-    def spy(src, dst):
-        calls.append((src, dst))
-        return orig_replace(src, dst)
-
-    monkeypatch.setattr(os, "replace", spy)
+def test_commit_publishes_one_manifest_atomically(spark, table):
+    """The per-version manifest file IS the commit record: a commit
+    publishes exactly one new immutable manifest via put-if-absent (a
+    complete temp file hard-linked into place — never an in-place write)
+    and leaves no temp litter."""
     v1 = spark.createDataFrame([(3, 3.0)], "k BIGINT, val DOUBLE")
     write_version(v1, table, 1)
-    assert any(dst.endswith(vz.MANIFEST) and src != dst for src, dst in calls)
     assert list_versions(table) == [0, 1]
-    # no temp files left behind
+    manifests = [e for e in os.listdir(table) if e.startswith("_manifest_")]
+    assert sorted(manifests) == ["_manifest_0.json", "_manifest_1.json"]
     litter = [e for e in os.listdir(table) if e.endswith(".tmp")]
     assert litter == []
+
+
+def test_distinct_version_writers_never_clobber(spark, table):
+    """The ADVICE race from round 5: two writers committing DISTINCT
+    versions concurrently. With manifests as the sole source of truth
+    there is no shared log to read-modify-write — both commits survive
+    regardless of interleaving."""
+    from dodo_spark.sources.versioned import _commit, live_files
+
+    before = live_files(table, 0)
+    # interleave the two commit publishes directly (both passed the
+    # _check_commit_order gate first, as racing writers would)
+    _commit(str(table), 1, add=[], remove=[])
+    _commit(str(table), 2, add=[], remove=[])
+    assert list_versions(str(table)) == [0, 1, 2]
+    assert live_files(table, 2) == before  # empty commits change nothing
 
 
 def test_uncommitted_snapshot_is_invisible(spark, table):
@@ -104,8 +110,8 @@ def test_uncommitted_snapshot_is_invisible(spark, table):
         read_version(spark, table, 9)
     # latest still resolves to the last COMMITTED version
     assert {r["k"] for r in read_version(spark, table).collect()} == {1, 2}
-    manifest = json.load(open(os.path.join(table, MANIFEST)))
-    assert manifest == {"versions": [0]}
+    manifests = [e for e in os.listdir(table) if e.startswith("_manifest_")]
+    assert manifests == ["_manifest_0.json"]
 
 
 def test_append_version_shares_prior_files_without_rewrite(spark, table):
@@ -383,47 +389,38 @@ def test_concurrent_commit_same_version_conflicts(spark, table):
     assert live_files(table, 0) == before
 
 
-def test_crashed_commit_rolls_forward(spark, table, monkeypatch):
-    """A writer that crashes between its manifest link and the log append
-    leaves a complete manifest; the NEXT committer completes that commit
-    (roll-forward) rather than leaving the table half-committed."""
+def test_manifest_presence_is_the_whole_commit(spark, table):
+    """No two-step commit exists anymore: the instant a writer's manifest
+    file is visible, the version is fully committed — a 'crash right
+    after manifest publish' leaves nothing to roll forward, and a crash
+    BEFORE it leaves the table exactly as it was."""
     import json as _json
-    import os as _os
-
-    import pytest as _pytest
 
     from dodo_spark.sources.versioned import (
-        CommitConflict,
-        _commit,
         _version_manifest_path,
         append_version,
-        list_versions,
         live_files,
     )
 
-    # fake the crash: manifest for v1 exists (complete), log still [0]
     extra = spark.createDataFrame([(3, 30.0)], "k BIGINT, val DOUBLE")
-    append_version(extra, table, 1)
-    mpath = _version_manifest_path(str(table), 1)
-    manifest = _json.load(open(mpath))
-    log_path = _os.path.join(str(table), "_versions.json")
-    _json.dump({"versions": [0]}, open(log_path, "w"))
-    assert list_versions(str(table)) == [0]
-
-    with _pytest.raises(CommitConflict):
-        _commit(str(table), 1, add=[], remove=[])
-    # the crashed writer's commit was completed, not ours
+    append_version(extra, table, 1)  # writer "crashes" right after this
     assert list_versions(str(table)) == [0, 1]
-    assert _json.load(open(mpath)) == manifest
+    manifest = _json.load(open(_version_manifest_path(str(table), 1)))
     assert set(live_files(table, 1)) == set(manifest["add"]) | set(live_files(table, 0))
+    # and there is no secondary version log to get out of sync
+    assert not os.path.exists(os.path.join(str(table), "_versions.json"))
 
 
-def test_commit_algebra_randomized_against_model(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["local", "hadoop"])
+def test_commit_algebra_randomized_against_model(spark, tmp_path, backend):
     """Model-based check of the whole commit algebra: a random sequence of
     append / delete / merge / compact / checkpoint commits must keep EVERY
     version's readable content equal to a plain-Python dict model replayed
     to that version — file sharing, stats skipping, checkpoints and
-    compaction are invisible to readers."""
+    compaction are invisible to readers. Parameterized over BOTH
+    filesystem shims: plain paths drive _LocalFS (os.* put-if-absent via
+    hard link); file:// URIs drive _HadoopFS (the Hadoop FileSystem via
+    spark._jvm — the same code path hdfs:// takes on a cluster)."""
     import random
 
     from dodo_spark.sources.versioned import (
@@ -437,6 +434,8 @@ def test_commit_algebra_randomized_against_model(spark, tmp_path):
 
     rng = random.Random(17)
     path = str(tmp_path / "alg")
+    if backend == "hadoop":
+        path = "file://" + path
 
     def df_of(d):
         return spark.createDataFrame(
@@ -504,3 +503,109 @@ def test_vacuum_deletes_only_unreferenced_files(spark, table):
     # the dropped version's files are gone from disk
     for f in live_files(table, 0):
         assert not os.path.exists(os.path.join(str(table), f))
+
+
+def test_read_vacuumed_version_raises_clean_error(spark, table):
+    """Reading a version whose files were vacuumed raises 'was vacuumed
+    (retained: ...)' — a metadata-level check against the vacuum markers,
+    not a parquet file-not-found deep in the scan (round-5 verdict ask)."""
+    from dodo_spark.sources.versioned import vacuum, write_version
+
+    write_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), table, 1
+    )
+    write_version(
+        spark.createDataFrame([(8, 80.0)], "k BIGINT, val DOUBLE"), table, 2
+    )
+    vacuum(str(table), keep_versions=2)
+    with pytest.raises(ValueError, match=r"was vacuumed \(retained: \[1, 2\]\)"):
+        read_version(spark, table, 0)
+    # retained versions are untouched by the guard
+    assert {r["k"] for r in read_version(spark, table, 1).collect()} == {9}
+
+
+def test_vacuum_keeps_shared_files_readable_below_retention(spark, table):
+    """Append-only history: every v0 file is still live in the retained
+    versions, so vacuum deletes nothing and v0 STAYS readable — the guard
+    checks actual file coverage, not just the retention cutoff."""
+    from dodo_spark.sources.versioned import append_version, vacuum
+
+    append_version(
+        spark.createDataFrame([(3, 30.0)], "k BIGINT, val DOUBLE"), table, 1
+    )
+    append_version(
+        spark.createDataFrame([(4, 40.0)], "k BIGINT, val DOUBLE"), table, 2
+    )
+    stats = vacuum(str(table), keep_versions=2)
+    assert stats["files_deleted"] == 0
+    assert {r["k"] for r in read_version(spark, table, 0).collect()} == {1, 2}
+
+
+@pytest.mark.parametrize("backend", ["local", "hadoop"])
+def test_fs_shim_put_if_absent_contract(spark, tmp_path, backend):
+    """Both FS shims honor the commit primitive's contract: first
+    put-if-absent wins, second loses, content round-trips, listing sees
+    the file, delete removes it (and is idempotent)."""
+    from dodo_spark.sources.versioned import _fs_for
+
+    base = str(tmp_path / "shim")
+    if backend == "hadoop":
+        base = "file://" + base
+    fs = _fs_for(base)
+    assert type(fs).__name__ == (
+        "_HadoopFS" if backend == "hadoop" else "_LocalFS"
+    )
+    path = base.rstrip("/") + "/_manifest_0.json"
+    assert fs.put_if_absent_text(path, '{"v": 1}') is True
+    assert fs.put_if_absent_text(path, '{"v": 2}') is False  # loser
+    assert fs.read_text(path) == '{"v": 1}'  # winner's content intact
+    assert fs.exists(path)
+    assert "_manifest_0.json" in fs.list_names(base)
+    assert not any(n.endswith(".tmp") for n in fs.list_names(base))
+    assert fs.delete(path) is True
+    assert fs.delete(path) is False
+    assert not fs.exists(path)
+
+
+def test_hadoop_fs_versioned_table_end_to_end(spark, tmp_path):
+    """A file:// table URI drives every metadata op through _HadoopFS
+    (manifests, checkpoints, stats, vacuum markers) — the exact code path
+    an hdfs:// table takes on a cluster."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        checkpoint_manifest,
+        delete_where,
+        merge_upsert,
+        vacuum,
+    )
+
+    path = "file://" + str(tmp_path / "hfs")
+    write_version(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1),
+        path, 0,
+    )
+    append_version(
+        spark.createDataFrame([(3, 30.0)], "k BIGINT, val DOUBLE").coalesce(1),
+        path, 1,
+    )
+    checkpoint_manifest(path)
+    stats = delete_where(spark, path, 2, "k = 2")
+    assert stats["rows_deleted"] == 1 and stats["files_kept"] == 1
+    stats = merge_upsert(
+        spark, path, 3,
+        spark.createDataFrame([(3, 333.0), (9, 90.0)], "k BIGINT, val DOUBLE"),
+        "k",
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = {r["k"]: r["val"] for r in read_version(spark, path, 3).collect()}
+    assert got == {1: 10.0, 3: 333.0, 9: 90.0}
+    # history readable through the checkpointed replay
+    assert {r["k"] for r in read_version(spark, path, 1).collect()} == {1, 2, 3}
+    write_version(
+        spark.createDataFrame([(7, 70.0)], "k BIGINT, val DOUBLE"), path, 4
+    )
+    vacuum(path, keep_versions=1)
+    with pytest.raises(ValueError, match="was vacuumed"):
+        read_version(spark, path, 0)
+    assert {r["k"] for r in read_version(spark, path, 4).collect()} == {7}
