@@ -485,6 +485,41 @@ def cmd_genconf_infer(args: argparse.Namespace) -> int:
     from dodo_spark.gendata.infer import infer_genconf
 
     spark = _spark(args.parallel)
+    if getattr(args, "emit_prompt", False):
+        # B15 prompt assembly (reference src/llm.go:23-116 minus the
+        # network call): anonymized DDL + stats.yaml + sample queries ->
+        # the exact chat messages the LLM genconf flow would send
+        from dodo_spark.anonymize import anonymize_sql
+        from dodo_spark.catalog import TABLES, load_table
+        from dodo_spark.ddl import render_create_table, tabledef_from_dataframe
+        from dodo_spark.gendata.prompt import assemble_gendata_prompt
+        from dodo_spark.operators.stats import stats_yaml
+
+        names = args.tables.split(",") if args.tables else list(TABLES)
+        ddls, stats = [], []
+        for name in names:
+            schema = load_table(spark, args.sf_dir, name).schema
+            ddls.append(render_create_table(tabledef_from_dataframe(name, schema)))
+            stats.append(stats_yaml(spark, args.sf_dir, name))
+        sqls: list[str] = []
+        if args.queries:
+            with open(args.queries, encoding="utf-8") as f:
+                sqls = [s.strip() for s in f.read().split(";") if s.strip()]
+            if args.anonymize:
+                sqls = [anonymize_sql(s) for s in sqls]
+        msgs = assemble_gendata_prompt(ddls, stats, sqls, extra=args.prompt)
+        text = (
+            f"<system>\n{msgs['system']}</system>\n"
+            f"<assistant-prefix>{msgs['assistant_prefix']}</assistant-prefix>\n"
+            f"<user>{msgs['user']}</user>\n"
+        )
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as f:
+                f.write(text)
+            print(f"assembled gendata prompt for {len(names)} tables -> {args.output}")
+        else:
+            print(text)
+        return 0
     conf = infer_genconf(
         spark, args.sf_dir, tables=args.tables.split(",") if args.tables else None
     )
@@ -706,6 +741,18 @@ def build_parser() -> argparse.ArgumentParser:
     gi.add_argument("--sf-dir", required=True, help="data dir to measure")
     gi.add_argument("--tables", default=None, help="comma list (default: all)")
     gi.add_argument("--output", default=None, help="YAML path (default: stdout)")
+    gi.add_argument(
+        "--emit-prompt",
+        action="store_true",
+        help="emit the LLM genconf-authoring prompt (system/assistant/user "
+        "messages from DDL + stats + queries) instead of inferring rules",
+    )
+    gi.add_argument("--queries", default=None,
+                    help="SQL file (';'-separated) for the <queries> section")
+    gi.add_argument("--anonymize", action="store_true",
+                    help="anonymize identifiers in --queries before assembly")
+    gi.add_argument("--prompt", default=None,
+                    help="additional-user-prompt section text")
     gi.set_defaults(fn=cmd_genconf_infer)
 
     an = sub.add_parser("ann", help="approximate-nearest-neighbor search (tiered)")

@@ -143,3 +143,176 @@ def infer_genconf(
             }
         )
     return {"tables": out}
+
+
+# --------------------------------------------------------------------------
+# verify key
+# --------------------------------------------------------------------------
+def _register_genconf_infer() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "genconf_infer",
+        oracle="""
+        WITH ck AS (
+          SELECT COUNT(*) AS n, COUNT(c_custkey) AS cnt,
+                 COUNT(DISTINCT c_custkey) AS ndv,
+                 MIN(c_custkey) AS mn, MAX(c_custkey) AS mx
+          FROM customer
+        ), cn AS (
+          SELECT COUNT(*) AS n, COUNT(c_name) AS cnt,
+                 COUNT(DISTINCT c_name) AS ndv,
+                 SUM(LENGTH(c_name)) AS len_sum
+          FROM customer
+        ), nk AS (
+          SELECT COUNT(*) AS n, COUNT(c_nationkey) AS cnt,
+                 COUNT(DISTINCT c_nationkey) AS ndv,
+                 MIN(c_nationkey) AS mn, MAX(c_nationkey) AS mx
+          FROM customer
+        ), ab AS (
+          SELECT COUNT(c_acctbal) AS cnt, MIN(c_acctbal) AS mn,
+                 MAX(c_acctbal) AS mx,
+                 COUNT(*) FILTER (
+                   WHERE abs(c_acctbal*100 - round(c_acctbal*100)) > 1e-9
+                 ) AS offgrid
+          FROM customer
+        ), mk AS (
+          SELECT COUNT(c_mktsegment) AS cnt,
+                 COUNT(DISTINCT c_mktsegment) AS ndv
+          FROM customer
+        ), mkf AS (
+          SELECT string_agg(v || ':' || CAST(c AS VARCHAR), '|' ORDER BY v)
+                 AS detail
+          FROM (SELECT c_mktsegment AS v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM customer WHERE c_mktsegment IS NOT NULL
+                GROUP BY c_mktsegment)
+        )
+        SELECT * FROM (
+          SELECT 'c_custkey' AS column_name,
+                 CASE WHEN cnt = n AND ndv = cnt AND cnt > 1
+                           AND mx - mn + 1 = ndv
+                      THEN 'inc' ELSE 'range_int' END AS rule_kind,
+                 CAST(0 AS DOUBLE) AS null_frequency,
+                 CAST(mn AS VARCHAR) AS param_lo,
+                 CASE WHEN cnt = n AND ndv = cnt AND cnt > 1
+                           AND mx - mn + 1 = ndv
+                      THEN '' ELSE CAST(mx AS VARCHAR) END AS param_hi,
+                 '' AS detail
+          FROM ck
+          UNION ALL
+          SELECT 'c_name',
+                 CASE WHEN ndv BETWEEN 1 AND 16 THEN 'enum'
+                      ELSE 'length' END,
+                 CAST(0 AS DOUBLE),
+                 CAST(GREATEST(1, avg_b - ext) AS VARCHAR),
+                 CAST(avg_b + ext AS VARCHAR), ''
+          FROM (SELECT ndv, avg_b,
+                       CASE WHEN avg_b > 10 THEN 10
+                            WHEN avg_b > 5 THEN 5 ELSE 1 END AS ext
+                FROM (SELECT ndv,
+                             CAST(FLOOR(len_sum * 1.0 / cnt) AS BIGINT)
+                             AS avg_b
+                      FROM cn))
+          UNION ALL
+          SELECT 'c_nationkey',
+                 CASE WHEN cnt = n AND ndv = cnt AND cnt > 1
+                           AND mx - mn + 1 = ndv
+                      THEN 'inc' ELSE 'range_int' END,
+                 CAST(0 AS DOUBLE),
+                 CAST(mn AS VARCHAR), CAST(mx AS VARCHAR), ''
+          FROM nk
+          UNION ALL
+          SELECT 'c_acctbal',
+                 CASE WHEN offgrid = 0 THEN 'decimal'
+                      ELSE 'range_double' END,
+                 CAST(0 AS DOUBLE),
+                 CAST(CAST(trunc(mn) AS BIGINT) AS VARCHAR),
+                 CAST(CAST(trunc(mx) AS BIGINT) + 1 AS VARCHAR),
+                 'p=' || CAST(LEAST(18,
+                   LENGTH(CAST(CAST(trunc(GREATEST(abs(mn), abs(mx), 1))
+                               AS BIGINT) AS VARCHAR)) + 4) AS VARCHAR)
+                 || ',s=2'
+          FROM ab
+          UNION ALL
+          SELECT 'c_mktsegment',
+                 CASE WHEN ndv BETWEEN 1 AND 16 THEN 'enum'
+                      ELSE 'length' END,
+                 CAST(0 AS DOUBLE), '', '', (SELECT detail FROM mkf)
+          FROM mk
+        ) ORDER BY column_name
+        """,
+        doc="B15 core, oracle-grade (round-5 verdict ask #2): genconf-infer "
+        "measures the customer table and emits one generator rule per "
+        "column; this key renders the inferred rule table (kind + "
+        "parameters) and the DuckDB twin recomputes every stats-driven "
+        "DECISION in SQL — dense-unique-contiguous int -> inc, "
+        "low-cardinality string -> enum (categorical counts rendered as "
+        "exact integers: the weights' numerators, so the hash is FP-free), "
+        "2-decimal-quantized double -> DECIMAL(p,2) range, other ints -> "
+        "min/max range, free strings -> length band around the floored "
+        "mean byte length. A drifted threshold, wrong truncation (int() "
+        "is trunc-toward-zero, not round), or a missed quantization probe "
+        "flips a row and hash-mismatches. Reference: the LLM genconf "
+        "authoring flow src/llm.go:23-116 whose deterministic core this "
+        "is; rule shapes per gendata/rules.py.",
+    )
+    def genconf_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pyspark.sql.types as T2
+
+        df = load_table(spark, sf_dir, "customer")
+        conf = infer_genconf(spark, sf_dir, tables=["customer"])
+        rows = []
+        for col in conf["tables"][0]["columns"]:
+            name = col["name"]
+            gen = col.get("gen") or {}
+            nf = float(col.get("null_frequency", 0.0))
+            if "inc" in gen:
+                rows.append((name, "inc", nf, str(gen["start"]), "", ""))
+            elif "enum" in gen:
+                # the rule's weights are count/total ratios; render their
+                # exact integer numerators so the cross-engine hash never
+                # touches a rounded float
+                freq = (
+                    df.filter(F.col(name).isNotNull())
+                    .groupBy(name)
+                    .count()
+                    .orderBy(name)
+                    .collect()  # bounded by ENUM_MAX_NDV
+                )
+                detail = "|".join(f"{r[name]}:{r['count']}" for r in freq)
+                rows.append((name, "enum", nf, "", "", detail))
+            elif gen.get("type") == "DECIMAL":
+                rows.append(
+                    (name, "decimal", nf, str(col["min"]), str(col["max"]),
+                     f"p={col['precision']},s={col['scale']}")
+                )
+            elif "length" in col:
+                rows.append(
+                    (name, "length", nf, str(col["length"]["min"]),
+                     str(col["length"]["max"]), "")
+                )
+            elif "min" in col:
+                kind = (
+                    "range_int"
+                    if isinstance(col["min"], int)
+                    else "range_double"
+                    if isinstance(col["min"], float)
+                    else "range_time"
+                )
+                rows.append((name, kind, nf, str(col["min"]), str(col["max"]), ""))
+            else:
+                rows.append((name, "default", nf, "", "", ""))
+        schema = T2.StructType(
+            [
+                T2.StructField("column_name", T2.StringType(), False),
+                T2.StructField("rule_kind", T2.StringType(), False),
+                T2.StructField("null_frequency", T2.DoubleType(), False),
+                T2.StructField("param_lo", T2.StringType(), False),
+                T2.StructField("param_hi", T2.StringType(), False),
+                T2.StructField("detail", T2.StringType(), False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema).orderBy("column_name")
+
+
+_register_genconf_infer()

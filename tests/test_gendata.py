@@ -391,6 +391,52 @@ def test_genconf_infer_roundtrip(spark, sf_dir, tmp_path):
     assert rk and min(rk) >= 0 and max(rk) <= 4  # min/max rule
 
 
+def test_gendata_prompt_assembly_golden(spark, sf_dir, tmp_path):
+    """B15 prompt assembly (reference src/llm.go:23-116 minus the network
+    call): `genconf-infer --emit-prompt` must byte-match the golden —
+    system document, assistant fenced-YAML prefix, and a user payload of
+    DDL + stats.yaml + anonymized queries in the reference's section
+    layout. Deterministic end to end (hash anonymization, FULL stats)."""
+    import os
+
+    from dodo_spark.cli import main
+
+    qfile = tmp_path / "q.sql"
+    qfile.write_text(
+        "SELECT r_name, count(*) FROM region JOIN nation "
+        "ON n_regionkey = r_regionkey GROUP BY r_name;\n"
+        "SELECT n_name FROM nation WHERE n_nationkey < 10\n"
+    )
+    out = tmp_path / "prompt.txt"
+    assert main(["genconf-infer", "--sf-dir", sf_dir,
+                 "--tables", "region,nation", "--emit-prompt",
+                 "--queries", str(qfile), "--anonymize",
+                 "--output", str(out)]) == 0
+    golden = os.path.join(
+        os.path.dirname(__file__), "fixtures", "gendata_prompt.golden.txt"
+    )
+    assert out.read_text() == open(golden, encoding="utf-8").read()
+
+
+def test_gendata_prompt_sections_and_extra():
+    """assemble_gendata_prompt is a pure function: reference section
+    layout (<tables>/<column-stats>/<queries>), '---'-joined stats,
+    optional <additional-user-prompt>, fenced-YAML assistant prefix."""
+    from dodo_spark.gendata.prompt import assemble_gendata_prompt
+
+    msgs = assemble_gendata_prompt(
+        ["CREATE TABLE a (x INT)"], ["name: a", "name: b"],
+        ["SELECT 1"], extra="make x skewed",
+    )
+    assert msgs["assistant_prefix"] == "```yaml\n"
+    u = msgs["user"]
+    assert "<tables>\nCREATE TABLE a (x INT)\n</tables>" in u
+    assert "name: a\n---\nname: b" in u
+    assert "<queries>\nSELECT 1\n</queries>" in u
+    assert u.index("<additional-user-prompt>\nmake x skewed") > u.index("</queries>")
+    assert "gen: {enum:" in msgs["system"]  # teaches the real dialect
+
+
 def test_genconf_infer_all_null_column_falls_back(spark):
     """An all-NULL numeric/timestamp column has no min/max — inference must
     emit the type-default rule with null_frequency 1.0, not crash on
