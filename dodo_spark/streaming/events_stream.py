@@ -115,15 +115,41 @@ import contextlib
 # 200 default partitions cost ~10x wall-clock at test SFs for zero benefit;
 # cap the drains at min(session value, 32, core count) — for a one-shot
 # availableNow drain there is no reason to run more state stores than cores.
-# A long-lived production stream would instead FIX a higher partition count
-# up front (it cannot change after the first checkpoint) sized to peak key
-# cardinality, not to one machine's cores. (Values don't change — only
-# parallelism does.)
+# When the INPUT SIZE is known, bound further to one state partition per
+# 64 MB of input (floor 4) — the same sizing rule file-split planning uses:
+# r5's left-outer drain spent 4.8 of its 6.5 s spinning 32 stores x 4
+# stream-join state stores per micro-batch over a 200 KB input (measured:
+# cap 8 -> 1.9 s, cap 4 -> 1.6 s; RocksDB was WORSE at this state size —
+# per-instance overhead dominates tiny state). A long-lived production
+# stream would instead FIX a higher partition count up front (it cannot
+# change after the first checkpoint) sized to peak key cardinality, not to
+# one machine's cores. (Values don't change — only parallelism does.)
 _MAX_STREAM_STATE_PARTITIONS = 32
+_STATE_PARTITION_BYTES = 64 * 1024 * 1024
+
+
+def _events_nbytes(sf_dir: str) -> int | None:
+    """Size of the events input (file or part-file directory); None when
+    not statable (non-local paths)."""
+    import os
+
+    from dodo_spark.catalog import table_path
+
+    try:
+        p = table_path(sf_dir, "events")
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return None
 
 
 @contextlib.contextmanager
-def _bounded_state_partitions(spark: SparkSession):
+def _bounded_state_partitions(spark: SparkSession, sf_dir: str | None = None):
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key, None)
     try:
@@ -132,6 +158,10 @@ def _bounded_state_partitions(spark: SparkSession):
         cur = 200
     cores = max(1, spark.sparkContext.defaultParallelism)
     target = min(cur, _MAX_STREAM_STATE_PARTITIONS, cores)
+    nbytes = _events_nbytes(sf_dir) if sf_dir else None
+    if nbytes:
+        per_input = max(4, -(-nbytes // _STATE_PARTITION_BYTES))
+        target = min(target, per_input)
     spark.conf.set(key, str(target))
     try:
         yield
@@ -463,7 +493,7 @@ def _register_interval_join_key() -> None:
             & (F.col("purchase_ts") >= F.col("click_ts"))
             & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
         )
-        with _bounded_state_partitions(spark), _skip_nodata_finalize(spark):
+        with _bounded_state_partitions(spark, sf_dir), _skip_nodata_finalize(spark):
             # INNER join emits on match — the trailing no-data batch would
             # only evict state, so skip it (see _skip_nodata_finalize)
             q = (
@@ -540,7 +570,7 @@ def _register_stateful_key() -> None:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        with _bounded_state_partitions(spark):
+        with _bounded_state_partitions(spark, sf_dir):
             q = (
                 out.writeStream.format("memory")
                 .queryName("vk_stateful_totals")
@@ -586,7 +616,7 @@ def _register_dedup_key() -> None:
             read_events_stream(spark, sf_dir)
         )
         dd = dedup_stream(doubled)
-        with _bounded_state_partitions(spark):
+        with _bounded_state_partitions(spark, sf_dir):
             q = (
                 dd.writeStream.format("memory")
                 .queryName("vk_stream_dedup")
@@ -704,7 +734,7 @@ def _register_left_outer_key() -> None:
             & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
             "left_outer",
         )
-        with _bounded_state_partitions(spark), _require_nodata_finalize(spark):
+        with _bounded_state_partitions(spark, sf_dir), _require_nodata_finalize(spark):
             # outer-null rows are emitted BY the trailing no-data batch —
             # pin it on even if the session globally disabled it
             q = (
