@@ -400,6 +400,77 @@ def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(pruned, probes)
 
 
+@register(
+    "similarity_ivf_append",
+    oracle=f"SELECT *, TRUE AS append_intact FROM ({_ivf_oracle()})",
+    doc="D7 scale path #2d — INCREMENTAL index maintenance (round-5 "
+    "verdict stretch): the serving IVF of similarity_ivf_pruned rebuilds "
+    "its index per call; this key maintains it as a VERSIONED table "
+    "(sources/versioned.py) instead — v0 commits 80% of the cell-assigned "
+    "corpus, a later batch of new vectors is quantized against the SAME "
+    "centroids and append_version'd as its own cell-sorted files (file- "
+    "level commit: no base file is read or rewritten — a 1% daily vector "
+    "ingest costs 1% I/O at any index size). Serving reads the live file "
+    "list and SKIPS files whose footer [min,max] cell range (recorded in "
+    "the manifest at commit) cannot contain a probed cell — the same "
+    "data-skipping primitive merge_upsert uses, replacing directory "
+    "partition pruning. The oracle is the full REBUILD (the identical "
+    "IVF SQL over the whole table), so the hash proves append-then-search "
+    "== rebuild-then-search exactly; append_intact additionally asserts "
+    "(a) every v0 file is still live after the append and (b) the "
+    "stats-skipped read returns exactly the rows a full-table read "
+    "filtered to the probed cells returns (skipping is sound).",
+)
+def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dodo_spark.operators.schema import scratch_dir
+    from dodo_spark.sources.versioned import (
+        append_version,
+        file_stats,
+        live_files,
+        read_version,
+        write_version,
+    )
+
+    cells, probes = _ivf_index(spark, sf_dir)
+    # one scoring pass, three consumers (base write, delta write, audit)
+    cells = cells.localCheckpoint(eager=True)
+    # deterministic 80/20 split: every 5th vector is the "new ingest" batch
+    base = cells.filter(F.col("vec_id") % 5 != 4)
+    delta = cells.filter(F.col("vec_id") % 5 == 4)
+
+    table = scratch_dir("ivf_append")
+    # cell-sorted writes give each file a tight [min,max] cell range ->
+    # manifest footer stats can actually skip (layout discipline, content
+    # is layout-independent)
+    write_version(base.sort("cell"), table, 0)
+    v0_live = set(live_files(table, 0))
+    append_version(delta.sort("cell"), table, 1)
+    no_rewrite = v0_live <= set(live_files(table, 1))
+
+    probe_cells = sorted(
+        r["pcell"] for r in probes.select("pcell").distinct().collect()
+    )
+    live = live_files(table, 1)
+    stats = file_stats(table, 1)
+    candidates = [
+        f
+        for f in live
+        if "cell" not in stats.get(f, {})
+        or any(stats[f]["cell"][0] <= c <= stats[f]["cell"][1] for c in probe_cells)
+    ]
+    import os as _os
+
+    pruned = spark.read.parquet(
+        *[_os.path.join(table, f) for f in candidates]
+    ).filter(F.col("cell").isin(probe_cells))
+    # skipping soundness: the skipped read covers exactly what the full
+    # read covers (bounded audit at test scale; a warehouse would sample)
+    full = read_version(spark, table, 1).filter(F.col("cell").isin(probe_cells))
+    intact = no_rewrite and pruned.count() == full.count()
+
+    return _ivf_topk(pruned, probes).withColumn("append_intact", F.lit(intact))
+
+
 # Contract bounds for the trained-IVF oracle. Grounded on measured values
 # across testdata vintages (sf0.001/0.01/0.1): recall lift over chance
 # probing 2.1-4.2x (bound 1.25x), max-cell/mean-cell 1.18-1.25 (bound 2x).
