@@ -9,7 +9,7 @@ are the final small aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dodo_spark.catalog import load_table
@@ -913,3 +913,220 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
     )
+
+
+# --------------------------------------------------------------------------
+# sequence packing + domain mixing (training-data pipeline, round 6)
+# --------------------------------------------------------------------------
+PACK_SEQ_TOKENS = 256  # power of two: x/256 is exact in binary FP, so
+# floor(cum/L) is bit-identical across engines
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+             AS t
+      FROM documents
+    ), nz AS (
+      SELECT * FROM toks WHERE t > 0
+    ), c AS (
+      SELECT lang, doc_id, t,
+             SUM(t) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM nz
+    ), s AS (
+      SELECT lang, t,
+             CAST(floor((cum - t) / {PACK_SEQ_TOKENS}.0) AS BIGINT) AS seq_first,
+             CAST(floor((cum - 1) / {PACK_SEQ_TOKENS}.0) AS BIGINT) AS seq_last
+      FROM c
+    )
+    SELECT lang, seq_first AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS docs_started,
+           CAST(SUM(CASE WHEN seq_last != seq_first THEN 1 ELSE 0 END)
+                AS BIGINT) AS split_docs,
+           CAST(SUM(t) AS BIGINT) AS tokens_started
+    FROM s GROUP BY lang, seq_first ORDER BY lang, seq_id
+    """,
+    doc="Training-data sequence packing (concat-and-chunk, the GPT-style "
+    "pretraining layout): documents are concatenated in doc_id order and "
+    "cut into fixed context windows of "
+    f"{PACK_SEQ_TOKENS} whitespace tokens; each doc lands at "
+    "[cum-t, cum) in its shard's token stream, so its first/last sequence "
+    "ids are pure floor-divisions of a running sum — one window cumsum "
+    "per shard, no sequential loop. Packing is PER-LANG shard "
+    "(partitionBy lang), the scale posture: a 100 TB corpus packs each "
+    "shard independently (no global sort, shards = parallelism), exactly "
+    "how packed-sequence writers shard in practice. Output per (lang, "
+    "sequence): docs started, docs split across a boundary (the "
+    "cross-document-attention accounting the training side needs), and "
+    "tokens contributed. Sequence capacity is a power of two so the "
+    "floor-division is exact in binary FP on both engines; zero-token "
+    "docs are excluded (they occupy no stream position).",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    L = PACK_SEQ_TOKENS
+    toks = docs.select(
+        "doc_id", "lang", F.size(_ws_tokens()).cast("bigint").alias("t")
+    ).filter(F.col("t") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = toks.withColumn("cum", F.sum("t").over(w))
+    s = c.select(
+        "lang",
+        "t",
+        F.floor((F.col("cum") - F.col("t")) / F.lit(float(L))).alias("seq_first"),
+        F.floor((F.col("cum") - 1) / F.lit(float(L))).alias("seq_last"),
+    )
+    return (
+        s.groupBy("lang", F.col("seq_first").alias("seq_id"))
+        .agg(
+            F.count("*").alias("docs_started"),
+            F.sum((F.col("seq_last") != F.col("seq_first")).cast("bigint")).alias(
+                "split_docs"
+            ),
+            F.sum("t").alias("tokens_started"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+# target mixture for corpus_mix_waterfill, in PER-MILLE integers so every
+# window sum and comparison is exact integer arithmetic (float weights would
+# ride multi-add window sums whose association order may differ by an ulp
+# between engines); deliberately over-weights zh so the smallest domain
+# SATURATES at the test corpora (the interesting branch)
+MIX_WEIGHTS_PM = {"zh": 500, "en": 200, "de": 100, "es": 100, "fr": 100}
+
+
+def _mix_weight_sql() -> str:
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_WEIGHTS_PM.items()))
+        + " ELSE 0 END"
+    )
+
+
+@register(
+    "corpus_mix_waterfill",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x != ''))) AS BIGINT) AS avail_tokens,
+             CAST({_mix_weight_sql()} AS BIGINT) AS w
+      FROM documents GROUP BY lang
+    ), budget AS (
+      SELECT CAST(SUM(avail_tokens) // 2 AS BIGINT) AS b FROM avail
+    ), ranked AS (
+      SELECT lang, avail_tokens, w,
+             COALESCE(SUM(avail_tokens) OVER (
+               ORDER BY CAST(avail_tokens AS DOUBLE) / w, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix_avail,
+             SUM(w) OVER (ORDER BY CAST(avail_tokens AS DOUBLE) / w, lang
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suffix_w
+      FROM avail
+    ), flagged AS (
+      SELECT r.*, b,
+             avail_tokens * suffix_w < (b - prefix_avail) * w AS saturated
+      FROM ranked r, budget
+    ), final AS (
+      SELECT f.*,
+             b - COALESCE(SUM(CASE WHEN saturated THEN avail_tokens END)
+                          OVER (), 0) AS remaining,
+             SUM(CASE WHEN NOT saturated THEN w ELSE 0 END) OVER () AS unsat_w
+      FROM flagged f
+    )
+    SELECT lang, avail_tokens,
+           CAST(w AS DOUBLE) / 1000 AS target_weight,
+           CAST(CASE WHEN saturated THEN avail_tokens
+                     ELSE remaining * w // unsat_w END AS BIGINT) AS take_tokens,
+           saturated
+    FROM final ORDER BY lang
+    """,
+    doc="Training-data domain mixing by WATERFILLING: given per-domain "
+    "available token mass and target mixture weights, allocate a total "
+    "token budget (half the corpus here) so every domain gets "
+    "budget*weight tokens unless it cannot supply them — saturated "
+    "domains contribute everything they have and the shortfall "
+    "redistributes over the rest in weight proportion (the closed-form "
+    "threshold: sort domains by avail/weight ascending; a domain "
+    "saturates iff its ratio is below the water level computed assuming "
+    "all smaller-ratio domains already saturated). One per-domain "
+    "aggregate plus window arithmetic over the handful of domain rows — "
+    "the 100 TB cost is the token count itself, which any mixing plan "
+    "needs. Weights are per-mille INTEGERS and the saturation test is "
+    "cross-multiplied, so every sum/comparison/allocation is exact "
+    "integer arithmetic (the one double is a single IEEE division used "
+    "only for ordering — deterministic on both engines); the zh-heavy "
+    "target exercises the saturated branch on the test corpora.",
+)
+def corpus_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for k, v in sorted(MIX_WEIGHTS_PM.items()):
+        expr = (
+            F.when(F.col("lang") == k, F.lit(v))
+            if expr is None
+            else expr.when(F.col("lang") == k, F.lit(v))
+        )
+    weight = expr.otherwise(F.lit(0)).cast("bigint")
+
+    avail = docs.groupBy("lang").agg(
+        F.sum(F.size(_ws_tokens())).cast("bigint").alias("avail_tokens")
+    ).withColumn("w", weight)
+    budget = avail.agg(
+        F.floor(F.sum("avail_tokens") / 2).cast("bigint").alias("b")
+    )
+    ratio = F.col("avail_tokens").cast("double") / F.col("w")
+    ow = Window.orderBy(ratio, F.col("lang"))
+    ranked = (
+        avail.crossJoin(F.broadcast(budget))  # 1-row budget broadcast
+        .withColumn(
+            "prefix_avail",
+            F.coalesce(
+                F.sum("avail_tokens").over(
+                    ow.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "suffix_w",
+            F.sum("w").over(ow.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
+        )
+        .withColumn(
+            "saturated",
+            F.col("avail_tokens") * F.col("suffix_w")
+            < (F.col("b") - F.col("prefix_avail")) * F.col("w"),
+        )
+    )
+    fw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    final = ranked.withColumn(
+        "remaining",
+        F.col("b")
+        - F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("avail_tokens"))).over(fw),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "unsat_w",
+        F.sum(F.when(~F.col("saturated"), F.col("w")).otherwise(F.lit(0))).over(fw),
+    )
+    return final.select(
+        "lang",
+        "avail_tokens",
+        (F.col("w").cast("double") / 1000).alias("target_weight"),
+        F.when(F.col("saturated"), F.col("avail_tokens"))
+        .otherwise(F.expr("remaining * w DIV unsat_w"))
+        .cast("bigint")
+        .alias("take_tokens"),
+        "saturated",
+    ).orderBy("lang")

@@ -161,6 +161,10 @@ BNLJ_ALLOWED = {
     "similarity_ivf",
     "similarity_ivf_pruned",
     "ann_dispatch",
+    # r6: same 1-row centroid broadcast, plus versioned-index read-back
+    "similarity_ivf_append",
+    # r6: 1-row token-budget broadcast onto the <=n_domains mixture rows
+    "corpus_mix_waterfill",
 }
 
 

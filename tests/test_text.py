@@ -15,3 +15,67 @@ def test_spread_scan_conditional(spark):
     out = spread_scan(wide)
     assert out.rdd.getNumPartitions() == p + 4
     assert out is wide  # no-op returns the input plan unchanged
+
+
+def test_pack_sequences_accounting(spark, sf_dir):
+    """Sequence packing invariants: per-lang token mass is conserved, a
+    sequence never starts more docs than fit, split counts are sane, and
+    seq ids tile the per-lang token stream contiguously from 0."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.operators.text import (
+        PACK_SEQ_TOKENS,
+        _ws_tokens,
+        corpus_pack_sequences,
+    )
+
+    out = corpus_pack_sequences(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        r["lang"]: (r["toks"], r["n"])
+        for r in docs.select("lang", F.size(_ws_tokens()).alias("t"))
+        .filter(F.col("t") > 0)
+        .groupBy("lang")
+        .agg(F.sum("t").alias("toks"), F.count("*").alias("n"))
+        .collect()
+    }
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(truth)
+    for lang, rows in by_lang.items():
+        toks, n_docs = truth[lang]
+        assert sum(r["tokens_started"] for r in rows) == toks  # conservation
+        assert sum(r["docs_started"] for r in rows) == n_docs
+        seqs = sorted(r["seq_id"] for r in rows)
+        # every sequence the stream touches has at least one doc START or
+        # is fully covered by a long doc spanning it; started seqs are a
+        # subset of 0..n_seq-1 with the first always 0
+        assert seqs[0] == 0
+        assert seqs[-1] <= (toks - 1) // PACK_SEQ_TOKENS
+        for r in rows:
+            assert 0 <= r["split_docs"] <= r["docs_started"]
+
+
+def test_mix_waterfill_invariants(spark, sf_dir):
+    """Waterfilling invariants: takes never exceed availability, saturated
+    domains give everything, the budget is filled to within flooring slack,
+    and unsaturated takes are weight-proportional."""
+    from dodo_spark.operators.text import corpus_mix_waterfill
+
+    rows = corpus_mix_waterfill(spark, sf_dir).collect()
+    budget = sum(r["avail_tokens"] for r in rows) // 2
+    take_sum = sum(r["take_tokens"] for r in rows)
+    assert budget - len(rows) <= take_sum <= budget
+    unsat = []
+    for r in rows:
+        assert 0 <= r["take_tokens"] <= r["avail_tokens"]
+        if r["saturated"]:
+            assert r["take_tokens"] == r["avail_tokens"]
+        else:
+            unsat.append(r)
+    assert unsat, "some domain must be unsaturated (budget < total)"
+    # weight-proportional within integer flooring: take/weight equal ±1 unit
+    levels = [r["take_tokens"] / r["target_weight"] for r in unsat]
+    assert max(levels) - min(levels) <= 1 / min(r["target_weight"] for r in unsat)
