@@ -107,6 +107,9 @@ HEADLINE = [
     # round-5: unified ANN dispatcher (ivf tier) + incremental time travel
     "ann_dispatch",
     "time_travel_incremental",
+    # round-6: versioned-manifest IVF maintenance + training-data packing
+    "similarity_ivf_append",
+    "corpus_pack_sequences",
 ]
 
 
