@@ -369,6 +369,12 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
 
         print(f"checkpointed -> {checkpoint_manifest(args.path, args.version)}")
         return 0
+    if args.action == "vacuum":
+        from dodo_spark.sources.versioned import vacuum
+
+        stats = vacuum(args.path, keep_versions=args.keep_versions)
+        print(f"vacuumed: {stats}")
+        return 0
     if args.action == "compact":
         from dodo_spark.sources.versioned import compact_files
 
@@ -717,7 +723,7 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "action",
         choices=["commit", "append", "delete", "merge", "checkpoint",
-                 "compact", "list", "read"],
+                 "compact", "vacuum", "list", "read"],
     )
     sn.add_argument("--path", required=True, help="versioned table directory")
     sn.add_argument("--version", type=int, default=None)
@@ -727,6 +733,8 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--key", default=None, help="merge key column (merge)")
     sn.add_argument("--limit", type=int, default=20, help="rows to print (read)")
     sn.add_argument("--target-files", type=int, default=1, help="bin-pack target (compact)")
+    sn.add_argument("--keep-versions", type=int, default=2,
+                    help="newest versions whose files survive (vacuum)")
     sn.set_defaults(fn=cmd_snapshot)
 
     se = sub.add_parser("search", help="hybrid lexical+vector retrieval (RRF)")

@@ -489,3 +489,23 @@ def test_cli_snapshot_checkpoint_compact(spark, sf_dir, tmp_path, capsys):
     assert len(live_files(table, 2)) == 1
     n0 = read_version(spark, table, 0).count()
     assert read_version(spark, table, 2).count() == 2 * n0
+
+
+def test_cli_snapshot_vacuum(spark, sf_dir, tmp_path, capsys):
+    """The vacuum action drops files of dropped versions and reading a
+    vacuumed version reports it cleanly."""
+    table = str(tmp_path / "vac")
+    for v, t in ((0, "nation"), (1, "region"), (2, "region")):
+        assert main(["snapshot", "commit", "--path", table, "--version",
+                     str(v), "--sf-dir", sf_dir, "--table", t]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", "vacuum", "--path", table,
+                 "--keep-versions", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "files_deleted" in out and "'versions_retained': [2]" in out
+    import pytest as _pytest
+
+    from dodo_spark.sources.versioned import read_version
+
+    with _pytest.raises(ValueError, match="was vacuumed"):
+        read_version(spark, table, 0)
