@@ -220,6 +220,12 @@ KEYS = [
     "streaming_interval_join_drain",
     "streaming_left_outer_drain",
     "streaming_ohlc_drain",
+    # round-6: versioned-manifest IVF maintenance, sequence packing,
+    # mixture waterfilling, and the genconf-infer rule table
+    "similarity_ivf_append",
+    "corpus_pack_sequences",
+    "corpus_mix_waterfill",
+    "genconf_infer",
 ]
 
 
