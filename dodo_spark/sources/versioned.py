@@ -157,10 +157,14 @@ class _HadoopFS:
             stm.close()
 
     def put_if_absent_text(self, path: str, text: str) -> bool:
+        import uuid
+
         target = self._p(path)
         if self._fs.exists(target):
             return False
-        tmp = self._p(path + ".tmp")
+        # unique tmp per writer: a shared name would let racing writers
+        # clobber each other's pending content before the rename
+        tmp = self._p(f"{path}.{uuid.uuid4().hex}.tmp")
         out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
@@ -196,7 +200,12 @@ def _fs_for(table_path: str):
     tests and ``hdfs://`` works unchanged on a real cluster); plain local
     paths use direct POSIX IO."""
     if "://" in table_path:
-        spark = SparkSession.getActiveSession()
+        # getActiveSession is THREAD-local: a commit issued from a worker
+        # thread (thread-pooled writers are normal) would see None, so fall
+        # back to the process-default session
+        spark = SparkSession.getActiveSession() or getattr(
+            SparkSession, "_instantiatedSession", None
+        )
         if spark is None:
             raise RuntimeError(
                 f"a SparkSession is required for non-local table path "

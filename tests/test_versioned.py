@@ -609,3 +609,56 @@ def test_hadoop_fs_versioned_table_end_to_end(spark, tmp_path):
     with pytest.raises(ValueError, match="was vacuumed"):
         read_version(spark, path, 0)
     assert {r["k"] for r in read_version(spark, path, 4).collect()} == {7}
+
+
+def test_commit_race_exactly_one_winner(spark, tmp_path):
+    """True concurrency: 8 threads race the SAME version's commit through
+    the FS shim's put-if-absent — exactly one wins, the rest raise
+    CommitConflict, and the winner's manifest content is intact. LocalFS
+    only: os.link is atomic under any concurrency; the Hadoop shim's
+    rename is atomic at the HDFS NAMENODE but not through the local
+    RawLocalFileSystem the test suite would exercise (its rename
+    overwrites), so multi-writer atomicity there is a cluster property
+    the file:// vehicle cannot demonstrate."""
+    backend = "local"
+    import json as _json
+    import threading
+
+    from dodo_spark.sources.versioned import (
+        CommitConflict,
+        _commit,
+        _version_manifest_path,
+        _fs_for,
+        list_versions,
+    )
+
+    path = str(tmp_path / "race")
+    if backend == "hadoop":
+        path = "file://" + path
+    results: list = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def writer(i: int) -> None:
+        try:
+            barrier.wait()
+            # remove= carries the writer marker (add= would trigger a
+            # footer-stats read of a file that doesn't exist)
+            _commit(path, 0, add=[], remove=[f"writer_{i}"])
+            results[i] = "won"
+        except CommitConflict:
+            results[i] = "conflict"
+        except Exception as e:  # pragma: no cover - diagnostic
+            results[i] = f"ERR {e}"
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("won") == 1, results
+    assert results.count("conflict") == 7, results
+    assert list_versions(path) == [0]
+    fs = _fs_for(path)
+    manifest = _json.loads(fs.read_text(_version_manifest_path(path, 0)))
+    winner = results.index("won")
+    assert manifest["remove"] == [f"writer_{winner}"]
