@@ -399,7 +399,12 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         print(f"merged {args.table} as v{args.version}: {stats}")
         return 0
     # read
-    df = read_version(spark, args.path, args.version)
+    if args.as_of:
+        from dodo_spark.sources.versioned import read_as_of
+
+        df = read_as_of(spark, args.path, args.as_of)
+    else:
+        df = read_version(spark, args.path, args.version)
     for row in df.limit(args.limit).collect():
         print(row)
     return 0
@@ -735,6 +740,9 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--target-files", type=int, default=1, help="bin-pack target (compact)")
     sn.add_argument("--keep-versions", type=int, default=2,
                     help="newest versions whose files survive (vacuum)")
+    sn.add_argument("--as-of", default=None,
+                    help="FOR TIME AS OF timestamp (read; newest version "
+                    "committed at or before this time)")
     sn.set_defaults(fn=cmd_snapshot)
 
     se = sub.add_parser("search", help="hybrid lexical+vector retrieval (RRF)")

@@ -1,6 +1,8 @@
-"""Versioned parquet tables: `FOR VERSION AS OF` over plain parquet
-(SURVEY.md §2.A A25; reference grammar ``tableSnapshot``
-``DorisParser.g4:1754-1757``).
+"""Versioned parquet tables: ``FOR VERSION AS OF`` and ``FOR TIME AS OF``
+over plain parquet (SURVEY.md §2.A A25; reference grammar
+``tableSnapshot``, both alternatives, ``DorisParser.g4:1752-1756``).
+Commits record their timestamp in the manifest; ``read_as_of`` resolves
+the newest version committed at or before the requested time.
 
 Delta/Iceberg are not available in this environment, so time travel is
 built from the same primitive those formats use underneath: IMMUTABLE
@@ -393,7 +395,11 @@ def file_stats(table_path: str, version: int) -> dict:
 
 
 def _commit(
-    table_path: str, version: int, add: list[str], remove: list[str]
+    table_path: str,
+    version: int,
+    add: list[str],
+    remove: list[str],
+    commit_ts: str | None = None,
 ) -> None:
     """Commit ``version``: put-if-absent publish the per-version manifest
     (add/remove lists + per-added-file footer min/max stats). The
@@ -418,10 +424,23 @@ def _commit(
         for f in add
         if (s := _footer_stats(_join(table_path, f)))
     }
+    if commit_ts is None:
+        import datetime as _dt
+
+        commit_ts = (
+            _dt.datetime.now(_dt.timezone.utc)
+            .strftime("%Y-%m-%d %H:%M:%S.%f")
+        )
     won = _fs_for(table_path).put_if_absent_text(
         _version_manifest_path(table_path, version),
         json.dumps(
-            {"version": version, "add": add, "remove": remove, "stats": stats}
+            {
+                "version": version,
+                "ts": commit_ts,
+                "add": add,
+                "remove": remove,
+                "stats": stats,
+            }
         ),
     )
     if not won:
@@ -446,7 +465,9 @@ def _check_commit_order(table_path: str, version: int) -> list[int]:
     return versions
 
 
-def write_version(df: DataFrame, table_path: str, version: int) -> str:
+def write_version(
+    df: DataFrame, table_path: str, version: int, commit_ts: str | None = None
+) -> str:
     """Commit ``df`` as the FULL content of ``version`` (replace commit:
     the manifest adds the new files and removes every previously-live
     file). Versions commit in increasing order; committed versions are
@@ -454,17 +475,19 @@ def write_version(df: DataFrame, table_path: str, version: int) -> str:
     versions = _check_commit_order(table_path, version)
     prev_live = live_files(table_path, versions[-1]) if versions else []
     add = _write_data_files(df, table_path, version)
-    _commit(table_path, version, add=add, remove=prev_live)
+    _commit(table_path, version, add=add, remove=prev_live, commit_ts=commit_ts)
     return _join(table_path, f"v={version}")
 
 
-def append_version(df: DataFrame, table_path: str, version: int) -> str:
+def append_version(
+    df: DataFrame, table_path: str, version: int, commit_ts: str | None = None
+) -> str:
     """Commit ``df`` as an APPEND: ``version`` sees all previously-live
     files PLUS ``df``'s new files — no prior file is read, rewritten, or
     copied (file-level commit, the Delta/Iceberg primitive)."""
     _check_commit_order(table_path, version)
     add = _write_data_files(df, table_path, version)
-    _commit(table_path, version, add=add, remove=[])
+    _commit(table_path, version, add=add, remove=[], commit_ts=commit_ts)
     return _join(table_path, f"v={version}")
 
 
@@ -720,6 +743,46 @@ def read_version(
     return spark.read.option("mergeSchema", "true").parquet(
         *[_join(table_path, f) for f in files]
     )
+def version_history(table_path: str) -> list[dict]:
+    """[{version, ts}] for every committed version, ascending (the
+    DESCRIBE HISTORY primitive). Manifests written before commit-ts
+    support surface ts=None."""
+    fs = _fs_for(table_path)
+    return [
+        {"version": v, "ts": _read_manifest(table_path, v, fs).get("ts")}
+        for v in list_versions(table_path)
+    ]
+
+
+def resolve_as_of(table_path: str, time_str: str) -> int:
+    """The version a ``FOR TIME AS OF time_str`` read resolves to: the
+    NEWEST version whose commit timestamp is <= the requested time
+    (string comparison on the canonical ``YYYY-MM-DD HH:MM:SS[.ffffff]``
+    rendering — lexicographic == chronological; a bare date/prefix
+    compares correctly too). Commit timestamps are non-decreasing in
+    version order by construction at a single writer; with skewed writer
+    clocks the resolution is still deterministic (latest qualifying
+    version wins). Raises if the table has no version that old."""
+    hist = [h for h in version_history(table_path) if h["ts"] is not None]
+    if not hist:
+        raise ValueError(f"no timestamped versions at {table_path}")
+    qualifying = [h["version"] for h in hist if h["ts"] <= time_str]
+    if not qualifying:
+        raise ValueError(
+            f"no version at {table_path} committed at or before "
+            f"{time_str!r} (earliest: {hist[0]['ts']!r})"
+        )
+    return max(qualifying)
+
+
+def read_as_of(spark: SparkSession, table_path: str, time_str: str) -> DataFrame:
+    """``FOR TIME AS OF '<timestamp>'`` (reference tableSnapshot, the
+    second alternative of ``DorisParser.g4:1754-1757``): resolve the
+    commit-time-qualified version, then read it exactly like
+    ``read_version`` (same live-file-list scan, same vacuum guard)."""
+    return read_version(spark, table_path, resolve_as_of(table_path, time_str))
+
+
 # --------------------------------------------------------------------------
 # verify key
 # --------------------------------------------------------------------------
@@ -1124,3 +1187,96 @@ def _register_time_travel_merge() -> None:
 
 
 _register_time_travel_merge()
+
+
+def _register_time_travel_as_of() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel_as_of",
+        oracle="""
+        WITH v0 AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000
+        ), v1 AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1200
+        ), v2 AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1400
+        )
+        SELECT 'mid_day1' AS probe, CAST(0 AS BIGINT) AS resolved_version,
+               CAST(COUNT(*) AS BIGINT) AS rows_at,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               TRUE AS too_early_raises
+        FROM v0
+        UNION ALL
+        SELECT 'exact_v1_commit', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), TRUE
+        FROM v1
+        UNION ALL
+        SELECT 'after_last', CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), TRUE
+        FROM v2
+        ORDER BY resolved_version
+        """,
+        doc="A25 second alternative — `FOR TIME AS OF` (reference "
+        "tableSnapshot DorisParser.g4:1754-1757): commits record their "
+        "timestamp in the manifest, and read_as_of resolves the NEWEST "
+        "version committed at or before the requested time, then reads "
+        "its live file list exactly like read_version. Three commits are "
+        "made with injected timestamps (June 1/2/3); probes at mid-day-1 "
+        "(-> v0), exactly the v1 commit instant (boundary: AS OF is "
+        "inclusive -> v1), and after the last commit (-> v2) are each "
+        "aggregated; too_early_raises asserts a probe before the first "
+        "commit errors cleanly instead of resolving to nothing. The "
+        "oracle recomputes all three version states from the source "
+        "table, so a wrong resolution (off-by-one version, exclusive "
+        "boundary) changes rows_at/total and hash-mismatches.",
+    )
+    def time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        o = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        cols = ["o_orderkey", "o_totalprice"]
+        table = scratch_dir("time_travel_as_of")
+        write_version(
+            o.filter(k < 1000).select(cols), table, 0,
+            commit_ts="2025-06-01 00:00:00.000000",
+        )
+        append_version(
+            o.filter((k >= 1000) & (k < 1200)).select(cols), table, 1,
+            commit_ts="2025-06-02 00:00:00.000000",
+        )
+        append_version(
+            o.filter((k >= 1200) & (k < 1400)).select(cols), table, 2,
+            commit_ts="2025-06-03 00:00:00.000000",
+        )
+        try:
+            resolve_as_of(table, "2025-05-31 00:00:00")
+            too_early = False  # should have raised
+        except ValueError:
+            too_early = True
+
+        def probe(label: str, t: str) -> DataFrame:
+            v = resolve_as_of(table, t)
+            return read_as_of(spark, table, t).agg(
+                F.lit(label).alias("probe"),
+                F.lit(v).cast("bigint").alias("resolved_version"),
+                F.count("*").alias("rows_at"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+                F.lit(too_early).alias("too_early_raises"),
+            )
+
+        return (
+            probe("mid_day1", "2025-06-01 12:00:00")
+            .unionByName(probe("exact_v1_commit", "2025-06-02 00:00:00.000000"))
+            .unionByName(probe("after_last", "2025-06-04 00:00:00"))
+            .orderBy("resolved_version")
+        )
+
+
+_register_time_travel_as_of()

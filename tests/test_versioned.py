@@ -662,3 +662,36 @@ def test_commit_race_exactly_one_winner(spark, tmp_path):
     manifest = _json.loads(fs.read_text(_version_manifest_path(path, 0)))
     winner = results.index("won")
     assert manifest["remove"] == [f"writer_{winner}"]
+
+
+def test_time_as_of_resolution_and_history(spark, tmp_path):
+    """FOR TIME AS OF: inclusive boundary, newest-qualifying wins, clean
+    error before the first commit; version_history surfaces the commit
+    timestamps in order; auto-stamped commits (no commit_ts) resolve for
+    a far-future probe."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        read_as_of,
+        resolve_as_of,
+        version_history,
+    )
+
+    path = str(tmp_path / "asof")
+    df = lambda k: spark.createDataFrame([(k, k * 1.0)], "k BIGINT, val DOUBLE")
+    write_version(df(1), path, 0, commit_ts="2025-06-01 08:00:00.000000")
+    append_version(df(2), path, 1, commit_ts="2025-06-01 09:30:00.000000")
+    append_version(df(3), path, 2)  # auto-stamped: wall clock (>> 2025-06)
+
+    hist = version_history(path)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[0]["ts"] == "2025-06-01 08:00:00.000000"
+    assert hist[2]["ts"] > hist[1]["ts"]  # auto stamp is later
+
+    assert resolve_as_of(path, "2025-06-01 08:00:00.000000") == 0  # inclusive
+    assert resolve_as_of(path, "2025-06-01 09:00:00") == 0
+    assert resolve_as_of(path, "2025-06-01 09:30:00.000000") == 1
+    assert resolve_as_of(path, "2030-01-01 00:00:00") == 2
+    assert {r["k"] for r in read_as_of(spark, path, "2025-06-01 09:45:00").collect()} \
+        == {1, 2}
+    with pytest.raises(ValueError, match="at or before"):
+        resolve_as_of(path, "2025-05-01 00:00:00")
