@@ -351,3 +351,40 @@ def test_interval_join_skip_nodata_restores_session_conf(spark, sf_dir):
     spark.conf.set(key, "true")
     registry.queries()["streaming_interval_join_drain"](spark, sf_dir).count()
     assert spark.conf.get(key) == "true"
+
+
+def test_versioned_sink_exactly_once_replay(spark, sf_dir, tmp_path):
+    """foreachBatch + batch-id-as-version: a drained stream's content
+    equals the batch source; replaying an already-committed batch (the
+    at-least-once crash window) changes neither versions nor files; a
+    FRESH batch id still appends."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.sources.versioned import list_versions, live_files, read_version
+    from dodo_spark.streaming.events_stream import read_events_stream
+    from dodo_spark.streaming.versioned_sink import (
+        stream_to_versioned_table,
+        versioned_batch_writer,
+    )
+
+    table = str(tmp_path / "sink")
+    ev = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    stream_to_versioned_table(ev, table)
+
+    versions = list_versions(table)
+    assert versions  # at least one micro-batch committed
+    got = read_version(spark, table).count()
+    from dodo_spark.catalog import load_table
+
+    assert got == load_table(spark, sf_dir, "events").count()
+
+    # replay of batch 0: exactly-once no-op
+    before = live_files(table, max(versions))
+    versioned_batch_writer(table)(read_version(spark, table, versions[0]), versions[0])
+    assert list_versions(table) == versions
+    assert live_files(table, max(versions)) == before
+
+    # a genuinely new batch id still commits
+    extra = spark.createDataFrame([(999999999, "probe")], "event_id BIGINT, event_type STRING")
+    versioned_batch_writer(table)(extra, max(versions) + 1)
+    assert read_version(spark, table).filter(F.col("event_type") == "probe").count() == 1
