@@ -341,6 +341,16 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     if args.action == "list":
         print(list_versions(args.path) or "no versions")
         return 0
+    if args.action == "history":
+        from dodo_spark.sources.versioned import version_history
+
+        hist = version_history(args.path)
+        if not hist:
+            print("no versions")
+            return 0
+        for h in hist:
+            print(f"v{h['version']}  {h['ts'] or '-'}")
+        return 0
     write_actions = {"commit", "append", "delete", "merge", "compact"}
     if args.action in write_actions:
         # validate BEFORE touching the table: a missing/negative --version
@@ -728,7 +738,7 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "action",
         choices=["commit", "append", "delete", "merge", "checkpoint",
-                 "compact", "vacuum", "list", "read"],
+                 "compact", "vacuum", "list", "history", "read"],
     )
     sn.add_argument("--path", required=True, help="versioned table directory")
     sn.add_argument("--version", type=int, default=None)

@@ -425,9 +425,9 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dodo_spark.operators.schema import scratch_dir
     from dodo_spark.sources.versioned import (
         append_version,
-        file_stats,
         live_files,
         read_version,
+        read_version_pruned,
         write_version,
     )
 
@@ -450,19 +450,7 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = sorted(
         r["pcell"] for r in probes.select("pcell").distinct().collect()
     )
-    live = live_files(table, 1)
-    stats = file_stats(table, 1)
-    candidates = [
-        f
-        for f in live
-        if "cell" not in stats.get(f, {})
-        or any(stats[f]["cell"][0] <= c <= stats[f]["cell"][1] for c in probe_cells)
-    ]
-    import os as _os
-
-    pruned = spark.read.parquet(
-        *[_os.path.join(table, f) for f in candidates]
-    ).filter(F.col("cell").isin(probe_cells))
+    pruned = read_version_pruned(spark, table, 1, "cell", probe_cells)
     # skipping soundness: the skipped read covers exactly what the full
     # read covers (bounded audit at test scale; a warehouse would sample)
     full = read_version(spark, table, 1).filter(F.col("cell").isin(probe_cells))

@@ -743,6 +743,51 @@ def read_version(
     return spark.read.option("mergeSchema", "true").parquet(
         *[_join(table_path, f) for f in files]
     )
+def prune_files_by_stats(
+    table_path: str, version: int, column: str, values
+) -> tuple[list[str], list[str]]:
+    """Split ``version``'s live files into (candidates, skipped) by the
+    manifest-recorded footer [min,max] range of ``column`` vs a value set
+    — the generic data-skipping read primitive (same rule merge_upsert
+    uses for its probe): a file is SKIPPED only when its recorded range
+    provably contains none of ``values``; files without stats stay
+    candidates. Pure metadata — no file is opened."""
+    vals = sorted(values)
+    stats = file_stats(table_path, version)
+    candidates, skipped = [], []
+    for f in live_files(table_path, version):
+        rng = stats.get(f, {}).get(column)
+        if rng is None or any(rng[0] <= v <= rng[1] for v in vals):
+            candidates.append(f)
+        else:
+            skipped.append(f)
+    return candidates, skipped
+
+
+def read_version_pruned(
+    spark: SparkSession, table_path: str, version: int, column: str, values
+) -> DataFrame:
+    """``read_version`` restricted to rows whose ``column`` is in
+    ``values``, opening ONLY the stat-qualified files (manifest-level
+    data skipping standing in for directory partition pruning; the
+    residual filter still applies row-group/row-level pruning inside the
+    candidates)."""
+    from pyspark.sql import functions as F
+
+    candidates, _ = prune_files_by_stats(table_path, version, column, values)
+    if not candidates:
+        # provably empty: keep the schema without scanning data rows
+        return (
+            read_version(spark, table_path, version)
+            .filter(F.lit(False))
+        )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[_join(table_path, f) for f in candidates])
+        .filter(F.col(column).isin(list(values)))
+    )
+
+
 def version_history(table_path: str) -> list[dict]:
     """[{version, ts}] for every committed version, ascending (the
     DESCRIBE HISTORY primitive). Manifests written before commit-ts

@@ -509,3 +509,24 @@ def test_cli_snapshot_vacuum(spark, sf_dir, tmp_path, capsys):
 
     with _pytest.raises(ValueError, match="was vacuumed"):
         read_version(spark, table, 0)
+
+
+def test_cli_snapshot_history_and_as_of(spark, sf_dir, tmp_path, capsys):
+    """snapshot history prints version+commit-ts; read --as-of resolves by
+    commit time (injected stamps via the library, CLI read path)."""
+    from dodo_spark.sources.versioned import write_version
+
+    table = str(tmp_path / "ht")
+    from dodo_spark.catalog import load_table
+
+    write_version(load_table(spark, sf_dir, "region"), table, 0,
+                  commit_ts="2025-06-01 00:00:00.000000")
+    write_version(load_table(spark, sf_dir, "nation"), table, 1,
+                  commit_ts="2025-06-02 00:00:00.000000")
+    assert main(["snapshot", "history", "--path", table]) == 0
+    out = capsys.readouterr().out
+    assert "v0  2025-06-01 00:00:00.000000" in out
+    assert "v1  2025-06-02 00:00:00.000000" in out
+    assert main(["snapshot", "read", "--path", table,
+                 "--as-of", "2025-06-01 12:00:00"]) == 0
+    assert "r_regionkey" in capsys.readouterr().out  # resolved v0 (region)

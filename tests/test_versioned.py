@@ -695,3 +695,42 @@ def test_time_as_of_resolution_and_history(spark, tmp_path):
         == {1, 2}
     with pytest.raises(ValueError, match="at or before"):
         resolve_as_of(path, "2025-05-01 00:00:00")
+
+
+def test_prune_files_by_stats_skips_disjoint_files(spark, tmp_path):
+    """Manifest-stats data skipping: single-cell files with disjoint key
+    ranges — a probe for one range's values skips the other files
+    entirely (pure metadata), a probe outside every range skips ALL and
+    the pruned read is provably empty with the schema intact."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.sources.versioned import (
+        append_version,
+        prune_files_by_stats,
+        read_version_pruned,
+        write_version,
+    )
+
+    path = str(tmp_path / "prune")
+    write_version(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1), path, 0,
+    )
+    append_version(
+        spark.createDataFrame([(100, 1.0), (200, 2.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1), path, 1,
+    )
+    cand, skipped = prune_files_by_stats(path, 1, "k", [150, 200])
+    assert len(cand) == 1 and cand[0].startswith("v=1/")
+    assert len(skipped) == 1 and skipped[0].startswith("v=0/")
+    got = {r["k"] for r in read_version_pruned(spark, path, 1, "k", [150, 200]).collect()}
+    assert got == {200}
+
+    cand, skipped = prune_files_by_stats(path, 1, "k", [999])
+    assert cand == [] and len(skipped) == 2
+    empty = read_version_pruned(spark, path, 1, "k", [999])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "val"}
+
+    # a column with no recorded stats keeps every file a candidate
+    cand, skipped = prune_files_by_stats(path, 1, "nope", [1])
+    assert len(cand) == 2 and skipped == []
