@@ -364,14 +364,15 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
             print(f"{args.action} requires --sf-dir and --table")
             return 1
     spark = _spark(args.parallel)
+    expectations = json.loads(args.expect) if args.expect else None
     if args.action == "commit":
         df = load_table(spark, args.sf_dir, args.table)
-        snap = write_version(df, args.path, args.version)
+        snap = write_version(df, args.path, args.version, expectations=expectations)
         print(f"committed {args.table} as v{args.version} -> {snap}")
         return 0
     if args.action == "append":
         df = load_table(spark, args.sf_dir, args.table)
-        snap = append_version(df, args.path, args.version)
+        snap = append_version(df, args.path, args.version, expectations=expectations)
         print(f"appended {args.table} as v{args.version} -> {snap}")
         return 0
     if args.action == "checkpoint":
@@ -389,7 +390,8 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         from dodo_spark.sources.versioned import compact_files
 
         stats = compact_files(
-            spark, args.path, args.version, target_files=args.target_files
+            spark, args.path, args.version, target_files=args.target_files,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
         )
         print(f"compacted as v{args.version}: {stats}")
         return 0
@@ -750,6 +752,11 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--target-files", type=int, default=1, help="bin-pack target (compact)")
     sn.add_argument("--keep-versions", type=int, default=2,
                     help="newest versions whose files survive (vacuum)")
+    sn.add_argument("--cluster-by", default=None,
+                    help="comma columns to range-cluster a compact rewrite")
+    sn.add_argument("--expect", default=None,
+                    help='JSON {name: sql_predicate} CHECK constraints '
+                    "(commit/append; violating batches are rejected)")
     sn.add_argument("--as-of", default=None,
                     help="FOR TIME AS OF timestamp (read; newest version "
                     "committed at or before this time)")

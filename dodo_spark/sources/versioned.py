@@ -466,13 +466,18 @@ def _check_commit_order(table_path: str, version: int) -> list[int]:
 
 
 def write_version(
-    df: DataFrame, table_path: str, version: int, commit_ts: str | None = None
+    df: DataFrame,
+    table_path: str,
+    version: int,
+    commit_ts: str | None = None,
+    expectations: dict[str, str] | None = None,
 ) -> str:
     """Commit ``df`` as the FULL content of ``version`` (replace commit:
     the manifest adds the new files and removes every previously-live
     file). Versions commit in increasing order; committed versions are
     immutable."""
     versions = _check_commit_order(table_path, version)
+    check_expectations(df, expectations or {})
     prev_live = live_files(table_path, versions[-1]) if versions else []
     add = _write_data_files(df, table_path, version)
     _commit(table_path, version, add=add, remove=prev_live, commit_ts=commit_ts)
@@ -480,12 +485,17 @@ def write_version(
 
 
 def append_version(
-    df: DataFrame, table_path: str, version: int, commit_ts: str | None = None
+    df: DataFrame,
+    table_path: str,
+    version: int,
+    commit_ts: str | None = None,
+    expectations: dict[str, str] | None = None,
 ) -> str:
     """Commit ``df`` as an APPEND: ``version`` sees all previously-live
     files PLUS ``df``'s new files — no prior file is read, rewritten, or
     copied (file-level commit, the Delta/Iceberg primitive)."""
     _check_commit_order(table_path, version)
+    check_expectations(df, expectations or {})
     add = _write_data_files(df, table_path, version)
     _commit(table_path, version, add=add, remove=[], commit_ts=commit_ts)
     return _join(table_path, f"v={version}")
@@ -632,26 +642,73 @@ def merge_upsert(
 
 
 def compact_files(
-    spark: SparkSession, table_path: str, version: int, target_files: int = 1
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    target_files: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Commit ``version`` as a bin-packed REWRITE of the live set into
     ``target_files`` files — logically identical content (the Delta
     OPTIMIZE primitive; small-file compaction after many incremental
     commits). Older versions still read their own file lists. Reads with
     mergeSchema so a compaction after additive schema evolution keeps
-    every column (older files surface NULLs, same as read_version)."""
+    every column (older files surface NULLs, same as read_version).
+
+    ``cluster_by``: range-cluster the rewrite on these columns (the
+    OPTIMIZE ZORDER role for the single/lexicographic-column case):
+    ``repartitionByRange(target_files, cols)`` + sortWithinPartitions
+    gives each output file a TIGHT, near-disjoint [min,max] range on the
+    leading column, which is exactly what the manifest footer-stats
+    skipping (``prune_files_by_stats`` / merge's probe) feeds on — after
+    clustering, a point probe opens ~1 file instead of all of them."""
     versions = _check_commit_order(table_path, version)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
     prev_live = live_files(table_path, versions[-1])
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[_join(table_path, f) for f in prev_live])
-        .coalesce(max(1, target_files))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[_join(table_path, f) for f in prev_live]
     )
+    if cluster_by:
+        df = df.repartitionByRange(
+            max(1, target_files), *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        df = df.coalesce(max(1, target_files))
     add = _write_data_files(df, table_path, version)
     _commit(table_path, version, add=add, remove=prev_live)
     return {"files_before": len(prev_live), "files_after": len(add)}
+
+
+class ExpectationViolation(ValueError):
+    """An ingest-time CHECK constraint failed; nothing was committed."""
+
+
+def check_expectations(df: DataFrame, expectations: dict[str, str]) -> None:
+    """Ingest-time data-quality gate (the Delta CHECK-constraint /
+    expectations primitive): every ``{name: sql_predicate}`` must hold
+    for EVERY row of ``df`` or the whole batch is rejected before any
+    commit. One aggregate pass counts all violations together (one job,
+    not one per constraint); the error names each failed constraint with
+    its violation count — the fail-closed posture a training-data ingest
+    wants (a bad batch never becomes a committed version)."""
+    from pyspark.sql import functions as F
+
+    if not expectations:
+        return
+    names = list(expectations)
+    row = df.agg(
+        *[
+            F.sum((~F.expr(pred)).cast("bigint")).alias(name)
+            for name, pred in expectations.items()
+        ]
+    ).first()
+    failed = {n: int(row[n]) for n in names if row[n]}
+    if failed:
+        raise ExpectationViolation(
+            "expectation(s) violated, batch rejected: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in sorted(failed.items()))
+        )
 
 
 def _vacuum_markers(table_path: str, fs=None) -> list[dict]:

@@ -530,3 +530,26 @@ def test_cli_snapshot_history_and_as_of(spark, sf_dir, tmp_path, capsys):
     assert main(["snapshot", "read", "--path", table,
                  "--as-of", "2025-06-01 12:00:00"]) == 0
     assert "r_regionkey" in capsys.readouterr().out  # resolved v0 (region)
+
+
+def test_cli_snapshot_expect_and_cluster(spark, sf_dir, tmp_path, capsys):
+    """--expect gates CLI commits (violating table -> error, rc 1-ish via
+    exception surfaced as ExpectationViolation); --cluster-by drives the
+    clustered compaction."""
+    import pytest as _pytest
+
+    from dodo_spark.sources.versioned import ExpectationViolation, list_versions
+
+    table = str(tmp_path / "exp")
+    assert main(["snapshot", "commit", "--path", table, "--version", "0",
+                 "--sf-dir", sf_dir, "--table", "nation",
+                 "--expect", '{"key_bounds": "n_nationkey BETWEEN 0 AND 24"}']) == 0
+    with _pytest.raises(ExpectationViolation, match="impossible"):
+        main(["snapshot", "append", "--path", table, "--version", "1",
+              "--sf-dir", sf_dir, "--table", "nation",
+              "--expect", '{"impossible": "n_nationkey > 100"}'])
+    assert list_versions(table) == [0]
+    capsys.readouterr()
+    assert main(["snapshot", "compact", "--path", table, "--version", "1",
+                 "--target-files", "2", "--cluster-by", "n_nationkey"]) == 0
+    assert "files_after" in capsys.readouterr().out

@@ -734,3 +734,70 @@ def test_prune_files_by_stats_skips_disjoint_files(spark, tmp_path):
     # a column with no recorded stats keeps every file a candidate
     cand, skipped = prune_files_by_stats(path, 1, "nope", [1])
     assert len(cand) == 2 and skipped == []
+
+
+def test_compact_cluster_by_tightens_file_ranges(spark, tmp_path):
+    """OPTIMIZE-with-clustering: after many interleaved-key appends, a
+    clustered compaction gives files near-disjoint key ranges, so a point
+    probe through prune_files_by_stats opens ~1 file instead of all."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        compact_files,
+        prune_files_by_stats,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "clus")
+    # 4 commits, each spanning the WHOLE key range (worst case for stats)
+    write_version(
+        spark.createDataFrame([(k, 1.0) for k in range(0, 400, 4)],
+                              "k BIGINT, val DOUBLE").coalesce(1), path, 0)
+    for v in (1, 2, 3):
+        append_version(
+            spark.createDataFrame([(k, 1.0) for k in range(v, 400, 4)],
+                                  "k BIGINT, val DOUBLE").coalesce(1), path, v)
+    cand, skipped = prune_files_by_stats(path, 3, "k", [7])
+    assert len(skipped) == 0  # every file's range covers k=7
+
+    compact_files(spark, path, 4, target_files=4, cluster_by=["k"])
+    cand, skipped = prune_files_by_stats(path, 4, "k", [7])
+    assert len(cand) == 1 and len(skipped) == 3  # clustered: one file hit
+    # content unchanged
+    assert read_version(spark, path, 4).count() == 400
+    assert {r["k"] for r in read_version(spark, path, 4).collect()} \
+        == set(range(400))
+
+
+def test_append_expectations_fail_closed(spark, tmp_path):
+    """Ingest expectations: a batch violating any CHECK predicate is
+    rejected BEFORE any commit (no version, no data dir side effects on
+    the manifest), the error names each failed constraint with its
+    violation count, and a clean batch commits normally."""
+    from dodo_spark.sources.versioned import (
+        ExpectationViolation,
+        append_version,
+        list_versions,
+        write_version,
+    )
+
+    path = str(tmp_path / "exp")
+    exp = {"k_positive": "k > 0", "val_not_null": "val IS NOT NULL"}
+    write_version(
+        spark.createDataFrame([(1, 10.0)], "k BIGINT, val DOUBLE"),
+        path, 0, expectations=exp,
+    )
+    bad = spark.createDataFrame(
+        [(2, 20.0), (-1, 5.0), (3, None)], "k BIGINT, val DOUBLE"
+    )
+    with pytest.raises(ExpectationViolation) as ei:
+        append_version(bad, path, 1, expectations=exp)
+    assert "k_positive (1 rows)" in str(ei.value)
+    assert "val_not_null (1 rows)" in str(ei.value)
+    assert list_versions(path) == [0]  # nothing committed
+    # clean batch passes
+    append_version(
+        spark.createDataFrame([(2, 20.0)], "k BIGINT, val DOUBLE"),
+        path, 1, expectations=exp,
+    )
+    assert list_versions(path) == [0, 1]
