@@ -616,6 +616,41 @@ def cmd_profile(args: argparse.Namespace) -> int:
 
 
 # --------------------------------------------------------------- clean ----
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Run ad-hoc SQL over the catalog tables (the interactive entry a
+    replay user reaches for between runs): registers the test tables as
+    temp views, executes one statement (argument or --file), prints up to
+    --limit rows, and optionally writes the full result as parquet/csv
+    WITHOUT collecting it on the driver."""
+    from dodo_spark.catalog import register_views
+
+    spark = _spark(args.parallel)
+    register_views(spark, args.sf_dir)
+    if args.file:
+        with open(args.file, encoding="utf-8") as f:
+            query = f.read()
+    else:
+        query = args.query
+    if not query or not query.strip():
+        print("sql requires a query argument or --file")
+        return 1
+    df = spark.sql(query)
+    if args.output:
+        writer = df.write.mode("overwrite")
+        if args.format == "csv":
+            writer.option("header", "true").csv(args.output)
+        else:
+            writer.parquet(args.output)
+        print(f"wrote result -> {args.output}")
+        return 0
+    rows = df.limit(args.limit + 1).collect()  # bounded by --limit
+    for r in rows[: args.limit]:
+        print(r)
+    if len(rows) > args.limit:
+        print(f"... (truncated at {args.limit} rows; use --output for the full set)")
+    return 0
+
+
 def cmd_clean(args: argparse.Namespace) -> int:
     """Delete local scratch/output data (reference cmd/clean.go:44-49:
     data dir + output dir, with confirmation unless forced)."""
@@ -808,6 +843,15 @@ def build_parser() -> argparse.ArgumentParser:
     co = sub.add_parser("completion", help="emit shell completion script")
     co.add_argument("shell", nargs="?", default="bash", choices=["bash", "zsh"])
     co.set_defaults(fn=cmd_completion, parallel=None)
+
+    sq = sub.add_parser("sql", help="run ad-hoc SQL over the catalog tables")
+    sq.add_argument("query", nargs="?", default=None, help="SQL text")
+    sq.add_argument("--sf-dir", required=True, help="data dir to register as views")
+    sq.add_argument("--file", default=None, help="read the SQL from a file")
+    sq.add_argument("--limit", type=int, default=20, help="rows to print")
+    sq.add_argument("--output", default=None, help="write full result here instead")
+    sq.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    sq.set_defaults(fn=cmd_sql)
 
     cl = sub.add_parser("clean", help="delete local scratch/output data")
     cl.add_argument("--yes", action="store_true", help="skip confirmation")

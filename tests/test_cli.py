@@ -553,3 +553,23 @@ def test_cli_snapshot_expect_and_cluster(spark, sf_dir, tmp_path, capsys):
     assert main(["snapshot", "compact", "--path", table, "--version", "1",
                  "--target-files", "2", "--cluster-by", "n_nationkey"]) == 0
     assert "files_after" in capsys.readouterr().out
+
+
+def test_cli_sql_adhoc(spark, sf_dir, tmp_path, capsys):
+    """The sql verb runs ad-hoc statements over the registered views,
+    truncates printed output at --limit, and streams full results to
+    parquet via --output."""
+    assert main(["sql", "--sf-dir", sf_dir,
+                 "SELECT r_name FROM region ORDER BY r_name"]) == 0
+    out = capsys.readouterr().out
+    assert "AFRICA" in out
+    assert main(["sql", "--sf-dir", sf_dir, "--limit", "2",
+                 "SELECT n_name FROM nation ORDER BY n_nationkey"]) == 0
+    out = capsys.readouterr().out
+    assert "truncated at 2 rows" in out
+    dest = str(tmp_path / "res")
+    assert main(["sql", "--sf-dir", sf_dir, "--output", dest,
+                 "SELECT COUNT(*) AS n FROM nation"]) == 0
+    got = spark.read.parquet(dest).collect()
+    assert got[0]["n"] == 25
+    assert main(["sql", "--sf-dir", sf_dir]) == 1  # no query -> usage error
