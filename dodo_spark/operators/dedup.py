@@ -916,3 +916,88 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def _register_dedup_incremental() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "dedup_incremental_ingest",
+        oracle="""
+        WITH base AS (
+          SELECT doc_id, md5(lower(trim(text))) AS h
+          FROM documents WHERE doc_id % 3 != 0
+        ), base_h AS (
+          SELECT DISTINCT h FROM base
+        ), batch AS (
+          SELECT doc_id, md5(lower(trim(text))) AS h
+          FROM documents WHERE doc_id % 2 = 0
+        ), novel AS (
+          SELECT b.doc_id, b.h FROM batch b
+          WHERE NOT EXISTS (SELECT 1 FROM base_h x WHERE x.h = b.h)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS batch_docs,
+               CAST((SELECT COUNT(*) FROM batch) -
+                    (SELECT COUNT(*) FROM novel) AS BIGINT) AS dup_skipped,
+               CAST((SELECT COUNT(*) FROM novel) AS BIGINT) AS novel_appended,
+               CAST((SELECT COUNT(*) FROM base) +
+                    (SELECT COUNT(*) FROM novel) AS BIGINT) AS table_docs,
+               CAST((SELECT COUNT(DISTINCT h) FROM
+                     (SELECT h FROM base UNION ALL SELECT h FROM novel))
+                    AS BIGINT) AS table_distinct_hashes,
+               TRUE AS base_files_untouched
+        """,
+        doc="Incremental INGEST dedup against the committed corpus (the "
+        "'never re-ingest what the lakehouse already holds' production "
+        "pattern, composing D5 exact dedup with the A25 versioned table): "
+        "v0 commits a base corpus; an arriving batch (overlapping the "
+        "base) is anti-joined on the normalized content hash against the "
+        "LIVE version and only the novel docs append as v1 — a file-level "
+        "commit that reads the base once for its hash set and rewrites "
+        "nothing (base_files_untouched hash-asserts it). At 100 TB the "
+        "base hash set is served from a hash-partitioned index table (or "
+        "a bloom-filter pushdown before the anti-join shuffle) rather "
+        "than a rescan — the anti-join shape is identical. The oracle "
+        "recomputes batch/dup/novel/final counts in SQL; the "
+        "table_distinct_hashes == table_docs equality (when the base "
+        "itself is dup-free) would expose any duplicate that slipped "
+        "through the append.",
+    )
+    def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+        from dodo_spark.sources.versioned import (
+            append_version,
+            live_files,
+            read_version,
+            write_version,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        h = F.md5(F.lower(F.trim(F.col("text"))))
+        table = scratch_dir("dedup_ingest")
+        base = docs.filter(F.col("doc_id") % 3 != 0)
+        write_version(base.withColumn("h", h), table, 0)
+        v0_live = set(live_files(table, 0))
+
+        batch = docs.filter(F.col("doc_id") % 2 == 0).withColumn("h", h)
+        batch = batch.localCheckpoint(eager=True)  # one computation, 3 uses
+        live_hashes = read_version(spark, table, 0).select("h").distinct()
+        novel = batch.join(live_hashes, "h", "anti")
+        novel = novel.localCheckpoint(eager=True)
+        append_version(novel, table, 1)
+        untouched = v0_live <= set(live_files(table, 1))
+
+        final = read_version(spark, table, 1)
+        batch_docs = batch.count()
+        novel_docs = novel.count()
+        return final.agg(
+            F.lit(batch_docs).cast("bigint").alias("batch_docs"),
+            F.lit(batch_docs - novel_docs).cast("bigint").alias("dup_skipped"),
+            F.lit(novel_docs).cast("bigint").alias("novel_appended"),
+            F.count("*").alias("table_docs"),
+            F.countDistinct("h").alias("table_distinct_hashes"),
+            F.lit(untouched).alias("base_files_untouched"),
+        )
+
+
+_register_dedup_incremental()
