@@ -226,6 +226,9 @@ KEYS = [
     "corpus_pack_sequences",
     "corpus_mix_waterfill",
     "genconf_infer",
+    "time_travel_as_of",
+    "streaming_versioned_sink",
+    "dedup_incremental_ingest",
 ]
 
 
