@@ -691,7 +691,11 @@ def check_expectations(df: DataFrame, expectations: dict[str, str]) -> None:
     commit. One aggregate pass counts all violations together (one job,
     not one per constraint); the error names each failed constraint with
     its violation count — the fail-closed posture a training-data ingest
-    wants (a bad batch never becomes a committed version)."""
+    wants (a bad batch never becomes a committed version).
+
+    NULL semantics follow SQL CHECK: a predicate evaluating to NULL
+    (unknown) on a row does NOT count as a violation — write
+    ``col IS NOT NULL AND col > 0`` when NULLs must be rejected."""
     from pyspark.sql import functions as F
 
     if not expectations:

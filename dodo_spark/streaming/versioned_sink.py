@@ -51,15 +51,21 @@ def versioned_batch_writer(table_path: str):
 
 
 def stream_to_versioned_table(
-    stream_df: DataFrame, table_path: str, timeout_s: int = 300
+    stream_df: DataFrame,
+    table_path: str,
+    timeout_s: int = 300,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Drain ``stream_df`` (availableNow) into ``table_path``, one
-    committed version per micro-batch."""
-    q = (
-        stream_df.writeStream.foreachBatch(versioned_batch_writer(table_path))
-        .trigger(availableNow=True)
-        .start()
-    )
+    committed version per micro-batch. Pass ``checkpoint_dir`` for any
+    run that may be RESTARTED or resumed incrementally: the stream
+    checkpoint is what keeps batch ids monotone across runs (without it
+    a second invocation restarts at batch 0, whose version already
+    exists, and its — possibly different — content is skipped)."""
+    w = stream_df.writeStream.foreachBatch(versioned_batch_writer(table_path))
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
 
 

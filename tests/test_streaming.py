@@ -388,3 +388,47 @@ def test_versioned_sink_exactly_once_replay(spark, sf_dir, tmp_path):
     extra = spark.createDataFrame([(999999999, "probe")], "event_id BIGINT, event_type STRING")
     versioned_batch_writer(table)(extra, max(versions) + 1)
     assert read_version(spark, table).filter(F.col("event_type") == "probe").count() == 1
+
+
+def test_versioned_sink_checkpoint_resumes_incrementally(spark, sf_dir, tmp_path):
+    """With a stream checkpoint, a SECOND drain over a grown source
+    commits only the NEW files as later batch ids — incremental ingest
+    across restarts, no re-commit of batch 0."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from dodo_spark.sources.versioned import list_versions, read_version
+    from dodo_spark.streaming.versioned_sink import stream_to_versioned_table
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.createDataFrame([(1, "a")], "id BIGINT, v STRING").coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    # flatten: the file source watches a dir of parquet files
+    for f in (src / "f1").glob("*.parquet"):
+        shutil.move(str(f), str(src / "p1.parquet"))
+    shutil.rmtree(src / "f1")
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    table = str(tmp_path / "tab")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    stream_to_versioned_table(stream, table, checkpoint_dir=ckpt)
+    v_first = list_versions(table)
+    assert read_version(spark, table).count() == 1
+
+    # grow the source; resume from the SAME checkpoint
+    spark.createDataFrame([(2, "b")], "id BIGINT, v STRING").coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f2"))
+    for f in (src / "f2").glob("*.parquet"):
+        shutil.move(str(f), str(src / "p2.parquet"))
+    shutil.rmtree(src / "f2")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    stream_to_versioned_table(stream, table, checkpoint_dir=ckpt)
+
+    versions = list_versions(table)
+    assert len(versions) == len(v_first) + 1  # only the new batch committed
+    assert {r["id"] for r in read_version(spark, table).collect()} == {1, 2}
