@@ -325,6 +325,21 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
+
+    # count each pair EXACTLY ONCE at its minimal colliding band: keep the
+    # matched row only if every SMALLER band differs between the two docs —
+    # a pure filter on columns already in the join output, replacing the
+    # former dropDuplicates (a full extra shuffle of the ~1.9M-row pair
+    # set at sf0.1) with zero exchanges
+    def _band_val(col: str, shift: int, mask: int):
+        return F.shiftright(F.col(col), shift).bitwiseAND(F.lit(mask))
+
+    first_collision = F.lit(True)
+    for j, (shift, mask) in enumerate(_SIMHASH_BANDS):
+        differs_j = _band_val("a.simhash", shift, mask) != _band_val("b.simhash", shift, mask)
+        first_collision = first_collision & (
+            F.when(F.col("a.band_idx") > j, differs_j).otherwise(F.lit(True))
+        )
     return (
         a.join(
             b,
@@ -332,13 +347,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_collision)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
