@@ -1085,6 +1085,14 @@ def corpus_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = avail.agg(
         F.floor(F.sum("avail_tokens") / 2).cast("bigint").alias("b")
     )
+    return waterfill_allocate(avail, budget)
+
+
+def waterfill_allocate(avail: DataFrame, budget: DataFrame) -> DataFrame:
+    """The waterfilling core over any (lang, avail_tokens BIGINT, w BIGINT)
+    frame and a 1-row (b BIGINT) budget — exact integer arithmetic
+    throughout (see corpus_mix_waterfill's key doc); exposed separately
+    so property tests can drive it with arbitrary domain mixes."""
     ratio = F.col("avail_tokens").cast("double") / F.col("w")
     ow = Window.orderBy(ratio, F.col("lang"))
     ranked = (

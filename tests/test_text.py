@@ -79,3 +79,54 @@ def test_mix_waterfill_invariants(spark, sf_dir):
     # weight-proportional within integer flooring: take/weight equal ±1 unit
     levels = [r["take_tokens"] / r["target_weight"] for r in unsat]
     assert max(levels) - min(levels) <= 1 / min(r["target_weight"] for r in unsat)
+
+
+def test_waterfill_matches_python_reference_randomized(spark):
+    """Property check of the waterfilling closed form against a greedy
+    pure-Python reference over randomized domain mixes: identical takes
+    and saturation flags on every case, including all-saturated-but-one,
+    tiny budgets, and ratio ties."""
+    import random
+
+    from dodo_spark.operators.text import waterfill_allocate
+
+    def ref(avail: dict, w: dict, b: int):
+        items = sorted(avail, key=lambda d: (avail[d] / w[d], d))
+        sat, prefix = set(), 0
+        suffix_w = sum(w.values())
+        for d in items:
+            if avail[d] * suffix_w < (b - prefix) * w[d]:
+                sat.add(d)
+                prefix += avail[d]
+                suffix_w -= w[d]
+            else:
+                break  # ratios ascend: once one holds, the rest hold
+        out = {}
+        unsat_w = sum(w[d] for d in avail if d not in sat)
+        remaining = b - prefix
+        for d in avail:
+            out[d] = (
+                (avail[d], True)
+                if d in sat
+                else (remaining * w[d] // unsat_w, False)
+            )
+        return out
+
+    rng = random.Random(42)
+    for case in range(12):
+        n = rng.randint(2, 6)
+        doms = [f"d{i}" for i in range(n)]
+        avail = {d: rng.randint(1, 10_000) for d in doms}
+        w = {d: rng.randint(1, 500) for d in doms}
+        total = sum(avail.values())
+        b = rng.randint(1, max(1, total - 1))  # budget < total: >=1 unsat
+        adf = spark.createDataFrame(
+            [(d, avail[d], w[d]) for d in doms],
+            "lang STRING, avail_tokens BIGINT, w BIGINT",
+        )
+        bdf = spark.createDataFrame([(b,)], "b BIGINT")
+        got = {
+            r["lang"]: (r["take_tokens"], r["saturated"])
+            for r in waterfill_allocate(adf, bdf).collect()
+        }
+        assert got == ref(avail, w, b), f"case {case}: avail={avail} w={w} b={b}"
