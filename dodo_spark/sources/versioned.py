@@ -502,7 +502,11 @@ def append_version(
 
 
 def delete_where(
-    spark: SparkSession, table_path: str, version: int, predicate: str
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    predicate: str,
+    commit_ts: str | None = None,
 ) -> dict:
     """Commit ``version`` as the previous live content MINUS rows matching
     ``predicate`` (a SQL boolean expression) — the file-level DELETE /
@@ -543,7 +547,7 @@ def delete_where(
             .filter(f"NOT ({predicate})")
         )
         add = _write_data_files(survivors, table_path, version)
-    _commit(table_path, version, add=add, remove=touched)
+    _commit(table_path, version, add=add, remove=touched, commit_ts=commit_ts)
     return {
         "files_rewritten": len(touched),
         "files_kept": len(prev_live) - len(touched),
@@ -557,6 +561,7 @@ def merge_upsert(
     version: int,
     updates: DataFrame,
     key: str,
+    commit_ts: str | None = None,
 ) -> dict:
     """Commit ``version`` as the previous live content UPSERTED with
     ``updates`` (MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
@@ -632,7 +637,7 @@ def merge_upsert(
     else:
         new_rows = updates
     add = _write_data_files(new_rows, table_path, version)
-    _commit(table_path, version, add=add, remove=touched)
+    _commit(table_path, version, add=add, remove=touched, commit_ts=commit_ts)
     return {
         "files_rewritten": len(touched),
         "files_kept": len(prev_live) - len(touched),
@@ -647,6 +652,7 @@ def compact_files(
     version: int,
     target_files: int = 1,
     cluster_by: list[str] | None = None,
+    commit_ts: str | None = None,
 ) -> dict:
     """Commit ``version`` as a bin-packed REWRITE of the live set into
     ``target_files`` files — logically identical content (the Delta
@@ -676,7 +682,7 @@ def compact_files(
     else:
         df = df.coalesce(max(1, target_files))
     add = _write_data_files(df, table_path, version)
-    _commit(table_path, version, add=add, remove=prev_live)
+    _commit(table_path, version, add=add, remove=prev_live, commit_ts=commit_ts)
     return {"files_before": len(prev_live), "files_after": len(add)}
 
 
