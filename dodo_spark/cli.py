@@ -52,6 +52,7 @@ def cmd_dump(args: argparse.Namespace) -> int:
         only_select=args.only_select,
         dbs=args.dbs.split(",") if args.dbs else None,
         users=args.users.split(",") if args.users else None,
+        states=args.states.split(",") if args.states else None,
         from_ts=args.from_ts,
         to_ts=args.to_ts,
         min_duration_ms=args.min_duration_ms,
@@ -507,6 +508,14 @@ def cmd_genconf_infer(args: argparse.Namespace) -> int:
 
     from dodo_spark.gendata.infer import infer_genconf
 
+    if getattr(args, "print_system_prompt", False):
+        from dodo_spark.gendata.prompt import SYSTEM_PROMPT
+
+        print(SYSTEM_PROMPT)
+        return 0
+    if not args.sf_dir:
+        print("genconf-infer requires --sf-dir (or --print-system-prompt)")
+        return 1
     spark = _spark(args.parallel)
     if getattr(args, "emit_prompt", False):
         # B15 prompt assembly (reference src/llm.go:23-116 minus the
@@ -689,6 +698,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--output", required=True)
     d.add_argument("--only-select", action="store_true")
     d.add_argument("--dbs"), d.add_argument("--users")
+    d.add_argument("--states", help="comma states to keep, e.g. OK or EOF "
+                   "(reference --query-states)")
     d.add_argument("--from-ts"), d.add_argument("--to-ts")
     d.add_argument("--min-duration-ms", type=int, default=0)
     d.add_argument(
@@ -806,7 +817,7 @@ def build_parser() -> argparse.ArgumentParser:
     se.set_defaults(fn=cmd_search)
 
     gi = sub.add_parser("genconf-infer", help="infer genconf YAML from a dataset")
-    gi.add_argument("--sf-dir", required=True, help="data dir to measure")
+    gi.add_argument("--sf-dir", default=None, help="data dir to measure")
     gi.add_argument("--tables", default=None, help="comma list (default: all)")
     gi.add_argument("--output", default=None, help="YAML path (default: stdout)")
     gi.add_argument(
@@ -821,6 +832,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="anonymize identifiers in --queries before assembly")
     gi.add_argument("--prompt", default=None,
                     help="additional-user-prompt section text")
+    gi.add_argument("--print-system-prompt", action="store_true",
+                    help="print only the system prompt document and exit "
+                    "(reference `gendata prompt`)")
     gi.set_defaults(fn=cmd_genconf_infer)
 
     an = sub.add_parser("ann", help="approximate-nearest-neighbor search (tiered)")

@@ -573,3 +573,27 @@ def test_cli_sql_adhoc(spark, sf_dir, tmp_path, capsys):
     got = spark.read.parquet(dest).collect()
     assert got[0]["n"] == 25
     assert main(["sql", "--sf-dir", sf_dir]) == 1  # no query -> usage error
+
+
+def test_cli_dump_states_filter(spark, tmp_path, capsys):
+    """--states keeps only matching State= records (reference
+    --query-states); the fixture has OK and ERR lines."""
+    out_all = tmp_path / "all"
+    out_ok = tmp_path / "ok"
+    assert main(["dump", "--audit-log", FIXTURE_LOG, "--output", str(out_all)]) == 0
+    assert main(["dump", "--audit-log", FIXTURE_LOG, "--output", str(out_ok),
+                 "--states", "OK"]) == 0
+    n_all = (out_all / "q0.sql").read_text().count("/*dodo{")
+    n_ok = (out_ok / "q0.sql").read_text().count("/*dodo{")
+    assert 0 < n_ok <= n_all
+
+
+def test_cli_genconf_print_system_prompt(capsys):
+    """--print-system-prompt emits the system document alone, no Spark,
+    no --sf-dir (reference `gendata prompt`); plain genconf-infer without
+    --sf-dir is a usage error."""
+    assert main(["genconf-infer", "--print-system-prompt"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("<prompt>") and "gen: {enum:" in out
+    assert main(["genconf-infer"]) == 1
+    assert "requires --sf-dir" in capsys.readouterr().out
