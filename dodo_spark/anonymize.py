@@ -104,6 +104,26 @@ class MiniDict:
         out.append("a")
         return "".join(out)
 
+    def save(self, path: str) -> None:
+        """Persist the alias dictionary (reference --anonymize-minihash-dict:
+        a saved dict keeps aliases STABLE across runs — the same table gets
+        the same short name in every dump anonymized against it)."""
+        import json as _json
+
+        with open(path, "w", encoding="utf-8") as f:
+            _json.dump({"dict": self.dict, "last": self.last}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "MiniDict":
+        import json as _json
+
+        with open(path, encoding="utf-8") as f:
+            payload = _json.load(f)
+        out = cls()
+        out.dict = dict(payload["dict"])
+        out.last = payload["last"]
+        return out
+
     def alias(self, hashed: str) -> str:
         if hashed in self.dict:
             return self.dict[hashed]
@@ -176,17 +196,39 @@ def _rewrite_sql(sql: str, lookup) -> str:
     return "".join(out)
 
 
-def anonymize_sql(sql: str, method: str = "hash", mini: MiniDict | None = None) -> str:
+def anonymize_sql(
+    sql: str,
+    method: str = "hash",
+    mini: MiniDict | None = None,
+    reserve: set[str] | None = None,
+    min_length: int | None = None,
+) -> str:
     """Rewrite one SQL string. ``mini`` carries dictionary state across
-    statements for a consistent minihash mapping."""
+    statements for a consistent minihash mapping; ``reserve`` lists
+    identifiers (case-insensitive) left untouched (reference
+    --anonymize-reserve-ids); ``min_length`` overrides the keep-short
+    threshold of the hash method (reference --anonymize-id-min-length)."""
     if method not in ("hash", "minihash"):
         return sql
     mini = mini if mini is not None else MiniDict()
-    return _rewrite_sql(sql, lambda ident: _rewrite_id(ident, method, mini))
+    reserve_l = {r.lower() for r in reserve} if reserve else None
+    return _rewrite_sql(
+        sql,
+        lambda ident: _rewrite_id(ident, method, mini, reserve_l, min_length),
+    )
 
 
-def _rewrite_id(identifier: str, method: str, mini: MiniDict) -> str:
-    if method == "hash" and len(identifier) < ANONYMIZE_MIN_LENGTH:
+def _rewrite_id(
+    identifier: str,
+    method: str,
+    mini: MiniDict,
+    reserve: set[str] | None = None,
+    min_length: int | None = None,
+) -> str:
+    if reserve and identifier.lower() in reserve:
+        return identifier
+    ml = ANONYMIZE_MIN_LENGTH if min_length is None else min_length
+    if method == "hash" and len(identifier) < ml:
         return identifier
     hashed = _hash_id(identifier)
     return hashed if method == "hash" else mini.alias(hashed)

@@ -266,8 +266,22 @@ def cmd_anonymize(args: argparse.Namespace) -> int:
 
     with open(args.input, encoding="utf-8") as f:
         sql = f.read()
-    mini = MiniDict() if args.method == "minihash" else None
-    out = anonymize_sql(sql, method=args.method, mini=mini)
+    mini = None
+    if args.method == "minihash":
+        mini = (
+            MiniDict.load(args.minihash_dict)
+            if args.minihash_dict and os.path.exists(args.minihash_dict)
+            else MiniDict()
+        )
+    out = anonymize_sql(
+        sql,
+        method=args.method,
+        mini=mini,
+        reserve=set(args.reserve_ids.split(",")) if args.reserve_ids else None,
+        min_length=args.id_min_length,
+    )
+    if mini is not None and args.minihash_dict:
+        mini.save(args.minihash_dict)
     if args.output:
         with open(args.output, "w", encoding="utf-8") as f:
             f.write(out)
@@ -762,6 +776,13 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--input", required=True)
     a.add_argument("--output")
     a.add_argument("--method", choices=["hash", "minihash"], default="hash")
+    a.add_argument("--minihash-dict", default=None,
+                   help="persisted alias dictionary: loaded before, saved "
+                   "after, so aliases stay stable ACROSS runs")
+    a.add_argument("--reserve-ids", default=None,
+                   help="comma identifiers to keep un-anonymized")
+    a.add_argument("--id-min-length", type=int, default=None,
+                   help="hash method: keep identifiers shorter than this")
     a.set_defaults(fn=cmd_anonymize)
 
     im = sub.add_parser("import", help="load ☆-CSV into a catalog table")

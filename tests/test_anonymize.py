@@ -185,3 +185,60 @@ def test_anonymize_vocab_guard(spark):
     )
     with pytest.raises(ValueError, match="max_vocab"):
         anonymize_statements(spark, df, "stmt", max_vocab=10)
+
+
+def test_minihash_dict_persists_across_runs(tmp_path):
+    """Reference --anonymize-minihash-dict: a saved dictionary keeps
+    aliases stable across separate invocations — the same identifier maps
+    to the same short name in a later run, and new identifiers continue
+    the alias sequence instead of restarting it."""
+    from dodo_spark.anonymize import MiniDict, anonymize_sql
+
+    d = tmp_path / "dict.json"
+    m1 = MiniDict()
+    out1 = anonymize_sql("SELECT col_one FROM table_x", method="minihash", mini=m1)
+    m1.save(str(d))
+
+    m2 = MiniDict.load(str(d))
+    out2 = anonymize_sql(
+        "SELECT col_one, col_two FROM table_x", method="minihash", mini=m2
+    )
+    # same ids -> same aliases as run 1
+    a_col, a_tab = out1.replace("SELECT ", "").replace(" FROM ", " ").split()
+    assert f"SELECT {a_col}," in out2 and out2.endswith(a_tab)
+    # the new id got a FRESH alias (sequence continued, no collision)
+    new_alias = out2.split(",")[1].split()[0]
+    assert new_alias not in (a_col, a_tab)
+
+
+def test_reserve_ids_and_min_length():
+    """--anonymize-reserve-ids keeps listed identifiers verbatim (case-
+    insensitive); --anonymize-id-min-length widens the keep-short rule."""
+    from dodo_spark.anonymize import anonymize_sql
+
+    out = anonymize_sql(
+        "SELECT keep_me, secret_col FROM t2", method="hash",
+        reserve={"KEEP_ME", "t2"},
+    )
+    assert "keep_me" in out and "t2" in out and "secret_col" not in out
+    out = anonymize_sql(
+        "SELECT abcd, abcdefgh FROM t9", method="hash", min_length=6
+    )
+    assert "abcd" in out and "abcdefgh" not in out
+
+
+def test_cli_anonymize_dict_roundtrip(tmp_path):
+    """CLI: two runs sharing --minihash-dict produce consistent aliases."""
+    from dodo_spark.cli import main
+
+    d = tmp_path / "dict.json"
+    s1, s2 = tmp_path / "a.sql", tmp_path / "b.sql"
+    o1, o2 = tmp_path / "a.out", tmp_path / "b.out"
+    s1.write_text("SELECT alpha_col FROM big_table")
+    s2.write_text("SELECT alpha_col FROM other_table")
+    assert main(["anonymize", "--input", str(s1), "--output", str(o1),
+                 "--method", "minihash", "--minihash-dict", str(d)]) == 0
+    assert main(["anonymize", "--input", str(s2), "--output", str(o2),
+                 "--method", "minihash", "--minihash-dict", str(d)]) == 0
+    alias1 = o1.read_text().split()[1]
+    assert o2.read_text().split()[1] == alias1  # alpha_col alias stable
