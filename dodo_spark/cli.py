@@ -164,7 +164,7 @@ def cmd_gendata(args: argparse.Namespace) -> int:
         for name, df in dfs.items():
             dest = os.path.join(args.output, name + suffix)
             if args.format == "csv":
-                plan.write_csv(df, dest)
+                plan.write_csv(df, dest, rows_per_file=args.rows_per_file)
             elif args.realize_layout:
                 dest = _write_with_layout(df, plan.tables[name], dest, name + suffix)
             else:
@@ -748,6 +748,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--genconf")
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=1000)
+    g.add_argument("--rows-per-file", type=int, default=None,
+                   help="max rows per output CSV file (reference default 20000)")
     g.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     g.add_argument(
         "--realize-layout",

@@ -150,7 +150,7 @@ class GendataPlan:
 
     # -- CSV emit (C13) -------------------------------------------------------
     @staticmethod
-    def write_csv(df: DataFrame, path: str) -> None:
+    def write_csv(df: DataFrame, path: str, rows_per_file: int | None = None) -> None:
         cols = []
         for f in df.schema.fields:
             c = F.col(f.name)
@@ -163,7 +163,7 @@ class GendataPlan:
             .option("sep", CSV_SEP)
             .option("nullValue", CSV_NULL)
             .option("emptyValue", "")
-            .option("maxRecordsPerFile", ROWS_PER_FILE)
+            .option("maxRecordsPerFile", rows_per_file or ROWS_PER_FILE)
             .csv(path)
         )
 

@@ -456,3 +456,32 @@ def test_genconf_infer_all_null_column_falls_back(spark):
     for dt in (T.LongType(), T.TimestampType()):
         f = T.StructField("y", dt)
         assert _infer_column(df, f, st, 3) == {"name": "y", "null_frequency": 1.0}
+
+
+def test_gendata_rows_per_file_shards_csv(spark, tmp_path):
+    """--rows-per-file bounds each emitted CSV file (reference flag,
+    default 20000): 50 rows at 20/file -> every file <= 20 rows, all 50
+    present."""
+    ddl = tmp_path / "t.sql"
+    ddl.write_text(
+        "CREATE TABLE `shard_t` (`id` int NOT NULL) ENGINE=OLAP "
+        "DUPLICATE KEY(`id`) DISTRIBUTED BY HASH(`id`) BUCKETS 1"
+    )
+    conf = tmp_path / "c.yaml"
+    conf.write_text(
+        "tables:\n  - name: shard_t\n    row_count: 50\n    columns:\n"
+        "      - name: id\n        gen: {inc: 1, start: 1}\n"
+    )
+    from dodo_spark.cli import main
+
+    out = tmp_path / "gen"
+    assert main(["gendata", "--ddl", str(ddl), "--genconf", str(conf),
+                 "--output", str(out), "--format", "csv",
+                 "--rows-per-file", "20"]) == 0
+    sizes, ids = [], []
+    for f in (out / "shard_t").glob("part-*.csv"):
+        lines = [l for l in f.read_text().splitlines() if l]
+        sizes.append(len(lines))
+        ids += [int(l.split("☆")[0]) for l in lines]
+    assert max(sizes) <= 20 and sum(sizes) == 50
+    assert sorted(ids) == list(range(1, 51))
