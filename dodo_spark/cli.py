@@ -252,6 +252,15 @@ def cmd_diff(args: argparse.Namespace) -> int:
     a = spark.read.json(args.a)
     b = spark.read.json(args.b)
     report = diff_results(a, b, min_duration_diff_ms=args.min_duration_diff)
+    if args.original_sqls and "stmt" in a.columns:
+        # reference --original-sqls: carry the differing statements' SQL
+        # text into the report (from side A; identical on both by queryId)
+        from pyspark.sql import functions as F
+
+        stmts = a.select(
+            "query_id", F.col("stmt").alias("original_sql")
+        ).dropDuplicates(["query_id"])
+        report = report.join(stmts, "query_id", "left")
     rows = report.filter("status != 'ok'").collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
@@ -772,6 +781,8 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--a", required=True)
     f.add_argument("--b", required=True)
     f.add_argument("--min-duration-diff", type=int, default=100)
+    f.add_argument("--original-sqls", action="store_true",
+                   help="include each differing statement's SQL text")
     f.set_defaults(fn=cmd_diff)
 
     a = sub.add_parser("anonymize", help="anonymize identifiers in a SQL file")

@@ -597,3 +597,29 @@ def test_cli_genconf_print_system_prompt(capsys):
     assert out.startswith("<prompt>") and "gen: {enum:" in out
     assert main(["genconf-infer"]) == 1
     assert "requires --sf-dir" in capsys.readouterr().out
+
+
+def test_cli_diff_original_sqls(spark, sf_dir, tmp_path, capsys):
+    """--original-sqls joins the differing statements' SQL text into the
+    diff report (reference flag)."""
+    import json as _json
+
+    q = tmp_path / "queries.sql"
+    q.write_text(QUERIES)
+    assert main(["replay", "--queries", str(q), "--sf-dir", sf_dir,
+                 "--output", str(tmp_path / "r1")]) == 0
+    src = (tmp_path / "r1" / "results.jsonl").read_text().splitlines()
+    rows = [_json.loads(l) for l in src]
+    rows[0]["return_rows"] += 1  # perturb one result
+    (tmp_path / "r2").mkdir()
+    (tmp_path / "r2" / "results.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n"
+    )
+    capsys.readouterr()
+    rc = main(["diff", "--a", str(tmp_path / "r1" / "results.jsonl"),
+               "--b", str(tmp_path / "r2" / "results.jsonl"),
+               "--original-sqls"])
+    assert rc == 1  # differences found
+    out = capsys.readouterr().out
+    assert "1 differing statements" in out
+    assert "original_sql" in out and "SELECT" in out
