@@ -120,9 +120,11 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 # --------------------------------------------------------------------------
 def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
     """REAL format-header parser (not a stub): PNG IHDR width/height
-    (big-endian, RFC 2083 §11.2.2) and WAV fmt-chunk sample rate
-    (little-endian, RIFF spec). Works on genuine files; only the
-    pixel/sample codecs remain out of scope in this container."""
+    (big-endian, RFC 2083 §11.2.2), WAV fmt-chunk sample rate
+    (little-endian, RIFF spec), JPEG SOF0/1/2 frame dimensions (marker
+    scan per ITU T.81 §B.2.2), and GIF87a/89a logical-screen size
+    (little-endian). Works on genuine files; only the pixel/sample
+    codecs remain out of scope in this container."""
     import struct
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
@@ -131,6 +133,24 @@ def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None, int
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 28:
         (sr,) = struct.unpack("<I", payload[24:28])
         return "wav", None, None, sr
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI: walk marker segments
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF: [len][prec][H][W]
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h, None
+            i += 2 + seg_len
+        return "jpeg", None, None, None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h, None
     return "unknown", None, None, None
 
 

@@ -87,3 +87,31 @@ def test_header_parser_rejects_garbage():
     assert parse_media_header(b"\x89PNG\r\n\x1a\x00 truncated") == (
         "unknown", None, None, None,
     )
+
+
+def test_parse_media_header_jpeg_and_gif():
+    """JPEG SOF marker walk (including skip over APP0/COM segments and a
+    progressive SOF2) and GIF logical-screen parsing on handcrafted
+    byte-exact payloads."""
+    import struct
+
+    from dodo_spark.multimodal import parse_media_header
+
+    def jpeg(width, height, sof=0xC0, pad_segments=1):
+        out = b"\xff\xd8"  # SOI
+        for _ in range(pad_segments):  # APP0-style segment to skip
+            body = b"JFIF\x00" + b"\x00" * 9
+            out += b"\xff\xe0" + struct.pack(">H", len(body) + 2) + body
+        sof_body = b"\x08" + struct.pack(">HH", height, width) + b"\x03"
+        out += bytes([0xFF, sof]) + struct.pack(">H", len(sof_body) + 2) + sof_body
+        return out
+
+    assert parse_media_header(jpeg(640, 480)) == ("jpeg", 640, 480, None)
+    assert parse_media_header(jpeg(31, 7, sof=0xC2, pad_segments=3)) == (
+        "jpeg", 31, 7, None,
+    )  # progressive, multiple skipped segments
+    assert parse_media_header(b"\xff\xd8\xff") == ("jpeg", None, None, None)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_media_header(gif) == ("gif", 320, 200, None)
+    assert parse_media_header(b"GIF87a" + struct.pack("<HH", 1, 65535))[1:3] == (1, 65535)
