@@ -625,6 +625,12 @@ def cmd_profile(args: argparse.Namespace) -> int:
     )
 
     spark = _spark(args.parallel)
+    if getattr(args, "suggest_expectations", None):
+        from dodo_spark.operators.stats import suggest_expectations
+
+        exp = suggest_expectations(spark, args.sf_dir, args.suggest_expectations)
+        print(json.dumps(exp, indent=2))
+        return 0
     checks = {
         "fd": stats_fd_check,
         "fk": stats_fk_orphans,
@@ -886,6 +892,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr = sub.add_parser("profile", help="data-hygiene profile (FDs, FK orphans, balance, vocab)")
     pr.add_argument("--sf-dir", required=True, help="data dir to profile")
     pr.add_argument("--checks", default=None, help="comma list: fd,fk,balance,vocab (default all)")
+    pr.add_argument("--suggest-expectations", default=None, metavar="TABLE",
+                    help="emit {name: predicate} CHECK suggestions from the "
+                    "table's observed invariants (feed to snapshot --expect)")
     pr.set_defaults(fn=cmd_profile)
 
     co = sub.add_parser("completion", help="emit shell completion script")

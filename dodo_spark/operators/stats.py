@@ -364,3 +364,53 @@ def stats_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("upper_dollar"),
         F.col("cum").cast("bigint").alias("cum_rows"),
     )
+
+
+def suggest_expectations(
+    spark: SparkSession, sf_dir: str, table: str, range_slack: float = 0.5
+) -> dict[str, str]:
+    """Derive ingest CHECK-constraint SUGGESTIONS from a table's observed
+    invariants (the dbt-style `tests:` authoring step, feeding
+    ``sources.versioned.check_expectations`` / ``snapshot --expect``):
+
+    - a column with zero observed NULLs -> ``c IS NOT NULL``;
+    - a numeric column -> a BETWEEN envelope, the observed range widened
+      by ``range_slack`` x its span on each side (an exact-range check
+      would reject legitimate drift on the first new batch);
+    - never suggests on all-NULL columns.
+
+    One stats pass (column_stats); output is a plain {name: predicate}
+    dict, JSON-printable and directly usable as expectations."""
+    from pyspark.sql import types as T
+
+    df = load_table(spark, sf_dir, table)
+    stats = {r["column_name"]: r.asDict() for r in column_stats(spark, sf_dir, table).collect()}
+    out: dict[str, str] = {}
+    for f in df.schema.fields:
+        st = stats[f.name]
+        if st["count"] == 0:
+            continue
+        checks = []
+        if st["null_count"] == 0:
+            checks.append(f"{f.name} IS NOT NULL")
+        if isinstance(
+            f.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType),
+        ) and st["min"] is not None:
+            lo, hi = float(st["min"]), float(st["max"])
+            slack = (hi - lo) * range_slack
+            # render bounds as integers when exact, else plain floats
+            b_lo, b_hi = lo - slack, hi + slack
+            fmt = (
+                (str(int(b_lo)), str(int(b_hi)))
+                if b_lo == int(b_lo) and b_hi == int(b_hi)
+                else (repr(b_lo), repr(b_hi))
+            )
+            rng = f"{f.name} BETWEEN {fmt[0]} AND {fmt[1]}"
+            # SQL CHECK semantics pass NULLs, so the envelope composes
+            # with or without the IS NOT NULL suggestion
+            checks.append(rng)
+        if checks:
+            out[f"{f.name}_invariants"] = " AND ".join(checks)
+    return out

@@ -52,3 +52,41 @@ def test_mg_superset_property(vals, n_batches):
     heavy = set(freq[freq > n / MG_K].index)
     candidates = _run_mg(tokens, n_batches=n_batches)
     assert heavy <= candidates
+
+
+def test_suggest_expectations_roundtrip(spark, sf_dir, tmp_path, capsys):
+    """Suggested expectations accept the table they were derived from
+    (with slack), reject an out-of-envelope batch, and print as JSON from
+    the profile verb."""
+    import json
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.cli import main
+    from dodo_spark.operators.stats import suggest_expectations
+    from dodo_spark.sources.versioned import (
+        ExpectationViolation,
+        append_version,
+        write_version,
+    )
+
+    exp = suggest_expectations(spark, sf_dir, "nation")
+    assert "n_nationkey_invariants" in exp
+    pred = exp["n_nationkey_invariants"]
+    assert "IS NOT NULL" in pred and "BETWEEN" in pred
+
+    table = str(tmp_path / "vt")
+    nation = load_table(spark, sf_dir, "nation")
+    write_version(nation, table, 0, expectations=exp)  # self-accepts
+
+    bad = nation.limit(1).selectExpr(
+        "CAST(9999 AS INT) AS n_nationkey", "n_name", "n_regionkey"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ExpectationViolation, match="n_nationkey_invariants"):
+        append_version(bad, table, 1, expectations=exp)
+
+    assert main(["profile", "--sf-dir", sf_dir,
+                 "--suggest-expectations", "nation"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == exp
