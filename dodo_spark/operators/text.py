@@ -1092,7 +1092,10 @@ def waterfill_allocate(avail: DataFrame, budget: DataFrame) -> DataFrame:
     """The waterfilling core over any (lang, avail_tokens BIGINT, w BIGINT)
     frame and a 1-row (b BIGINT) budget — exact integer arithmetic
     throughout (see corpus_mix_waterfill's key doc); exposed separately
-    so property tests can drive it with arbitrary domain mixes."""
+    so property tests can drive it with arbitrary domain mixes.
+    Every domain's weight must be > 0 (a zero weight means "exclude the
+    domain" — filter it out before allocating; the ratio ordering
+    divides by w)."""
     ratio = F.col("avail_tokens").cast("double") / F.col("w")
     ow = Window.orderBy(ratio, F.col("lang"))
     ranked = (
