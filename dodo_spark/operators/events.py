@@ -566,3 +566,74 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_day")
     )
+
+
+def _register_events_attribution() -> None:
+    @register(
+        "events_attribution",
+        oracle="""
+        WITH purch AS (
+          SELECT event_id, user_id, ts, value
+          FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+          -- unique per (user, ts): two touches at the same instant would
+          -- make the as-of pick engine-dependent; MAX(channel) is the
+          -- deterministic tiebreak on both sides
+          SELECT user_id, ts, MAX(event_type) AS event_type
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY user_id, ts
+        ), attributed AS (
+          SELECT p.event_id, p.value, t.event_type AS channel
+          FROM purch p
+          ASOF LEFT JOIN touch t
+            ON p.user_id = t.user_id AND p.ts >= t.ts
+        )
+        SELECT COALESCE(channel, 'organic') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS attributed_value
+        FROM attributed
+        GROUP BY COALESCE(channel, 'organic')
+        ORDER BY channel
+        """,
+        doc="LAST-TOUCH attribution (the marketing-analytics shape the "
+        "events surface was missing): each purchase is attributed to the "
+        "user's most recent view/click at-or-before it via the same "
+        "union-merge as-of join as events_asof_join (one shuffle on "
+        "user_id, running last() over the merged stream — never a range "
+        "join), purchases with no prior touch fall to 'organic', and "
+        "revenue sums per channel in exact decimal. Ties inside the "
+        "as-of resolution are settled by the asof_join kernel's "
+        "deterministic ordering; the oracle is DuckDB's native ASOF "
+        "LEFT JOIN over the same touch set. At 100 TB this is the "
+        "co-partitioned-by-user shape, same as every per-user window "
+        "here.",
+    )
+    def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        touch = (
+            ev.filter(F.col("event_type").isin("view", "click"))
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_type").alias("channel"))
+        )
+        joined = asof_join(purch, touch, on=["user_id"], ts="ts")
+        return (
+            joined.select(
+                F.coalesce(F.col("channel_r"), F.lit("organic")).alias("channel"),
+                "value",
+            )
+            .groupBy("channel")
+            .agg(
+                F.count("*").alias("purchases"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("attributed_value"),
+            )
+            .orderBy("channel")
+        )
+
+
+_register_events_attribution()
