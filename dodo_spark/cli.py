@@ -388,7 +388,15 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
             print(f"{args.action} requires --sf-dir and --table")
             return 1
     spark = _spark(args.parallel)
-    expectations = json.loads(args.expect) if args.expect else None
+    expectations = None
+    if args.expect:
+        try:
+            expectations = json.loads(args.expect)
+            if not isinstance(expectations, dict):
+                raise ValueError("not a JSON object")
+        except ValueError as e:
+            print(f'--expect must be a JSON object {{name: predicate}}: {e}')
+            return 1
     if args.action == "commit":
         df = load_table(spark, args.sf_dir, args.table)
         snap = write_version(df, args.path, args.version, expectations=expectations)

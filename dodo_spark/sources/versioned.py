@@ -768,6 +768,27 @@ def vacuum(table_path: str, keep_versions: int = 2) -> dict:
     return {"files_deleted": len(doomed), "versions_retained": retained}
 
 
+def _check_not_vacuumed(
+    table_path: str, version: int, files: list[str], versions: list[int]
+) -> None:
+    """Vacuum guard: a vacuum run deleted every file not live in ITS
+    retained set — any version whose live set is not covered by some
+    marker's kept-file union lost files and is unreadable by design.
+    Pure metadata (no per-file existence probe)."""
+    for marker in _vacuum_markers(table_path):
+        if version in marker["retained"]:
+            continue
+        kept: set[str] = set()
+        for rv in marker["retained"]:
+            if rv in versions:
+                kept.update(live_files(table_path, rv))
+        if not set(files) <= kept:
+            raise ValueError(
+                f"version {version} at {table_path} was vacuumed "
+                f"(retained: {marker['retained']})"
+            )
+
+
 def read_version(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
@@ -788,21 +809,7 @@ def read_version(
     files = live_files(table_path, version)
     if not files:
         raise ValueError(f"version {version} at {table_path} has no live files")
-    # vacuum guard: a vacuum run deleted every file not live in ITS
-    # retained set — any version whose live set is not covered by some
-    # marker's kept-file union lost files and is unreadable by design
-    for marker in _vacuum_markers(table_path):
-        if version in marker["retained"]:
-            continue
-        kept: set[str] = set()
-        for rv in marker["retained"]:
-            if rv in versions:
-                kept.update(live_files(table_path, rv))
-        if not set(files) <= kept:
-            raise ValueError(
-                f"version {version} at {table_path} was vacuumed "
-                f"(retained: {marker['retained']})"
-            )
+    _check_not_vacuumed(table_path, version, files, versions)
     # mergeSchema: ADDITIVE schema evolution — an append_version that
     # introduced new columns unions by name with older files (absent
     # columns read as NULL), the Delta/Iceberg add-column semantics.
@@ -841,6 +848,9 @@ def read_version_pruned(
     candidates)."""
     from pyspark.sql import functions as F
 
+    _check_not_vacuumed(
+        table_path, version, live_files(table_path, version), list_versions(table_path)
+    )
     candidates, _ = prune_files_by_stats(table_path, version, column, values)
     if not candidates:
         # provably empty: keep the schema without scanning data rows

@@ -801,3 +801,24 @@ def test_append_expectations_fail_closed(spark, tmp_path):
         path, 1, expectations=exp,
     )
     assert list_versions(path) == [0, 1]
+
+
+def test_pruned_read_respects_vacuum_guard(spark, tmp_path):
+    """read_version_pruned raises the same clean 'was vacuumed' error as
+    read_version instead of a scan-time file-not-found."""
+    from dodo_spark.sources.versioned import (
+        read_version_pruned,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path / "pv")
+    for v, k in ((0, 1), (1, 2), (2, 3)):
+        write_version(
+            spark.createDataFrame([(k, 1.0)], "k BIGINT, val DOUBLE"), path, v
+        )
+    vacuum(path, keep_versions=1)
+    with pytest.raises(ValueError, match="was vacuumed"):
+        read_version_pruned(spark, path, 0, "k", [1])
+    assert {r["k"] for r in read_version_pruned(spark, path, 2, "k", [3]).collect()} \
+        == {3}
