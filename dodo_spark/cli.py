@@ -397,6 +397,10 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         except ValueError as e:
             print(f'--expect must be a JSON object {{name: predicate}}: {e}')
             return 1
+        if args.action in {"delete", "compact"}:
+            print("--expect applies to commit/append/merge (new rows), "
+                  f"not {args.action}")
+            return 1
     if args.action == "commit":
         df = load_table(spark, args.sf_dir, args.table)
         snap = write_version(df, args.path, args.version, expectations=expectations)
@@ -439,6 +443,12 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
             print("merge requires --key <column>")
             return 1
         updates = load_table(spark, args.sf_dir, args.table)
+        if expectations:
+            # gate the UPDATE batch like commit/append gate theirs —
+            # --expect must never be silently ignored
+            from dodo_spark.sources.versioned import check_expectations
+
+            check_expectations(updates, expectations)
         stats = merge_upsert(spark, args.path, args.version, updates, args.key)
         print(f"merged {args.table} as v{args.version}: {stats}")
         return 0

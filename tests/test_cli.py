@@ -623,3 +623,27 @@ def test_cli_diff_original_sqls(spark, sf_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "1 differing statements" in out
     assert "original_sql" in out and "SELECT" in out
+
+
+def test_cli_snapshot_expect_gates_merge_and_rejects_misuse(spark, sf_dir, tmp_path, capsys):
+    """--expect gates the merge update batch too (never silently ignored),
+    and is a usage error on delete/compact where it has no meaning."""
+    import pytest as _pytest
+
+    from dodo_spark.sources.versioned import ExpectationViolation
+
+    table = str(tmp_path / "mx")
+    assert main(["snapshot", "commit", "--path", table, "--version", "0",
+                 "--sf-dir", sf_dir, "--table", "nation"]) == 0
+    with _pytest.raises(ExpectationViolation, match="impossible"):
+        main(["snapshot", "merge", "--path", table, "--version", "1",
+              "--sf-dir", sf_dir, "--table", "nation", "--key", "n_nationkey",
+              "--expect", '{"impossible": "n_nationkey > 100"}'])
+    capsys.readouterr()
+    assert main(["snapshot", "delete", "--path", table, "--version", "1",
+                 "--where", "n_nationkey = 1",
+                 "--expect", '{"x": "1=1"}']) == 1
+    assert "applies to commit/append/merge" in capsys.readouterr().out
+    assert main(["snapshot", "compact", "--path", table, "--version", "1",
+                 "--expect", "not-json"]) == 1
+    assert "JSON object" in capsys.readouterr().out
