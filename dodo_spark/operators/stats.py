@@ -414,3 +414,94 @@ def suggest_expectations(
         if checks:
             out[f"{f.name}_invariants"] = " AND ".join(checks)
     return out
+
+
+def _register_stats_drift() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "stats_drift_tv",
+        oracle="""
+        WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        lang_r AS (SELECT lang AS bucket, CAST(COUNT(*) AS BIGINT) AS n_ref
+                   FROM ref GROUP BY lang),
+        lang_c AS (SELECT lang AS bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
+                   FROM cur GROUP BY lang),
+        len_r AS (SELECT CAST(COALESCE(n_chars, -1) // 100 AS VARCHAR) AS bucket,
+                         CAST(COUNT(*) AS BIGINT) AS n_ref
+                  FROM ref GROUP BY 1),
+        len_c AS (SELECT CAST(COALESCE(n_chars, -1) // 100 AS VARCHAR) AS bucket,
+                         CAST(COUNT(*) AS BIGINT) AS n_cur
+                  FROM cur GROUP BY 1),
+        joined AS (
+          SELECT 'lang' AS dim, COALESCE(lang_r.bucket, lang_c.bucket) AS bucket,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM lang_r FULL OUTER JOIN lang_c ON lang_r.bucket = lang_c.bucket
+          UNION ALL
+          SELECT 'len100', COALESCE(len_r.bucket, len_c.bucket),
+                 COALESCE(n_ref, 0), COALESCE(n_cur, 0)
+          FROM len_r FULL OUTER JOIN len_c ON len_r.bucket = len_c.bucket
+        )
+        SELECT dim, bucket, n_ref, n_cur,
+               CAST(abs(n_ref * SUM(n_cur) OVER (PARTITION BY dim)
+                        - n_cur * SUM(n_ref) OVER (PARTITION BY dim))
+                    AS BIGINT) AS tv_term
+        FROM joined ORDER BY dim, bucket
+        """,
+        doc="Distribution DRIFT between two corpus slices in EXACT integer "
+        "arithmetic (the train/serve drift monitor an ML-data pipeline "
+        "runs between dataset versions — pairs with the versioned-table "
+        "layer's snapshots): even/odd doc_id halves stand in for "
+        "reference vs current, compared on two dimensions (lang "
+        "categorical; n_chars in fixed 100-char buckets). Per bucket the "
+        "key emits the cross-multiplied total-variation term "
+        "|n_ref*M - n_cur*N| (N, M = per-dimension totals) — the total "
+        "variation distance is sum(tv_term)/(2*N*M), but the HASHED "
+        "output stays in integers so no engine's ln/float rounding can "
+        "drift (why TVD here, not PSI/KL: those need logarithms, whose "
+        "libm rounding differs across engines). Shape: two groupBys + "
+        "one full-outer join on bucket + a per-dimension window sum over "
+        "O(buckets) rows. int64 bound: counts x totals must stay under "
+        "2^63 (~3e9 rows per slice); beyond that, pre-normalize counts "
+        "to per-million integer shares — same algebra.",
+    )
+    def stats_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        docs = load_table(spark, sf_dir, "documents")
+        ref = docs.filter(F.col("doc_id") % 2 == 0)
+        cur = docs.filter(F.col("doc_id") % 2 == 1)
+
+        def dim(col, name):
+            r = ref.groupBy(col.alias("bucket")).agg(F.count("*").alias("n_ref"))
+            c = cur.groupBy(col.alias("bucket")).agg(F.count("*").alias("n_cur"))
+            return (
+                r.join(c, "bucket", "full_outer")
+                .select(
+                    F.lit(name).alias("dim"),
+                    "bucket",
+                    F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                    F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+                )
+            )
+
+        lang = dim(F.col("lang"), "lang")
+        length = dim(
+            F.expr("CAST(COALESCE(n_chars, -1) DIV 100 AS STRING)"), "len100"
+        )
+        w = Window.partitionBy("dim")
+        return (
+            lang.unionByName(length)
+            .withColumn(
+                "tv_term",
+                F.abs(
+                    F.col("n_ref") * F.sum("n_cur").over(w)
+                    - F.col("n_cur") * F.sum("n_ref").over(w)
+                ).cast("bigint"),
+            )
+            .orderBy("dim", "bucket")
+        )
+
+
+_register_stats_drift()
