@@ -229,6 +229,8 @@ KEYS = [
     "time_travel_as_of",
     "streaming_versioned_sink",
     "dedup_incremental_ingest",
+    "events_attribution",
+    "stats_drift_tv",
 ]
 
 
