@@ -33,13 +33,22 @@ from pyspark.sql import DataFrame
 from dodo_spark.sources.versioned import CommitConflict, append_version
 
 
-def versioned_batch_writer(table_path: str):
+def versioned_batch_writer(
+    table_path: str, expectations: dict[str, str] | None = None
+):
     """A ``foreachBatch`` function committing each micro-batch as version
-    ``batch_id`` of ``table_path``, idempotent under batch replay."""
+    ``batch_id`` of ``table_path``, idempotent under batch replay.
+    ``expectations`` ({name: sql_predicate}) gates every micro-batch with
+    the same fail-closed CHECK semantics as batch ingest — a violating
+    batch raises, the STREAM fails, and nothing is committed (re-running
+    after fixing the source resumes cleanly from the checkpoint because
+    the failed batch never published its manifest)."""
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         try:
-            append_version(df, table_path, int(batch_id))
+            append_version(
+                df, table_path, int(batch_id), expectations=expectations
+            )
         except CommitConflict:
             pass  # a concurrent attempt of THIS batch won — content is in
         except ValueError as e:
@@ -55,6 +64,7 @@ def stream_to_versioned_table(
     table_path: str,
     timeout_s: int = 300,
     checkpoint_dir: str | None = None,
+    expectations: dict[str, str] | None = None,
 ) -> None:
     """Drain ``stream_df`` (availableNow) into ``table_path``, one
     committed version per micro-batch. Pass ``checkpoint_dir`` for any
@@ -62,7 +72,9 @@ def stream_to_versioned_table(
     checkpoint is what keeps batch ids monotone across runs (without it
     a second invocation restarts at batch 0, whose version already
     exists, and its — possibly different — content is skipped)."""
-    w = stream_df.writeStream.foreachBatch(versioned_batch_writer(table_path))
+    w = stream_df.writeStream.foreachBatch(
+        versioned_batch_writer(table_path, expectations=expectations)
+    )
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.trigger(availableNow=True).start()

@@ -432,3 +432,31 @@ def test_versioned_sink_checkpoint_resumes_incrementally(spark, sf_dir, tmp_path
     versions = list_versions(table)
     assert len(versions) == len(v_first) + 1  # only the new batch committed
     assert {r["id"] for r in read_version(spark, table).collect()} == {1, 2}
+
+
+def test_versioned_sink_expectations_fail_closed(spark, sf_dir, tmp_path):
+    """A micro-batch violating an ingest expectation fails the stream and
+    commits NOTHING; a passing expectation set drains normally."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import StreamingQueryException
+
+    from dodo_spark.sources.versioned import list_versions
+    from dodo_spark.streaming.events_stream import read_events_stream
+    from dodo_spark.streaming.versioned_sink import stream_to_versioned_table
+
+    ev = read_events_stream(spark, sf_dir).select("event_id", "value")
+    bad_table = str(tmp_path / "bad")
+    try:
+        stream_to_versioned_table(
+            ev, bad_table, expectations={"impossible": "event_id < 0"}
+        )
+        raise AssertionError("violating batch must fail the stream")
+    except (StreamingQueryException, Py4JJavaError) as e:
+        assert "impossible" in str(e)
+    assert list_versions(bad_table) == []  # nothing committed
+
+    good_table = str(tmp_path / "good")
+    stream_to_versioned_table(
+        ev, good_table, expectations={"ids_ok": "event_id IS NOT NULL"}
+    )
+    assert list_versions(good_table)  # drained
