@@ -40,13 +40,28 @@ def cmd_dump(args: argparse.Namespace) -> int:
     from dodo_spark.sources import auditlog as al
 
     spark = _spark(args.parallel)
-    if getattr(args, "single_line", False):
-        # fast path for logs known to hold one record per line: a pure
-        # DataFrame text scan, no Python-RDD reassembly passes
-        records = spark.read.text(args.audit_log).withColumnRenamed("value", "record")
+    if args.audit_log_table:
+        # B4: scan an audit TABLE instead of log files (reference
+        # --audit-log-table; the keyset pagination of src/db.go:464-634 is
+        # obsolete under a partitioned scan). Accepts a parquet path or a
+        # registered table name carrying the statement-record columns
+        # (ts, client, user, db, state, duration_ms, query_id, is_query,
+        # stmt) — the audit plugin's table schema.
+        if os.path.exists(args.audit_log_table):
+            stmts = spark.read.parquet(args.audit_log_table)
+        else:
+            stmts = spark.table(args.audit_log_table)
+    elif not args.audit_log:
+        print("dump requires --audit-log <file> or --audit-log-table <table>")
+        return 1
     else:
-        records = al.reassemble_log_records(spark, args.audit_log)
-    stmts = al.extract_statements(records)
+        if getattr(args, "single_line", False):
+            # fast path for logs known to hold one record per line: a pure
+            # DataFrame text scan, no Python-RDD reassembly passes
+            records = spark.read.text(args.audit_log).withColumnRenamed("value", "record")
+        else:
+            records = al.reassemble_log_records(spark, args.audit_log)
+        stmts = al.extract_statements(records)
     stmts = al.filter_statements(
         stmts,
         only_select=args.only_select,
@@ -101,6 +116,15 @@ def cmd_dump_schema(args: argparse.Namespace) -> int:
         with open(path, "w", encoding="utf-8") as f:
             f.write(ddl + "\n")
         print(f"dumped schema {name} -> {path}")
+        if args.dump_stats:
+            # reference --dump-stats: the stats.yaml rides along with the
+            # DDL so gendata/genconf-infer have both inputs in one place
+            from dodo_spark.operators.stats import stats_yaml
+
+            spath = os.path.join(args.output, f"{name}.stats.yaml")
+            with open(spath, "w", encoding="utf-8") as f:
+                f.write(stats_yaml(spark, args.sf_dir, name))
+            print(f"dumped stats {name} -> {spath}")
     return 0
 
 
@@ -736,7 +760,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("dump", help="extract queries from an audit log file")
-    d.add_argument("--audit-log", required=True)
+    d.add_argument("--audit-log", default=None)
+    d.add_argument("--audit-log-table", default=None,
+                   help="scan statement records from a parquet path or "
+                   "registered table instead of a log file (reference "
+                   "--audit-log-table)")
     d.add_argument(
         "--single-line",
         action="store_true",
@@ -764,6 +792,8 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--sf-dir", required=True)
     ds.add_argument("--output", required=True)
     ds.add_argument("--tables", help="comma-separated subset (default: all)")
+    ds.add_argument("--dump-stats", action="store_true",
+                    help="also write <table>.stats.yaml next to each DDL")
     ds.set_defaults(fn=cmd_dump_schema)
 
     c = sub.add_parser("create", help="re-create dumped schemas as catalog tables")

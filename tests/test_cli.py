@@ -647,3 +647,41 @@ def test_cli_snapshot_expect_gates_merge_and_rejects_misuse(spark, sf_dir, tmp_p
     assert main(["snapshot", "compact", "--path", table, "--version", "1",
                  "--expect", "not-json"]) == 1
     assert "JSON object" in capsys.readouterr().out
+
+
+def test_cli_dump_from_audit_table(spark, tmp_path, capsys):
+    """B4: dumping from an audit TABLE (parquet of statement records)
+    yields the same statement set as dumping the log file the records
+    came from."""
+    from dodo_spark.sources import auditlog as al
+
+    out_file = tmp_path / "from_file"
+    assert main(["dump", "--audit-log", FIXTURE_LOG,
+                 "--output", str(out_file)]) == 0
+    # materialize the extracted records as the "audit table"
+    records = al.reassemble_log_records(spark, FIXTURE_LOG)
+    table_path = str(tmp_path / "audit_tbl")
+    al.extract_statements(records).write.parquet(table_path)
+    out_tbl = tmp_path / "from_table"
+    capsys.readouterr()
+    assert main(["dump", "--audit-log-table", table_path,
+                 "--output", str(out_tbl)]) == 0
+    f1 = sorted((out_file / "q0.sql").read_text().splitlines())
+    f2 = sorted((out_tbl / "q0.sql").read_text().splitlines())
+    assert f1 == f2
+    # neither source given -> usage error
+    assert main(["dump", "--output", str(tmp_path / "x")]) == 1
+    assert "requires --audit-log" in capsys.readouterr().out
+
+
+def test_cli_dump_schema_with_stats(spark, sf_dir, tmp_path):
+    """--dump-stats writes <table>.stats.yaml beside each DDL."""
+    import yaml
+
+    out = tmp_path / "ds"
+    assert main(["dump-schema", "--sf-dir", sf_dir, "--output", str(out),
+                 "--tables", "region", "--dump-stats"]) == 0
+    assert (out / "region.table.sql").exists()
+    doc = yaml.safe_load((out / "region.stats.yaml").read_text())
+    assert doc["name"] == "region" and doc["row_count"] == 5
+    assert {c["name"] for c in doc["columns"]} == {"r_regionkey", "r_name"}
