@@ -241,6 +241,15 @@ def cmd_replay(args: argparse.Namespace) -> int:
     parts = ["/*dodo{" + p for p in content.split("/*dodo{") if p.strip()]
     df = spark.createDataFrame([(p.strip(),) for p in parts], "replay_sql string")
     decoded = decode_replay_sqls(df)
+    if args.users:
+        # reference --users: replay only these users' statements
+        decoded = decoded.filter(
+            decoded["user"].isin(args.users.split(","))
+        )
+    if args.from_ts:
+        decoded = decoded.filter(decoded["ts"] >= args.from_ts)
+    if args.to_ts:
+        decoded = decoded.filter(decoded["ts"] <= args.to_ts)
     if args.clients:
         from dodo_spark.plans.replay import remap_clients
 
@@ -829,6 +838,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--speed", type=float, default=None)
     r.add_argument("--max-hash-rows", type=int, default=0)
     r.add_argument("--clients", type=int, default=None)
+    r.add_argument("--users", default=None,
+                   help="comma users to replay (reference --users)")
+    r.add_argument("--from-ts", default=None, help="replay window start")
+    r.add_argument("--to-ts", default=None, help="replay window end")
     r.set_defaults(fn=cmd_replay)
 
     f = sub.add_parser("diff", help="diff two replay result files")

@@ -685,3 +685,28 @@ def test_cli_dump_schema_with_stats(spark, sf_dir, tmp_path):
     doc = yaml.safe_load((out / "region.stats.yaml").read_text())
     assert doc["name"] == "region" and doc["row_count"] == 5
     assert {c["name"] for c in doc["columns"]} == {"r_regionkey", "r_name"}
+
+
+def test_cli_replay_user_and_time_filters(spark, sf_dir, tmp_path):
+    """--users / --from-ts / --to-ts restrict which statements replay
+    (reference flags)."""
+    import json as _json
+
+    q = tmp_path / "queries.sql"
+    q.write_text(
+        '/*dodo{"ts":"2025-03-01 10:00:00.001","client":"c1","user":"alice",'
+        '"db":"default","queryId":"q1","durationMs":10}*/ SELECT 1 AS x;\n'
+        '/*dodo{"ts":"2025-03-01 11:00:00.000","client":"c2","user":"bob",'
+        '"db":"default","queryId":"q2","durationMs":5}*/ SELECT 2 AS x;\n'
+    )
+    out = tmp_path / "r"
+    assert main(["replay", "--queries", str(q), "--sf-dir", sf_dir,
+                 "--output", str(out), "--users", "alice"]) == 0
+    rows = [_json.loads(l) for l in (out / "results.jsonl").read_text().splitlines()]
+    assert [r["query_id"] for r in rows] == ["q1"]
+
+    out2 = tmp_path / "r2"
+    assert main(["replay", "--queries", str(q), "--sf-dir", sf_dir,
+                 "--output", str(out2), "--from-ts", "2025-03-01 10:30:00"]) == 0
+    rows = [_json.loads(l) for l in (out2 / "results.jsonl").read_text().splitlines()]
+    assert [r["query_id"] for r in rows] == ["q2"]
