@@ -372,8 +372,18 @@ def cmd_export(args: argparse.Namespace) -> int:
 
     spark = _spark(args.parallel)
     df = load_table(spark, args.sf_dir, args.table)
+    options = {}
+    for kv in (args.props.split(",") if args.props else []):
+        # reference --props k=v[,k=v]: writer options (e.g. compression)
+        if "=" not in kv:
+            print(f"--props entries must be key=value, got {kv!r}")
+            return 1
+        k, v = kv.split("=", 1)
+        options[k.strip()] = v.strip()
     path = export_table(
-        df, args.output, fmt=args.format, db=args.db, table=args.table
+        df, args.output, fmt=args.format, db=args.db, table=args.table,
+        options=options or None,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
     )
     print(f"exported {args.table} -> {path}")
     return 0
@@ -881,6 +891,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--output", required=True)
     e.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     e.add_argument("--db", default="default")
+    e.add_argument("--props", default=None,
+                   help="comma k=v writer options (reference --props), "
+                   "e.g. compression=zstd")
+    e.add_argument("--partition-by", default=None,
+                   help="comma columns for directory partitioning")
     e.set_defaults(fn=cmd_export)
 
     sn = sub.add_parser("snapshot", help="versioned-table commit/list/read (time travel)")

@@ -710,3 +710,23 @@ def test_cli_replay_user_and_time_filters(spark, sf_dir, tmp_path):
                  "--output", str(out2), "--from-ts", "2025-03-01 10:30:00"]) == 0
     rows = [_json.loads(l) for l in (out2 / "results.jsonl").read_text().splitlines()]
     assert [r["query_id"] for r in rows] == ["q2"]
+
+
+def test_cli_export_props_and_partitioning(spark, sf_dir, tmp_path):
+    """--props passes writer options and --partition-by realizes directory
+    partitioning on the export (reference --props)."""
+    import glob
+    import os
+
+    out = str(tmp_path / "{db}" / "{table}")
+    assert main(["export", "--sf-dir", sf_dir, "--table", "nation",
+                 "--output", out, "--db", "tpch",
+                 "--props", "compression=zstd",
+                 "--partition-by", "n_regionkey"]) == 0
+    base = str(tmp_path / "tpch" / "nation")
+    parts = glob.glob(os.path.join(base, "n_regionkey=*"))
+    assert len(parts) == 5  # one dir per region
+    files = glob.glob(os.path.join(base, "n_regionkey=*", "*.zstd.parquet"))
+    assert files  # compression option reached the writer
+    back = spark.read.parquet(base)
+    assert back.count() == 25
