@@ -822,3 +822,50 @@ def test_pruned_read_respects_vacuum_guard(spark, tmp_path):
         read_version_pruned(spark, path, 0, "k", [1])
     assert {r["k"] for r in read_version_pruned(spark, path, 2, "k", [3]).collect()} \
         == {3}
+
+
+def test_resolve_as_of_skips_untimestamped_manifests(spark, tmp_path):
+    """A table whose early manifests predate commit-timestamp support
+    (ts absent) still resolves FOR TIME AS OF over the timestamped
+    subset, and version_history surfaces ts=None for the old ones."""
+    import json as _json
+
+    from dodo_spark.sources.versioned import (
+        _version_manifest_path,
+        append_version,
+        resolve_as_of,
+        version_history,
+        write_version,
+    )
+
+    path = str(tmp_path / "mixed")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"), path, 0
+    )
+    # strip v0's ts in place (simulating a pre-support manifest)
+    mp = _version_manifest_path(path, 0)
+    m = _json.load(open(mp))
+    del m["ts"]
+    _json.dump(m, open(mp, "w"))
+    append_version(
+        spark.createDataFrame([(2, 2.0)], "k BIGINT, val DOUBLE"), path, 1,
+        commit_ts="2025-06-01 00:00:00.000000",
+    )
+    hist = version_history(path)
+    assert hist[0]["ts"] is None and hist[1]["ts"] is not None
+    assert resolve_as_of(path, "2025-06-02 00:00:00") == 1
+    with pytest.raises(ValueError, match="at or before"):
+        resolve_as_of(path, "2025-05-01 00:00:00")
+
+
+def test_hadoop_fs_shim_multibyte_roundtrip(spark, tmp_path):
+    """Manifest payloads with non-ASCII content (e.g. unicode file names)
+    round-trip byte-exact through the Hadoop shim's UTF-8 write/read."""
+    from dodo_spark.sources.versioned import _fs_for
+
+    base = "file://" + str(tmp_path / "mb")
+    fs = _fs_for(base)
+    payload = '{"add": ["v=0/fichier_\\u00e9t\\u00e9.parquet"], "note": "日本語☆"}'
+    p = base + "/_manifest_0.json"
+    assert fs.put_if_absent_text(p, payload) is True
+    assert fs.read_text(p) == payload
