@@ -418,7 +418,7 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         for h in hist:
             print(f"v{h['version']}  {h['ts'] or '-'}")
         return 0
-    write_actions = {"commit", "append", "delete", "merge", "compact"}
+    write_actions = {"commit", "append", "delete", "merge", "compact", "restore"}
     if args.action in write_actions:
         # validate BEFORE touching the table: a missing/negative --version
         # must be a usage error, never a half-written v=None/ directory
@@ -458,6 +458,15 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         from dodo_spark.sources.versioned import checkpoint_manifest
 
         print(f"checkpointed -> {checkpoint_manifest(args.path, args.version)}")
+        return 0
+    if args.action == "restore":
+        from dodo_spark.sources.versioned import restore_version
+
+        if args.restore_to is None:
+            print("restore requires --restore-to <version>")
+            return 1
+        stats = restore_version(args.path, args.restore_to, args.version)
+        print(f"restored v{args.restore_to} as v{args.version}: {stats}")
         return 0
     if args.action == "vacuum":
         from dodo_spark.sources.versioned import vacuum
@@ -902,7 +911,7 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "action",
         choices=["commit", "append", "delete", "merge", "checkpoint",
-                 "compact", "vacuum", "list", "history", "read"],
+                 "compact", "restore", "vacuum", "list", "history", "read"],
     )
     sn.add_argument("--path", required=True, help="versioned table directory")
     sn.add_argument("--version", type=int, default=None)
@@ -912,6 +921,8 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--key", default=None, help="merge key column (merge)")
     sn.add_argument("--limit", type=int, default=20, help="rows to print (read)")
     sn.add_argument("--target-files", type=int, default=1, help="bin-pack target (compact)")
+    sn.add_argument("--restore-to", type=int, default=None,
+                    help="source version for the restore action")
     sn.add_argument("--keep-versions", type=int, default=2,
                     help="newest versions whose files survive (vacuum)")
     sn.add_argument("--cluster-by", default=None,

@@ -1402,3 +1402,129 @@ def _register_time_travel_as_of() -> None:
 
 
 _register_time_travel_as_of()
+
+
+def restore_version(
+    table_path: str,
+    restore_to: int,
+    as_version: int,
+    commit_ts: str | None = None,
+) -> dict:
+    """Commit ``as_version`` whose live content IS version ``restore_to``'s
+    (the Delta RESTORE primitive): a PURE METADATA commit — the manifest
+    re-adds the old version's file list and removes the current live set;
+    no data file is read, written, or copied, because committed files are
+    immutable and still on disk unless vacuumed (which the vacuum guard
+    checks first — restoring a vacuumed version raises the clean 'was
+    vacuumed' error). History keeps every intermediate version readable;
+    an accidental DELETE/MERGE is undone by one manifest write at any
+    table size."""
+    versions = _check_commit_order(table_path, as_version)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    if restore_to not in versions:
+        raise ValueError(
+            f"version {restore_to} not in {versions} at {table_path}"
+        )
+    target_files = live_files(table_path, restore_to)
+    _check_not_vacuumed(table_path, restore_to, target_files, versions)
+    prev_live = live_files(table_path, versions[-1])
+    # add back exactly the restored set; remove what is live now. Files in
+    # BOTH sets would be removed-then-re-added by the replay algebra
+    # (remove applies before add within one manifest), so they stay live.
+    _commit(
+        table_path,
+        as_version,
+        add=target_files,
+        remove=prev_live,
+        commit_ts=commit_ts,
+    )
+    return {
+        "restored_to": restore_to,
+        "as_version": as_version,
+        "files_readded": len(target_files),
+        "data_files_written": 0,
+    }
+
+
+def _register_time_travel_restore() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel_restore",
+        oracle="""
+        WITH v0 AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000
+        ), v1 AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1200
+        ), v2 AS (
+          SELECT * FROM v1 WHERE o_orderkey % 10 != 3
+        )
+        SELECT CAST(2 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS rows_at,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               TRUE AS metadata_only
+        FROM v2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), TRUE
+        FROM v1
+        ORDER BY version
+        """,
+        doc="RESTORE over file-level manifests (restore_version — the Delta "
+        "RESTORE primitive on the same commit algebra as A25): v0 commits "
+        "orders below 1000, v1 appends 1000-1199, v2 DELETEs keys ending "
+        "in 3, and v3 RESTORES v1 — a pure metadata commit re-adding v1's "
+        "file list (metadata_only hash-asserts the restore wrote ZERO "
+        "data files and every re-added file already existed on disk "
+        "before the restore). Output: the damaged state (v2) and the "
+        "restored state (v3 == v1's content, recomputed independently by "
+        "the oracle). A wrong add/remove algebra (restored files dropped "
+        "by their own remove entry) would flip rows_at and hash-mismatch; "
+        "the intermediate v2 stays readable as history.",
+    )
+    def time_travel_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+
+        from dodo_spark.operators.schema import scratch_dir
+
+        o = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        cols = ["o_orderkey", "o_totalprice"]
+        table = scratch_dir("time_travel_restore")
+        write_version(o.filter(k < 1000).select(cols), table, 0)
+        append_version(
+            o.filter((k >= 1000) & (k < 1200)).select(cols).coalesce(1), table, 1
+        )
+        v1_files = set(live_files(table, 1))
+        delete_where(spark, table, 2, "o_orderkey % 10 = 3")
+
+        mtimes_before = {
+            f: _os.path.getmtime(_os.path.join(table, f)) for f in v1_files
+        }
+        stats = restore_version(table, restore_to=1, as_version=3)
+        metadata_only = (
+            stats["data_files_written"] == 0
+            and set(live_files(table, 3)) == v1_files
+            and all(
+                _os.path.getmtime(_os.path.join(table, f)) == m
+                for f, m in mtimes_before.items()
+            )
+        )
+
+        def snap_agg(version: int) -> DataFrame:
+            return read_version(spark, table, version).agg(
+                F.lit(version).cast("bigint").alias("version"),
+                F.count("*").alias("rows_at"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+                F.lit(metadata_only).alias("metadata_only"),
+            )
+
+        return snap_agg(2).unionByName(snap_agg(3)).orderBy("version")
+
+
+_register_time_travel_restore()

@@ -869,3 +869,53 @@ def test_hadoop_fs_shim_multibyte_roundtrip(spark, tmp_path):
     p = base + "/_manifest_0.json"
     assert fs.put_if_absent_text(p, payload) is True
     assert fs.read_text(p) == payload
+
+
+def test_restore_version_metadata_only_and_vacuum_guard(spark, tmp_path, capsys):
+    """RESTORE re-adds an old version's file list without writing data,
+    intermediate history stays readable, the CLI action drives it, and
+    restoring a vacuumed version raises the clean error."""
+    from dodo_spark.cli import main
+    from dodo_spark.sources.versioned import (
+        append_version,
+        delete_where,
+        live_files,
+        restore_version,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path / "rs")
+    write_version(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, val DOUBLE")
+        .coalesce(1), path, 0,
+    )
+    append_version(
+        spark.createDataFrame([(3, 30.0)], "k BIGINT, val DOUBLE").coalesce(1),
+        path, 1,
+    )
+    delete_where(spark, path, 2, "k = 2")
+    assert {r["k"] for r in read_version(spark, path, 2).collect()} == {1, 3}
+
+    stats = restore_version(path, restore_to=1, as_version=3)
+    assert stats["data_files_written"] == 0
+    assert set(live_files(path, 3)) == set(live_files(path, 1))
+    assert {r["k"] for r in read_version(spark, path, 3).collect()} == {1, 2, 3}
+    assert {r["k"] for r in read_version(spark, path, 2).collect()} == {1, 3}
+
+    # CLI action
+    assert main(["snapshot", "restore", "--path", path, "--version", "4",
+                 "--restore-to", "2"]) == 0
+    assert "restored v2 as v4" in capsys.readouterr().out
+    assert {r["k"] for r in read_version(spark, path, 4).collect()} == {1, 3}
+    capsys.readouterr()
+    assert main(["snapshot", "restore", "--path", path, "--version", "5"]) == 1
+    assert "requires --restore-to" in capsys.readouterr().out
+
+    # restore of a vacuumed version raises cleanly
+    write_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), path, 5
+    )
+    vacuum(path, keep_versions=1)
+    with pytest.raises(ValueError, match="was vacuumed"):
+        restore_version(path, restore_to=0, as_version=6)
