@@ -231,6 +231,7 @@ KEYS = [
     "dedup_incremental_ingest",
     "events_attribution",
     "stats_drift_tv",
+    "time_travel_restore",
 ]
 
 
