@@ -1016,3 +1016,103 @@ def _register_dedup_incremental() -> None:
 
 
 _register_dedup_incremental()
+
+
+CONTAIN_N = 5  # word 5-grams: near-unique outside true overlap
+CONTAIN_MIN = 0.5
+CONTAIN_MIN_GRAMS = 5  # tiny docs are trivially "contained" — exclude
+
+
+def _register_text_containment() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "text_containment",
+        oracle=f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - {CONTAIN_N - 1}, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{CONTAIN_N - 1}], ' ')
+                 )) AS grams
+          FROM documents
+        ), posts AS (
+          SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+          FROM g WHERE len(grams) >= {CONTAIN_MIN_GRAMS}
+        ), shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 MIN(a.n_grams) AS grams_a,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM posts a JOIN posts b
+            ON a.gram = b.gram AND a.doc_id != b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(grams_a AS BIGINT) AS grams_a, shared,
+               CAST(shared AS DOUBLE) / grams_a AS containment
+        FROM shared
+        WHERE CAST(shared AS DOUBLE) / grams_a >= {CONTAIN_MIN}
+        ORDER BY doc_a, doc_b
+        """,
+        doc=f"ASYMMETRIC containment detection (quote/subset mining — the "
+        "corpus-curation measure Jaccard misses: a short doc fully quoted "
+        "inside a long one has tiny Jaccard but containment ~1): "
+        f"containment(A in B) = |grams_A ∩ grams_B| / |grams_A| over "
+        f"distinct word {CONTAIN_N}-grams, keeping ORDERED pairs at >= "
+        f"{CONTAIN_MIN}. Shape: explode distinct grams -> equi-join on the "
+        "gram (NEVER an all-pairs scan; word 5-grams are near-unique "
+        "outside genuine overlap, so posting lists stay short — the same "
+        "scan-side posting argument as text_decontaminate) -> per-pair "
+        "count vs the contained side's gram count. Docs under "
+        f"{CONTAIN_MIN_GRAMS} grams are excluded (trivially contained). "
+        "The single shared/|A| division is one IEEE op — deterministic "
+        "on both engines.",
+    )
+    def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.text import spread_scan
+
+        docs = spread_scan(load_table(spark, sf_dir, "documents"))
+        words = F.split("text", " ", -1)
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(words) - (CONTAIN_N - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(words, i, CONTAIN_N)),
+            )
+        )
+        g = docs.select("doc_id", grams.alias("grams")).filter(
+            F.size("grams") >= CONTAIN_MIN_GRAMS
+        )
+        posts = g.select(
+            "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+        )
+        a, b = posts.alias("a"), posts.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.gram") == F.col("b.gram"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(
+                F.min("a.n_grams").alias("grams_a"),
+                F.count("*").alias("shared"),
+            )
+        )
+        containment = F.col("shared").cast("double") / F.col("grams_a")
+        return (
+            shared.select(
+                "doc_a",
+                "doc_b",
+                F.col("grams_a").cast("bigint").alias("grams_a"),
+                "shared",
+                containment.alias("containment"),
+            )
+            .filter(F.col("containment") >= CONTAIN_MIN)
+            .orderBy("doc_a", "doc_b")
+        )
+
+
+_register_text_containment()
