@@ -53,3 +53,37 @@ def test_reaper_keeps_fresh_dirs_even_without_marker(tmp_path, monkeypatch):
     os.unlink(fresh + ".pid")
     scratch_dir("x")
     assert os.path.isdir(fresh)
+
+
+def test_bench_and_rehearsal_key_lists_are_registered():
+    """Every key named in bench.py's HEADLINE suite and the scale
+    rehearsal's KEYS list must exist in the registry — a typo in either
+    list would otherwise only surface when the driver (or a rehearsal
+    run) crashes mid-flight."""
+    import importlib.util
+    import os
+    import sys
+
+    from dodo_spark import registry
+
+    registry._load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def names_from(path, attr):
+        spec = importlib.util.spec_from_file_location("m_" + attr, path)
+        mod = importlib.util.module_from_spec(spec)
+        # import only far enough to read the constant: both modules define
+        # their lists at top level before any Spark work
+        sys.modules[spec.name] = mod
+        spec.loader.exec_module(mod)
+        return getattr(mod, attr)
+
+    headline = names_from(os.path.join(root, "bench.py"), "HEADLINE")
+    rehearsal = names_from(
+        os.path.join(root, "tools", "scale_rehearsal.py"), "KEYS"
+    )
+    missing = [k for k in list(headline) + list(rehearsal)
+               if k not in registry.REGISTRY]
+    assert not missing, f"unregistered keys referenced: {missing}"
+    assert len(set(headline)) == len(headline)  # no duplicates
+    assert len(set(rehearsal)) == len(rehearsal)
