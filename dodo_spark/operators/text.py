@@ -1141,3 +1141,74 @@ def waterfill_allocate(avail: DataFrame, budget: DataFrame) -> DataFrame:
         .alias("take_tokens"),
         "saturated",
     ).orderBy("lang")
+
+
+def _register_pack_greedy() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "corpus_pack_greedy",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x != '')) AS t
+          FROM documents
+        ), nz AS (
+          SELECT * FROM toks WHERE t > 0
+        ), sized AS (
+          SELECT lang, doc_id, t,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY t DESC, doc_id) AS rnk,
+                 CAST(ceil(SUM(t) OVER (PARTITION BY lang)
+                           / {PACK_SEQ_TOKENS}.0) AS BIGINT) AS n_bins
+          FROM nz
+        ), binned AS (
+          SELECT lang, (rnk - 1) % n_bins AS bin_id, t FROM sized
+        )
+        SELECT lang, CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(t) AS BIGINT) AS tokens
+        FROM binned GROUP BY lang, bin_id ORDER BY lang, bin_id
+        """,
+        doc="WHOLE-DOCUMENT packing (the no-split alternative to "
+        "corpus_pack_sequences' concat-and-chunk — the strategy used when "
+        "cross-document attention must never occur): within each lang "
+        "shard, docs are ranked by token count descending and dealt "
+        "round-robin across ceil(shard_total/capacity) bins — the classic "
+        "longest-processing-time balancing approximation, expressed as "
+        "one PER-SHARD rank + a modulo (partitionBy lang keeps the sort "
+        "sharded — no global window, same scale posture as the sibling "
+        "key). Output per (lang, bin): docs and exact token mass (bin "
+        "spread = the balance quality a packing report needs). "
+        "Power-of-two capacity keeps ceil exact in binary FP.",
+    )
+    def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", "lang", F.size(_ws_tokens()).cast("bigint").alias("t")
+        ).filter(F.col("t") > 0)
+        w_shard = Window.partitionBy("lang").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        sized = toks.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("t").desc(), "doc_id")
+            ),
+        ).withColumn(
+            "n_bins",
+            F.ceil(F.sum("t").over(w_shard) / F.lit(float(PACK_SEQ_TOKENS)))
+            .cast("bigint"),
+        )
+        return (
+            sized.select(
+                "lang", ((F.col("rnk") - 1) % F.col("n_bins")).alias("bin_id"), "t"
+            )
+            .groupBy("lang", "bin_id")
+            .agg(F.count("*").alias("docs"), F.sum("t").alias("tokens"))
+            .orderBy("lang", "bin_id")
+        )
+
+
+_register_pack_greedy()
