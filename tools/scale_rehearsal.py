@@ -232,6 +232,8 @@ KEYS = [
     "events_attribution",
     "stats_drift_tv",
     "time_travel_restore",
+    "text_containment",
+    "corpus_pack_greedy",
 ]
 
 
