@@ -1,17 +1,27 @@
 """Deduplication operators over ``documents``/``embeddings`` (SURVEY.md
 §2.D D5/D6 + the training-data-pipeline dedup family).
 
-Four tiers, all deterministic and oracle-checked where expressible:
+Tiers, all deterministic and oracle-checked where expressible:
 
 - exact        content-hash groupBy (D5)
 - minhash LSH  shingle -> minhash -> band -> bucket-join -> verified Jaccard
-- simhash      bitwise majority fingerprint over token hashes
+- simhash      bitwise majority fingerprint over token hashes (pairs
+               counted once at their minimal colliding band — no pair-set
+               dedup shuffle)
 - embedding    cosine near-dup over scaled-integer vectors
+- ngram        exact word-n-gram Jaccard (bounded brute tier)
+- containment  ASYMMETRIC |A∩B|/|A| over word 5-grams (quote/subset
+               mining — the measure Jaccard misses)
+- winnowing    rolling-hash fingerprint candidates (kernel in text.py)
+- clusters     pointer-doubling connected components + leakage-safe splits
+- incremental  anti-join an arriving batch against the live VERSIONED
+               corpus so only novel docs commit (sources/versioned.py)
 
 Scale shape: every tier is a scan-side projection followed by ONE shuffle
-on a compact key (hash / band-key / simhash), then pair verification inside
-buckets. No cross joins except the embedding tier's explicit brute-force
-baseline (its LSH scale path lives in ``operators.similarity``).
+on a compact key (hash / band-key / simhash / gram), then pair
+verification inside buckets. No cross joins except the embedding tier's
+explicit brute-force baseline (its LSH scale path lives in
+``operators.similarity``).
 """
 
 from __future__ import annotations
