@@ -110,6 +110,11 @@ HEADLINE = [
     # round-6: versioned-manifest IVF maintenance + training-data packing
     "similarity_ivf_append",
     "corpus_pack_sequences",
+    # round-6 closing batch: bigram-df novelty scoring (posting-list join
+    # over bigram occurrences — the heaviest new shape) and temperature
+    # mixture weights
+    "text_lm_novelty",
+    "corpus_mix_temperature",
 ]
 
 

@@ -1212,3 +1212,152 @@ def _register_pack_greedy() -> None:
 
 
 _register_pack_greedy()
+
+
+# --------------------------------------------------------------------------
+# LM-novelty scoring + temperature mixture weights (round 6, closing batch)
+# --------------------------------------------------------------------------
+NOVELTY_TOPK = 25  # docs flagged for review (lowest avg bigram df)
+MIX_ALPHA_NOTE = "alpha = 0.5 (sqrt)"  # mT5/XLM-R temperature exponent
+MIX_QSCALE = 1 << 20  # sqrt quantization: power of two => exact FP scaling
+MIX_BUDGET = 1_000_000  # sampled-token budget the epochs column amortizes
+
+
+@register(
+    "text_lm_novelty",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+      FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM w WHERE len(ws) >= 2
+    ), df AS (
+      SELECT bigram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY bigram
+    ), per AS (
+      SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(df) AS BIGINT) AS sum_df
+      FROM occ o JOIN df USING (bigram) GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_df,
+           CAST(sum_df AS DOUBLE) / n_bigrams AS avg_df
+    FROM per ORDER BY avg_df, doc_id LIMIT {NOVELTY_TOPK}
+    """,
+    doc="LM-novelty scoring — the exact-arithmetic twin of perplexity "
+    "filtering (CCNet-style: docs whose n-grams a corpus LM finds "
+    "improbable are flagged for review). A doc's score is the average "
+    "corpus DOCUMENT FREQUENCY of its word bigrams: low avg_df = the doc "
+    "is built from bigrams the rest of the corpus rarely uses — the same "
+    "ordering an unsmoothed corpus-trained bigram LM induces, but in "
+    "integer counts + ONE final IEEE division per doc instead of a "
+    "float log-prob accumulation (which is engine-order-dependent and "
+    "cannot be hash-verified). Shape: explode bigram OCCURRENCES -> one "
+    "groupBy(bigram) for df -> posting-list equi-join back -> per-doc "
+    "integer aggregate -> global top-k via sort+limit (TakeOrdered — "
+    "distributed partial top-k per partition, NO single-partition "
+    f"window). The {NOVELTY_TOPK} flagged docs order by (avg_df, doc_id) "
+    "so ties are deterministic. At 100 TB: the df table shuffles on the "
+    "bigram key (bucketable); a bounded-vocab corpus can broadcast it "
+    "instead — both standard equi-join postures, never all-pairs.",
+)
+def text_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    ws = _ws_tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))
+        ),
+    )
+    occ = (
+        docs.filter(F.size(ws) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    df_tab = occ.groupBy("bigram").agg(F.countDistinct("doc_id").alias("df"))
+    per = (
+        occ.join(df_tab, "bigram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("df").alias("sum_df"))
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_bigrams",
+            "sum_df",
+            (F.col("sum_df").cast("double") / F.col("n_bigrams")).alias("avg_df"),
+        )
+        .orderBy("avg_df", "doc_id")
+        .limit(NOVELTY_TOPK)
+    )
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+             AS tk
+      FROM documents
+    ), p AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tk) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    ), q AS (
+      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {MIX_QSCALE}.0)
+                     AS BIGINT) AS qsqrt
+      FROM p
+    ), s AS (
+      SELECT *, (SELECT CAST(SUM(qsqrt) AS BIGINT) FROM q) AS q_total FROM q
+    ), w AS (
+      SELECT *, CAST(qsqrt AS DOUBLE) / q_total AS weight FROM s
+    )
+    SELECT source, n_docs, n_tokens, weight,
+           ({MIX_BUDGET}.0 * weight) / n_tokens AS epochs
+    FROM w ORDER BY source
+    """,
+    doc="Temperature-scaled mixture sampling weights over sources — the "
+    f"mT5/XLM-R low-resource upsampling rule, {MIX_ALPHA_NOTE}: "
+    "p_i proportional to n_i^alpha, so small sources are sampled more "
+    "than their token share and large ones less (the complement of "
+    "corpus_mix_waterfill's hard-cap allocation). Engine-exactness: "
+    "sqrt is IEEE-754 correctly rounded on both engines, scaling by the "
+    f"power-of-two {MIX_QSCALE} is exact, and floor quantizes to BIGINT "
+    "— so the normalizing SUM is an integer sum (order-independent), "
+    "and weight / epochs are short chains of single IEEE ops on "
+    "identical operands. epochs = budget * p_i / n_i makes the "
+    "upsampling visible (epochs > budget/total for low-resource "
+    "sources). Shape: one tiny groupBy(source) + a 1-row broadcast "
+    "total (whitelisted BNLJ audit pattern) — at 100 TB the scan "
+    "dominates and the mixture table stays KB-sized.",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(_ws_tokens()).cast("bigint").alias("tk"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("tk").alias("n_tokens"))
+    )
+    q = per.withColumn(
+        "qsqrt",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * F.lit(float(MIX_QSCALE))
+        ).cast("bigint"),
+    )
+    total = q.agg(F.sum("qsqrt").alias("q_total"))
+    w = q.crossJoin(F.broadcast(total)).withColumn(
+        "weight", F.col("qsqrt").cast("double") / F.col("q_total")
+    )
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        ((F.lit(float(MIX_BUDGET)) * F.col("weight")) / F.col("n_tokens")).alias(
+            "epochs"
+        ),
+    ).orderBy("source")

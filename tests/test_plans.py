@@ -165,6 +165,12 @@ BNLJ_ALLOWED = {
     "similarity_ivf_append",
     # r6: 1-row token-budget broadcast onto the <=n_domains mixture rows
     "corpus_mix_waterfill",
+    # r6 closing batch: 1-row sqrt-mass total broadcast onto the <=n_sources
+    # mixture rows (temperature weights)
+    "corpus_mix_temperature",
+    # r6 closing batch: 1-row support-total broadcast onto the pair list
+    # (the scale-free edge threshold) + 1-row scalar-assembly cross joins
+    "graph_triangles",
 }
 
 

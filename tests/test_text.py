@@ -130,3 +130,59 @@ def test_waterfill_matches_python_reference_randomized(spark):
             for r in waterfill_allocate(adf, bdf).collect()
         }
         assert got == ref(avail, w, b), f"case {case}: avail={avail} w={w} b={b}"
+
+
+def test_lm_novelty_scoring_invariants(spark, sf_dir):
+    """LM-novelty: every flagged doc has >= 1 bigram, avg_df is exactly
+    sum_df/n_bigrams (one IEEE division), output ascends by avg_df with
+    doc_id tiebreak, and df-mass is consistent (a doc's sum_df is at
+    least n_bigrams — every bigram occurs in at least its own doc)."""
+    from dodo_spark.operators.text import NOVELTY_TOPK, text_lm_novelty
+
+    rows = text_lm_novelty(spark, sf_dir).collect()
+    assert 0 < len(rows) <= NOVELTY_TOPK
+    prev = None
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert r["sum_df"] >= r["n_bigrams"]
+        assert r["avg_df"] == r["sum_df"] / r["n_bigrams"]
+        key = (r["avg_df"], r["doc_id"])
+        assert prev is None or prev < key
+        prev = key
+
+
+def test_mix_temperature_upsamples_low_resource(spark, sf_dir):
+    """Temperature mixture (alpha=0.5): weights sum to ~1, every source's
+    weight share exceeds its token share iff it is below-average sized
+    (the low-resource upsampling property), and epochs = budget*w/n."""
+    from dodo_spark.operators.text import MIX_BUDGET, corpus_mix_temperature
+
+    rows = corpus_mix_temperature(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    tot_tokens = sum(r["n_tokens"] for r in rows)
+    wsum = sum(r["weight"] for r in rows)
+    assert abs(wsum - 1.0) < 1e-9
+    for r in rows:
+        share = r["n_tokens"] / tot_tokens
+        # sqrt temperature: weight/share = (1/sqrt(n_i)) / (sum sqrt / tot)
+        # => weight > share iff n_i < (tot / sum_sqrt)^2 (below pivot size)
+        assert r["epochs"] == (MIX_BUDGET * r["weight"]) / r["n_tokens"]
+        if share < min(x["n_tokens"] for x in rows) / tot_tokens + 1e-12:
+            assert r["weight"] >= share  # smallest source is upsampled
+    big = max(rows, key=lambda r: r["n_tokens"])
+    assert big["weight"] <= big["n_tokens"] / tot_tokens + 1e-12  # downsampled
+
+
+def test_graph_triangles_invariants(spark, sf_dir):
+    """Triangle counting: the support filter keeps a PROPER sparse subgraph
+    (not the near-complete raw co-occurrence clique), counts are mutually
+    consistent (3*triangles <= wedges holds by closure), and clustering is
+    the single exact division."""
+    from dodo_spark.operators.graph import graph_triangles
+
+    r = graph_triangles(spark, sf_dir).collect()[0]
+    max_edges = r["n_nodes"] * (r["n_nodes"] - 1) // 2
+    assert 0 < r["n_edges"] < max_edges  # sparse: threshold dropped pairs
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert r["n_triangles"] > 0
+    assert r["global_clustering"] == 3 * r["n_triangles"] / r["n_wedges"]

@@ -234,6 +234,8 @@ KEYS = [
     "time_travel_restore",
     "text_containment",
     "corpus_pack_greedy",
+    "text_lm_novelty",
+    "corpus_mix_temperature",
 ]
 
 
