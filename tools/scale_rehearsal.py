@@ -236,6 +236,7 @@ KEYS = [
     "corpus_pack_greedy",
     "text_lm_novelty",
     "corpus_mix_temperature",
+    "graph_triangles",
 ]
 
 
