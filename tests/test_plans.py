@@ -318,3 +318,12 @@ def test_market_share_reuses_nat_exchange(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_lm_novelty_topk_is_take_ordered(plans):
+    """text_lm_novelty's final top-k must compile to TakeOrderedAndProject
+    (per-partition partial top-k + merge), not a global sort or a
+    single-partition window — the claim its docstring makes for the
+    100 TB posture."""
+    plan = plans("text_lm_novelty")
+    assert "TakeOrderedAndProject" in plan, plan
