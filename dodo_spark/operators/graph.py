@@ -206,6 +206,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
         .agg(F.countDistinct("a.l_orderkey").alias("s"))
+        # consumed twice (support total + edge filter): checkpoint so the
+        # lineitem self-join + distinct-count runs once, not once per branch
+        .localCheckpoint(eager=False)
     )
     tot = pairs.agg(
         F.count("*").alias("np"), F.sum("s").cast("bigint").alias("ts")
