@@ -111,10 +111,12 @@ HEADLINE = [
     "similarity_ivf_append",
     "corpus_pack_sequences",
     # round-6 closing batch: bigram-df novelty scoring (posting-list join
-    # over bigram occurrences — the heaviest new shape) and temperature
-    # mixture weights
+    # over bigram occurrences — the heaviest new shape), temperature
+    # mixture weights, and the near-dup ingest gate (batch-vs-base banded
+    # probe, the flagship dedup family's ingestion form)
     "text_lm_novelty",
     "corpus_mix_temperature",
+    "dedup_incremental_near",
 ]
 
 

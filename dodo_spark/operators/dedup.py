@@ -15,7 +15,10 @@ Tiers, all deterministic and oracle-checked where expressible:
 - winnowing    rolling-hash fingerprint candidates (kernel in text.py)
 - clusters     pointer-doubling connected components + leakage-safe splits
 - incremental  anti-join an arriving batch against the live VERSIONED
-               corpus so only novel docs commit (sources/versioned.py)
+               corpus so only novel docs commit (sources/versioned.py);
+               the NEAR variant probes the corpus's minhash band table
+               (shared kernel with dedup_near) and rejects at verified
+               Jaccard >= 0.8, reporting each doc's best base match
 
 Scale shape: every tier is a scan-side projection followed by ONE shuffle
 on a compact key (hash / band-key / simhash / gram), then pair
@@ -88,7 +91,11 @@ def _window_key_fn(offset: int):
     return lambda s: F.concat(F.substring(s, offset, 4), s)
 
 
-def _minhash_oracle() -> str:
+def _minhash_sql_parts() -> tuple[str, str, str]:
+    """The three DuckDB text fragments of the shared minhash-LSH kernel
+    (shingle list, minhash columns, banded keys) — consumed verbatim by
+    both _minhash_oracle (dedup_near) and dedup_incremental_near's oracle
+    so the two keys provably run the identical signature scheme."""
     sh_expr = (
         f"list_distinct(list_transform("
         f"generate_series(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1), {SHINGLE_STRIDE}),"
@@ -111,6 +118,11 @@ def _minhash_oracle() -> str:
         )
         for b in range(BANDS)
     )
+    return sh_expr, mh_cols, band_selects
+
+
+def _minhash_oracle() -> str:
+    sh_expr, mh_cols, band_selects = _minhash_sql_parts()
     return f"""
     WITH d AS (
       SELECT doc_id, {sh_expr} AS sh FROM documents
@@ -137,20 +149,11 @@ def _minhash_oracle() -> str:
     """
 
 
-@register(
-    "dedup_near",
-    oracle=_minhash_oracle(),
-    doc="D6: near-dup detection — char-shingle MinHash (k=8, md5-permuted), "
-    "4-band LSH bucketing, bucket self-join, exact-Jaccard verification at "
-    "0.8. Both engines run the identical signature scheme, so the "
-    "(probabilistic-recall) candidate sets coincide and the output is "
-    "deterministic. One shuffle on band_key; pairs only form inside "
-    "buckets — the 100 TB-safe shape.",
-)
-def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dodo_spark.operators.text import spread_scan
-
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+def _minhash_band_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared minhash-LSH kernel, Spark side: returns (d, exploded) where
+    ``d`` is (doc_id, sh) shingle sets and ``exploded`` the compact banded
+    rows (doc_id, band_idx, band_key). Twin of _minhash_sql_parts — both
+    dedup_near and dedup_incremental_near build on the same frames."""
     d = docs.select("doc_id", _shingles().alias("sh"))
     # one md5 per shingle; per-hash ordering = 4-hex window + full-digest
     # tiebreak (see _minhash_oracle comment for why the digest must stay
@@ -180,11 +183,29 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    # Band self-join on COMPACT rows only (doc_id, band_idx, band_key): the
+    # Band joins run on COMPACT rows only (doc_id, band_idx, band_key): the
     # shingle arrays would otherwise ride the band shuffle 4x per doc. The
     # deduped candidate pairs (few) then fetch each side's shingle set with
     # two equi-joins for exact-Jaccard verification.
     exploded = mh.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
+    return d, exploded
+
+
+@register(
+    "dedup_near",
+    oracle=_minhash_oracle(),
+    doc="D6: near-dup detection — char-shingle MinHash (k=8, md5-permuted), "
+    "4-band LSH bucketing, bucket self-join, exact-Jaccard verification at "
+    "0.8. Both engines run the identical signature scheme, so the "
+    "(probabilistic-recall) candidate sets coincide and the output is "
+    "deterministic. One shuffle on band_key; pairs only form inside "
+    "buckets — the 100 TB-safe shape.",
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dodo_spark.operators.text import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    d, exploded = _minhash_band_rows(docs)
     left = exploded.alias("a")
     right = exploded.alias("c")
     pairs = (
@@ -1026,6 +1047,111 @@ def _register_dedup_incremental() -> None:
 
 
 _register_dedup_incremental()
+
+
+def _register_dedup_incremental_near() -> None:
+    from dodo_spark.registry import register
+
+    sh_expr, mh_cols, band_selects = _minhash_sql_parts()
+
+    @register(
+        "dedup_incremental_near",
+        oracle=f"""
+        WITH d AS (
+          SELECT doc_id, {sh_expr} AS sh FROM documents
+        ), m AS (
+          SELECT doc_id, sh,
+             {mh_cols}
+          FROM (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS shh FROM d) t
+        ), b AS (
+        {band_selects}
+        ), base AS (
+          SELECT * FROM b WHERE doc_id % 3 != 0
+        ), batch AS (
+          SELECT * FROM b WHERE doc_id % 2 = 0
+        ), p AS (
+          SELECT DISTINCT t.doc_id AS batch_doc, s.doc_id AS base_doc
+          FROM batch t JOIN base s
+            ON t.band_idx = s.band_idx AND t.band_key = s.band_key
+        ), v AS (
+          SELECT p.batch_doc, p.base_doc,
+                 len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS inter,
+                 len(da.sh) AS la, len(db.sh) AS lb
+          FROM p JOIN d da ON da.doc_id = p.batch_doc
+                 JOIN d db ON db.doc_id = p.base_doc
+        ), j AS (
+          SELECT batch_doc, base_doc,
+                 CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+          FROM v
+          WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= {JACCARD_THRESHOLD}
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_doc
+                                       ORDER BY jaccard DESC, base_doc) AS rn
+          FROM j
+        )
+        SELECT batch_doc, base_doc, jaccard FROM r WHERE rn = 1
+        ORDER BY batch_doc
+        """,
+        doc="Incremental NEAR-dup ingestion gate — the fuzzy sibling of "
+        "dedup_incremental_ingest's exact anti-join: an arriving batch is "
+        "minhash-banded with the IDENTICAL signature scheme as dedup_near "
+        "(shared kernel, _minhash_band_rows / _minhash_sql_parts) and "
+        "probed against the committed corpus's band table; band collisions "
+        "verify by exact Jaccard at the same 0.8 threshold, and each "
+        "rejected batch doc reports its best-matching base doc (max "
+        "jaccard, min base_doc tiebreak — a per-batch-doc window, never "
+        "global). Redelivered docs (present in both sets) self-collide at "
+        "jaccard 1.0, the redelivery-rejection semantics an ingest gate "
+        "needs. At 100 TB the base band table is a PERSISTED index "
+        "partitioned by band_key (the posture similarity_ivf_append "
+        "proves for IVF): arriving batches probe only their colliding "
+        "band partitions instead of rescanning the corpus, and the novel "
+        "remainder commits through the versioned append path. The "
+        "batch-vs-base join is bounded by posting-list mass exactly like "
+        "dedup_near's self-join — never all-pairs.",
+    )
+    def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from dodo_spark.operators.text import spread_scan
+
+        docs = spread_scan(load_table(spark, sf_dir, "documents"))
+        d, exploded = _minhash_band_rows(docs)
+        base = exploded.filter(F.col("doc_id") % 3 != 0).alias("s")
+        batch = exploded.filter(F.col("doc_id") % 2 == 0).alias("t")
+        pairs = (
+            batch.join(
+                base,
+                (F.col("t.band_idx") == F.col("s.band_idx"))
+                & (F.col("t.band_key") == F.col("s.band_key")),
+            )
+            .select(
+                F.col("t.doc_id").alias("batch_doc"),
+                F.col("s.doc_id").alias("base_doc"),
+            )
+            .dropDuplicates(["batch_doc", "base_doc"])
+        )
+        da = d.select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sha"))
+        db = d.select(F.col("doc_id").alias("base_doc"), F.col("sh").alias("shb"))
+        verified = pairs.join(da, "batch_doc").join(db, "base_doc")
+        inter = F.size(F.array_intersect("sha", "shb"))
+        union = F.size("sha") + F.size("shb") - inter
+        jac = (inter.cast("double") / union).alias("jaccard")
+        j = verified.select("batch_doc", "base_doc", jac).filter(
+            F.col("jaccard") >= JACCARD_THRESHOLD
+        )
+        w = Window.partitionBy("batch_doc").orderBy(
+            F.col("jaccard").desc(), "base_doc"
+        )
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .orderBy("batch_doc")
+        )
+
+
+_register_dedup_incremental_near()
 
 
 CONTAIN_N = 5  # word 5-grams: near-unique outside true overlap

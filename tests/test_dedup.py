@@ -204,3 +204,32 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(
     a = prefix_a + shared + suffix_a
     b = prefix_b + shared + suffix_b
     assert _py_winnow_fps(a) & _py_winnow_fps(b)
+
+
+def test_incremental_near_gate_semantics(spark, sf_dir):
+    """The near-dup ingest gate: every rejected batch doc matches the batch
+    predicate (doc_id % 2 == 0), every reported match clears the Jaccard
+    threshold, and every REDELIVERED doc (in both base and batch) is
+    rejected at jaccard exactly 1.0 — the redelivery-rejection contract."""
+    from dodo_spark import registry
+    from dodo_spark.catalog import load_table
+    from dodo_spark.operators.dedup import JACCARD_THRESHOLD
+
+    rows = registry.queries()["dedup_incremental_near"](spark, sf_dir).collect()
+    assert rows, "generated corpus contains near-dups; gate must fire"
+    got = {r["batch_doc"]: r for r in rows}
+    for r in rows:
+        assert r["batch_doc"] % 2 == 0
+        assert r["base_doc"] % 3 != 0
+        assert r["jaccard"] >= JACCARD_THRESHOLD
+    redelivered = [
+        r[0]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id % 2 = 0 AND doc_id % 3 != 0")
+        .collect()
+    ]
+    assert redelivered
+    for doc in redelivered:
+        assert doc in got, f"redelivered doc {doc} not rejected"
+        assert got[doc]["jaccard"] == 1.0

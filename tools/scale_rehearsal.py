@@ -237,6 +237,7 @@ KEYS = [
     "text_lm_novelty",
     "corpus_mix_temperature",
     "graph_triangles",
+    "dedup_incremental_near",
 ]
 
 
