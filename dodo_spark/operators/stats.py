@@ -428,10 +428,10 @@ def _register_stats_drift() -> None:
                    FROM ref GROUP BY lang),
         lang_c AS (SELECT lang AS bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
                    FROM cur GROUP BY lang),
-        len_r AS (SELECT CAST(COALESCE(n_chars, -1) // 100 AS VARCHAR) AS bucket,
+        len_r AS (SELECT CAST(COALESCE(n_chars, -100) // 100 AS VARCHAR) AS bucket,
                          CAST(COUNT(*) AS BIGINT) AS n_ref
                   FROM ref GROUP BY 1),
-        len_c AS (SELECT CAST(COALESCE(n_chars, -1) // 100 AS VARCHAR) AS bucket,
+        len_c AS (SELECT CAST(COALESCE(n_chars, -100) // 100 AS VARCHAR) AS bucket,
                          CAST(COUNT(*) AS BIGINT) AS n_cur
                   FROM cur GROUP BY 1),
         joined AS (
@@ -487,8 +487,11 @@ def _register_stats_drift() -> None:
             )
 
         lang = dim(F.col("lang"), "lang")
+        # NULL sentinel is -100, not -1: Spark DIV truncates toward zero
+        # while DuckDB // floors, so -1 buckets to '0' vs '-1' across the
+        # engines — -100/100 is exact, where truncation == floor.
         length = dim(
-            F.expr("CAST(COALESCE(n_chars, -1) DIV 100 AS STRING)"), "len100"
+            F.expr("CAST(COALESCE(n_chars, -100) DIV 100 AS STRING)"), "len100"
         )
         w = Window.partitionBy("dim")
         return (

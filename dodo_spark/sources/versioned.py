@@ -8,18 +8,27 @@ Delta/Iceberg are not available in this environment, so time travel is
 built from the same primitive those formats use underneath: IMMUTABLE
 data files plus per-version FILE MANIFESTS (add/remove lists — the Delta
 commit-log / Iceberg snapshot-manifest structure). Each commit writes its
-new parquet files under ``v=<n>/``, then PUT-IF-ABSENT publishes a
+new parquet files under a UNIQUE per-attempt staging dir
+``v=<n>/w-<uuid>/``, then PUT-IF-ABSENT publishes a
 ``_manifest_<n>.json`` naming the files it ADDS and the live files it
 REMOVES. **The manifest file IS the commit record and the SOLE source of
 truth**: ``list_versions`` is derived from the set of committed manifest
 files, so there is no secondary log to append to — and therefore no
 read-modify-write race between writers committing distinct versions
 (each writer publishes exactly one new immutable file; nothing is ever
-re-written). A ``v=<n>/`` data dir without a manifest is by definition an
-orphan from a crashed writer and is overwritten on retry. Put-if-absent
-is atomic-with-complete-content on every backend (see ``_LocalFS`` /
-``_HadoopFS``), so a visible manifest is always a complete commit — no
-roll-forward step exists or is needed.
+re-written). Staging files without a manifest entry are by definition
+orphans from crashed or race-losing writers — invisible to every reader
+(reads open only manifest-listed files) and reclaimed by ``vacuum``'s
+orphan sweep. Because attempts never share a directory, a zombie
+duplicate writer can never delete or overwrite a committed attempt's
+data files. Put-if-absent is atomic-with-complete-content on local POSIX
+(``_LocalFS``: link(2)) and HDFS (``_HadoopFS``: FileContext rename with
+``Options.Rename.NONE``, atomic at the namenode); on backends without an
+atomic no-overwrite rename (``file://`` RawLocalFileSystem, S3A) the
+contract is still fail-if-exists but the loser detection is
+check-then-act — see the S3 caveat below for the conditional-PUT fix. A
+visible manifest is always a complete commit — no roll-forward step
+exists or is needed.
 
 A version's live file set is the add/remove algebra replayed over
 committed manifests; ``read_version`` hands that file list straight to
@@ -45,9 +54,10 @@ path's scheme:
   complete temp file — atomic, fails if the target exists);
 - any URI (``hdfs://``, ``file://``, ``s3a://`` ...) -> ``_HadoopFS``
   (the live SparkSession's Hadoop ``FileSystem`` via ``spark._jvm``:
-  put-if-absent = write a complete temp file, then ``FileSystem.rename``
-  onto the target — on HDFS rename is atomic at the namenode and returns
-  false if the destination exists, the Delta HDFSLogStore protocol).
+  put-if-absent = write a complete temp file, then rename onto the
+  target via ``FileContext.rename(..., Options.Rename.NONE)`` — the
+  fail-if-destination-exists contract on every AbstractFileSystem,
+  atomic at the HDFS namenode (the Delta HDFSLogStore protocol)).
 
 S3 caveat (documented, by design): S3A has no atomic rename, so the
 rename-based put-if-absent is not atomic there. The O_EXCL-equivalent
@@ -127,21 +137,35 @@ class _LocalFS:
         except FileNotFoundError:
             return []
 
+    def list_files_recursive(self, dir_path: str) -> list[str]:
+        """All regular files under ``dir_path``, as sorted '/'-joined
+        paths relative to it."""
+        out = []
+        for root, _dirs, names in os.walk(dir_path):
+            rel = os.path.relpath(root, dir_path)
+            for n in names:
+                out.append(n if rel == "." else f"{rel}/{n}".replace(os.sep, "/"))
+        return sorted(out)
+
 
 class _HadoopFS:
     """Metadata IO over Hadoop ``FileSystem`` via the Spark JVM gateway —
     the distributed-filesystem path (HDFS, and any scheme the cluster's
     Hadoop conf knows). Put-if-absent: write a complete ``.tmp`` sibling,
-    close it, then ``FileSystem.rename(tmp, target)`` — atomic at the
-    HDFS namenode, returning false if the target exists (the Delta
-    HDFSLogStore protocol). A pre-check keeps the same contract on
-    FileSystems whose local rename would overwrite (e.g. ``file://`` used
-    by the test suite). S3A needs a conditional-PUT implementation
-    instead (module docstring)."""
+    close it, then rename with the no-overwrite contract
+    (``_rename_no_overwrite``): FileContext + ``Options.Rename.NONE``
+    fails if the target exists on every AbstractFileSystem and is atomic
+    at the HDFS namenode (the Delta HDFSLogStore protocol). On schemes
+    where FileContext is unavailable the fallback is exists-check +
+    ``FileSystem.rename`` — correct single-writer semantics, but not
+    atomic under a same-path race on FileSystems whose rename overwrites
+    (``file://`` RawLocalFileSystem, S3A; S3A's real fix is a
+    conditional PUT — module docstring)."""
 
     def __init__(self, spark: SparkSession, base_uri: str):
         jvm = spark._jvm
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
         conf = spark._jsc.hadoopConfiguration()
         uri = jvm.java.net.URI.create(base_uri)
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
@@ -173,14 +197,45 @@ class _HadoopFS:
         finally:
             out.close()
         try:
-            # atomic on HDFS; returns false if target appeared meanwhile
-            return bool(self._fs.rename(tmp, target))
+            return self._rename_no_overwrite(tmp, target)
         finally:
             try:
                 if self._fs.exists(tmp):
                     self._fs.delete(tmp, False)
             except Exception:
                 pass
+
+    def _rename_no_overwrite(self, tmp, target) -> bool:
+        """Rename that FAILS (returns False) when the destination exists.
+        Preferred path: ``FileContext.rename(..., Options.Rename.NONE)``,
+        whose contract is fail-if-exists on every AbstractFileSystem and
+        atomic at the HDFS namenode. Plain ``FileSystem.rename`` is the
+        fallback — also dest-exists-fails on HDFS, but OVERWRITES on
+        RawLocalFileSystem/S3A, where only the earlier exists() pre-check
+        guards (not atomic under a same-version race; see the module
+        docstring's per-backend guarantees)."""
+        try:
+            jvm = self._jvm
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs.getUri(), self._fs.getConf()
+            )
+            opts = self._gateway.new_array(
+                jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
+            try:
+                fc.rename(tmp, target, opts)
+                return True
+            except Exception as e:
+                if "AlreadyExists" in str(
+                    getattr(e, "java_exception", e)
+                ) or "already exists" in str(e):
+                    return False
+                raise
+        except Exception:
+            # FileContext unavailable for this scheme: FileSystem.rename —
+            # atomic dest-exists-fails on HDFS, weaker guarantee elsewhere
+            return bool(self._fs.rename(tmp, target))
 
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._p(path)))
@@ -194,6 +249,22 @@ class _HadoopFS:
         except Exception:  # FileNotFoundException via py4j
             return []
         return sorted(s.getPath().getName() for s in statuses)
+
+    def list_files_recursive(self, dir_path: str) -> list[str]:
+        """All regular files under ``dir_path``, as sorted '/'-joined
+        paths relative to it (``FileSystem.listFiles(recursive=true)`` —
+        one namenode-side enumeration, no per-dir round trips)."""
+        base = self._p(dir_path).toUri().getPath().rstrip("/")
+        try:
+            it = self._fs.listFiles(self._p(dir_path), True)
+        except Exception:  # FileNotFoundException via py4j
+            return []
+        out = []
+        while it.hasNext():
+            p = it.next().getPath().toUri().getPath()
+            if p.startswith(base + "/"):
+                out.append(p[len(base) + 1:])
+        return sorted(out)
 
 
 def _fs_for(table_path: str):
@@ -341,13 +412,23 @@ def live_files(table_path: str, version: int) -> list[str]:
 
 
 def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]:
-    """Write ``df``'s parquet files under ``v=<version>/`` (overwriting any
-    orphan of a torn commit) and return their table-relative paths."""
-    snap = _join(table_path, f"v={version}")
+    """Write ``df``'s parquet files under a UNIQUE per-attempt staging dir
+    ``v=<version>/w-<uuid>/`` and return their table-relative paths. Only
+    the manifest references them: two attempts racing the same version
+    (the Structured-Streaming zombie-replay window — a stalled duplicate
+    of a batch resuming after the winner committed) each write disjoint
+    directories, so the loser can never delete or overwrite the winner's
+    already-committed files. The loser's staging dir is invisible garbage
+    (readers only ever open manifest-listed files) and is reclaimed by
+    ``vacuum``'s orphan sweep."""
+    import uuid
+
+    attempt = f"v={version}/w-{uuid.uuid4().hex[:12]}"
+    snap = _join(table_path, attempt)
     df.write.mode("overwrite").parquet(snap)
     fs = _fs_for(table_path)
     return sorted(
-        f"v={version}/{name}"
+        f"{attempt}/{name}"
         for name in fs.list_names(snap)
         if name.endswith(".parquet")
     )
@@ -413,12 +494,12 @@ def _commit(
     overwriting the winner. Writers committing DISTINCT versions never
     contend at all — each publishes its own new file and no shared file
     is read-modify-written (there is no secondary version log). A writer
-    that crashes before its manifest publish leaves only an orphan
-    ``v=<n>/`` data dir, which the next attempt at that version
-    overwrites. Remaining caveat (documented in SCALE.md): writers
-    proposing the SAME version number share the ``v=<n>/`` data directory
-    before commit, so concurrent writers should propose distinct
-    versions; the commit record itself is race-safe."""
+    that crashes before its manifest publish leaves only orphan staging
+    files under ``v=<n>/w-<uuid>/`` — invisible to readers, reclaimed by
+    ``vacuum``. Writers proposing the SAME version number write disjoint
+    staging dirs, so even a zombie duplicate attempt cannot disturb the
+    winner's committed files; the loser raises CommitConflict and its
+    staging dir becomes sweepable garbage."""
     stats = {
         f: s
         for f in add
@@ -755,29 +836,87 @@ def vacuum(table_path: str, keep_versions: int = 2) -> dict:
         all_files.update(_read_manifest(table_path, v, fs).get("add", []))
     doomed = sorted(all_files - keep)
     # publish the marker BEFORE deleting so a crash mid-delete still
-    # reports affected versions as vacuumed rather than file-not-found
+    # reports affected versions as vacuumed rather than file-not-found.
+    # The marker records the EXACT deleted list: the vacuum guard flags a
+    # version iff its live set intersects some marker's deleted set, so
+    # versions committed AFTER this vacuum (whose new files were never
+    # deletion candidates) stay readable.
     if doomed:
         seq = len(_vacuum_markers(table_path, fs))
         while not fs.put_if_absent_text(
             _join(table_path, f"{_VACUUM_PREFIX}{seq}.json"),
-            json.dumps({"retained": retained, "files_deleted": len(doomed)}),
+            json.dumps(
+                {
+                    "retained": retained,
+                    "files_deleted": len(doomed),
+                    "deleted": doomed,
+                }
+            ),
         ):
             seq += 1
     for f in doomed:
         fs.delete(_join(table_path, f))
-    return {"files_deleted": len(doomed), "versions_retained": retained}
+    orphans = _sweep_orphan_data_files(table_path, versions, fs)
+    return {
+        "files_deleted": len(doomed),
+        "versions_retained": retained,
+        "orphan_files_deleted": orphans,
+    }
+
+
+def _sweep_orphan_data_files(table_path: str, versions: list[int], fs) -> int:
+    """Delete data files under ``v=<n>/`` subtrees that no manifest
+    references, for versions <= the max committed version. Such files are
+    torn attempts or zombie duplicate writers that lost the put-if-absent
+    race; commit order is monotone (``_check_commit_order``), so a version
+    number <= max(versions) can never be committed again and the files are
+    permanently unreachable. In-flight writers always target a version
+    > max(versions) and are never touched."""
+    if not versions:
+        return 0
+    referenced: set[str] = set()
+    for v in versions:
+        referenced.update(_read_manifest(table_path, v, fs).get("add", []))
+    hi = max(versions)
+    deleted = 0
+    for rel in fs.list_files_recursive(table_path):
+        top = rel.split("/", 1)[0]
+        if not top.startswith("v="):
+            continue
+        try:
+            n = int(top[2:])
+        except ValueError:
+            continue
+        if n <= hi and rel not in referenced:
+            if fs.delete(_join(table_path, rel)):
+                deleted += 1
+    return deleted
 
 
 def _check_not_vacuumed(
     table_path: str, version: int, files: list[str], versions: list[int]
 ) -> None:
-    """Vacuum guard: a vacuum run deleted every file not live in ITS
-    retained set — any version whose live set is not covered by some
-    marker's kept-file union lost files and is unreadable by design.
-    Pure metadata (no per-file existence probe)."""
+    """Vacuum guard: a version is unreadable iff its live set intersects
+    the files some vacuum run actually DELETED (recorded in the marker) —
+    versions committed after a vacuum, whose new files were never deletion
+    candidates, pass. Pure metadata (no per-file existence probe).
+    Markers written before the deleted-list field fall back to the kept-
+    set coverage rule, restricted to versions the marker could have
+    affected (nothing newer than its max retained version existed at
+    vacuum time)."""
     for marker in _vacuum_markers(table_path):
         if version in marker["retained"]:
             continue
+        deleted = marker.get("deleted")
+        if deleted is not None:
+            if set(files) & set(deleted):
+                raise ValueError(
+                    f"version {version} at {table_path} was vacuumed "
+                    f"(retained: {marker['retained']})"
+                )
+            continue
+        if version > max(marker["retained"]):
+            continue  # committed after this (legacy) vacuum ran
         kept: set[str] = set()
         for rv in marker["retained"]:
             if rv in versions:
@@ -865,6 +1004,27 @@ def read_version_pruned(
     )
 
 
+def _canon_ts(time_str: str) -> str:
+    """Canonical 26-char ``YYYY-MM-DD HH:MM:SS.ffffff`` rendering of an
+    AS-OF probe, accepting a bare date, date+time, or full precision
+    (``T`` separator tolerated). The instant is unchanged — absent
+    components pad with zeros — so prefix probes compare inclusively
+    against full-precision commit stamps."""
+    import datetime as _dt
+
+    s = time_str.strip()
+    try:
+        parsed = _dt.datetime.fromisoformat(s.replace("T", " ", 1))
+    except ValueError:
+        raise ValueError(
+            f"invalid AS OF timestamp {time_str!r}: expected "
+            f"YYYY-MM-DD[ HH:MM:SS[.ffffff]]"
+        )
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return parsed.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
 def version_history(table_path: str) -> list[dict]:
     """[{version, ts}] for every committed version, ascending (the
     DESCRIBE HISTORY primitive). Manifests written before commit-ts
@@ -878,17 +1038,23 @@ def version_history(table_path: str) -> list[dict]:
 
 def resolve_as_of(table_path: str, time_str: str) -> int:
     """The version a ``FOR TIME AS OF time_str`` read resolves to: the
-    NEWEST version whose commit timestamp is <= the requested time
-    (string comparison on the canonical ``YYYY-MM-DD HH:MM:SS[.ffffff]``
-    rendering — lexicographic == chronological; a bare date/prefix
-    compares correctly too). Commit timestamps are non-decreasing in
-    version order by construction at a single writer; with skewed writer
-    clocks the resolution is still deterministic (latest qualifying
-    version wins). Raises if the table has no version that old."""
+    NEWEST version whose commit timestamp is <= the requested time.
+    ``time_str`` is first canonicalized to the manifests' 26-char
+    ``YYYY-MM-DD HH:MM:SS.ffffff`` rendering (missing time-of-day /
+    fraction components pad with zeros), so a bare date or a
+    seconds-precision probe is INCLUSIVE of commits stamped at exactly
+    that instant — without the padding, '2025-06-02' would
+    lexicographically exclude '2025-06-02 00:00:00.000000'. Comparison is
+    then string <=, which on the canonical rendering is chronological.
+    Commit timestamps are non-decreasing in version order by construction
+    at a single writer; with skewed writer clocks the resolution is still
+    deterministic (latest qualifying version wins). Raises if the table
+    has no version that old."""
+    probe = _canon_ts(time_str)
     hist = [h for h in version_history(table_path) if h["ts"] is not None]
     if not hist:
         raise ValueError(f"no timestamped versions at {table_path}")
-    qualifying = [h["version"] for h in hist if h["ts"] <= time_str]
+    qualifying = [h["version"] for h in hist if h["ts"] <= probe]
     if not qualifying:
         raise ValueError(
             f"no version at {table_path} committed at or before "

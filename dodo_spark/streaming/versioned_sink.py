@@ -11,12 +11,16 @@ already committed and SKIPS, turning at-least-once delivery into
 exactly-once table content. The two crash windows both resolve
 correctly:
 
-- crash BEFORE the manifest publish: the ``v=<batch_id>/`` data dir is an
-  orphan (invisible to readers); the replayed batch overwrites it and
-  commits — no duplicate, no loss;
+- crash BEFORE the manifest publish: the attempt's staging files under
+  ``v=<batch_id>/w-<uuid>/`` are orphans (invisible to readers, swept by
+  vacuum); the replayed batch writes its OWN staging dir and commits —
+  no duplicate, no loss;
 - crash AFTER the manifest publish: the replayed batch sees "already
   committed" (or loses the put-if-absent race to a zombie of itself,
-  CommitConflict) and skips — no duplicate.
+  CommitConflict) and skips — no duplicate. Because every attempt
+  stages to a unique directory, a zombie that has already passed the
+  committed-check and is mid-write can never delete or overwrite the
+  winner's committed files — its whole output is unreferenced garbage.
 
 At scale this is one file-level append per micro-batch (no prior file
 read or rewritten), and downstream readers get snapshot isolation per

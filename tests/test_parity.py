@@ -369,3 +369,39 @@ def test_verify_local_artifact_covers_registry():
         art = json.load(f)
     missing = set(reg.queries()) - set(art["results"])
     assert not missing, f"latest sweep artifact missing keys: {sorted(missing)[:10]}"
+
+
+def test_drift_tv_null_n_chars_buckets_identically(spark, tmp_path):
+    """Round-6 advisor finding: the NULL-length sentinel must bucket to
+    the same string on both engines. Spark DIV truncates toward zero and
+    DuckDB // floors, so a -1 sentinel split to '0' vs '-1'; the -100
+    sentinel divides exactly, where truncation == floor. Corpus with NULL
+    n_chars on both drift halves exercises the latent path."""
+    import duckdb
+
+    from dodo_spark import registry
+    from tests.parity import assert_parity
+
+    rows = [
+        (0, "aa", "en", "web", None),      # ref half, NULL length
+        (1, "bb", "en", "web", None),      # cur half, NULL length
+        (2, "cc", "de", "web", 150),
+        (3, "dd", "de", "web", 260),
+        (4, "ee", "en", "web", 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = registry.queries()["stats_drift_tv"](spark, d)
+    assert {r["bucket"] for r in got.collect() if r["dim"] == "len100"} >= {"-1"}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_parity(
+        got, con.sql(registry.oracle_sql()["stats_drift_tv"]).df(), "drift_null"
+    )

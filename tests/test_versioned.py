@@ -919,3 +919,179 @@ def test_restore_version_metadata_only_and_vacuum_guard(spark, tmp_path, capsys)
     vacuum(path, keep_versions=1)
     with pytest.raises(ValueError, match="was vacuumed"):
         restore_version(path, restore_to=0, as_version=6)
+
+
+def test_commits_after_vacuum_stay_readable(spark, table):
+    """Round-6 advisor HIGH finding: a version committed AFTER a vacuum
+    must stay readable — its new files were never deletion candidates.
+    The marker records the exact deleted list, so the guard flags a
+    version iff its live set intersects what some vacuum actually
+    removed."""
+    from dodo_spark.sources.versioned import append_version, vacuum, write_version
+
+    write_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), table, 1
+    )
+    write_version(
+        spark.createDataFrame([(8, 80.0)], "k BIGINT, val DOUBLE"), table, 2
+    )
+    stats = vacuum(str(table), keep_versions=2)
+    assert stats["files_deleted"] >= 1  # the vacuum really removed files
+
+    # post-vacuum commits: an append (shares v2's files) and a replace
+    append_version(
+        spark.createDataFrame([(7, 70.0)], "k BIGINT, val DOUBLE"), table, 3
+    )
+    write_version(
+        spark.createDataFrame([(6, 60.0)], "k BIGINT, val DOUBLE"), table, 4
+    )
+    assert {r["k"] for r in read_version(spark, table, 3).collect()} == {8, 7}
+    assert {r["k"] for r in read_version(spark, table, 4).collect()} == {6}
+    assert {r["k"] for r in read_version(spark, table).collect()} == {6}
+    # the actually-vacuumed version still raises
+    with pytest.raises(ValueError, match="was vacuumed"):
+        read_version(spark, table, 0)
+
+
+def test_legacy_vacuum_marker_without_deleted_list(spark, table):
+    """Markers written before the deleted-list field fall back to the
+    kept-set coverage rule, restricted to versions that existed at vacuum
+    time — post-vacuum commits skip the marker entirely."""
+    import json as _json
+
+    from dodo_spark.sources.versioned import (
+        _vacuum_markers,
+        append_version,
+        vacuum,
+        write_version,
+    )
+
+    write_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), table, 1
+    )
+    write_version(
+        spark.createDataFrame([(8, 80.0)], "k BIGINT, val DOUBLE"), table, 2
+    )
+    vacuum(str(table), keep_versions=2)
+    # strip the deleted list, simulating a marker from the older format
+    marker_path = os.path.join(str(table), "_vacuum_0.json")
+    legacy = _json.load(open(marker_path))
+    legacy.pop("deleted")
+    with open(marker_path, "w") as f:
+        _json.dump(legacy, f)
+    assert _vacuum_markers(str(table))[0].get("deleted") is None
+
+    append_version(
+        spark.createDataFrame([(7, 70.0)], "k BIGINT, val DOUBLE"), table, 3
+    )
+    assert {r["k"] for r in read_version(spark, table, 3).collect()} == {8, 7}
+    with pytest.raises(ValueError, match="was vacuumed"):
+        read_version(spark, table, 0)
+
+
+def test_zombie_writer_cannot_clobber_committed_files(spark, table):
+    """Round-6 advisor MEDIUM finding: a zombie duplicate attempt of an
+    already-committed version (the Structured-Streaming replay window,
+    caught mid-write after passing the committed-check) stages to its OWN
+    v=<n>/w-<uuid>/ dir, so the committed attempt's files survive and the
+    zombie's output is unreferenced garbage that vacuum sweeps."""
+    from dodo_spark.sources.versioned import (
+        _write_data_files,
+        live_files,
+        vacuum,
+        write_version,
+    )
+
+    write_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), table, 1
+    )
+    committed = set(live_files(str(table), 1))
+    # zombie: data-file write for version 1 AFTER version 1 committed
+    zombie = _write_data_files(
+        spark.createDataFrame([(666, 6.0)], "k BIGINT, val DOUBLE"),
+        str(table),
+        1,
+    )
+    assert not set(zombie) & committed  # disjoint staging dirs
+    for f in committed:
+        assert os.path.exists(os.path.join(str(table), f))  # winner intact
+    assert {r["k"] for r in read_version(spark, table, 1).collect()} == {9}
+
+    stats = vacuum(str(table), keep_versions=2)
+    assert stats["orphan_files_deleted"] >= len(zombie)
+    for f in zombie:
+        assert not os.path.exists(os.path.join(str(table), f))
+    assert {r["k"] for r in read_version(spark, table, 1).collect()} == {9}
+
+
+def test_resolve_as_of_prefix_probe_is_inclusive(spark, tmp_path):
+    """Round-6 advisor finding: an AS-OF probe without full fractional
+    precision ('2025-06-02', '2025-06-02 00:00:00', T-separator) must
+    INCLUDE a commit stamped at exactly that instant, not lexicographically
+    exclude it."""
+    from dodo_spark.sources.versioned import resolve_as_of, write_version
+
+    path = str(tmp_path / "asof")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"),
+        path,
+        0,
+        commit_ts="2025-06-02 00:00:00.000000",
+    )
+    write_version(
+        spark.createDataFrame([(2, 2.0)], "k BIGINT, val DOUBLE"),
+        path,
+        1,
+        commit_ts="2025-06-02 12:30:00.500000",
+    )
+    assert resolve_as_of(path, "2025-06-02") == 0
+    assert resolve_as_of(path, "2025-06-02 00:00:00") == 0
+    assert resolve_as_of(path, "2025-06-02T00:00:00") == 0
+    assert resolve_as_of(path, "2025-06-02 12:30:00.5") == 1
+    assert resolve_as_of(path, "2025-06-03") == 1
+    with pytest.raises(ValueError, match="at or before"):
+        resolve_as_of(path, "2025-06-01")
+    with pytest.raises(ValueError, match="invalid AS OF timestamp"):
+        resolve_as_of(path, "not-a-time")
+
+
+def test_hadoop_rename_no_overwrite_refuses_existing_target(spark, tmp_path):
+    """The _HadoopFS rename primitive itself (not the exists pre-check)
+    must refuse an existing destination — FileContext Rename.NONE
+    semantics, the round-6 advisor's put-if-absent race finding."""
+    from dodo_spark.sources.versioned import _fs_for
+
+    base = "file://" + str(tmp_path / "fcr")
+    fs = _fs_for(base)
+    assert fs.put_if_absent_text(base + "/target.json", "winner")
+    # stage a loser tmp file, then rename directly at the primitive
+    tmp = fs._p(base + "/loser.tmp")
+    out = fs._fs.create(tmp, True)
+    try:
+        out.write(bytearray(b"loser"))
+    finally:
+        out.close()
+    assert fs._rename_no_overwrite(tmp, fs._p(base + "/target.json")) is False
+    assert fs.read_text(base + "/target.json") == "winner"
+
+
+def test_fs_list_files_recursive(spark, tmp_path):
+    """Both shims enumerate nested staging files with stable relative
+    paths (the vacuum orphan sweep's primitive)."""
+    from dodo_spark.sources.versioned import _fs_for
+
+    root = tmp_path / "rec"
+    (root / "v=0" / "w-abc").mkdir(parents=True)
+    (root / "v=0" / "w-abc" / "a.parquet").write_text("x")
+    (root / "_manifest_0.json").write_text("{}")
+    want = ["_manifest_0.json", "v=0/w-abc/a.parquet"]
+    assert _fs_for(str(root)).list_files_recursive(str(root)) == want
+    assert _fs_for("file://" + str(root)).list_files_recursive(
+        "file://" + str(root)
+    ) == want
+    assert _fs_for(str(root / "missing")).list_files_recursive(
+        str(root / "missing")
+    ) == []
+    assert _fs_for("file://" + str(root / "missing")).list_files_recursive(
+        "file://" + str(root / "missing")
+    ) == []
