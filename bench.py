@@ -117,6 +117,11 @@ HEADLINE = [
     "text_lm_novelty",
     "corpus_mix_temperature",
     "dedup_incremental_near",
+    # round-7: tokenizer-training pair counts, mixture execution by
+    # deterministic downsampling, and the quality-cascade attrition report
+    "text_bpe_pairs",
+    "corpus_resample_importance",
+    "corpus_filter_funnel",
 ]
 
 

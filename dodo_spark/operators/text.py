@@ -1361,3 +1361,313 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs"
         ),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# BPE pair counting — distributed vocab induction, first merge iteration
+# --------------------------------------------------------------------------
+BPE_TOP_K = 20
+
+
+@register(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x != '')) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT unnest([substring(w, CAST(i AS INT), 2) FOR i IN range(1, len(w))])
+             AS pair
+      FROM words WHERE len(w) >= 2
+    ), counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
+           pair, n
+    FROM counted ORDER BY n DESC, pair LIMIT {BPE_TOP_K}
+    """,
+    doc="Distributed BPE vocabulary induction, first merge iteration "
+    f"(tokenizer training over the corpus): count every adjacent "
+    f"character pair inside whitespace words of the lowercased text and "
+    f"rank the top {BPE_TOP_K} merge candidates (ties break on the pair "
+    "string so the ranking is total). Plan shape: the pair stream is "
+    "generated SCAN-SIDE (explode of a transform over sequence — whole-"
+    "stage codegen, no Python), the groupBy partial-aggregates map-side "
+    "so the single shuffle carries |distinct pairs| per partition (a few "
+    "thousand — bounded by alphabet², not corpus size), and the top-K is "
+    "TakeOrdered, never a global sort. Iterating BPE to a full vocab "
+    "re-runs this count on re-segmented words; each iteration is the "
+    "same linear scan, which is how distributed tokenizer training "
+    "actually spends its time at 100 TB. Character-based substring on "
+    "both engines keeps multibyte (CJK) pairs identical.",
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(_ws_tokens_lower()).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").cast("bigint").alias("n"))
+    # top-K FIRST (TakeOrdered — distributed, never a global sort), then
+    # rank the K-row result; the single-partition window touches only K rows
+    topk = counted.orderBy(F.desc("n"), F.asc("pair")).limit(BPE_TOP_K)
+    return (
+        topk.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("pair"))).cast("bigint"),
+        )
+        .select("rank", "pair", "n")
+        .orderBy("rank")
+    )
+
+
+def _ws_tokens_lower() -> Column:
+    return F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != "")
+
+
+# --------------------------------------------------------------------------
+# importance resampling — execute a target mixture by deterministic
+# per-doc downsampling
+# --------------------------------------------------------------------------
+_RESAMPLE_MOD = 2147483647      # 2^31 - 1
+_RESAMPLE_MULT = 2654435761     # Knuth multiplicative constant
+
+
+def _resample_hash_sql(col: str = "doc_id") -> str:
+    """Seedless per-doc hash in [0, 2^31-1), identical on both engines:
+    operands pre-reduce mod 2^31 so the product stays far under 2^63
+    (the [[cross-engine-exactness]] split-hash rule)."""
+    return f"(({col} % 2147483648) * {_RESAMPLE_MULT}) % {_RESAMPLE_MOD}"
+
+
+@register(
+    "corpus_resample_importance",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST({_mix_weight_sql()} AS BIGINT) AS w
+      FROM documents
+      GROUP BY lang HAVING CAST({_mix_weight_sql()} AS BIGINT) > 0
+    ), lim AS (
+      SELECT n_docs AS n_lim, w AS w_lim
+      FROM avail ORDER BY CAST(n_docs AS DOUBLE) / w, lang LIMIT 1
+    ), plan_rows AS (
+      SELECT lang, n_docs, w,
+             least(n_docs, n_lim * w // w_lim) AS take_docs,
+             (n_docs * w_lim = n_lim * w
+              AND lang = (SELECT min(a2.lang) FROM avail a2
+                          WHERE a2.n_docs * w_lim = n_lim * a2.w)) AS limiting,
+             CAST({_RESAMPLE_MOD} AS BIGINT)
+               * least(n_docs, n_lim * w // w_lim) // n_docs AS h_cut
+      FROM avail, lim
+    ), kept AS (
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS kept_docs
+      FROM documents d JOIN plan_rows p ON d.lang = p.lang
+      WHERE {_resample_hash_sql("d.doc_id")} < p.h_cut
+      GROUP BY d.lang
+    )
+    SELECT p.lang, p.n_docs, p.take_docs,
+           COALESCE(k.kept_docs, 0) AS kept_docs,
+           CAST(COALESCE(k.kept_docs, 0) * 1000000
+                // SUM(COALESCE(k.kept_docs, 0)) OVER () AS BIGINT)
+             AS achieved_share_pm,
+           p.limiting
+    FROM plan_rows p LEFT JOIN kept k ON p.lang = k.lang
+    ORDER BY p.lang
+    """,
+    doc="Importance RESAMPLING to a target mixture — the doc-granular "
+    "EXECUTION step that corpus_mix_waterfill only plans: the most "
+    "under-represented domain relative to its target weight (the "
+    "'limiting' domain, ratio-ordered with a lang tiebreak like the "
+    "waterfill) keeps everything, and every other domain downsamples to "
+    "w * n_limiting/w_limiting docs via a SEEDLESS deterministic hash "
+    "gate — keep iff hash(doc_id) < (2^31-1) * take/n — so the kept set "
+    "is reproducible run-to-run, engine-to-engine, and under any "
+    "partitioning. Plan shape for 100 TB: per-domain counts are one "
+    "tiny groupBy; the 5-row plan table broadcasts back onto the scan "
+    "and the gate is a pure per-row predicate — NO per-domain sort, no "
+    "rank shuffle (a rank-exact variant would need a total order per "
+    "domain, i.e. a multi-billion-row sort per lang; the hash gate "
+    "trades ±O(sqrt(n)) count jitter for a scan-side filter, the "
+    "standard production choice). All thresholds are exact integer "
+    "cross-multiplications (int64-safe to ~4e9 docs per domain); "
+    "achieved shares are per-million integers.",
+)
+def corpus_resample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.expr(_mix_weight_sql()).cast("bigint")
+    avail = (
+        docs.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .withColumn("w", weight)
+        .filter(F.col("w") > 0)
+    )
+    lim = (
+        avail.orderBy(F.col("n_docs").cast("double") / F.col("w"), "lang")
+        .limit(1)
+        .select(F.col("n_docs").alias("n_lim"), F.col("w").alias("w_lim"))
+    )
+    plan = (
+        avail.crossJoin(F.broadcast(lim))  # 1-row limiting-domain broadcast
+        .withColumn(
+            "take_docs", F.least(F.col("n_docs"), F.expr("n_lim * w DIV w_lim"))
+        )
+        .withColumn(
+            "h_cut",
+            F.expr(f"CAST({_RESAMPLE_MOD} AS BIGINT) * take_docs DIV n_docs"),
+        )
+    )
+    # deterministic 'limiting' flag: same ratio AND first lang among exact
+    # ratio ties (cross-multiplied equality, no float compare)
+    tie_min = plan.filter(
+        F.expr("n_docs * w_lim = n_lim * w")
+    ).agg(F.min("lang").alias("lim_lang"))
+    plan = plan.crossJoin(F.broadcast(tie_min)).withColumn(
+        "limiting",
+        F.expr("n_docs * w_lim = n_lim * w AND lang = lim_lang"),
+    )
+    kept = (
+        docs.join(F.broadcast(plan.select("lang", "h_cut")), "lang")
+        .filter(F.expr(f"{_resample_hash_sql()} < h_cut"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("kept_docs"))
+    )
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        plan.join(kept, "lang", "left")
+        .withColumn("kept_docs", F.coalesce("kept_docs", F.lit(0)))
+        .withColumn("total_kept", F.sum("kept_docs").over(tot))
+        .withColumn(
+            "achieved_share_pm",
+            F.expr("kept_docs * 1000000 DIV total_kept").cast("bigint"),
+        )
+        .select(
+            "lang", "n_docs", "take_docs", "kept_docs",
+            "achieved_share_pm", "limiting",
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# filter funnel — Gopher-style quality-rule cascade with per-rule attrition
+# --------------------------------------------------------------------------
+# (name, predicate) over the shared feature columns chars / n_tokens /
+# word_chars / n_distinct / alnum — every predicate is engine-neutral SQL
+# and exact INTEGER arithmetic (ratio thresholds are cross-multiplied), so
+# the same string drives both Spark and the DuckDB oracle.
+FUNNEL_RULES = [
+    ("min_chars", "chars >= 20"),
+    ("max_chars", "chars <= 100000"),
+    ("min_tokens", "n_tokens >= 5"),
+    ("mean_word_len", "2 * n_tokens <= word_chars AND word_chars <= 12 * n_tokens"),
+    ("symbol_ratio", "10 * (word_chars - alnum) <= 3 * word_chars"),
+    ("type_token_ratio", "2 * n_distinct >= n_tokens"),
+]
+
+
+def _funnel_oracle_sql() -> str:
+    aggs, rows = [], []
+    prefix = "TRUE"
+    for i, (name, pred) in enumerate(FUNNEL_RULES, start=1):
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {prefix} THEN 1 ELSE 0 END) AS BIGINT) AS e{i},"
+            f" CAST(SUM(CASE WHEN ({prefix}) AND NOT ({pred}) THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS d{i}"
+        )
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS stage, '{name}' AS rule,"
+            f" e{i} AS evaluated, d{i} AS dropped, e{i} - d{i} AS surviving"
+            f" FROM agg"
+        )
+        prefix = f"({prefix}) AND ({pred})"
+    return f"""
+    WITH feats AS (
+      SELECT length(text) AS chars,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x != '')) AS n_tokens,
+             COALESCE(list_sum(list_transform(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''),
+               x -> len(x))), 0) AS word_chars,
+             len(list_distinct(list_transform(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''),
+               x -> lower(x)))) AS n_distinct,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum
+      FROM documents
+    ), agg AS (
+      SELECT {", ".join(aggs)} FROM feats
+    )
+    {" UNION ALL ".join(rows)}
+    ORDER BY stage
+    """
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=_funnel_oracle_sql(),
+    doc="Quality-filter FUNNEL report (the Gopher/C4-style rule cascade "
+    "every corpus build runs before training): six ordered rules — char "
+    "bounds, token floor, mean word length, symbol ratio, type/token "
+    "ratio — each applied to the SURVIVORS of the previous, with "
+    "per-stage evaluated/dropped/surviving counts so attrition is "
+    "attributable to the rule that caused it (corpus_clean emits the "
+    "final keepers; this emits WHY docs left). Every threshold is an "
+    "integer cross-multiplication over five scan-side feature columns, "
+    "so counts hash exactly across engines. Plan shape: ONE pass — all "
+    "features and all 6 prefix-conditioned sums compute in a single "
+    "scan + partial-aggregate (the shuffle carries one row per "
+    "partition), then the 1-row totals explode into the 6-row report; "
+    "cost at 100 TB is the scan itself, which any filtering pass pays. "
+    "The rules are deliberately ASCII-alphabet-biased (as the published "
+    "ones were); on a real multilingual crawl the symbol_ratio row "
+    "surfaces the CJK attrition that bias causes — the attrition report "
+    "is exactly where such a bias becomes visible. On the synthetic "
+    "corpora the binding rule is type_token_ratio (repeated-word docs); "
+    "the per-rule branches are unit-tested on a crafted corpus where "
+    "every stage drops.",
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    t = _ws_tokens()
+    feats = docs.select(
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(filter(split(text, '\\\\s+'), x -> x != ''),"
+            " x -> length(x)), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("word_chars"),
+        F.size(
+            F.array_distinct(F.transform(t, lambda x: F.lower(x)))
+        ).cast("bigint").alias("n_distinct"),
+        F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")).cast("bigint").alias("alnum"),
+    )
+    aggs = []
+    prefix = F.lit(True)
+    for i, (_name, pred) in enumerate(FUNNEL_RULES, start=1):
+        p = F.expr(pred)
+        aggs.append(F.sum(prefix.cast("bigint")).alias(f"e{i}"))
+        aggs.append(F.sum((prefix & ~p).cast("bigint")).alias(f"d{i}"))
+        prefix = prefix & p
+    totals = feats.agg(*aggs)
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("stage"),
+                F.lit(name).alias("rule"),
+                F.col(f"e{i}").alias("evaluated"),
+                F.col(f"d{i}").alias("dropped"),
+                (F.col(f"e{i}") - F.col(f"d{i}")).alias("surviving"),
+            )
+            for i, (name, _pred) in enumerate(FUNNEL_RULES, start=1)
+        ]
+    )
+    return (
+        totals.select(F.explode(report).alias("r"))
+        .select("r.stage", "r.rule", "r.evaluated", "r.dropped", "r.surviving")
+        .orderBy("stage")
+    )

@@ -186,3 +186,106 @@ def test_graph_triangles_invariants(spark, sf_dir):
     assert 3 * r["n_triangles"] <= r["n_wedges"]
     assert r["n_triangles"] > 0
     assert r["global_clustering"] == 3 * r["n_triangles"] / r["n_wedges"]
+
+
+def _docs_fixture(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _fixture_oracle(d, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    return con.sql(sql).df()
+
+
+def test_filter_funnel_every_stage_drops(spark, tmp_path):
+    """Crafted corpus where each of the six cascade rules drops at least
+    one doc — proves attrition attributes to the FIRST failing rule (a
+    doc failing several rules counts only once) and stays hash-identical
+    to the oracle on all branches."""
+    from dodo_spark import registry
+    from tests.parity import assert_parity
+
+    rows = [
+        (0, "short", "en", "web", 5),                                  # min_chars
+        (1, "word " * 25000, "en", "web", 125000),                     # max_chars
+        (2, "alpha beta gamma delta", "en", "web", 22),                # min_tokens
+        (3, "abcdefghijklmnop abcdefghijklmnopq supercalifragilistic "
+            "extraordinarily incomprehensibilities", "en", "web", 95), # mean high
+        (4, "a b c d e f g h i j k l", "en", "web", 23),               # mean low
+        (5, "!!!! ???? $$$$ %%%% word word2 word3", "en", "web", 36),  # symbols
+        (6, "dup dup dup dup dup dup dup dup", "en", "web", 31),       # ttr
+        (7, "the quick brown fox jumps over the lazy dog today",
+            "en", "web", 49),                                          # survivor
+    ]
+    d = _docs_fixture(spark, tmp_path, rows)
+    got = registry.queries()["corpus_filter_funnel"](spark, d)
+    rep = {r["stage"]: (r["evaluated"], r["dropped"], r["surviving"])
+           for r in got.collect()}
+    assert rep == {
+        1: (8, 1, 7), 2: (7, 1, 6), 3: (6, 1, 5),
+        4: (5, 2, 3), 5: (3, 1, 2), 6: (2, 1, 1),
+    }
+    assert_parity(
+        got,
+        _fixture_oracle(d, registry.oracle_sql()["corpus_filter_funnel"]),
+        "funnel_fixture",
+    )
+
+
+def test_bpe_pairs_multibyte_and_ranking(spark, tmp_path):
+    """Character (not byte) pair semantics on multibyte text, total
+    ranking under count ties, and lowercasing — identical across
+    engines."""
+    from dodo_spark import registry
+    from tests.parity import assert_parity
+
+    rows = [
+        (0, "héllo héllo", "fr", "web", 11),
+        (1, "héllo 世界语 ZZ zz", "zh", "web", 14),
+    ]
+    d = _docs_fixture(spark, tmp_path, rows)
+    got = registry.queries()["text_bpe_pairs"](spark, d)
+    by_pair = {r["pair"]: (r["rank"], r["n"]) for r in got.collect()}
+    assert by_pair["hé"] == (1, 3)          # multibyte pair, count 3
+    assert by_pair["zz"][1] == 2            # ZZ + zz lowercased together
+    assert by_pair["世界"][1] == 1          # CJK adjacent pair, char-based
+    ranks = [r["rank"] for r in got.orderBy("rank").collect()]
+    assert ranks == list(range(1, len(ranks) + 1))  # total, gap-free
+    assert_parity(
+        got,
+        _fixture_oracle(d, registry.oracle_sql()["text_bpe_pairs"]),
+        "bpe_fixture",
+    )
+
+
+def test_resample_importance_invariants(spark, sf_dir):
+    """The limiting domain keeps every doc; every other domain never
+    exceeds its target take; the hash gate is deterministic (two runs
+    agree) and kept counts track take within the O(sqrt(n)) jitter the
+    doc promises."""
+    from dodo_spark import registry
+
+    fn = registry.queries()["corpus_resample_importance"]
+    rows = {r["lang"]: r for r in fn(spark, sf_dir).collect()}
+    limiting = [r for r in rows.values() if r["limiting"]]
+    assert len(limiting) == 1
+    lim = limiting[0]
+    assert lim["kept_docs"] == lim["take_docs"] == lim["n_docs"]
+    for r in rows.values():
+        assert r["take_docs"] <= r["n_docs"]
+        jitter = 4 * max(1, int(r["n_docs"] ** 0.5))
+        assert abs(r["kept_docs"] - r["take_docs"]) <= jitter, r
+    again = {r["lang"]: r for r in fn(spark, sf_dir).collect()}
+    assert {k: v["kept_docs"] for k, v in rows.items()} == {
+        k: v["kept_docs"] for k, v in again.items()
+    }
