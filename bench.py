@@ -122,6 +122,8 @@ HEADLINE = [
     "text_bpe_pairs",
     "corpus_resample_importance",
     "corpus_filter_funnel",
+    "text_ngram_lm_counts",
+    "profile_k_anonymity",
 ]
 
 

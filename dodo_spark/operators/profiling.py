@@ -383,3 +383,74 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ss").cast("double") / (F.col("n") * F.col("k"))).alias("chi2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit — privacy hygiene over quasi-identifier combinations
+# --------------------------------------------------------------------------
+K_ANON_THRESHOLDS = [2, 5, 10, 25]
+K_ANON_QI = ["c_nationkey", "c_mktsegment"]
+
+
+@register(
+    "profile_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT {", ".join(K_ANON_QI)}, CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY {", ".join(K_ANON_QI)}
+    )
+    SELECT CAST(k.k AS BIGINT) AS k,
+           CAST(COUNT(*) FILTER (WHERE class_size < k.k) AS BIGINT)
+             AS classes_below,
+           CAST(COALESCE(SUM(class_size) FILTER (WHERE class_size < k.k), 0)
+                AS BIGINT) AS records_at_risk,
+           CAST((SELECT COUNT(*) FROM classes) AS BIGINT) AS total_classes,
+           CAST((SELECT MIN(class_size) FROM classes) AS BIGINT)
+             AS min_class_size
+    FROM classes, (VALUES {", ".join(f"({k})" for k in K_ANON_THRESHOLDS)}) k(k)
+    GROUP BY k.k ORDER BY k.k
+    """,
+    doc="k-ANONYMITY audit over quasi-identifier combinations "
+    f"({', '.join(K_ANON_QI)} on customer) — the privacy-hygiene check a "
+    "training-data release runs before shipping: an equivalence class "
+    "smaller than k means those records are re-identifiable from the "
+    "quasi-identifiers alone. For each threshold k the report counts "
+    "classes below k and the records at risk inside them, plus the "
+    "global class count and the worst (minimum) class size. Plan shape: "
+    "ONE groupBy over the quasi-identifier tuple (map-side combined; "
+    "the shuffle carries |classes| rows), then all thresholds evaluate "
+    "on the tiny class table with a values-literal cross join — adding "
+    "thresholds or quasi-identifier columns never rescans the base "
+    "table. Suppression/generalization decisions consume exactly this "
+    "report.",
+)
+def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(*K_ANON_QI).agg(
+        F.count("*").cast("bigint").alias("class_size")
+    )
+    classes = classes.localCheckpoint(eager=True)  # tiny; 2 consumers
+    totals = classes.agg(
+        F.count("*").cast("bigint").alias("total_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+    )
+    ks = spark.createDataFrame([(k,) for k in K_ANON_THRESHOLDS], "k BIGINT")
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("class_size") < F.col("k")).cast("bigint")).alias(
+                "classes_below"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("class_size") < F.col("k"), F.col("class_size"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("records_at_risk"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .orderBy("k")
+    )

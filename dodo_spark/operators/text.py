@@ -1507,6 +1507,11 @@ def corpus_resample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", weight)
         .filter(F.col("w") > 0)
     )
+    # the per-domain plan is |domains| rows (5 here) but is referenced by
+    # three downstream branches — localCheckpoint it eagerly so the corpus
+    # scan behind the counts runs ONCE, not once per consumer (same move
+    # as graph_pagerank's edge list)
+    avail = avail.localCheckpoint(eager=True)
     lim = (
         avail.orderBy(F.col("n_docs").cast("double") / F.col("w"), "lang")
         .limit(1)
@@ -1539,7 +1544,7 @@ def corpus_resample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        plan.join(kept, "lang", "left")
+        plan.join(F.broadcast(kept), "lang", "left")
         .withColumn("kept_docs", F.coalesce("kept_docs", F.lit(0)))
         .withColumn("total_kept", F.sum("kept_docs").over(tot))
         .withColumn(
@@ -1670,4 +1675,90 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.select(F.explode(report).alias("r"))
         .select("r.stage", "r.rule", "r.evaluated", "r.dropped", "r.surviving")
         .orderBy("stage")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram LM counts — the Kneser-Ney smoothing inputs, distributed
+# --------------------------------------------------------------------------
+LM_TOP_K = 15
+
+
+@register(
+    "text_ngram_lm_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x != '') AS t
+      FROM documents
+    ), big AS (
+      SELECT unnest([{{'w1': t[CAST(i AS INT)], 'w2': t[CAST(i AS INT)+1]}}
+                     FOR i IN range(1, len(t))], recursive := true)
+      FROM toks WHERE len(t) >= 2
+    ), counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY w1, w2
+    ), topk AS (
+      SELECT w1, w2, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w1, w2) AS BIGINT) AS rank
+      FROM counts ORDER BY n DESC, w1, w2 LIMIT {LM_TOP_K}
+    ), left_div AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS left_contexts FROM counts GROUP BY w2
+    ), right_div AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS right_contexts FROM counts GROUP BY w1
+    )
+    SELECT t.rank, t.w1, t.w2, t.n, l.left_contexts, r.right_contexts
+    FROM topk t JOIN left_div l ON t.w2 = l.w2
+                JOIN right_div r ON t.w1 = r.w1
+    ORDER BY t.rank
+    """,
+    doc="Distributed n-gram language-model counts — the Kneser-Ney "
+    f"smoothing inputs over the corpus: bigram counts c(w1,w2) plus, for "
+    f"the top {LM_TOP_K} bigrams, the continuation diversities the KN "
+    "discount needs — left_contexts = |{{w: c(w,w2)>0}}| (how many "
+    "distinct predecessors w2 follows; the numerator of the KN "
+    "continuation probability) and right_contexts = |{{w: c(w1,w)>0}}| "
+    "(the N1+(w1·) normalizer). Plan shape: bigrams generate SCAN-SIDE "
+    "(transform over sequence, whole-stage codegen), ONE groupBy builds "
+    "the count table, and both diversity tables are groupBys OVER THE "
+    "COUNT TABLE (vocab-sized, orders of magnitude smaller than the "
+    "corpus — counting distinct contexts from counts, not from raw "
+    "bigram occurrences, is what makes KN preprocessing feasible at "
+    "100 TB); the top-K is TakeOrdered and joins the diversity tables "
+    "with the K-row side broadcast.",
+)
+def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(_ws_tokens_lower().alias("t")).filter(F.size("t") >= 2)
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n"))
+    counts = counts.localCheckpoint(eager=True)  # 3 consumers, 1 build
+    topk = (
+        counts.orderBy(F.desc("n"), "w1", "w2")
+        .limit(LM_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "w1", "w2"))
+            .cast("bigint"),
+        )
+    )
+    left_div = counts.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("left_contexts")
+    )
+    right_div = counts.groupBy("w1").agg(
+        F.count("*").cast("bigint").alias("right_contexts")
+    )
+    return (
+        F.broadcast(topk)
+        .join(left_div, "w2")
+        .join(right_div, "w1")
+        .select("rank", "w1", "w2", "n", "left_contexts", "right_contexts")
+        .orderBy("rank")
     )

@@ -171,6 +171,12 @@ BNLJ_ALLOWED = {
     # r6 closing batch: 1-row support-total broadcast onto the pair list
     # (the scale-free edge threshold) + 1-row scalar-assembly cross joins
     "graph_triangles",
+    # r7: 1-row limiting-domain + tie-min broadcasts onto the <=n_domains
+    # plan rows (mixture execution)
+    "corpus_resample_importance",
+    # r7: 4-row threshold-literal + 1-row totals broadcasts onto the
+    # |classes|-row equivalence-class table
+    "profile_k_anonymity",
 }
 
 

@@ -90,3 +90,21 @@ def test_suggest_expectations_roundtrip(spark, sf_dir, tmp_path, capsys):
                  "--suggest-expectations", "nation"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out == exp
+
+
+def test_k_anonymity_report_invariants(spark, sf_dir):
+    """classes_below and records_at_risk are monotone in k; thresholds at
+    or below the minimum class size report zero risk; totals are
+    k-independent."""
+    from dodo_spark import registry
+
+    rows = registry.queries()["profile_k_anonymity"](spark, sf_dir).collect()
+    assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
+    below = [r["classes_below"] for r in rows]
+    risk = [r["records_at_risk"] for r in rows]
+    assert below == sorted(below) and risk == sorted(risk)
+    assert len({(r["total_classes"], r["min_class_size"]) for r in rows}) == 1
+    for r in rows:
+        if r["k"] <= r["min_class_size"]:
+            assert r["classes_below"] == 0 and r["records_at_risk"] == 0
+        assert r["records_at_risk"] >= r["classes_below"]  # classes nonempty

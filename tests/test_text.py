@@ -289,3 +289,29 @@ def test_resample_importance_invariants(spark, sf_dir):
     assert {k: v["kept_docs"] for k, v in rows.items()} == {
         k: v["kept_docs"] for k, v in again.items()
     }
+
+
+def test_ngram_lm_counts_known_fixture(spark, tmp_path):
+    """Hand-checkable Kneser-Ney inputs: counts, left-context diversity
+    (distinct predecessors of w2 anywhere in the corpus), right-context
+    diversity — and oracle parity on the same fixture."""
+    from dodo_spark import registry
+    from tests.parity import assert_parity
+
+    rows = [
+        (0, "a b a b c", "en", "web", 9),
+        (1, "x b", "en", "web", 3),
+    ]
+    d = _docs_fixture(spark, tmp_path, rows)
+    got = registry.queries()["text_ngram_lm_counts"](spark, d)
+    by_pair = {(r["w1"], r["w2"]): r for r in got.collect()}
+    top = by_pair[("a", "b")]
+    assert top["rank"] == 1 and top["n"] == 2
+    assert top["left_contexts"] == 2   # b follows both 'a' and 'x'
+    assert top["right_contexts"] == 1  # 'a' is only ever followed by 'b'
+    assert by_pair[("b", "c")]["n"] == 1
+    assert_parity(
+        got,
+        _fixture_oracle(d, registry.oracle_sql()["text_ngram_lm_counts"]),
+        "lm_counts_fixture",
+    )
