@@ -124,6 +124,7 @@ HEADLINE = [
     "corpus_filter_funnel",
     "text_ngram_lm_counts",
     "profile_k_anonymity",
+    "dedup_semantic_cells",
 ]
 
 

@@ -1252,3 +1252,162 @@ def _register_text_containment() -> None:
 
 
 _register_text_containment()
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside quantizer cells
+# --------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.35  # epsilon is corpus-tuned by design (see doc)
+SEMDEDUP_TARGET_CELL = 32  # target mean cell size; cells scale with n
+SEMDEDUP_MIN_BITS, SEMDEDUP_MAX_BITS = 4, 12
+
+
+def _semdedup_bits(n: int) -> int:
+    """Smallest b in [MIN, MAX] with 2^b * TARGET_CELL >= n — pure integer
+    arithmetic, mirrored verbatim by the oracle's VALUES probe (no float
+    log2 whose rounding could diverge between engines)."""
+    for b in range(SEMDEDUP_MIN_BITS, SEMDEDUP_MAX_BITS):
+        if (1 << b) * SEMDEDUP_TARGET_CELL >= n:
+            return b
+    return SEMDEDUP_MAX_BITS
+
+
+def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sv, cell): adaptive sign-bit quantizer cells — the shared
+    assignment the key and its tests both use."""
+    from dodo_spark.functions.vectors import scaled_vec
+    from dodo_spark.operators.similarity import _emb, _plane_components
+
+    v = _emb(spark, sf_dir).select("vec_id", scaled_vec("embedding").alias("sv"))
+    nb = _semdedup_bits(v.count())  # one bounded driver scalar
+
+    def bucket_bit(j: int):
+        plane = F.array(*[F.lit(c) for c in _plane_components(j)]).cast(
+            "array<bigint>"
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("sv"), plane, lambda x, p: x * p),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return (dot > 0).cast("bigint") * (1 << j)
+
+    bucket = sum(
+        [bucket_bit(j) for j in range(nb)], start=F.lit(0).cast("bigint")
+    )
+    return v.withColumn("cell", bucket)
+
+
+def _register_dedup_semantic_cells() -> None:
+    from dodo_spark.operators.similarity import _plane_components
+
+    planes = [_plane_components(j) for j in range(SEMDEDUP_MAX_BITS)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {j} < nb AND list_dot_product(sv, {planes[j]}) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(SEMDEDUP_MAX_BITS)
+    )
+    bit_values = ", ".join(
+        f"({b})" for b in range(SEMDEDUP_MIN_BITS, SEMDEDUP_MAX_BITS + 1)
+    )
+
+    @register(
+        "dedup_semantic_cells",
+        oracle=f"""
+        WITH v AS (
+          SELECT vec_id, {sql_scaled_vec("embedding")} AS sv FROM embeddings
+        ), cnt AS (
+          SELECT COUNT(*) AS n FROM v
+        ), bits AS (
+          SELECT COALESCE(
+                   MIN(CASE WHEN (1 << b) * {SEMDEDUP_TARGET_CELL} >= n
+                            THEN b END),
+                   {SEMDEDUP_MAX_BITS}) AS nb
+          FROM (VALUES {bit_values}) t(b), cnt
+        ), cells AS (
+          SELECT vec_id, sv, CAST({bucket_terms} AS BIGINT) AS cell
+          FROM v, bits
+        ), pairs AS (
+          SELECT a.cell, b.vec_id AS drop_id
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {sql_cosine("a.sv", "b.sv")} >= {SEMDEDUP_THRESHOLD}
+        ), drops AS (
+          SELECT cell, CAST(COUNT(DISTINCT drop_id) AS BIGINT) AS n_dropped,
+                 CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+          FROM pairs GROUP BY cell
+        ), sizes AS (
+          SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+          FROM cells GROUP BY cell
+        )
+        SELECT CAST(s.cell AS BIGINT) AS cell, s.n_vectors,
+               COALESCE(d.n_dup_pairs, 0) AS n_dup_pairs,
+               COALESCE(d.n_dropped, 0) AS n_dropped,
+               s.n_vectors - COALESCE(d.n_dropped, 0) AS n_kept
+        FROM sizes s LEFT JOIN drops d ON s.cell = d.cell
+        ORDER BY s.cell
+        """,
+        doc="SemDeDup — semantic deduplication inside quantizer cells (the "
+        "cluster-then-prune method for embedding-level redundancy in LLM "
+        "corpora): every vector is assigned to a cell by a deterministic "
+        "sign-bit quantizer (the similarity_lsh hyperplanes — scan-side "
+        "projection, no shuffle, no fitted model to ship), then "
+        "near-duplicate pairs are searched ONLY within each cell "
+        "(a.vec_id < b.vec_id equi-join on the cell key) and every "
+        "vector >= epsilon-similar to a lower-id cellmate drops "
+        "(keep-min-id, the same representative rule as dedup_near). The "
+        "CELL COUNT SCALES WITH THE CORPUS — bits = smallest b with "
+        f"2^b * {SEMDEDUP_TARGET_CELL} >= n, chosen by pure integer "
+        "probe on both engines — so mean cell size stays ~constant and "
+        "the within-cell pair mass stays LINEAR in n (a fixed cell "
+        "count would be quadratic: the first cut of this key measured "
+        "22.9x at 10x data; with adaptive bits the rehearsal slope is "
+        "the recorded ~1x). Epsilon is corpus-TUNED by design "
+        f"({SEMDEDUP_THRESHOLD} here — the synthetic embeddings are "
+        "near-orthogonal, max within-cell cosine ~0.49; real text "
+        "embeddings use ~0.95): the paper itself selects epsilon per "
+        "dataset to hit a dedup-rate target. Output is the per-cell "
+        "attrition report (vectors / dup pairs / dropped / kept). At "
+        "100 TB: cells partition the corpus, each cell's pair join runs "
+        "independently, and the keep set feeds the training mix "
+        "directly.",
+    )
+    def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cells = _semdedup_cells(spark, sf_dir)
+        a, b = cells.alias("a"), cells.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.cell").alias("cell"),
+                F.col("b.vec_id").alias("drop_id"),
+                cosine(F.col("a.sv"), F.col("b.sv")).alias("cs"),
+            )
+            .filter(F.col("cs") >= SEMDEDUP_THRESHOLD)
+        )
+        drops = pairs.groupBy("cell").agg(
+            F.countDistinct("drop_id").cast("bigint").alias("n_dropped"),
+            F.count("*").cast("bigint").alias("n_dup_pairs"),
+        )
+        sizes = cells.groupBy("cell").agg(
+            F.count("*").cast("bigint").alias("n_vectors")
+        )
+        return (
+            sizes.join(F.broadcast(drops), "cell", "left")
+            .select(
+                F.col("cell").cast("bigint").alias("cell"),
+                "n_vectors",
+                F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+                F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+                (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))).alias(
+                    "n_kept"
+                ),
+            )
+            .orderBy("cell")
+        )
+
+
+_register_dedup_semantic_cells()

@@ -233,3 +233,48 @@ def test_incremental_near_gate_semantics(spark, sf_dir):
     for doc in redelivered:
         assert doc in got, f"redelivered doc {doc} not rejected"
         assert got[doc]["jaccard"] == 1.0
+
+
+def test_semantic_cells_attrition_identities(spark, sf_dir):
+    """SemDeDup per-cell report: kept + dropped == vectors, cell sizes sum
+    to the corpus, dropped never exceeds pair count, and the keep-min-id
+    rule leaves NO epsilon-similar pair among kept vectors (drop b iff a
+    lower-id similar cellmate exists, so any similar pair implies its
+    higher id was dropped)."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark import registry
+    from dodo_spark.catalog import load_table
+    from dodo_spark.functions.vectors import cosine
+    from dodo_spark.operators.dedup import SEMDEDUP_THRESHOLD, _semdedup_cells
+
+    rows = registry.queries()["dedup_semantic_cells"](spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    assert sum(r["n_dropped"] for r in rows) > 0  # epsilon actually bites
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
+        assert r["n_dropped"] <= r["n_dup_pairs"]
+
+    # reconstruct the kept set (same quantizer cells as the key) and
+    # assert it is epsilon-separated per cell
+    cells = _semdedup_cells(spark, str(sf_dir))
+    a, b = cells.alias("a"), cells.alias("b")
+    sim_pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).filter(cosine(F.col("a.sv"), F.col("b.sv")) >= SEMDEDUP_THRESHOLD)
+    dropped = sim_pairs.select(F.col("b.vec_id").alias("vec_id")).distinct()
+    kept = cells.join(dropped, "vec_id", "left_anti")
+    ka, kb = kept.alias("a"), kept.alias("b")
+    still_similar = (
+        ka.join(
+            kb,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.sv"), F.col("b.sv")) >= SEMDEDUP_THRESHOLD)
+        .count()
+    )
+    assert still_similar == 0

@@ -177,6 +177,9 @@ BNLJ_ALLOWED = {
     # r7: 4-row threshold-literal + 1-row totals broadcasts onto the
     # |classes|-row equivalence-class table
     "profile_k_anonymity",
+    # r7: the similarity_ivf 1-row centroid broadcast, reused for the
+    # SemDeDup cell assignment
+    "dedup_semantic_cells",
 }
 
 

@@ -245,6 +245,7 @@ KEYS = [
     "corpus_filter_funnel",
     "text_ngram_lm_counts",
     "profile_k_anonymity",
+    "dedup_semantic_cells",
 ]
 
 
