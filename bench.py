@@ -125,6 +125,7 @@ HEADLINE = [
     "text_ngram_lm_counts",
     "profile_k_anonymity",
     "dedup_semantic_cells",
+    "source_jsonl_corpus",
 ]
 
 

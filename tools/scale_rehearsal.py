@@ -246,6 +246,7 @@ KEYS = [
     "text_ngram_lm_counts",
     "profile_k_anonymity",
     "dedup_semantic_cells",
+    "source_jsonl_corpus",
 ]
 
 
