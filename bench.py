@@ -126,6 +126,7 @@ HEADLINE = [
     "profile_k_anonymity",
     "dedup_semantic_cells",
     "source_jsonl_corpus",
+    "streaming_jsonl_ingest",
 ]
 
 

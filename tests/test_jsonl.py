@@ -46,3 +46,34 @@ def test_jsonl_corrupt_lines_quarantined_with_payload(spark, tmp_path):
     assert corrupt == {'{"doc_id": 2, "text": "torn', "plainly not json"}
     ok = back.filter(F.col("_corrupt").isNull()).collect()
     assert len(ok) == 1 and ok[0]["doc_id"] == 1 and ok[0]["text"] == "ok"
+
+
+def test_streaming_jsonl_ingest_exactly_once_restart(spark, tmp_path):
+    """Restarting the JSONL ingest stream against the same checkpoint
+    re-delivers no batch: version list and content are unchanged (the
+    exactly-once contract), and corrupt lines never reach the table."""
+    from dodo_spark.sources.jsonl import (
+        stream_jsonl_to_versioned,
+        write_jsonl_corpus,
+    )
+    from dodo_spark.sources.versioned import list_versions, read_version
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en", "web", 5) for i in range(6)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    landing = str(tmp_path / "landing")
+    write_jsonl_corpus(df, landing)
+    (tmp_path / "landing" / "bad.txt").write_text('{"torn\nnot json\n')
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream_jsonl_to_versioned(spark, landing, table, checkpoint_dir=ckpt)
+    versions = list_versions(table)
+    got = {r["doc_id"] for r in read_version(spark, table).collect()}
+    assert got == set(range(6))  # clean rows only; corrupt never ingested
+
+    # restart with the same checkpoint: no new files -> no new versions
+    stream_jsonl_to_versioned(spark, landing, table, checkpoint_dir=ckpt)
+    assert list_versions(table) == versions
+    assert {r["doc_id"] for r in read_version(spark, table).collect()} == got

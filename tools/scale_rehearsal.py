@@ -247,6 +247,7 @@ KEYS = [
     "profile_k_anonymity",
     "dedup_semantic_cells",
     "source_jsonl_corpus",
+    "streaming_jsonl_ingest",
 ]
 
 
