@@ -363,6 +363,54 @@ def cmd_import(args: argparse.Namespace) -> int:
     return 0
 
 
+# -------------------------------------------------------- ingest-jsonl ----
+def cmd_ingest_jsonl(args: argparse.Namespace) -> int:
+    """Ingest a JSONL corpus (the wire format LLM corpora ship in) into a
+    versioned table with corrupt-line quarantine accounting — B9's ingest
+    role for JSON lines, batch or streaming (exactly-once foreachBatch)."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        stream_jsonl_to_versioned,
+    )
+    from dodo_spark.sources.versioned import (
+        append_version,
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    spark = _spark(args.parallel)
+    if args.streaming:
+        stream_jsonl_to_versioned(
+            spark, args.input, args.table, checkpoint_dir=args.checkpoint
+        )
+        versions = list_versions(args.table)
+        n = read_version(spark, args.table).count()
+        print(
+            f"streamed {args.input} -> {args.table}: "
+            f"{len(versions)} version(s), {n} rows live"
+        )
+        return 0
+
+    parsed = read_jsonl_corpus(spark, args.input)
+    corrupt = parsed.filter(F.col("_corrupt").isNotNull()).count()
+    clean = parsed.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    versions = list_versions(args.table)
+    version = (max(versions) + 1) if versions else 0
+    if versions:
+        append_version(clean, args.table, version)
+    else:
+        write_version(clean, args.table, version)
+    n = clean.count()
+    print(
+        f"ingested {n} rows -> {args.table} v{version} "
+        f"({corrupt} corrupt line(s) quarantined)"
+    )
+    return 1 if args.fail_on_corrupt and corrupt else 0
+
+
 # -------------------------------------------------------------- export ----
 def cmd_export(args: argparse.Namespace) -> int:
     """Export a table to csv/parquet with {db}/{table} templating
@@ -893,6 +941,16 @@ def build_parser() -> argparse.ArgumentParser:
         "(the stream-load columns: mapping)",
     )
     im.set_defaults(fn=cmd_import)
+
+    ij = sub.add_parser("ingest-jsonl", help="ingest a JSONL corpus into a versioned table")
+    ij.add_argument("--input", required=True, help="JSONL file or landing directory")
+    ij.add_argument("--table", required=True, help="versioned table path (commits as next version)")
+    ij.add_argument("--streaming", action="store_true",
+                    help="readStream the landing dir; one exactly-once version per micro-batch")
+    ij.add_argument("--checkpoint", default=None, help="stream checkpoint dir (resumable ingest)")
+    ij.add_argument("--fail-on-corrupt", action="store_true",
+                    help="exit 1 when any line is quarantined (batch mode)")
+    ij.set_defaults(fn=cmd_ingest_jsonl)
 
     e = sub.add_parser("export", help="export a table")
     e.add_argument("--sf-dir", required=True)

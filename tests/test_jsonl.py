@@ -77,3 +77,36 @@ def test_streaming_jsonl_ingest_exactly_once_restart(spark, tmp_path):
     stream_jsonl_to_versioned(spark, landing, table, checkpoint_dir=ckpt)
     assert list_versions(table) == versions
     assert {r["doc_id"] for r in read_version(spark, table).collect()} == got
+
+
+def test_cli_ingest_jsonl_batch_and_corrupt_exit(spark, tmp_path, capsys):
+    """CLI batch ingest: first call commits v0, second appends v1, corrupt
+    lines are reported, and --fail-on-corrupt flips the exit code."""
+    from dodo_spark.cli import main
+    from dodo_spark.sources.jsonl import write_jsonl_corpus
+    from dodo_spark.sources.versioned import list_versions, read_version
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en", "web", 5) for i in range(4)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    landing = str(tmp_path / "landing")
+    write_jsonl_corpus(df, landing)
+    table = str(tmp_path / "tbl")
+    assert main(["ingest-jsonl", "--input", landing, "--table", table]) == 0
+    assert "v0 (0 corrupt line(s) quarantined)" in capsys.readouterr().out
+    assert list_versions(table) == [0]
+
+    (tmp_path / "landing2").mkdir()
+    (tmp_path / "landing2" / "a.txt").write_text(
+        '{"doc_id": 9, "text": "late", "lang": "en", "source": "web", "n_chars": 4}\n'
+        "garbage line\n"
+    )
+    rc = main(["ingest-jsonl", "--input", str(tmp_path / "landing2"),
+               "--table", table, "--fail-on-corrupt"])
+    assert rc == 1  # corrupt line present -> nonzero under --fail-on-corrupt
+    out = capsys.readouterr().out
+    assert "1 corrupt line(s) quarantined" in out
+    assert list_versions(table) == [0, 1]  # the clean row still committed
+    got = {r["doc_id"] for r in read_version(spark, table).collect()}
+    assert got == {0, 1, 2, 3, 9}
