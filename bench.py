@@ -127,6 +127,7 @@ HEADLINE = [
     "dedup_semantic_cells",
     "source_jsonl_corpus",
     "streaming_jsonl_ingest",
+    "profile_l_diversity",
 ]
 
 

@@ -454,3 +454,83 @@ def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .orderBy("k")
     )
+
+
+# sensitive attribute: account-balance band (FLOOR((x+1000)/1000) — floor
+# of an identical IEEE division on both engines; the +1000 shift keeps the
+# band non-negative so no trunc-vs-floor divergence on negative balances)
+L_DIV_SENSITIVE_SQL = "CAST(FLOOR((c_acctbal + 1000) / 1000) AS BIGINT)"
+L_DIV_QI = ["c_mktsegment", "c_nationkey"]
+L_DIV_THRESHOLDS = [3, 5, 8, 11]
+
+
+@register(
+    "profile_l_diversity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT {", ".join(L_DIV_QI)},
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT {L_DIV_SENSITIVE_SQL}) AS BIGINT) AS l
+      FROM customer GROUP BY {", ".join(L_DIV_QI)}
+    )
+    SELECT CAST(t.l_req AS BIGINT) AS l_req,
+           CAST(COUNT(*) FILTER (WHERE l < t.l_req) AS BIGINT)
+             AS classes_below,
+           CAST(COALESCE(SUM(class_size) FILTER (WHERE l < t.l_req), 0)
+                AS BIGINT) AS records_at_risk,
+           CAST((SELECT MIN(l) FROM classes) AS BIGINT) AS min_l,
+           CAST((SELECT COUNT(*) FROM classes) AS BIGINT) AS total_classes
+    FROM classes, (VALUES {", ".join(f"({k})" for k in L_DIV_THRESHOLDS)}) t(l_req)
+    GROUP BY t.l_req ORDER BY t.l_req
+    """,
+    doc="l-DIVERSITY audit — the companion to profile_k_anonymity: "
+    "k-anonymity alone cannot stop attribute disclosure (a class of 50 "
+    "records all sharing ONE sensitive value leaks it to anyone who can "
+    "place a person in the class), so this counts DISTINCT sensitive "
+    "values (account-balance bands) per quasi-identifier class "
+    f"({', '.join(L_DIV_QI)} on customer) and reports, per required l, "
+    "the classes below it and the records exposed in them, plus the "
+    "worst (minimum) diversity. Same plan shape as the k-audit: one "
+    "groupBy over the QI tuple carrying a distinct-count, then every "
+    "threshold evaluates on the |classes|-row table — auditing more "
+    "l values never rescans the base table. The band expression floors "
+    "an identical IEEE division on both engines (a raw integer CAST "
+    "would round in DuckDB but truncate in Spark).",
+)
+def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(*L_DIV_QI).agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.countDistinct(F.expr(L_DIV_SENSITIVE_SQL)).cast("bigint").alias("l"),
+    )
+    classes = classes.localCheckpoint(eager=True)  # tiny; 2 consumers
+    totals = classes.agg(
+        F.min("l").cast("bigint").alias("min_l"),
+        F.count("*").cast("bigint").alias("total_classes"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in L_DIV_THRESHOLDS], "l_req BIGINT"
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("l_req")
+        .agg(
+            F.sum((F.col("l") < F.col("l_req")).cast("bigint")).alias(
+                "classes_below"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("l") < F.col("l_req"), F.col("class_size"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("records_at_risk"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "l_req", "classes_below", "records_at_risk", "min_l",
+            "total_classes",
+        )
+        .orderBy("l_req")
+    )

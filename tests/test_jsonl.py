@@ -110,3 +110,43 @@ def test_cli_ingest_jsonl_batch_and_corrupt_exit(spark, tmp_path, capsys):
     assert list_versions(table) == [0, 1]  # the clean row still committed
     got = {r["doc_id"] for r in read_version(spark, table).collect()}
     assert got == {0, 1, 2, 3, 9}
+
+
+def test_jsonl_roundtrip_fuzz(spark, tmp_path):
+    """Seeded random hostile text (JSON metacharacters, control chars,
+    backslash runs, CJK + astral unicode, embedded newlines/tabs, empty
+    and NULL) through the JSONL export/import — every value must round
+    trip exactly, no line may tear, and nothing may land in _corrupt."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dodo_spark.sources.jsonl import read_jsonl_corpus, write_jsonl_corpus
+
+    rng = random.Random(13)
+    alphabet = [
+        '"', "\\", "{", "}", "[", "]", ":", ",", "\n", "\r", "\t", "\x00",
+        "\x1b", "a", "7", " ", "é", "汉", "☆", "🦆", " ", " ",
+    ]
+
+    def s():
+        if rng.random() < 0.1:
+            return None
+        return "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+
+    rows = [(i, s(), s(), s(), rng.randrange(-5, 10**12)) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    path = str(tmp_path / "fuzz")
+    write_jsonl_corpus(df, path)
+    back = read_jsonl_corpus(spark, path)
+    assert back.filter(F.col("_corrupt").isNotNull()).count() == 0
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in back.collect()
+    }
+    want = {i: (t, l, src, n) for i, t, l, src, n in rows}
+    diffs = [(k, got[k], want[k]) for k in want if got.get(k) != want[k]]
+    assert len(got) == len(want)
+    assert not diffs, diffs[:3]

@@ -180,6 +180,8 @@ BNLJ_ALLOWED = {
     # r7: the similarity_ivf 1-row centroid broadcast, reused for the
     # SemDeDup cell assignment
     "dedup_semantic_cells",
+    # r7: same bounded threshold/totals broadcasts as profile_k_anonymity
+    "profile_l_diversity",
 }
 
 

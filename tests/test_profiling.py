@@ -108,3 +108,21 @@ def test_k_anonymity_report_invariants(spark, sf_dir):
         if r["k"] <= r["min_class_size"]:
             assert r["classes_below"] == 0 and r["records_at_risk"] == 0
         assert r["records_at_risk"] >= r["classes_below"]  # classes nonempty
+
+
+def test_l_diversity_report_invariants(spark, sf_dir):
+    """classes_below/records_at_risk monotone in l_req; thresholds at or
+    below min_l report zero; the l-audit is bounded by the k-audit's
+    class structure (diversity can never exceed class size)."""
+    from dodo_spark import registry
+
+    rows = registry.queries()["profile_l_diversity"](spark, sf_dir).collect()
+    below = [r["classes_below"] for r in rows]
+    risk = [r["records_at_risk"] for r in rows]
+    assert below == sorted(below) and risk == sorted(risk)
+    assert len({(r["min_l"], r["total_classes"]) for r in rows}) == 1
+    for r in rows:
+        if r["l_req"] <= r["min_l"]:
+            assert r["classes_below"] == 0 and r["records_at_risk"] == 0
+        assert r["records_at_risk"] >= r["classes_below"]
+        assert r["classes_below"] <= r["total_classes"]

@@ -248,6 +248,7 @@ KEYS = [
     "dedup_semantic_cells",
     "source_jsonl_corpus",
     "streaming_jsonl_ingest",
+    "profile_l_diversity",
 ]
 
 
