@@ -387,6 +387,12 @@ def cmd_ingest_jsonl(args: argparse.Namespace) -> int:
             spark, args.input, args.table, checkpoint_dir=args.checkpoint
         )
         versions = list_versions(args.table)
+        if not versions:
+            print(
+                f"streamed {args.input} -> {args.table}: no micro-batch "
+                f"committed (empty landing dir, or every line corrupt)"
+            )
+            return 0
         n = read_version(spark, args.table).count()
         print(
             f"streamed {args.input} -> {args.table}: "

@@ -1295,7 +1295,9 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = sum(
         [bucket_bit(j) for j in range(nb)], start=F.lit(0).cast("bigint")
     )
-    return v.withColumn("cell", bucket)
+    # 3 consumers downstream (pair-join both sides + sizes): checkpoint so
+    # the embeddings scan + scaled_vec projection runs once, not per branch
+    return v.withColumn("cell", bucket).localCheckpoint(eager=True)
 
 
 def _register_dedup_semantic_cells() -> None:

@@ -38,24 +38,34 @@ _BAD_LINES = [
 ]
 
 
-def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
-    """Parse a JSONL corpus with explicit schema + corrupt-line capture.
-    PERMISSIVE mode parses what it can; a line that fails the schema
-    lands whole in ``_corrupt``. The parsed frame is cached before the
-    corrupt-column filter because Spark refuses queries that project
-    ONLY the internal corrupt-record column from a lazy JSON relation
-    (SPARK-21610) — callers filtering on ``_corrupt`` need the
-    materialized form anyway (quarantine + audit both read it)."""
+def _parse_jsonl(col) -> "F.Column":
+    """``from_json`` with the explicit corpus schema and a ``_corrupt``
+    capture field — the same JacksonParser semantics as the PERMISSIVE
+    DataFrameReader (unparseable line OR type-mismatched field -> the
+    whole raw line lands in ``_corrupt``), as a plain expression."""
     schema = T.StructType(
         DOC_SCHEMA.fields + [T.StructField("_corrupt", T.StringType())]
     )
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(path)
+    return F.from_json(
+        col,
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
     )
-    return df.cache()
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a JSONL corpus with explicit schema + corrupt-line capture:
+    ``spark.read.text`` + ``_parse_jsonl``. Deliberately NOT the JSON
+    DataFrameReader: the reader's internal corrupt-record column cannot
+    be queried alone without caching the whole relation (SPARK-21610),
+    and that cache pinned a full parsed-corpus copy in executor storage
+    per invocation. The from_json expression has identical PERMISSIVE
+    semantics with no such restriction and no cache."""
+    return (
+        spark.read.text(path)
+        .select(_parse_jsonl(F.col("value")).alias("d"))
+        .select("d.*")
+    )
 
 
 def write_jsonl_corpus(df: DataFrame, path: str) -> None:
@@ -129,19 +139,18 @@ def stream_jsonl_to_versioned(
     counted by the batch reader's audit; the streaming path's contract
     is clean-rows-only ingest), and each micro-batch committed
     exactly-once through the versioned sink (batch-id-as-version)."""
-    from dodo_spark.streaming.versioned_sink import versioned_batch_writer
+    from dodo_spark.streaming.versioned_sink import stream_to_versioned_table
 
     raw = spark.readStream.text(jsonl_dir)
     parsed = (
-        raw.select(F.from_json("value", DOC_SCHEMA).alias("d"))
-        .filter(F.col("d").isNotNull() & F.col("d.doc_id").isNotNull())
+        raw.select(_parse_jsonl(F.col("value")).alias("d"))
+        .filter(F.col("d._corrupt").isNull() & F.col("d.doc_id").isNotNull())
         .select("d.*")
+        .drop("_corrupt")
     )
-    w = parsed.writeStream.foreachBatch(versioned_batch_writer(table_path))
-    if checkpoint_dir:
-        w = w.option("checkpointLocation", checkpoint_dir)
-    q = w.trigger(availableNow=True).start()
-    q.awaitTermination(timeout_s)
+    stream_to_versioned_table(
+        parsed, table_path, timeout_s=timeout_s, checkpoint_dir=checkpoint_dir
+    )
 
 
 @register(

@@ -223,19 +223,23 @@ class _HadoopFS:
                 jvm.org.apache.hadoop.fs.Options.Rename, 1
             )
             opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
-            try:
-                fc.rename(tmp, target, opts)
-                return True
-            except Exception as e:
-                if "AlreadyExists" in str(
-                    getattr(e, "java_exception", e)
-                ) or "already exists" in str(e):
-                    return False
-                raise
         except Exception:
-            # FileContext unavailable for this scheme: FileSystem.rename —
-            # atomic dest-exists-fails on HDFS, weaker guarantee elsewhere
+            # FileContext unavailable for this scheme ONLY: FileSystem
+            # rename — atomic dest-exists-fails on HDFS, weaker elsewhere.
+            # Scoped to the handle acquisition: a rename-time error must
+            # NOT fall through here (a transient namenode failure would
+            # otherwise be retried via an overwrite-capable rename and
+            # could misreport as a lost race, silently dropping a commit).
             return bool(self._fs.rename(tmp, target))
+        try:
+            fc.rename(tmp, target, opts)
+            return True
+        except Exception as e:
+            if "AlreadyExists" in str(
+                getattr(e, "java_exception", e)
+            ) or "already exists" in str(e):
+                return False
+            raise  # genuine IO failure: surface it, never mask as a race
 
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._p(path)))
@@ -826,7 +830,11 @@ def vacuum(table_path: str, keep_versions: int = 2) -> dict:
     fs = _fs_for(table_path)
     versions = list_versions(table_path)
     if not versions:
-        return {"files_deleted": 0, "versions_retained": []}
+        return {
+            "files_deleted": 0,
+            "versions_retained": [],
+            "orphan_files_deleted": 0,
+        }
     retained = versions[-keep_versions:]
     keep: set[str] = set()
     for v in retained:

@@ -82,7 +82,15 @@ def stream_to_versioned_table(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.trigger(availableNow=True).start()
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # still running: a silent return here would let callers read a
+        # half-ingested table while the query keeps committing behind them
+        q.stop()
+        raise TimeoutError(
+            f"stream into {table_path} did not drain within {timeout_s}s "
+            f"(stopped; committed versions so far remain valid — rerun "
+            f"with the same checkpoint to resume)"
+        )
 
 
 # --------------------------------------------------------------------------
