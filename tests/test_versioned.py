@@ -1095,3 +1095,91 @@ def test_fs_list_files_recursive(spark, tmp_path):
     assert _fs_for("file://" + str(root / "missing")).list_files_recursive(
         "file://" + str(root / "missing")
     ) == []
+
+
+@pytest.mark.parametrize("backend", ["local", "hadoop"])
+def test_vacuum_algebra_randomized_against_model(spark, tmp_path, backend):
+    """Model-based check of the VACUUM/RESTORE algebra (the area of the
+    round-6 advisor's high finding): a random sequence of write / append /
+    restore / vacuum ops is mirrored by a pure-Python model tracking each
+    version's abstract FILE SET (write -> fresh file, append -> prior
+    files + one, restore -> the target's files, vacuum -> delete every
+    file outside the retained versions' union). After every step, every
+    version the model says is intact must read back its exact content,
+    and every version the model says lost a file must raise 'was
+    vacuumed' — commits made after a vacuum stay readable, appends that
+    share still-live files stay readable below the retention cutoff, and
+    restores of vacuumed targets fail cleanly. Both filesystem shims."""
+    import random
+
+    from dodo_spark.sources.versioned import (
+        append_version,
+        restore_version,
+        vacuum,
+        write_version,
+    )
+
+    rng = random.Random(23)
+    path = str(tmp_path / "valg")
+    if backend == "hadoop":
+        path = "file://" + path
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "k BIGINT, val DOUBLE"
+        ).coalesce(1)
+
+    content: dict[int, dict] = {}
+    files: dict[int, frozenset] = {}
+    dead_files: set = set()
+    next_key = 0
+
+    def commit(v: int, op: str) -> None:
+        nonlocal next_key
+        if op == "write":
+            d = {next_key: float(next_key)}
+            next_key += 1
+            write_version(df_of(d), path, v)
+            content[v] = d
+            files[v] = frozenset({("w", v)})
+        elif op == "append":
+            prev = max(content)
+            d = {next_key: float(next_key)}
+            next_key += 1
+            append_version(df_of(d), path, v)
+            content[v] = {**content[prev], **d}
+            files[v] = files[prev] | {("a", v)}
+        else:  # restore to a random INTACT version
+            target = rng.choice(
+                [t for t in content if not files[t] & dead_files]
+            )
+            restore_version(path, restore_to=target, as_version=v)
+            content[v] = dict(content[target])
+            files[v] = files[target]
+
+    commit(0, "write")
+    v = 1
+    for _step in range(14):
+        op = rng.choice(["write", "append", "append", "restore", "vacuum"])
+        if op == "vacuum":
+            keep = rng.choice([1, 2])
+            vacuum(path, keep_versions=keep)
+            retained = sorted(content)[-keep:]
+            kept = frozenset().union(*[files[r] for r in retained])
+            dead_files.update(
+                frozenset().union(*files.values()) - kept
+            )
+        else:
+            commit(v, op)
+            v += 1
+
+        for ver in sorted(content):
+            if files[ver] & dead_files:
+                with pytest.raises(ValueError, match="was vacuumed"):
+                    read_version(spark, path, ver)
+            else:
+                got = {
+                    r["k"]: r["val"]
+                    for r in read_version(spark, path, ver).collect()
+                }
+                assert got == content[ver], f"version {ver} after step {_step}"
