@@ -128,6 +128,7 @@ HEADLINE = [
     "source_jsonl_corpus",
     "streaming_jsonl_ingest",
     "profile_l_diversity",
+    "corpus_dedup_funnel",
 ]
 
 

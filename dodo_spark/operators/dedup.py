@@ -1413,3 +1413,139 @@ def _register_dedup_semantic_cells() -> None:
 
 
 _register_dedup_semantic_cells()
+
+
+# --------------------------------------------------------------------------
+# dedup funnel — exact -> near cascade with per-stage attrition
+# --------------------------------------------------------------------------
+def _register_corpus_dedup_funnel() -> None:
+    sh_expr, mh_cols, band_selects = _minhash_sql_parts()
+
+    @register(
+        "corpus_dedup_funnel",
+        oracle=f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+        ), ex AS (
+          SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keep
+          FROM base GROUP BY 1
+        ), survivors AS (
+          SELECT b.doc_id, b.text FROM base b JOIN ex ON ex.keep = b.doc_id
+        ), d AS (
+          SELECT doc_id, {sh_expr} AS sh FROM survivors
+        ), m AS (
+          SELECT doc_id, sh,
+             {mh_cols}
+          FROM (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS shh FROM d) t
+        ), b AS (
+        {band_selects}
+        ), p AS (
+          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM b a JOIN b c
+            ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+               AND a.doc_id < c.doc_id
+        ), v AS (
+          SELECT p.doc_b,
+                 len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS inter,
+                 len(da.sh) AS la, len(db.sh) AS lb
+          FROM p JOIN d da ON da.doc_id = p.doc_a
+                 JOIN d db ON db.doc_id = p.doc_b
+        ), near_drop AS (
+          SELECT DISTINCT doc_b AS doc_id FROM v
+          WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= {JACCARD_THRESHOLD}
+        ), counts AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_base,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors) AS n_surv,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM near_drop) AS n_near
+        )
+        SELECT CAST(1 AS BIGINT) AS stage, 'exact' AS rule,
+               n_base AS evaluated, n_base - n_surv AS dropped,
+               n_surv AS surviving
+        FROM counts
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'near', n_surv, n_near, n_surv - n_near
+        FROM counts
+        ORDER BY stage
+        """,
+        doc="Dedup FUNNEL — the exact -> near cascade every corpus build "
+        "runs, with per-stage attrition (corpus_clean emits the final "
+        "keepers; corpus_filter_funnel attributes quality drops; this "
+        "attributes DEDUP drops): stage 1 removes exact duplicates "
+        "(md5 of lower/trim content, keep-min-doc_id — the same "
+        "convention as dedup_exact/corpus_clean), stage 2 runs the "
+        "shared minhash-LSH kernel (_minhash_band_rows, verbatim the "
+        "dedup_near signature scheme) over the EXACT-SURVIVORS ONLY and "
+        "drops the higher id of every verified-Jaccard>=0.8 pair. "
+        "Running near-dedup after exact is not just reporting hygiene: "
+        "exact dups collide in every band, so pre-removing them cuts "
+        "the LSH bucket mass the pair join pays for. Plan shape: one "
+        "content-hash groupBy + the banded equi-join of dedup_near "
+        "(never all-pairs), with counts assembled from 1-row aggregates.",
+    )
+    def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.text import spread_scan
+
+        docs = spread_scan(load_table(spark, sf_dir, "documents"))
+        base = docs.select("doc_id", "text")
+        keep = (
+            base.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        survivors = base.join(keep, "doc_id")
+
+        d, exploded = _minhash_band_rows(survivors)
+        left, right = exploded.alias("a"), exploded.alias("c")
+        pairs = (
+            left.join(
+                right,
+                (F.col("a.band_idx") == F.col("c.band_idx"))
+                & (F.col("a.band_key") == F.col("c.band_key"))
+                & (F.col("a.doc_id") < F.col("c.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+        db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+        verified = pairs.join(da, "doc_a").join(db, "doc_b")
+        inter = F.size(F.array_intersect("sha", "shb"))
+        union = F.size("sha") + F.size("shb") - inter
+        near_drop = (
+            verified.filter(inter.cast("double") / union >= JACCARD_THRESHOLD)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+
+        n_base = base.agg(F.count("*").cast("bigint").alias("n_base"))
+        n_surv = survivors.agg(F.count("*").cast("bigint").alias("n_surv"))
+        n_near = near_drop.agg(F.count("*").cast("bigint").alias("n_near"))
+        counts = n_base.crossJoin(F.broadcast(n_surv)).crossJoin(
+            F.broadcast(n_near)
+        )
+        report = F.array(
+            F.struct(
+                F.lit(1).cast("bigint").alias("stage"),
+                F.lit("exact").alias("rule"),
+                F.col("n_base").alias("evaluated"),
+                (F.col("n_base") - F.col("n_surv")).alias("dropped"),
+                F.col("n_surv").alias("surviving"),
+            ),
+            F.struct(
+                F.lit(2).cast("bigint").alias("stage"),
+                F.lit("near").alias("rule"),
+                F.col("n_surv").alias("evaluated"),
+                F.col("n_near").alias("dropped"),
+                (F.col("n_surv") - F.col("n_near")).alias("surviving"),
+            ),
+        )
+        return (
+            counts.select(F.explode(report).alias("r"))
+            .select("r.stage", "r.rule", "r.evaluated", "r.dropped", "r.surviving")
+            .orderBy("stage")
+        )
+
+
+_register_corpus_dedup_funnel()

@@ -278,3 +278,44 @@ def test_semantic_cells_attrition_identities(spark, sf_dir):
         .count()
     )
     assert still_similar == 0
+
+
+def test_dedup_funnel_both_stages_drop(spark, tmp_path):
+    """Crafted corpus where BOTH cascade stages drop: exact copies fall at
+    stage 1 (keep-min-id), near-identical variants at stage 2, and a doc
+    that is BOTH an exact copy and a near-dup counts only at stage 1 —
+    plus oracle parity on the fixture."""
+    import duckdb
+
+    from dodo_spark import registry
+    from tests.parity import assert_parity
+
+    long = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest until the morning light")
+    near = long.replace("morning", "evening")
+    rows = [
+        (0, long, "en", "web", len(long)),
+        (1, long, "en", "web", len(long)),        # exact copy -> stage 1
+        (2, near, "en", "web", len(near)),        # near-dup    -> stage 2
+        (3, long + " ", "en", "web", len(long)),  # trim-equal  -> stage 1
+        (4, "completely different text about spark shuffles and joins "
+            "written at length to clear the shingle width", "en", "web", 100),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = registry.queries()["corpus_dedup_funnel"](spark, d)
+    rep = {r["stage"]: (r["evaluated"], r["dropped"], r["surviving"])
+           for r in got.collect()}
+    assert rep[1] == (5, 2, 3)   # docs 1 and 3 fall to exact
+    assert rep[2] == (3, 1, 2)   # doc 2 falls to near; 0 and 4 survive
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_parity(
+        got, con.sql(registry.oracle_sql()["corpus_dedup_funnel"]).df(), "ddfunnel"
+    )

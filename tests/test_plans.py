@@ -182,6 +182,8 @@ BNLJ_ALLOWED = {
     "dedup_semantic_cells",
     # r7: same bounded threshold/totals broadcasts as profile_k_anonymity
     "profile_l_diversity",
+    # r7: 1-row stage-count broadcasts assembling the 2-row report
+    "corpus_dedup_funnel",
 }
 
 

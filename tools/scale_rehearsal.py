@@ -249,6 +249,7 @@ KEYS = [
     "source_jsonl_corpus",
     "streaming_jsonl_ingest",
     "profile_l_diversity",
+    "corpus_dedup_funnel",
 ]
 
 
