@@ -1492,7 +1492,10 @@ def _register_corpus_dedup_funnel() -> None:
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
         )
-        survivors = base.join(keep, "doc_id")
+        # 5 downstream consumers (both band-join sides, both shingle
+        # fetches, the survivor count): checkpoint so the hash-groupBy +
+        # keeper join runs once, not once per subtree
+        survivors = base.join(keep, "doc_id").localCheckpoint(eager=True)
 
         d, exploded = _minhash_band_rows(survivors)
         left, right = exploded.alias("a"), exploded.alias("c")
