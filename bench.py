@@ -129,6 +129,7 @@ HEADLINE = [
     "streaming_jsonl_ingest",
     "profile_l_diversity",
     "corpus_dedup_funnel",
+    "dedup_span_windows",
 ]
 
 

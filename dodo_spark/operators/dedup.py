@@ -1552,3 +1552,101 @@ def _register_corpus_dedup_funnel() -> None:
 
 
 _register_corpus_dedup_funnel()
+
+
+# --------------------------------------------------------------------------
+# exact span dedup — duplicated token windows across documents
+# --------------------------------------------------------------------------
+SPAN_WINDOW_TOKENS = 8  # tokens per non-overlapping window
+
+
+def _register_dedup_span_windows() -> None:
+    W = SPAN_WINDOW_TOKENS
+
+    @register(
+        "dedup_span_windows",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                     x -> x != '') AS t
+          FROM documents
+        ), win AS (
+          SELECT doc_id,
+                 unnest([md5(array_to_string(
+                           t[(CAST(i AS INT)-1)*{W}+1 : (CAST(i AS INT)-1)*{W}+{W}],
+                           ' '))
+                         FOR i IN range(1, len(t)//{W} + 1)]) AS h
+          FROM toks WHERE len(t) >= {W}
+        ), counts AS (
+          SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+          FROM win GROUP BY h
+        )
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS shared_windows,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000
+                    // COUNT(*) AS BIGINT) AS shared_pm
+        FROM win w JOIN counts c ON w.h = c.h
+        GROUP BY w.doc_id
+        HAVING SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
+        ORDER BY w.doc_id
+        """,
+        doc="Exact SPAN dedup — duplicated token windows across documents "
+        "(the substring-granular dedup of 'Deduplicating Training Data "
+        "Makes Language Models Better': repeated 50-token spans drive "
+        "memorization even when whole docs are unique; this detects them "
+        f"at non-overlapping {W}-token window granularity, the stride "
+        "form that keeps the window stream at n/W rows instead of the "
+        "sliding form's n): every complete window hashes (md5 of the "
+        "space-joined lowercased tokens), a hash appearing in >= 2 "
+        "DISTINCT docs marks all its windows shared, and each flagged "
+        "doc reports its window count, shared-window count, and "
+        "shared per-mille — the removal decision input (winnow covers "
+        "the approximate/near-match tier; this is the exact tier). "
+        "Plan shape: windows generate SCAN-SIDE, ONE groupBy on the "
+        "128-bit window hash (uniform, no skew), and the per-doc "
+        "report joins windows to hash counts on h then re-groups by "
+        "doc — every shuffle key is either the hash or doc_id. At "
+        "100 TB the window stream is corpus_tokens/W rows of "
+        "(doc_id, 16-byte hash): the same cost class as shingling, "
+        "linear, and the only state is the vocab-of-windows count "
+        "table.",
+    )
+    def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.text import spread_scan
+
+        docs = spread_scan(load_table(spark, sf_dir, "documents"))
+        toks = F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != "")
+        win = (
+            docs.select("doc_id", toks.alias("t"))
+            .filter(F.size("t") >= W)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(t) DIV {W}),"
+                        f" i -> md5(concat_ws(' ', slice(t, (i-1)*{W}+1, {W}))))"
+                    )
+                ).alias("h"),
+            )
+        )
+        counts = win.groupBy("h").agg(
+            F.countDistinct("doc_id").cast("bigint").alias("nd")
+        )
+        return (
+            win.join(counts, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_windows"),
+                F.sum((F.col("nd") > 1).cast("bigint")).alias("shared_windows"),
+            )
+            .filter(F.col("shared_windows") > 0)
+            .withColumn(
+                "shared_pm",
+                F.expr("shared_windows * 1000 DIV n_windows").cast("bigint"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_dedup_span_windows()

@@ -319,3 +319,45 @@ def test_dedup_funnel_both_stages_drop(spark, tmp_path):
     assert_parity(
         got, con.sql(registry.oracle_sql()["corpus_dedup_funnel"]).df(), "ddfunnel"
     )
+
+
+def test_span_windows_exact_semantics(spark, tmp_path):
+    """Hand-checkable span report: a doc sharing exactly one 8-token
+    window with another is flagged with shared=1; a doc with no complete
+    window or no cross-doc window is absent; within-doc repetition alone
+    does NOT flag (distinct-doc rule) — plus oracle parity."""
+    import duckdb
+
+    from dodo_spark import registry
+    from tests.parity import assert_parity
+
+    span = "one two three four five six seven eight"          # 8 tokens
+    rows = [
+        (0, span + " tail_a word_a pad_a more_a x_a y_a z_a w_a", "en", "w", 1),
+        (1, span + " tail_b word_b pad_b more_b x_b y_b z_b w_b", "en", "w", 1),
+        (2, "totally unrelated words that fill one whole window here",
+         "en", "w", 1),                                        # unique window
+        (3, "short doc", "en", "w", 1),                        # < 8 tokens
+        (4, span + " " + span, "en", "w", 1),                  # shares w/ 0,1
+        (5, ("rep " * 16).strip(), "en", "w", 1),              # self-repeat only
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = registry.queries()["dedup_span_windows"](spark, d)
+    rep = {r["doc_id"]: (r["n_windows"], r["shared_windows"], r["shared_pm"])
+           for r in got.collect()}
+    assert rep[0] == (2, 1, 500)   # first window shared, tail unique
+    assert rep[1] == (2, 1, 500)
+    assert rep[4] == (2, 2, 1000)  # both its windows are the shared span
+    assert 2 not in rep and 3 not in rep and 5 not in rep
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_parity(
+        got, con.sql(registry.oracle_sql()["dedup_span_windows"]).df(), "spans"
+    )

@@ -250,6 +250,7 @@ KEYS = [
     "streaming_jsonl_ingest",
     "profile_l_diversity",
     "corpus_dedup_funnel",
+    "dedup_span_windows",
 ]
 
 
