@@ -116,7 +116,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the (edges ⋈ deg) contribution base is consumed once per iteration;
     # checkpoint it so the join runs once instead of PR_ITERS times
-    # (measured at sf0.1: 9.4→5.6 s cold, 5.2→4.7 s warm)
+    # (measured at sf0.1: 9.4→5.6 s cold, 5.2→4.7 s warm). A
+    # repartition("src") before the checkpoint was tried and REVERTED:
+    # the local checkpoint does not carry the hash partitioning into the
+    # iteration joins here, so it paid an extra full shuffle for nothing
+    # (3.5→4.5 s warm at sf0.1). On a cluster the same intent is
+    # expressed by bucketing the edge list on src (writers.write_bucketed).
     contrib_base = edges.join(deg, "src").localCheckpoint(eager=False)
     for _ in range(PR_ITERS):
         ranks = (
