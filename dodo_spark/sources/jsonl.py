@@ -14,7 +14,7 @@ an ingest that cannot account for them under-reports corpus loss.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -111,16 +111,24 @@ def source_jsonl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad.coalesce(1).write.mode("append").text(path)
 
     parsed = read_jsonl_corpus(spark, path)
-    corrupt = parsed.filter(F.col("_corrupt").isNotNull()).count()
+    # ONE parse pass: clean-row aggregates and the corrupt tally ride the
+    # same groupBy (corrupt lines land in whatever lang they parsed to,
+    # usually NULL; the window total reassembles them before groups that
+    # hold only corrupt lines are dropped) — the cached-reader form paid
+    # either a pinned corpus copy or a second full parse for this
+    clean = F.col("_corrupt").isNull()
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        parsed.filter(F.col("_corrupt").isNull())
-        .groupBy("lang")
+        parsed.groupBy("lang")
         .agg(
-            F.count("*").cast("bigint").alias("docs"),
-            F.sum(F.length("text")).cast("bigint").alias("chars_total"),
-            F.sum("doc_id").cast("bigint").alias("id_sum"),
-            F.lit(corrupt).cast("bigint").alias("corrupt_lines"),
+            F.sum(clean.cast("bigint")).alias("docs"),
+            F.sum(F.when(clean, F.length("text"))).cast("bigint").alias("chars_total"),
+            F.sum(F.when(clean, F.col("doc_id"))).cast("bigint").alias("id_sum"),
+            F.sum((~clean).cast("bigint")).alias("bad"),
         )
+        .withColumn("corrupt_lines", F.sum("bad").over(tot).cast("bigint"))
+        .filter(F.col("docs") > 0)
+        .select("lang", "docs", "chars_total", "id_sum", "corrupt_lines")
         .orderBy("lang")
     )
 
