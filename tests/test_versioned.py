@@ -1183,3 +1183,62 @@ def test_vacuum_algebra_randomized_against_model(spark, tmp_path, backend):
                     for r in read_version(spark, path, ver).collect()
                 }
                 assert got == content[ver], f"version {ver} after step {_step}"
+
+
+def test_concurrent_same_version_append_race_keeps_winner_files(spark, tmp_path):
+    """True concurrency through the FULL append path (data-file staging +
+    put-if-absent commit): 4 threads race append_version for the SAME
+    version. Exactly one commits; every loser raises (CommitConflict at
+    the manifest, or 'already committed' from the pre-check); and —
+    the round-7 staging fix — the winner's committed files survive the
+    losers' data writes byte-for-byte, because every attempt stages to
+    its own v=<n>/w-<uuid>/ dir."""
+    import threading
+
+    from dodo_spark.sources.versioned import (
+        CommitConflict,
+        append_version,
+        live_files,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "zr")
+    write_version(
+        spark.createDataFrame([(0, 0.0)], "k BIGINT, val DOUBLE").coalesce(1),
+        path, 0,
+    )
+    dfs = [
+        spark.createDataFrame([(100 + i, float(i))], "k BIGINT, val DOUBLE")
+        .coalesce(1)
+        for i in range(4)
+    ]
+    results: list = [None] * 4
+    barrier = threading.Barrier(4)
+
+    def writer(i: int) -> None:
+        try:
+            barrier.wait()
+            append_version(dfs[i], path, 1)
+            results[i] = "won"
+        except CommitConflict:
+            results[i] = "conflict"
+        except ValueError as e:
+            results[i] = "late" if "already committed" in str(e) else f"ERR {e}"
+        except Exception as e:  # pragma: no cover - diagnostic
+            results[i] = f"ERR {e}"
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("won") == 1, results
+    assert all(r in ("won", "conflict", "late") for r in results), results
+
+    winner = results.index("won")
+    got = {r["k"]: r["val"] for r in read_version(spark, path, 1).collect()}
+    assert got == {0: 0.0, 100 + winner: float(winner)}, (results, got)
+    # every committed file physically present (no loser deleted them)
+    for f in live_files(path, 1):
+        assert os.path.exists(os.path.join(path, f)), f
