@@ -1242,3 +1242,34 @@ def test_concurrent_same_version_append_race_keeps_winner_files(spark, tmp_path)
     # every committed file physically present (no loser deleted them)
     for f in live_files(path, 1):
         assert os.path.exists(os.path.join(path, f)), f
+
+
+def test_canon_ts_prefix_forms_property(spark):
+    """Property: for random instants, every truncated rendering of the
+    same instant (bare date at midnight, seconds precision when the
+    fraction is zero, T separator, trailing whitespace) canonicalizes to
+    the exact 26-char manifest rendering — so AS-OF prefix probes are
+    inclusive at equal instants by construction."""
+    import datetime as dt
+    import random
+
+    from dodo_spark.sources.versioned import _canon_ts
+
+    rng = random.Random(99)
+    for _ in range(200):
+        base = dt.datetime(
+            rng.randrange(1990, 2100), rng.randrange(1, 13), rng.randrange(1, 29),
+            rng.randrange(24), rng.randrange(60), rng.randrange(60),
+            rng.choice([0, rng.randrange(1_000_000)]),
+        )
+        canon = base.strftime("%Y-%m-%d %H:%M:%S.%f")
+        forms = [canon, canon.replace(" ", "T", 1), " " + canon + " "]
+        if base.microsecond == 0:
+            forms.append(base.strftime("%Y-%m-%d %H:%M:%S"))
+            if (base.hour, base.minute, base.second) == (0, 0, 0):
+                forms.append(base.strftime("%Y-%m-%d"))
+        for f in forms:
+            assert _canon_ts(f) == canon, (f, canon)
+    # aware inputs normalize to UTC before rendering
+    aware = "2025-06-02 08:00:00+08:00"
+    assert _canon_ts(aware) == "2025-06-02 00:00:00.000000"
