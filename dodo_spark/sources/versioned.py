@@ -1012,6 +1012,55 @@ def read_version_pruned(
     )
 
 
+def read_changes(
+    spark: SparkSession, table_path: str, version: int
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Per-commit change feed: ``(added_rows, removed_rows)`` for exactly
+    one commit — the CDC primitive that makes incremental consumers
+    possible on this commit log. Reads ONLY the files named in
+    ``version``'s own manifest (never the table's live set), so the cost
+    of consuming a commit is proportional to the commit, not the table:
+    a 1 GB append to a 100 TB table feeds downstream refreshes with 1 GB
+    of I/O. A rewriting commit (delete/merge/compact) yields both sides;
+    consumers net them (``removed`` rows carry negative multiplicity in
+    an aggregate delta). Either side is ``None`` when the manifest's
+    list is empty."""
+    versions = list_versions(table_path)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions} at {table_path}")
+    m = _read_manifest(table_path, version)
+    # guard the files this read will actually open: the commit's own
+    # add+remove lists. A RETAINED version's remove-side files belonged
+    # to its predecessor and may still have been swept, so check the
+    # union against each marker's deleted list directly rather than via
+    # the live-set rule.
+    wanted = set(m.get("add") or []) | set(m.get("remove") or [])
+    for marker in _vacuum_markers(table_path):
+        deleted = marker.get("deleted")
+        swept = (
+            bool(wanted & set(deleted))
+            if deleted is not None
+            # legacy marker without a deleted list: conservative — only
+            # versions newer than everything the vacuum saw are safe
+            else version <= max(marker["retained"])
+            and version not in marker["retained"]
+        )
+        if swept:
+            raise ValueError(
+                f"changes for version {version} at {table_path} reference "
+                f"vacuumed files (retained: {marker['retained']})"
+            )
+
+    def _rd(files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[_join(table_path, f) for f in files]
+        )
+
+    return _rd(m.get("add") or []), _rd(m.get("remove") or [])
+
+
 def _canon_ts(time_str: str) -> str:
     """Canonical 26-char ``YYYY-MM-DD HH:MM:SS.ffffff`` rendering of an
     AS-OF probe, accepting a bare date, date+time, or full precision
@@ -1702,3 +1751,119 @@ def _register_time_travel_restore() -> None:
 
 
 _register_time_travel_restore()
+
+
+def _register_materialized_agg_refresh() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "materialized_agg_refresh",
+        oracle="""
+        WITH final AS (
+          SELECT o_custkey, o_totalprice FROM orders
+          WHERE o_orderkey < 2400
+            AND NOT (o_orderkey >= 1600 AND o_orderkey % 10 = 7)
+        ), state AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+          FROM final GROUP BY o_custkey
+        )
+        SELECT CAST(o_custkey % 25 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS orders_cnt,
+               CAST(SUM(total) AS DOUBLE) AS total,
+               TRUE AS delta_bounded
+        FROM state GROUP BY bucket ORDER BY bucket
+        """,
+        doc="Incremental materialized-aggregate maintenance over the "
+        "versioned commit log (the Delta/Iceberg incremental-ETL "
+        "pattern; same commit algebra as time_travel_incremental, "
+        "consumed through read_changes): a per-custkey (count, "
+        "DECIMAL-sum) state is built from v0, then REFRESHED through "
+        "three commits — two appends and a row-level DELETE — by "
+        "reading ONLY each commit's own add/remove files and merging "
+        "signed deltas (removed rows enter with negated multiplicity, "
+        "the classic retraction algebra) into the persisted state via a "
+        "key-partitioned merge. No refresh ever re-reads the base "
+        "table: at 100 TB a 1% append costs 1% I/O + a state-sized "
+        "merge, where a full recompute costs the table. DECIMAL "
+        "accumulation keeps add-then-retract exact, so the maintained "
+        "state is bit-identical to the from-scratch oracle. The "
+        "delta_bounded contract asserts the append manifests removed "
+        "nothing and the DELETE rewrote only the appended range's "
+        "files. Output: the final state folded to 25 custkey buckets.",
+    )
+    def materialized_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        root = scratch_dir("materialized_agg_refresh")
+        tbl = _join(root, "tbl")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        write_version(o.filter(k < 800), tbl, 0)
+        append_version(o.filter((k >= 800) & (k < 1600)), tbl, 1)
+        append_version(o.filter((k >= 1600) & (k < 2400)), tbl, 2)
+        delete_where(
+            spark, tbl, 3, "o_orderkey >= 1600 AND o_orderkey % 10 = 7"
+        )
+
+        def delta(df: DataFrame, sign: int) -> DataFrame:
+            return df.groupBy("o_custkey").agg(
+                (F.lit(sign) * F.count("*")).cast("bigint").alias("cnt"),
+                (
+                    F.lit(sign)
+                    * F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                )
+                .cast("decimal(18,4)")
+                .alias("total"),
+            )
+
+        state_path = None
+        for v in sorted(list_versions(tbl)):
+            added, removed = read_changes(spark, tbl, v)
+            parts = []
+            if state_path is not None:
+                parts.append(spark.read.parquet(state_path))
+            if added is not None:
+                parts.append(delta(added, 1))
+            if removed is not None:
+                parts.append(delta(removed, -1))
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            state = (
+                merged.groupBy("o_custkey")
+                .agg(
+                    F.sum("cnt").cast("bigint").alias("cnt"),
+                    F.sum("total").cast("decimal(18,4)").alias("total"),
+                )
+                .filter(F.col("cnt") > 0)
+            )
+            state_path = _join(root, f"state_v{v}")
+            state.write.mode("overwrite").parquet(state_path)
+
+        m1, m2, m3 = (_read_manifest(tbl, v) for v in (1, 2, 3))
+        bounded = (
+            not m1.get("remove")
+            and not m2.get("remove")
+            and set(m3.get("remove") or []) <= set(m2.get("add") or [])
+        )
+        return (
+            spark.read.parquet(state_path)
+            .groupBy((F.col("o_custkey") % 25).cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_keys"),
+                F.sum("cnt").cast("bigint").alias("orders_cnt"),
+                F.sum("total").cast("double").alias("total"),
+                F.lit(bounded).alias("delta_bounded"),
+            )
+            .orderBy("bucket")
+        )
+
+
+_register_materialized_agg_refresh()

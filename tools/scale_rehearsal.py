@@ -251,6 +251,9 @@ KEYS = [
     "profile_l_diversity",
     "corpus_dedup_funnel",
     "dedup_span_windows",
+    # round-7 continuation: CDC-fed incremental materialized-view
+    # maintenance over the versioned commit log
+    "materialized_agg_refresh",
 ]
 
 
