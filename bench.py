@@ -133,6 +133,9 @@ HEADLINE = [
     # round-7 continuation: CDC-fed incremental materialized-view
     # maintenance over the versioned commit log
     "materialized_agg_refresh",
+    "layout_zorder",
+    "join_bucketed",
+    "corpus_domain_cap",
 ]
 
 

@@ -1705,3 +1705,70 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("rank50", "ties50", 0.5).alias("p50_within_bound"),
         within("rank90", "ties90", 0.9).alias("p90_within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed fact-fact join (the Doris DISTRIBUTED BY HASH(col) BUCKETS n
+# layout as a *queryable* surface; physical shape proved by
+# tests/test_plans.py::test_bucketed_join_is_shuffle_free)
+# ---------------------------------------------------------------------------
+def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with BOTH sides pre-bucketed on the join key:
+    the join itself needs no Exchange — each task zips co-located
+    buckets. Tables are per-process (pid-suffixed) managed tables in the
+    warehouse dir, overwritten on reuse, so concurrent sessions never
+    clobber each other's layout. The ``merge`` hint pins SortMergeJoin so
+    the plan exercises the bucket layout rather than broadcasting the
+    smaller side — at 100 TB neither fact side broadcasts, which is
+    exactly the case bucketing exists for."""
+    import os as _os
+
+    from dodo_spark.sources.writers import write_bucketed
+
+    pid = _os.getpid()
+    ot, lt = f"orders_bkt_{pid}", f"lineitem_bkt_{pid}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), ot, 8, ["o_orderkey"],
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), lt, 8, ["l_orderkey"],
+        sort_cols=["l_orderkey"],
+    )
+    o, l = spark.table(ot), spark.table(lt)
+    return o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+
+
+@register(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS line_cnt,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue", 6)}
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    doc="The bucketed co-located fact-fact join as an oracle-checked "
+    "query (reference layout clause: DISTRIBUTED BY HASH(col) BUCKETS n, "
+    "DorisParser.g4 distribution desc): both facts are written "
+    "bucketed+sorted on the order key, so the orders ⋈ lineitem join "
+    "plan contains NO Exchange — the one shuffle in the whole query is "
+    "the final per-priority aggregate. At 100 TB this turns the dominant "
+    "fact-fact exchange (re-shuffling both tables per query) into a "
+    "write-once layout cost amortized across every later join on the "
+    "key. Results are proved identical to the plain unbucketed join.",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = bucketed_fact_join(spark, sf_dir)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("line_cnt"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                6,
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

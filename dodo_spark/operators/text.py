@@ -1762,3 +1762,60 @@ def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "w1", "w2", "n", "left_contexts", "right_contexts")
         .orderBy("rank")
     )
+
+
+DOMAIN_CAP_K = 10
+
+
+@register(
+    "corpus_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) FILTER (WHERE rk <= {DOMAIN_CAP_K}) AS BIGINT)
+             AS kept,
+           CAST(COUNT(*) FILTER (WHERE rk > {DOMAIN_CAP_K}) AS BIGINT)
+             AS dropped,
+           CAST(SUM(n_chars) FILTER (WHERE rk <= {DOMAIN_CAP_K}) AS BIGINT)
+             AS kept_chars,
+           CAST(MIN(doc_id) FILTER (WHERE rk <= {DOMAIN_CAP_K}) AS BIGINT)
+             AS first_kept
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    doc="Per-domain quota capping (the web-corpus over-representation "
+    "control: no single domain may contribute more than K documents, "
+    "keeping the longest first): rank documents within each source by "
+    "(n_chars DESC, doc_id) — a PARTITIONED window, one shuffle on "
+    "source, never a global sort — keep rank <= K, and report per-source "
+    "kept/dropped attrition plus the kept character mass. At 100 TB the "
+    "domain key is the partition column, so the window state per task is "
+    "one domain's postings; skewed mega-domains split under AQE and only "
+    "their top-K heap survives the scan. The deterministic (length, id) "
+    "priority makes the cap reproducible across runs and engines — a "
+    "policy knob, not a sample.",
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    k = F.col("rk") <= DOMAIN_CAP_K
+    ranked = docs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+        ),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.when(k, 1)).alias("kept"),
+            F.count(F.when(~k, 1)).alias("dropped"),
+            F.sum(F.when(k, F.col("n_chars"))).cast("bigint").alias("kept_chars"),
+            F.min(F.when(k, F.col("doc_id"))).cast("bigint").alias("first_kept"),
+        )
+        .orderBy("source")
+    )

@@ -340,3 +340,14 @@ def test_lm_novelty_topk_is_take_ordered(plans):
     100 TB posture."""
     plan = plans("text_lm_novelty")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_join_bucketed_key_join_is_exchange_free(spark, sf_dir):
+    """The oracle-checked join_bucketed key must actually exercise the
+    bucket layout: its fact-fact join subtree plans with zero Exchange
+    (the only shuffle in the full key is the final aggregate)."""
+    from dodo_spark.operators.relational import bucketed_fact_join
+
+    plan = plan_of(bucketed_fact_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
