@@ -136,6 +136,7 @@ HEADLINE = [
     "layout_zorder",
     "join_bucketed",
     "corpus_domain_cap",
+    "text_bm25",
 ]
 
 

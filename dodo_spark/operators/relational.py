@@ -1772,3 +1772,161 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25-style ranked retrieval (tf saturation + length normalization on the
+# same posting list as text_rank_search)
+# ---------------------------------------------------------------------------
+def _bm25_sat(tf: str, dl: str, n: str, t: str) -> str:
+    """The BM25 saturation/length-normalization factor as SQL text with
+    k1=1.2, b=0.75 inlined: (tf*2.2) / (tf + 1.2*(0.25 + 0.75*dl*N/T)).
+    EXACTLY this expression tree runs on both engines — every input is an
+    exact integer, and +,-,*,/ on IEEE doubles are correctly rounded and
+    engine-identical, so determinism needs only a fixed operation order
+    (which a shared text guarantees). No log/exp ever enters the plan;
+    libm differences are the one float hazard this family avoids by
+    design (idf stays the exact-integer weight of text_rank_search)."""
+    return (
+        f"(({tf} * 2.2) / ({tf} + 1.2 * (0.25 + 0.75 * (({dl} * {n}) / {t}))))"
+    )
+
+
+BM25_TOP_K = 20
+
+
+def _bm25_oracle() -> str:
+    t1, t2, t3 = MATCH_TERMS
+    terms_sql = ", ".join(f"'{x}'" for x in MATCH_TERMS)
+    piv = ",\n             ".join(
+        f"COALESCE(MAX(CASE WHEN token = '{x}' THEN tf END), 0) AS tf{i}"
+        for i, x in enumerate(MATCH_TERMS, 1)
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"((SELECT n FROM nd) * ((SELECT d FROM dprod) // "
+        f"(SELECT df FROM dfs WHERE token = '{x}'))) * "
+        + _bm25_sat(f"tf{i}", "d.dl", "(SELECT n FROM nd)", "(SELECT t FROM tt)")
+        + " ELSE 0.0 END)"
+        for i, x in enumerate(MATCH_TERMS, 1)
+    )
+    matched = " + ".join(
+        f"CAST(tf{i} > 0 AS BIGINT)" for i in range(1, len(MATCH_TERMS) + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ({terms_sql})
+      GROUP BY doc_id, token
+    ), piv AS (
+      SELECT doc_id,
+             {piv}
+      FROM hits GROUP BY doc_id
+    ), dfs AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dprod AS (SELECT CAST(PRODUCT(df) AS BIGINT) AS d FROM dfs),
+    tt AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl)
+    SELECT p.doc_id,
+           CAST({matched} AS BIGINT) AS matched_terms,
+           CAST({score} AS DOUBLE) AS score
+    FROM piv p JOIN dl d ON d.doc_id = p.doc_id
+    ORDER BY score DESC, p.doc_id LIMIT {BM25_TOP_K}
+    """
+
+
+@register(
+    "text_bm25",
+    oracle=_bm25_oracle(),
+    doc="BM25-style ranked retrieval (k1=1.2, b=0.75) over the same "
+    "posting list as text_rank_search: per-term contribution = "
+    "exact-integer idf weight (N * D/df, the log-free scheme) times the "
+    "BM25 tf-saturation / document-length normalization factor. All "
+    "float work is +,-,*,/ on exact-integer inputs in ONE shared "
+    "expression tree (fixed order, both engines), so scores are "
+    "bit-identical without any decimal detour and no libm function is "
+    "used. Corpus constants (per-term df, doc count N, total tokens T) "
+    "are bounded driver literals — at 100 TB they come from index "
+    "stats, the tf/dl tables materialize bucketed by token/doc, and "
+    "top-k is TakeOrderedAndProject (per-partition heaps, no global "
+    "sort).",
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dodo_spark.operators.text import spread_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread_scan(docs).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != "")
+        ).alias("token"),
+    )
+    # ONE tokenize pass: per-doc length and per-term tfs in a single
+    # aggregate, checkpointed because three consumers read it (the df/T
+    # constants and the scored output) — without this the token explode
+    # replays per consumer
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum(F.when(F.col("token") == x, 1).otherwise(0)).alias(
+                    f"tf{i}"
+                )
+                for i, x in enumerate(MATCH_TERMS, 1)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # bounded driver-side corpus constants (ref-pool idiom): 3 dfs + N + T
+    consts = per_doc.agg(
+        F.sum("dl").alias("t"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(1, len(MATCH_TERMS) + 1)
+        ],
+    ).collect()[0]
+    dfs = {
+        x: int(consts[f"df{i}"])
+        for i, x in enumerate(MATCH_TERMS, 1)
+        if consts[f"df{i}"]
+    }
+    n_docs = docs.count()
+    total_tokens = int(consts["t"])
+    d_prod = 1
+    for v in dfs.values():
+        d_prod *= v
+
+    score = " + ".join(
+        # a term absent from the corpus (df=0) is a dead branch: its tf
+        # column is 0 for every doc, exactly as in the oracle's CASE
+        "0.0"
+        if x not in dfs
+        else f"(CASE WHEN tf{i} > 0 THEN {n_docs * (d_prod // dfs[x])} * "
+        + _bm25_sat(f"tf{i}", "dl", str(n_docs), str(total_tokens))
+        + " ELSE 0.0 END)"
+        for i, x in enumerate(MATCH_TERMS, 1)
+    )
+    matched = " + ".join(
+        f"CAST(tf{i} > 0 AS BIGINT)" for i in range(1, len(MATCH_TERMS) + 1)
+    )
+    any_hit = " OR ".join(
+        f"tf{i} > 0" for i in range(1, len(MATCH_TERMS) + 1)
+    )
+    return (
+        per_doc.filter(any_hit)
+        .selectExpr(
+            "doc_id",
+            f"CAST({matched} AS BIGINT) AS matched_terms",
+            f"CAST({score} AS DOUBLE) AS score",
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )

@@ -257,6 +257,7 @@ KEYS = [
     "layout_zorder",
     "join_bucketed",
     "corpus_domain_cap",
+    "text_bm25",
 ]
 
 
