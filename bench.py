@@ -137,6 +137,8 @@ HEADLINE = [
     "join_bucketed",
     "corpus_domain_cap",
     "text_bm25",
+    "text_lm_score_kn",
+    "profile_key_skew",
 ]
 
 

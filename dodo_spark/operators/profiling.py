@@ -534,3 +534,66 @@ def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_req")
     )
+
+
+_SKEW_AUDIT = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for table, col in _SKEW_AUDIT:
+        parts.append(f"""
+    SELECT '{table}.{col}' AS key_name, rows, nd, mx,
+           (CAST(rows AS DOUBLE) / nd) AS avg_group,
+           ((CAST(mx AS DOUBLE) * nd) / rows) AS skew_factor,
+           (CAST(mx AS DOUBLE) / rows) AS top_share
+    FROM (
+      SELECT CAST(SUM(n) AS BIGINT) AS rows, CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(MAX(n) AS BIGINT) AS mx
+      FROM (SELECT {col}, COUNT(*) AS n FROM {table} GROUP BY {col})
+    )""")
+    return (
+        "\n    UNION ALL\n".join(parts) + "\n    ORDER BY key_name"
+    )
+
+
+@register(
+    "profile_key_skew",
+    oracle=_skew_oracle(),
+    doc="Join/shuffle-key skew audit over the warehouse's hot keys: for "
+    "each audited (table, key) pair, the row count, distinct-key count, "
+    "max group size, mean group size, skew factor (max/mean — the "
+    "number AQE's skew-join splitting and the salting helper act on) "
+    "and the largest key's share of all rows. This is the planning "
+    "input for every shuffle decision in SCALE.md: a skew factor near 1 "
+    "means hash partitioning balances; >10 means one task drags the "
+    "stage and the key needs salting or AQE splitting. Each audit is a "
+    "two-phase groupBy collapsed to a 1-row aggregate (the shuffle "
+    "carries |keys| rows, never the table); floats are single divisions "
+    "of exact integers in a fixed order, engine-identical.",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, col in _SKEW_AUDIT:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(col).agg(F.count("*").alias("n"))
+        one = g.agg(
+            F.sum("n").cast("bigint").alias("rows"),
+            F.count("*").cast("bigint").alias("nd"),
+            F.max("n").cast("bigint").alias("mx"),
+        ).selectExpr(
+            f"'{table}.{col}' AS key_name",
+            "rows",
+            "nd",
+            "mx",
+            "(CAST(rows AS DOUBLE) / nd) AS avg_group",
+            "((CAST(mx AS DOUBLE) * nd) / rows) AS skew_factor",
+            "(CAST(mx AS DOUBLE) / rows) AS top_share",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("key_name")

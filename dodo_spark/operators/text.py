@@ -1819,3 +1819,122 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+LM_SCORE_TOP_K = 25
+# interpolated-KN probability, quantized to integer micro-units so the
+# per-doc mean accumulates EXACTLY (BIGINT sum) instead of in
+# order-dependent float addition; the probability itself is +,-,*,/ over
+# exact-integer count inputs in one shared expression tree (the text_bm25
+# determinism discipline), so the quantized value is engine-identical
+_KN_P = (
+    "((GREATEST(cb - 0.75, 0.0) / cu)"
+    " + ((0.75 / cu) * nf) * (nc / {nt}))"
+)
+
+
+@register(
+    "text_lm_score_kn",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x != '') AS t
+      FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest([{{'w1': t[CAST(i AS INT)], 'w2': t[CAST(i AS INT)+1]}}
+                     FOR i IN range(1, len(t))], recursive := true)
+      FROM toks WHERE len(t) >= 2
+    ), counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu,
+             CAST(COUNT(*) AS BIGINT) AS nf
+      FROM counts GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM counts GROUP BY w2
+    ), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM counts),
+    q AS (
+      SELECT b.doc_id,
+             CAST(FLOOR({_KN_P.format(nt="(SELECT nt FROM nt)")}
+                        * 1000000.0) AS BIGINT) AS q
+      FROM big b
+      JOIN counts c ON c.w1 = b.w1 AND c.w2 = b.w2
+      JOIN uni u ON u.w1 = b.w1
+      JOIN cont x ON x.w2 = b.w2
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(q) AS BIGINT) AS sum_q
+      FROM q GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_q,
+           CAST((CAST(sum_q AS DOUBLE) / n_bigrams) / 1000000.0 AS DOUBLE)
+             AS score
+    FROM agg ORDER BY score ASC, doc_id LIMIT {LM_SCORE_TOP_K}
+    """,
+    doc="Interpolated Kneser-Ney bigram LM scoring of every document "
+    "against the corpus-trained model (the CCNet-style LM quality "
+    "filter, completing the family whose count inputs "
+    "text_ngram_lm_counts builds): P(w2|w1) = max(c12-d,0)/c1 + "
+    "(d/c1)*N1+(w1.)*Pcont(w2), d=0.75, evaluated as one shared "
+    "expression tree over exact-integer counts and QUANTIZED to integer "
+    "micro-units before the per-doc mean, so the aggregate is an exact "
+    "BIGINT sum — no order-dependent float accumulation anywhere (log "
+    "is avoided by scoring mean probability, not log-perplexity; libm "
+    "never enters the plan). Output: the K lowest-scoring (most "
+    "out-of-distribution) documents. Plan shape: the count/diversity "
+    "tables are VOCAB-sized aggregates of one checkpointed bigram-count "
+    "build; the scoring pass is one scan joining those tables (all "
+    "broadcast-able at any corpus size since vocab lags corpus growth).",
+)
+def text_lm_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", _ws_tokens_lower().alias("t")
+    ).filter(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    counts = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("cb"))
+        .localCheckpoint(eager=True)  # 4 consumers, 1 build
+    )
+    uni = counts.groupBy("w1").agg(
+        F.sum("cb").cast("bigint").alias("cu"),
+        F.count("*").cast("bigint").alias("nf"),
+    )
+    cont = counts.groupBy("w2").agg(F.count("*").cast("bigint").alias("nc"))
+    n_total = counts.count()  # 1 driver scalar off the checkpoint
+
+    scored = (
+        big.join(counts, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .join(F.broadcast(cont), "w2")
+        .selectExpr(
+            "doc_id",
+            f"CAST(FLOOR({_KN_P.format(nt=n_total)} * 1000000.0) AS BIGINT)"
+            " AS q",
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+    )
+    return (
+        agg.selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "sum_q",
+            "CAST((CAST(sum_q AS DOUBLE) / n_bigrams) / 1000000.0 AS DOUBLE)"
+            " AS score",
+        )
+        .orderBy("score", "doc_id")
+        .limit(LM_SCORE_TOP_K)
+    )

@@ -258,6 +258,8 @@ KEYS = [
     "join_bucketed",
     "corpus_domain_cap",
     "text_bm25",
+    "text_lm_score_kn",
+    "profile_key_skew",
 ]
 
 
