@@ -139,6 +139,8 @@ HEADLINE = [
     "text_bm25",
     "text_lm_score_kn",
     "profile_key_skew",
+    "events_asof_forward",
+    "events_asof_nearest",
 ]
 
 

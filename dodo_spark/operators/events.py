@@ -199,10 +199,14 @@ def asof_join(
     ts: str = "ts",
     payload: list[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` in the same ``on`` key group (DuckDB/kdb ASOF
-    JOIN semantics, >= tie included).
+    JOIN semantics, >= tie included). ``direction="forward"`` flips the
+    match to the EARLIEST right row with ``right.ts >= left.ts`` (the
+    same window over a descending timestamp order — ties at the exact
+    instant still match, mirroring DuckDB ``ASOF ... ON l.ts <= r.ts``).
 
     Plan shape: tag-union both sides, ONE shuffle on the key, and a
     running ``last(..., ignorenulls=True)`` window carries the most recent
@@ -211,6 +215,8 @@ def asof_join(
     on (key, ts) must be pre-deduplicated (one row per key+ts) for a
     deterministic match — same contract as DuckDB ASOF.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof direction must be backward|forward, got {direction!r}")
     payload = payload or [c for c in right.columns if c not in (*on, ts)]
     l_cols = [c for c in left.columns if c not in (*on, ts)]
     # the whole matched right row travels as ONE struct so a single
@@ -234,10 +240,12 @@ def asof_join(
         ).cast(r_struct).alias("__r"),
     )
     # right rows sort BEFORE left rows at equal ts (__side 0 < 1), so a
-    # same-instant right row matches — the ASOF '>=' tie rule
+    # same-instant right row matches — the ASOF '>=' tie rule; forward
+    # direction reverses only the timestamp order, keeping the tie rule
+    ts_order = F.col(ts).desc() if direction == "forward" else F.col(ts).asc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts, "__side")
+        .orderBy(ts_order, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = lt.unionByName(rt).withColumn("__r", F.last("__r", ignorenulls=True).over(w))
@@ -280,6 +288,106 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(views, purchases, on=["user_id"], ts="ts").select(
         "event_id", "user_id", "ts", "pval_r", "ts_r"
+    )
+
+
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    return views, purchases
+
+
+@register(
+    "events_asof_forward",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), r AS (
+      SELECT user_id, ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.pval AS pval_r, r.ts AS ts_r
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    doc="Forward as-of join (the D9 kernel's direction=forward form): "
+    "every view matched to the user's EARLIEST at-or-after purchase — "
+    "the 'next event' primitive (time-to-conversion, next-maintenance "
+    "lookups). Same union-merge plan as the backward form with only the "
+    "window's timestamp order reversed: one shuffle on user_id, "
+    "key-partitioned running last(), no range join. Oracle is DuckDB's "
+    "native forward ASOF (l.ts <= r.ts).",
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views, purchases = _asof_sides(spark, sf_dir)
+    return asof_join(
+        views, purchases, on=["user_id"], ts="ts", direction="forward"
+    ).select("event_id", "user_id", "ts", "pval_r", "ts_r")
+
+
+@register(
+    "events_asof_nearest",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), r AS (
+      SELECT user_id, ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), b AS (
+      SELECT l.event_id, l.user_id, l.ts, r.pval AS pb, r.ts AS tsb
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ), f AS (
+      SELECT l.event_id, r.pval AS pf, r.ts AS tsf
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN tsf IS NULL THEN pb WHEN tsb IS NULL THEN pf
+                WHEN (b.ts - tsb) <= (tsf - b.ts) THEN pb ELSE pf
+           END AS pval_n,
+           CASE WHEN tsf IS NULL THEN tsb WHEN tsb IS NULL THEN tsf
+                WHEN (b.ts - tsb) <= (tsf - b.ts) THEN tsb ELSE tsf
+           END AS ts_n
+    FROM b JOIN f ON f.event_id = b.event_id
+    """,
+    doc="Nearest as-of join: each view matched to the user's CLOSEST "
+    "purchase in either direction, ties resolved backward (the pandas "
+    "merge_asof direction='nearest' semantics). Composed from the two "
+    "directional kernels joined on the left row id — two key-partitioned "
+    "merges plus an id equi-join, still no range join; the distance "
+    "compare is exact integer microseconds on both engines.",
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views, purchases = _asof_sides(spark, sf_dir)
+    back = asof_join(views, purchases, on=["user_id"], ts="ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pval_r").alias("pb"),
+        F.col("ts_r").alias("tsb"),
+    )
+    fwd = asof_join(
+        views, purchases, on=["user_id"], ts="ts", direction="forward"
+    ).select("event_id", F.col("pval_r").alias("pf"), F.col("ts_r").alias("tsf"))
+    j = back.join(fwd, "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    back_wins = (
+        F.col("tsf").isNull()
+        | (~F.col("tsb").isNull())
+        & ((us("ts") - us("tsb")) <= (us("tsf") - us("ts")))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(back_wins, F.col("pb")).otherwise(F.col("pf")).alias("pval_n"),
+        F.when(back_wins, F.col("tsb")).otherwise(F.col("tsf")).alias("ts_n"),
     )
 
 

@@ -143,3 +143,59 @@ def test_range_join_hour_buckets(spark):
         points, intervals, "ts", "iv_start", "iv_end", bucket="1 hour"
     ).collect()
     assert [r["pid"] for r in rows] == [1]
+
+
+def test_asof_forward_randomized_against_naive(spark):
+    """Forward direction vs a naive reference: earliest right at-or-after,
+    same-instant right included (the <= tie rule)."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        lefts = [
+            (i, rng.randrange(4), _ts("2024-01-01 00:00:00")
+             + dt.timedelta(minutes=rng.randrange(0, 600)))
+            for i in range(40)
+        ]
+        rights_raw = {}
+        for _ in range(30):
+            key = (rng.randrange(4), _ts("2024-01-01 00:00:00")
+                   + dt.timedelta(minutes=rng.randrange(0, 600)))
+            rights_raw[key] = round(rng.uniform(0, 100), 3)
+        rights = [(k, t, v) for (k, t), v in rights_raw.items()]
+
+        left = spark.createDataFrame(lefts, "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+        right = spark.createDataFrame(rights, "user_id BIGINT, ts TIMESTAMP, v DOUBLE")
+        got = {
+            r["event_id"]: (r["v_r"], r["ts_r"])
+            for r in asof_join(
+                left, right, on=["user_id"], direction="forward"
+            ).collect()
+        }
+        for eid, uid, lts in lefts:
+            cands = [(t, v) for (k, t, v) in rights if k == uid and t >= lts]
+            expect = min(cands) if cands else (None, None)
+            assert got[eid] == (expect[1] if cands else None,
+                                expect[0] if cands else None), (trial, eid)
+
+
+def test_asof_forward_same_instant_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 10:00:00"))],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 5.0),
+         (1, _ts("2024-01-01 11:00:00"), 9.0)],
+        "user_id BIGINT, ts TIMESTAMP, v DOUBLE",
+    )
+    row = asof_join(left, right, on=["user_id"], direction="forward").collect()[0]
+    assert row["v_r"] == 5.0  # the same-instant row, not the later one
+
+
+def test_asof_direction_validated(spark):
+    left = spark.createDataFrame([], "user_id BIGINT, ts TIMESTAMP")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, left, on=["user_id"], direction="nearest")
