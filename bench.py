@@ -141,6 +141,7 @@ HEADLINE = [
     "profile_key_skew",
     "events_asof_forward",
     "events_asof_nearest",
+    "agg_mode",
 ]
 
 

@@ -813,6 +813,35 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_plan_lint(args: argparse.Namespace) -> int:
+    """Lint an ad-hoc query's PHYSICAL plan for the anti-patterns that
+    kill 100 TB runs (cartesian products, row-at-a-time Python UDFs,
+    global windows, missing filter pushdown, single-partition funnels) —
+    the same checks tests/test_plans.py pins on every registered
+    operator, exposed for user SQL. Exit 1 on any error-severity
+    finding, 0 otherwise (warnings print but pass)."""
+    from dodo_spark.catalog import register_views
+    from dodo_spark.plans.lint import lint_findings_exit_code, lint_plan
+
+    spark = _spark(args.parallel)
+    register_views(spark, args.sf_dir)
+    if args.file:
+        with open(args.file, encoding="utf-8") as f:
+            query = f.read()
+    else:
+        query = args.query
+    if not query or not query.strip():
+        print("plan-lint requires a query argument or --file")
+        return 1
+    findings = lint_plan(spark.sql(query))
+    if not findings:
+        print("plan clean: no findings")
+        return 0
+    for f in findings:
+        print(f"{f['severity'].upper():5s} {f['code']}: {f['detail']}")
+    return lint_findings_exit_code(findings)
+
+
 def cmd_clean(args: argparse.Namespace) -> int:
     """Delete local scratch/output data (reference cmd/clean.go:44-49:
     data dir + output dir, with confirmation unless forced)."""
@@ -1060,6 +1089,14 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--output", default=None, help="write full result here instead")
     sq.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     sq.set_defaults(fn=cmd_sql)
+
+    pl = sub.add_parser(
+        "plan-lint", help="lint a query's physical plan for scale anti-patterns"
+    )
+    pl.add_argument("query", nargs="?", default=None, help="SQL text")
+    pl.add_argument("--sf-dir", required=True, help="data dir to register as views")
+    pl.add_argument("--file", default=None, help="read the SQL from a file")
+    pl.set_defaults(fn=cmd_plan_lint)
 
     cl = sub.add_parser("clean", help="delete local scratch/output data")
     cl.add_argument("--yes", action="store_true", help="skip confirmation")

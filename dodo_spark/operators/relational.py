@@ -1930,3 +1930,45 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority ORDER BY n DESC, o_orderstatus
+      ) AS rk FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n AS mode_n
+    FROM r WHERE rk = 1 ORDER BY o_orderpriority
+    """,
+    doc="MODE() / most-frequent-value per group (the statistical aggregate "
+    "SQL engines expose as MODE; deterministic tie rule = lexicographic "
+    "min, since an unordered MODE is engine-dependent): two-phase count "
+    "groupBy collapsed by a partitioned rank — the shuffle carries "
+    "|group x value| rows, the window state one group's value list. The "
+    "same shape computes any 'argmax per group' (most common language "
+    "per domain, dominant label per cluster) at any scale.",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), "o_orderstatus"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("mode_n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -737,6 +737,7 @@ def compact_files(
     version: int,
     target_files: int = 1,
     cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
     commit_ts: str | None = None,
 ) -> dict:
     """Commit ``version`` as a bin-packed REWRITE of the live set into
@@ -752,7 +753,17 @@ def compact_files(
     gives each output file a TIGHT, near-disjoint [min,max] range on the
     leading column, which is exactly what the manifest footer-stats
     skipping (``prune_files_by_stats`` / merge's probe) feeds on — after
-    clustering, a point probe opens ~1 file instead of all of them."""
+    clustering, a point probe opens ~1 file instead of all of them.
+
+    ``zorder_by``: the two-dimensional form (the Delta OPTIMIZE ZORDER BY
+    analogue): both integer columns quantize against the live extremes
+    and interleave into a Morton code (``operators.layout``), and the
+    rewrite range-partitions on the curve — every output file is a small
+    (x, y) tile with TIGHT footer [min,max] on BOTH columns, so
+    ``prune_files_by_stats`` skips files for predicates on either.
+    Mutually exclusive with ``cluster_by``."""
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     versions = _check_commit_order(table_path, version)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
@@ -764,6 +775,21 @@ def compact_files(
         df = df.repartitionByRange(
             max(1, target_files), *cluster_by
         ).sortWithinPartitions(*cluster_by)
+    elif zorder_by:
+        from pyspark.sql import functions as F
+
+        from dodo_spark.operators.layout import zorder_frame
+
+        xcol, ycol = zorder_by
+        ext = df.agg(
+            F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
+        ).collect()[0]
+        df = (
+            zorder_frame(df, xcol, ycol, (ext[0], ext[1], ext[2], ext[3]))
+            .repartitionByRange(max(1, target_files), "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+        )
     else:
         df = df.coalesce(max(1, target_files))
     add = _write_data_files(df, table_path, version)

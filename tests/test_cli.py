@@ -730,3 +730,50 @@ def test_cli_export_props_and_partitioning(spark, sf_dir, tmp_path):
     assert files  # compression option reached the writer
     back = spark.read.parquet(base)
     assert back.count() == 25
+
+
+def test_plan_lint_flags_cartesian_and_passes_clean(spark, sf_dir, capsys):
+    from dodo_spark.cli import build_parser
+
+    p = build_parser()
+    # SHUFFLE_REPLICATE_NL pins the cartesian strategy regardless of the
+    # session broadcast threshold (which _spark() re-applies on reuse)
+    bad = p.parse_args([
+        "plan-lint", "--sf-dir", sf_dir,
+        "SELECT /*+ SHUFFLE_REPLICATE_NL(n) */ * FROM nation n "
+        "JOIN region r ON n.n_name > r.r_name",
+    ])
+    assert bad.fn(bad) == 1
+    out = capsys.readouterr().out
+    assert "CARTESIAN" in out
+
+    good = p.parse_args([
+        "plan-lint", "--sf-dir", sf_dir,
+        "SELECT n_regionkey, COUNT(*) FROM nation GROUP BY n_regionkey",
+    ])
+    assert good.fn(good) == 0
+    assert "plan clean" in capsys.readouterr().out
+
+
+def test_plan_lint_flags_global_window(spark, sf_dir, capsys):
+    from dodo_spark.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args([
+        "plan-lint", "--sf-dir", sf_dir,
+        "SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) FROM nation",
+    ])
+    assert args.fn(args) == 1
+    assert "GLOBAL_WINDOW" in capsys.readouterr().out
+
+
+def test_lint_plan_api_warns_on_bnlj(spark, sf_dir):
+    from dodo_spark.catalog import load_table
+    from dodo_spark.plans.lint import lint_findings_exit_code, lint_plan
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    f = lint_plan(n.join(r, n.n_regionkey < r.r_regionkey))
+    codes = {x["code"] for x in f}
+    assert "UNBOUNDED_BNLJ" in codes
+    assert lint_findings_exit_code(f) == 0  # warn-only still passes

@@ -1333,3 +1333,35 @@ def test_read_changes_vacuum_guard_covers_remove_side(spark, table):
     )
     add3, rem3 = read_changes(spark, table, 3)
     assert rem3 is None and {r["k"] for r in add3.collect()} == {9}
+
+
+def test_compact_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER form of compaction: after a z-ordered rewrite the
+    manifest footer stats must let prune_files_by_stats skip most files
+    for point probes on EITHER clustered column."""
+    import random
+
+    from dodo_spark.sources.versioned import (
+        compact_files,
+        prune_files_by_stats,
+        read_version,
+        write_version,
+    )
+
+    rng = random.Random(7)
+    rows = [(x, y, x * 1000 + y) for x in range(64) for y in range(64)]
+    rng.shuffle(rows)
+    path = str(tmp_path / "zt")
+    df = spark.createDataFrame(rows, "c BIGINT, d BIGINT, payload BIGINT")
+    write_version(df.repartition(8), path, 0)  # random layout: no skipping
+    n_files = 16
+    out = compact_files(spark, path, 1, target_files=n_files, zorder_by=("c", "d"))
+    assert out["files_after"] == n_files
+
+    for col in ("c", "d"):
+        cands, skipped = prune_files_by_stats(path, 1, col, [5])
+        assert len(skipped) >= n_files // 2, (col, len(skipped), n_files)
+    # content unchanged by layout
+    assert read_version(spark, path, 1).count() == len(rows)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_files(spark, path, 2, cluster_by=["c"], zorder_by=("c", "d"))

@@ -262,6 +262,7 @@ KEYS = [
     "profile_key_skew",
     "events_asof_forward",
     "events_asof_nearest",
+    "agg_mode",
 ]
 
 
