@@ -142,6 +142,8 @@ HEADLINE = [
     "events_asof_forward",
     "events_asof_nearest",
     "agg_mode",
+    "corpus_shard_shuffle",
+    "cte_recursive",
 ]
 
 

@@ -1972,3 +1972,44 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _recursive_chain_sql(div: str) -> str:
+    """Shared recursive-CTE text (Spark ``DIV`` / DuckDB ``//`` divide):
+    every customer below 500 walks its ancestor chain parent(k) = k/10
+    until 0 — a synthetic but structurally real hierarchy (org charts,
+    category trees, thread parents)."""
+    return f"""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+      FROM customer WHERE c_custkey < 500
+      UNION ALL
+      SELECT node, cur {div} 10, depth + 1 FROM chain WHERE cur > 0
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT cur) AS BIGINT) AS distinct_ancestors,
+           CAST(SUM(cur) AS BIGINT) AS sum_cur
+    FROM chain GROUP BY depth ORDER BY depth
+    """
+
+
+@register(
+    "cte_recursive",
+    oracle=_recursive_chain_sql("//"),
+    doc="WITH RECURSIVE transitive closure (the iterative SQL surface "
+    "Spark gained in 4.0; ANSI recursive CTE semantics, same text on "
+    "both engines modulo the integer-division spelling): each customer "
+    "key walks its synthetic ancestor chain parent(k)=k/10 to the root "
+    "and the closure aggregates per depth. The engine executes this as "
+    "iterated UNION ALL steps — each iteration a distributed join-free "
+    "projection of the previous frontier, the same execution shape as "
+    "the hand-rolled pointer-doubling loop dedup_clusters uses where "
+    "recursion depth would be O(log n) rather than bounded. Depth here "
+    "is bounded by construction (< 4 divisions to zero), which is the "
+    "contract a production recursive query must state to be admitted "
+    "at 100 TB.",
+)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_recursive_chain_sql("DIV"))

@@ -1938,3 +1938,66 @@ def text_lm_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("score", "doc_id")
         .limit(LM_SCORE_TOP_K)
     )
+
+
+SHUFFLE_SHARDS = 8
+
+
+@register(
+    "corpus_shard_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_resample_hash_sql("doc_id")} AS h FROM documents
+    ), k AS (
+      SELECT doc_id, h, h % {SHUFFLE_SHARDS} AS shard,
+             h * 2147483648 + doc_id AS pos_key
+      FROM h
+    ), agg AS (
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(pos_key) AS BIGINT) AS mk
+      FROM k GROUP BY shard
+    )
+    SELECT shard, n_docs,
+           CAST(mk % 2147483648 AS BIGINT) AS first_doc,
+           CAST(mk // 2147483648 AS BIGINT) AS first_h
+    FROM agg ORDER BY shard
+    """,
+    doc="Deterministic training-order shuffle + sharding (the 'global "
+    "shuffle' every training run needs, reproducible across reruns and "
+    "engines with NO stored permutation): each doc's position is a "
+    "seedless multiplicative hash of its id (the split-hash pre-reduce "
+    "rule keeps the product exact), shard = h mod S, within-shard order "
+    "= (h, doc_id). Output: per-shard doc counts (uniformity evidence) "
+    "and each shard's first document under the shuffled order, extracted "
+    "from an exact packed (h * 2^31 + doc_id) MIN — an argmin with a "
+    "total tiebreak, no window. At 100 TB the shuffle is one hash "
+    "projection + repartitionByRange on h: no stored permutation table, "
+    "any shard re-derivable independently — which is what makes "
+    "mid-training resharding and elastic re-runs cheap.",
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.selectExpr(
+        "doc_id",
+        f"{_resample_hash_sql('doc_id')} AS h",
+    ).selectExpr(
+        "doc_id",
+        "h",
+        f"h % {SHUFFLE_SHARDS} AS shard",
+        "h * 2147483648 + doc_id AS pos_key",
+    )
+    return (
+        k.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("pos_key").alias("mk"),
+        )
+        .selectExpr(
+            "shard",
+            "n_docs",
+            "CAST(mk % 2147483648 AS BIGINT) AS first_doc",
+            "CAST(mk DIV 2147483648 AS BIGINT) AS first_h",
+        )
+        .orderBy("shard")
+    )

@@ -263,6 +263,8 @@ KEYS = [
     "events_asof_forward",
     "events_asof_nearest",
     "agg_mode",
+    "corpus_shard_shuffle",
+    "cte_recursive",
 ]
 
 
