@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from dodo_spark.catalog import load_table
 from dodo_spark.registry import register
 
-__all__ = ["z_formula", "zorder_frame", "write_zordered"]
+__all__ = ["z_formula", "zorder_frame", "zorder_repartitioned", "write_zordered"]
 
 _BITS = 8
 _SIDE = 1 << _BITS  # 256 cells per dimension
@@ -59,6 +59,35 @@ def zorder_frame(
     return df.withColumn("z", F.expr(z_formula(f"({qx})", f"({qy})", "DIV")))
 
 
+def zorder_repartitioned(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    n_files: int,
+    bounds: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """``df`` laid out along the z-curve: range-partitioned on the
+    z-value into ``n_files`` partitions, sorted within each, helper
+    column dropped. The ONE shared recipe behind write_zordered and the
+    versioned layer's OPTIMIZE-ZORDER compaction. ``bounds`` defaults to
+    the frame's own extremes (one bounded 4-scalar aggregate); an empty
+    or all-NULL frame falls back to a plain coalesce — there is nothing
+    to cluster."""
+    if bounds is None:
+        ext = df.agg(
+            F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
+        ).collect()[0]
+        if any(v is None for v in ext):
+            return df.coalesce(max(1, n_files))
+        bounds = (ext[0], ext[1], ext[2], ext[3])
+    return (
+        zorder_frame(df, xcol, ycol, bounds)
+        .repartitionByRange(max(1, n_files), "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -67,19 +96,13 @@ def write_zordered(
     bounds: tuple[int, int, int, int],
     n_files: int = 16,
 ) -> None:
-    """Lay ``df`` out along the z-curve: range-partition on the z-value
-    into ``n_files`` files, sort within each, drop the helper column,
-    write parquet. Each file then covers a contiguous z-range = a small
-    tile in (x, y) space, so its footer min/max on BOTH columns is tight
-    and either predicate skips most files. One shuffle total."""
-    z = zorder_frame(df, xcol, ycol, bounds)
-    (
-        z.repartitionByRange(n_files, "z")
-        .sortWithinPartitions("z")
-        .drop("z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    """Lay ``df`` out along the z-curve and write parquet. Each file then
+    covers a contiguous z-range = a small tile in (x, y) space, so its
+    footer min/max on BOTH columns is tight and either predicate skips
+    most files. One shuffle total."""
+    zorder_repartitioned(df, xcol, ycol, n_files, bounds).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 _ZORDER_ORACLE = f"""

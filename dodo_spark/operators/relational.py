@@ -1003,6 +1003,13 @@ def text_match_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANK_TOP_K = 20
 _RANK_TERMS_SQL = ", ".join(f"'{t}'" for t in MATCH_TERMS)
+# exact BIGINT product of the per-term dfs (absent term -> 1): PRODUCT()
+# returns DOUBLE in DuckDB and would round past 2^53, violating the
+# integer-exactness discipline the idf weights depend on
+_DPROD_SQL = " * ".join(
+    f"COALESCE((SELECT df FROM dfs WHERE token = '{t}'), 1)"
+    for t in MATCH_TERMS
+)
 
 
 @register(
@@ -1019,7 +1026,7 @@ _RANK_TERMS_SQL = ", ".join(f"'{t}'" for t in MATCH_TERMS)
     ), dfs AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token
     ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-    dprod AS (SELECT CAST(PRODUCT(df) AS BIGINT) AS d FROM dfs),
+    dprod AS (SELECT {_DPROD_SQL} AS d),
     scored AS (
       SELECT h.doc_id,
              CAST(COUNT(*) AS BIGINT) AS matched_terms,
@@ -1726,6 +1733,20 @@ def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dodo_spark.sources.writers import write_bucketed
 
     pid = _os.getpid()
+    # reap other processes' leftovers (same liveness rule as scratch_dir:
+    # a dead pid cannot be lazily reading its tables) so the warehouse
+    # holds at most one layout copy per LIVE process, not one per run
+    for t in spark.catalog.listTables():
+        for prefix in ("orders_bkt_", "lineitem_bkt_"):
+            if t.name.startswith(prefix):
+                try:
+                    owner = int(t.name[len(prefix):])
+                except ValueError:
+                    continue
+                if owner != pid and not _os.path.exists(f"/proc/{owner}"):
+                    from dodo_spark.sources.writers import drop_managed_table
+
+                    drop_managed_table(spark, t.name)
     ot, lt = f"orders_bkt_{pid}", f"lineitem_bkt_{pid}"
     write_bucketed(
         load_table(spark, sf_dir, "orders"), ot, 8, ["o_orderkey"],
@@ -1831,7 +1852,7 @@ def _bm25_oracle() -> str:
     ), dfs AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token
     ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-    dprod AS (SELECT CAST(PRODUCT(df) AS BIGINT) AS d FROM dfs),
+    dprod AS (SELECT {_DPROD_SQL} AS d),
     tt AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl)
     SELECT p.doc_id,
            CAST({matched} AS BIGINT) AS matched_terms,

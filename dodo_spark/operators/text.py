@@ -1946,22 +1946,21 @@ SHUFFLE_SHARDS = 8
 @register(
     "corpus_shard_shuffle",
     oracle=f"""
-    WITH h AS (
-      SELECT doc_id, {_resample_hash_sql("doc_id")} AS h FROM documents
-    ), k AS (
-      SELECT doc_id, h, h % {SHUFFLE_SHARDS} AS shard,
-             h * 2147483648 + doc_id AS pos_key
-      FROM h
+    WITH k AS (
+      SELECT doc_id, {_resample_hash_sql("doc_id")} AS h,
+             {_resample_hash_sql("doc_id")} % {SHUFFLE_SHARDS} AS shard
+      FROM documents
     ), agg AS (
       SELECT CAST(shard AS BIGINT) AS shard,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(MIN(pos_key) AS BIGINT) AS mk
+             CAST(MIN(h) AS BIGINT) AS first_h
       FROM k GROUP BY shard
     )
-    SELECT shard, n_docs,
-           CAST(mk % 2147483648 AS BIGINT) AS first_doc,
-           CAST(mk // 2147483648 AS BIGINT) AS first_h
-    FROM agg ORDER BY shard
+    SELECT a.shard, a.n_docs,
+           CAST(MIN(k.doc_id) AS BIGINT) AS first_doc, a.first_h
+    FROM agg a JOIN k ON k.shard = a.shard AND k.h = a.first_h
+    GROUP BY a.shard, a.n_docs, a.first_h
+    ORDER BY a.shard
     """,
     doc="Deterministic training-order shuffle + sharding (the 'global "
     "shuffle' every training run needs, reproducible across reruns and "
@@ -1969,9 +1968,10 @@ SHUFFLE_SHARDS = 8
     "seedless multiplicative hash of its id (the split-hash pre-reduce "
     "rule keeps the product exact), shard = h mod S, within-shard order "
     "= (h, doc_id). Output: per-shard doc counts (uniformity evidence) "
-    "and each shard's first document under the shuffled order, extracted "
-    "from an exact packed (h * 2^31 + doc_id) MIN — an argmin with a "
-    "total tiebreak, no window. At 100 TB the shuffle is one hash "
+    "and each shard's first document under the shuffled order — a "
+    "two-step argmin (per-shard MIN(h), then MIN(doc_id) at that hash) "
+    "that stays exact at ANY id magnitude, no packing, no window. At "
+    "100 TB the shuffle is one hash "
     "projection + repartitionByRange on h: no stored permutation table, "
     "any shard re-derivable independently — which is what makes "
     "mid-training resharding and elastic re-runs cheap.",
@@ -1981,23 +1981,19 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = docs.selectExpr(
         "doc_id",
         f"{_resample_hash_sql('doc_id')} AS h",
-    ).selectExpr(
-        "doc_id",
-        "h",
-        f"h % {SHUFFLE_SHARDS} AS shard",
-        "h * 2147483648 + doc_id AS pos_key",
+    ).selectExpr("doc_id", "h", f"h % {SHUFFLE_SHARDS} AS shard")
+    agg = k.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("h").cast("bigint").alias("first_h"),
     )
     return (
-        k.groupBy(F.col("shard").cast("bigint").alias("shard"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min("pos_key").alias("mk"),
+        F.broadcast(agg)
+        .join(
+            k,
+            (k["shard"] == agg["shard"]) & (k["h"] == agg["first_h"]),
         )
-        .selectExpr(
-            "shard",
-            "n_docs",
-            "CAST(mk % 2147483648 AS BIGINT) AS first_doc",
-            "CAST(mk DIV 2147483648 AS BIGINT) AS first_h",
-        )
+        .groupBy(agg["shard"], "n_docs", "first_h")
+        .agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+        .select("shard", "n_docs", "first_doc", "first_h")
         .orderBy("shard")
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from pyspark.sql import DataFrame
 
@@ -89,7 +90,9 @@ def lint_plan(df: DataFrame) -> list[dict]:
                 "otherwise add an equi-join key",
             )
         )
-    if "PushedFilters: []" in plan and "Filter" in plan:
+    # a real Filter NODE ("(3) Filter"), not the substring inside the
+    # "PushedFilters:" line itself
+    if "PushedFilters: []" in plan and re.search(r"\(\d+\) Filter\b", plan):
         out.append(
             _finding(
                 "warn",

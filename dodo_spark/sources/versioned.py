@@ -776,20 +776,9 @@ def compact_files(
             max(1, target_files), *cluster_by
         ).sortWithinPartitions(*cluster_by)
     elif zorder_by:
-        from pyspark.sql import functions as F
+        from dodo_spark.operators.layout import zorder_repartitioned
 
-        from dodo_spark.operators.layout import zorder_frame
-
-        xcol, ycol = zorder_by
-        ext = df.agg(
-            F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
-        ).collect()[0]
-        df = (
-            zorder_frame(df, xcol, ycol, (ext[0], ext[1], ext[2], ext[3]))
-            .repartitionByRange(max(1, target_files), "z")
-            .sortWithinPartitions("z")
-            .drop("z")
-        )
+        df = zorder_repartitioned(df, *zorder_by, target_files)
     else:
         df = df.coalesce(max(1, target_files))
     add = _write_data_files(df, table_path, version)
@@ -1063,14 +1052,20 @@ def read_changes(
     wanted = set(m.get("add") or []) | set(m.get("remove") or [])
     for marker in _vacuum_markers(table_path):
         deleted = marker.get("deleted")
-        swept = (
-            bool(wanted & set(deleted))
-            if deleted is not None
-            # legacy marker without a deleted list: conservative — only
-            # versions newer than everything the vacuum saw are safe
-            else version <= max(marker["retained"])
-            and version not in marker["retained"]
-        )
+        if deleted is not None:
+            swept = bool(wanted & set(deleted))
+        elif version > max(marker["retained"]):
+            swept = False  # committed after this (legacy) vacuum ran
+        else:
+            # legacy marker without a deleted list: the kept-set coverage
+            # rule over the files THIS read opens — a retained version's
+            # remove-side files belonged to its predecessor, so retention
+            # alone does not make them safe
+            kept: set[str] = set()
+            for rv in marker["retained"]:
+                if rv in versions:
+                    kept.update(live_files(table_path, rv))
+            swept = not wanted <= kept
         if swept:
             raise ValueError(
                 f"changes for version {version} at {table_path} reference "

@@ -1365,3 +1365,63 @@ def test_compact_zorder_skips_on_both_dimensions(spark, tmp_path):
     assert read_version(spark, path, 1).count() == len(rows)
     with pytest.raises(ValueError, match="mutually exclusive"):
         compact_files(spark, path, 2, cluster_by=["c"], zorder_by=("c", "d"))
+
+
+def test_read_changes_legacy_marker_guards_retained_rewrite(spark, table):
+    """Code-review regression: under a LEGACY vacuum marker (no deleted
+    list) a RETAINED rewrite version's remove-side files may still be
+    swept — retention alone must not whitelist the change feed."""
+    import json as _json
+
+    from dodo_spark.sources.versioned import (
+        append_version,
+        delete_where,
+        read_changes,
+        vacuum,
+    )
+
+    append_version(
+        spark.createDataFrame([(3, 30.0)], "k BIGINT, val DOUBLE"), table, 1
+    )
+    delete_where(spark, table, 2, "k = 1")
+    vacuum(table, keep_versions=1)  # v2 retained; v0/v1 files swept
+    # rewrite the marker to the legacy shape (no 'deleted' field)
+    marker_files = [
+        e for e in os.listdir(table) if e.startswith("_vacuum_")
+    ]
+    assert marker_files
+    mp = os.path.join(table, marker_files[0])
+    with open(mp) as f:
+        marker = _json.load(f)
+    marker.pop("deleted", None)
+    with open(mp, "w") as f:
+        _json.dump(marker, f)
+
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_changes(spark, table, 2)  # retained, but remove side swept
+    append_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), table, 3
+    )
+    add3, rem3 = read_changes(spark, table, 3)  # newer than the vacuum
+    assert rem3 is None and {r["k"] for r in add3.collect()} == {9}
+
+
+def test_compact_zorder_empty_live_set_falls_back(spark, tmp_path):
+    """Code-review regression: z-order compaction of a table whose rows
+    were all deleted must not TypeError on NULL extremes."""
+    from dodo_spark.sources.versioned import (
+        compact_files,
+        delete_where,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "ze")
+    write_version(
+        spark.createDataFrame([(1, 2, 3)], "c BIGINT, d BIGINT, p BIGINT"),
+        path, 0,
+    )
+    delete_where(spark, path, 1, "c = 1")
+    out = compact_files(spark, path, 2, target_files=4, zorder_by=("c", "d"))
+    assert out["files_after"] >= 0
+    assert read_version(spark, path, 2).count() == 0
