@@ -144,6 +144,9 @@ HEADLINE = [
     "agg_mode",
     "corpus_shard_shuffle",
     "cte_recursive",
+    "events_cohort_revenue",
+    "stats_benford",
+    "profile_join_cardinality",
 ]
 
 

@@ -745,3 +745,56 @@ def _register_events_attribution() -> None:
 
 
 _register_events_attribution()
+
+
+@register(
+    "events_cohort_revenue",
+    oracle=f"""
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, p.d) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS buyers,
+           CAST(COUNT(*) AS BIGINT) AS purchases,
+           {sql_dsum("p.value", "revenue")}
+    FROM p JOIN first f ON f.user_id = p.user_id
+    GROUP BY f.cohort_day, week_offset
+    ORDER BY f.cohort_day, week_offset
+    """,
+    doc="Cohort lifetime-revenue matrix (the LTV shape beside "
+    "events_retention's activity matrix): users cohort by FIRST-SEEN "
+    "day, every later purchase lands in a (cohort, week-offset) cell "
+    "with buyer counts and exact-decimal revenue. Two shuffles on "
+    "user_id (first-seen aggregate + cohort join, the same key both "
+    "times so AQE can co-locate) and one on the bounded cell key; the "
+    "matrix is cohorts x offsets rows regardless of event volume — the "
+    "standard growth-analytics rollup, scale-bounded by calendar not "
+    "data.",
+)
+def events_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    return (
+        p.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.expr("datediff(d, cohort_day) DIV 7").alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("buyers"),
+            F.count("*").alias("purchases"),
+            dsum("value", "revenue"),
+        )
+        .orderBy("cohort_day", "week_offset")
+    )

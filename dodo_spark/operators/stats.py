@@ -508,3 +508,75 @@ def _register_stats_drift() -> None:
 
 
 _register_stats_drift()
+
+
+# Benford first-digit expectation, integer per-mille (log10(1+1/d) * 1000,
+# rounded): hardcoded so no libm log enters either engine's plan
+_BENFORD_PM = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+@register(
+    "stats_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS obs FROM digits GROUP BY d
+    ), n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM counts),
+    exp_pm(d, benford_pm) AS (
+      VALUES {", ".join(f"({d}, CAST({pm} AS BIGINT))" for d, pm in _BENFORD_PM.items())}
+    )
+    SELECT e.d, COALESCE(c.obs, 0) AS obs,
+           CAST(COALESCE(c.obs, 0) * 1000 // (SELECT n FROM n) AS BIGINT)
+             AS obs_pm,
+           e.benford_pm,
+           CAST(COALESCE(c.obs, 0) * 1000 // (SELECT n FROM n)
+                - e.benford_pm AS BIGINT) AS delta_pm
+    FROM exp_pm e LEFT JOIN counts c ON c.d = e.d
+    ORDER BY e.d
+    """,
+    doc="Benford first-digit audit of a money column (the classic "
+    "fabricated-data / unit-mixing screen in data hygiene): observed "
+    "leading-digit distribution of o_totalprice vs the Benford "
+    "expectation, both in integer per-mille — the digit extracts via "
+    "integer-cast + substring (no log10, no libm) and the shares divide "
+    "exactly, so the audit is engine-identical. One groupBy on a 9-value "
+    "key; the expectation is a 9-row inline VALUES broadcast. A uniform "
+    "synthetic price column shows large deltas — which is the point: "
+    "the audit DETECTS non-Benford generators, including this one.",
+)
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(
+            # explicit FLOOR: Spark's double->bigint cast truncates while
+            # DuckDB's ROUNDS, so a bare cast flips digits at x999.5+
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").alias("obs"))
+    )
+    n = counts.agg(F.sum("obs").cast("bigint").alias("n"))
+    exp_pm = spark.createDataFrame(
+        [(d, pm) for d, pm in _BENFORD_PM.items()], "d BIGINT, benford_pm BIGINT"
+    )
+    return (
+        exp_pm.join(counts, "d", "left")
+        .crossJoin(F.broadcast(n))  # 1-row total broadcast (audit idiom)
+        .selectExpr(
+            "d",
+            "COALESCE(obs, 0) AS obs",
+            "CAST(COALESCE(obs, 0) * 1000 DIV n AS BIGINT) AS obs_pm",
+            "benford_pm",
+            "CAST(COALESCE(obs, 0) * 1000 DIV n - benford_pm AS BIGINT)"
+            " AS delta_pm",
+        )
+        .orderBy("d")
+    )

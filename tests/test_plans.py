@@ -146,6 +146,10 @@ BNLJ_ALLOWED = {
     # 1-row global token-count broadcast onto the candidate recount (the
     # n/k heavy-hitter threshold)
     "agg_heavy_hitters",
+    # 1-row digit-total broadcast onto the 9-row Benford expectation
+    "stats_benford",
+    # 1-row actual-join-count broadcast onto each sampled estimate row
+    "profile_join_cardinality",
     # 1-row node-count broadcast into each PageRank iteration (the
     # teleport term (1-d)/N)
     "graph_pagerank",

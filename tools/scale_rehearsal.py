@@ -265,6 +265,9 @@ KEYS = [
     "agg_mode",
     "corpus_shard_shuffle",
     "cte_recursive",
+    "events_cohort_revenue",
+    "stats_benford",
+    "profile_join_cardinality",
 ]
 
 
