@@ -147,6 +147,8 @@ HEADLINE = [
     "events_cohort_revenue",
     "stats_benford",
     "profile_join_cardinality",
+    "scd2_pit_join",
+    "events_markov_transitions",
 ]
 
 

@@ -242,3 +242,100 @@ def scd2_history(spark, sf_dir):
         F.row_number().over(w2).cast("bigint").alias("version_n"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "scd2_pit_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ), chg AS (
+      SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+    ), versions AS (
+      SELECT o_custkey AS dim_key, o_orderpriority AS attr_value,
+             o_orderdate AS valid_from,
+             CAST(row_number() OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS BIGINT) AS version_n
+      FROM chg
+    ), dim AS (
+      -- day-granular dim: the LAST change on a date wins (max version_n)
+      SELECT dim_key, valid_from,
+             arg_max(attr_value, version_n) AS attr_value
+      FROM versions GROUP BY dim_key, valid_from
+    ), pit AS (
+      SELECT o.o_orderpriority, d.attr_value
+      FROM orders o
+      ASOF LEFT JOIN dim d
+        ON o.o_custkey = d.dim_key AND o.o_orderdate >= d.valid_from
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN attr_value = o_orderpriority THEN 1 ELSE 0 END)
+                AS BIGINT) AS pit_hits,
+           CAST(SUM(CASE WHEN attr_value = o_orderpriority THEN 1 ELSE 0 END)
+                * 1000 // COUNT(*) AS BIGINT) AS match_pm
+    FROM pit GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Point-in-time join against the SCD2 dimension (the feature-store "
+    "training-data correctness primitive: every fact row must see the "
+    "dimension version valid AT ITS OWN timestamp, never a later one — "
+    "PIT joins are what keep feature leakage out of training sets): the "
+    "scd2_history build, collapsed to day granularity (last change per "
+    "day wins, arg_max by version), then every order as-of joins to its "
+    "contemporaneous version via the D9 union-merge kernel — one shuffle "
+    "on the dimension key, no range join. The match_pm column "
+    "quantifies the self-consistency of the day-granular dim against "
+    "each order's own attribute: sub-1000 values measure exactly the "
+    "intra-day changes a day-grained dimension collapses, which is the "
+    "trade a real PIT store documents.",
+)
+def scd2_pit_join(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.operators.events import asof_join
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = o.withColumn("prev", F.lag("o_orderpriority").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    versions = chg.select(
+        F.col("o_custkey").alias("dim_key"),
+        F.col("o_orderpriority").alias("attr_value"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.row_number().over(w).cast("bigint").alias("version_n"),
+    )
+    dim = versions.groupBy("dim_key", "valid_from").agg(
+        F.max_by("attr_value", "version_n").alias("attr_value")
+    )
+    facts = o.select(
+        F.col("o_custkey").alias("dim_key"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderpriority",
+    )
+    pit = asof_join(
+        facts,
+        dim.withColumnRenamed("valid_from", "ts"),
+        on=["dim_key"],
+        ts="ts",
+    )
+    hit = F.when(F.col("attr_value_r") == F.col("o_orderpriority"), 1).otherwise(0)
+    return (
+        pit.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(hit).cast("bigint").alias("pit_hits"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "n_orders",
+            "pit_hits",
+            "CAST(pit_hits * 1000 DIV n_orders AS BIGINT) AS match_pm",
+        )
+        .orderBy("o_orderpriority")
+    )

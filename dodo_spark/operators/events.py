@@ -798,3 +798,62 @@ def events_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "week_offset")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), totals AS (
+      SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS from_total
+      FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.cnt,
+           CAST(p.cnt * 1000 // t.from_total AS BIGINT) AS prob_pm
+    FROM pairs p JOIN totals t ON t.from_type = p.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+    doc="First-order Markov transition matrix of user behavior (the "
+    "model behind next-event prediction, funnel leak analysis, and bot "
+    "detection — a uniform matrix like this synthetic one IS the bot "
+    "signature): consecutive event pairs per user via one partitioned "
+    "lag, a |types|^2-bounded pair count, and per-source transition "
+    "probabilities in exact integer per-mille. One shuffle on user_id "
+    "for the sequence, then vocabulary-sized aggregates — event volume "
+    "only affects the first shuffle, the matrix is 25 rows at any "
+    "scale.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("cnt").cast("bigint").alias("from_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST(cnt * 1000 DIV from_total AS BIGINT) AS prob_pm",
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -268,6 +268,8 @@ KEYS = [
     "events_cohort_revenue",
     "stats_benford",
     "profile_join_cardinality",
+    "scd2_pit_join",
+    "events_markov_transitions",
 ]
 
 
