@@ -149,6 +149,7 @@ HEADLINE = [
     "profile_join_cardinality",
     "scd2_pit_join",
     "events_markov_transitions",
+    "streaming_trending_drain",
 ]
 
 

@@ -824,3 +824,57 @@ def _register_ohlc_key() -> None:
 
 
 _register_ohlc_key()
+
+
+def _register_trending_key() -> None:
+    from pyspark.sql.window import Window
+
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_trending_drain",
+        oracle="""
+        WITH counts AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT ws, event_type, cnt,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY ws
+                      ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+          FROM counts
+        )
+        SELECT ws, event_type, cnt, rnk FROM ranked
+        WHERE rnk <= 2 ORDER BY ws, rnk
+        """,
+        doc="Trending top-k drain (drain #9 — the leaderboard topology): "
+        "the STREAM side is a watermarked tumbling count per (window, "
+        "type) — bounded state, same as the tumbling drain — and the "
+        "top-k rank runs POST-DRAIN on the materialized counts, which is "
+        "how a real trending serving layer works: ranking is not a "
+        "streaming-stateful operation, so it belongs on the serving "
+        "query over the continuously-maintained aggregate, not inside "
+        "the stream (where Spark would reject a rank over an unbounded "
+        "stream in update mode anyway). The rank window partitions by "
+        "window-start — never global. Oracle: the batch count+rank.",
+    )
+    def streaming_trending_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        counts = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        )
+        drained = run_available_now(counts, "vk_stream_trending")
+        rnk = F.row_number().over(
+            Window.partitionBy("ws").orderBy(F.desc("cnt"), "event_type")
+        )
+        return (
+            drained.withColumn("rnk", rnk.cast("bigint"))
+            .filter(F.col("rnk") <= 2)
+            .orderBy("ws", "rnk")
+        )
+
+
+_register_trending_key()

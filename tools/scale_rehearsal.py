@@ -270,6 +270,7 @@ KEYS = [
     "profile_join_cardinality",
     "scd2_pit_join",
     "events_markov_transitions",
+    "streaming_trending_drain",
 ]
 
 
