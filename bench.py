@@ -150,6 +150,7 @@ HEADLINE = [
     "scd2_pit_join",
     "events_markov_transitions",
     "streaming_trending_drain",
+    "analytics_rfm_segments",
 ]
 
 

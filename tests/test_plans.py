@@ -150,6 +150,8 @@ BNLJ_ALLOWED = {
     "stats_benford",
     # 1-row actual-join-count broadcast onto each sampled estimate row
     "profile_join_cardinality",
+    # 1-row tercile-boundary broadcast onto the per-customer metrics
+    "analytics_rfm_segments",
     # 1-row node-count broadcast into each PageRank iteration (the
     # teleport term (1-d)/N)
     "graph_pagerank",

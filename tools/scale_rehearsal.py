@@ -271,6 +271,7 @@ KEYS = [
     "scd2_pit_join",
     "events_markov_transitions",
     "streaming_trending_drain",
+    "analytics_rfm_segments",
 ]
 
 
