@@ -29,7 +29,7 @@ import re
 
 from pyspark.sql import DataFrame
 
-__all__ = ["plan_text", "lint_plan", "lint_findings_exit_code"]
+__all__ = ["plan_text", "lint_plan", "lint_plan_text", "lint_findings_exit_code"]
 
 
 def plan_text(df: DataFrame) -> str:
@@ -46,7 +46,12 @@ def _finding(severity: str, code: str, detail: str) -> dict:
 def lint_plan(df: DataFrame) -> list[dict]:
     """Lint one DataFrame's physical plan; returns findings (possibly
     empty), errors first."""
-    plan = plan_text(df)
+    return lint_plan_text(plan_text(df))
+
+
+def lint_plan_text(plan: str) -> list[dict]:
+    """Lint an already-rendered formatted explain (lets callers that
+    cache plan text — the registry-wide CI lint — avoid re-explaining)."""
     out: list[dict] = []
     if "CartesianProduct" in plan:
         out.append(

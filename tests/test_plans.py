@@ -96,6 +96,19 @@ def test_no_row_at_a_time_python(plans, name):
     assert "BatchEvalPython" not in plans(name), name
 
 
+# Global windows over PROVABLY BOUNDED frames (post-aggregate tables whose
+# row count is a domain cardinality, not data volume) — same class as the
+# 1-row BNLJ broadcasts:
+#   corpus_resample_importance  SUM() OVER () on the per-lang plan table
+#   source_jsonl_corpus         corrupt-line total over the per-lang rollup
+#   corpus_mix_waterfill        prefix/suffix sums over the per-domain frame
+GLOBAL_WINDOW_ALLOWED = {
+    "corpus_resample_importance",
+    "source_jsonl_corpus",
+    "corpus_mix_waterfill",
+}
+
+
 @pytest.mark.parametrize("name", sorted(ALL))
 def test_no_global_window(plans, name):
     """No registered plan may contain a Window with empty partitionBy — that
@@ -103,12 +116,17 @@ def test_no_global_window(plans, name):
     In formatted explain a fully-specified Window's Arguments line carries
     three bracketed lists ([funcs], [partSpec], [orderSpec]); two lists is
     ambiguous (either partition-only — fine — or order-only — the bug), so
-    the tiebreaker is whether the plan funnels into Exchange SinglePartition."""
+    the tiebreaker is whether the plan funnels into a SinglePartition
+    exchange (formatted mode renders it on the Exchange's Arguments line —
+    the old 'Exchange SinglePartition' single-line form never appears there,
+    which made the original assertion vacuous)."""
+    if name in GLOBAL_WINDOW_ALLOWED:
+        return
     plan = plans(name)
     for line in plan.splitlines():
         if "windowspecdefinition" in line and line.strip().startswith("Arguments:"):
             if line.count("], [") < 2:
-                assert "Exchange SinglePartition" not in plan, (name, line)
+                assert "SinglePartition" not in plan, (name, line)
 
 
 # Non-equi/broadcast-nested-loop joins that are deliberate:
@@ -357,3 +375,20 @@ def test_join_bucketed_key_join_is_exchange_free(spark, sf_dir):
     plan = plan_of(bucketed_fact_join(spark, sf_dir))
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_registry_plans_lint_error_free(plans, name):
+    """The plan-lint CLI's error-severity checks (cartesian, row-Python
+    UDF, global window) must hold for every registered key — the linter
+    and the registry enforce the same contract, so a key the linter
+    would reject is a regression in either the key or the linter."""
+    from dodo_spark.plans.lint import lint_plan_text
+
+    errors = [
+        f
+        for f in lint_plan_text(plans(name))
+        if f["severity"] == "error"
+        and not (f["code"] == "GLOBAL_WINDOW" and name in GLOBAL_WINDOW_ALLOWED)
+    ]
+    assert not errors, (name, errors)
