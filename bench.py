@@ -151,6 +151,8 @@ HEADLINE = [
     "events_markov_transitions",
     "streaming_trending_drain",
     "analytics_rfm_segments",
+    "window_range_time",
+    "agg_count_min",
 ]
 
 

@@ -857,3 +857,53 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "window_range_time",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS sum_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '10 minutes' PRECEDING
+                       AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    LIMIT 200
+    """,
+    doc="A14's missing half: time-RANGE window frames (RANGE BETWEEN "
+    "INTERVAL ... PRECEDING), the rolling-window shape rows-frames "
+    "cannot express when events are irregularly spaced. Spark's "
+    "rangeBetween needs a numeric order column, so the frame orders by "
+    "epoch microseconds with literal micro bounds — semantically "
+    "identical to the oracle's native INTERVAL RANGE frame, and rows "
+    "tied on ts all receive the full tied-peer aggregate on both "
+    "engines (RANGE frames include peers BY DEFINITION, which is why "
+    "the implementation must NOT add a tiebreak to the frame ordering). "
+    "Sum accumulates in exact DECIMAL. The window partitions by "
+    "user_id; output is a bounded ordered sample.",
+)
+def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-10 * 60 * 1_000_000, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count("*").over(w).cast("bigint").alias("n_10m"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_10m"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .limit(200)
+    )

@@ -671,3 +671,107 @@ def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out.orderBy("rate_denom")
+
+
+_CMS_DEPTH_KS = (2654435761, 40503, 2246822519, 3266489917)  # odd mix constants
+_CMS_W = 256
+_CMS_MOD = 2147483647
+_CMS_PROBE_KEYS = tuple(range(10))
+
+
+def _cms_hash(col: str, k: int) -> str:
+    """Seedless row hash into [0, _CMS_W): the split-hash pre-reduce rule
+    keeps the product exact on both engines."""
+    return f"((({col} % 2147483648) * {k}) % {_CMS_MOD}) % {_CMS_W}"
+
+
+def _cms_oracle() -> str:
+    probes = ", ".join(str(k) for k in _CMS_PROBE_KEYS)
+    est_cols = []
+    for j, k in enumerate(_CMS_DEPTH_KS):
+        est_cols.append(
+            f"(SELECT cnt FROM cms WHERE row_j = {j}"
+            f" AND col = {_cms_hash('p.key', k)}) AS e{j}"
+        )
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {j} AS row_j, {_cms_hash('o_custkey', k)} AS col"
+        f" FROM orders"
+        for j, k in enumerate(_CMS_DEPTH_KS)
+    )
+    least = "LEAST(" + ", ".join(f"e{j}" for j in range(len(_CMS_DEPTH_KS))) + ")"
+    return f"""
+    WITH cells AS (
+      {rows}
+    ), cms AS (
+      SELECT row_j, col, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row_j, col
+    ), probes AS (
+      SELECT unnest([{probes}]) AS key
+    ), exact AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM orders GROUP BY o_custkey
+    ), est AS (
+      SELECT p.key, {", ".join(est_cols)}
+      FROM probes p
+    )
+    SELECT e.key AS probe_key,
+           COALESCE(x.exact_n, 0) AS exact_n,
+           CAST({least} AS BIGINT) AS cms_est,
+           CAST({least} - COALESCE(x.exact_n, 0) AS BIGINT) AS overcount
+    FROM est e LEFT JOIN exact x ON x.key = e.key
+    ORDER BY probe_key
+    """
+
+
+@register(
+    "agg_count_min",
+    oracle=_cms_oracle(),
+    doc="Count-Min sketch (d=4 x w=256) over the order-customer stream — "
+    "the mergeable point-frequency sketch beside the registry's "
+    "Misra-Gries heavy hitters, HLL NDV, and quantile sketches: each "
+    "counter row is an independent seedless hash (split-hash pre-reduce, "
+    "engine-exact), the sketch build is ONE groupBy over d x w bounded "
+    "cells (map-side combinable, trivially mergeable across partitions "
+    "and across days — counters just add), and a point query takes the "
+    "MIN across rows. Output: ten probe keys' exact counts vs sketch "
+    "estimates with the (always >= 0) overcount — the CMS one-sided "
+    "error guarantee, visible: estimates never undercount. At 100 TB "
+    "the sketch is a d*w-integer broadcast state, the stream is never "
+    "re-scanned per query.",
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = None
+    for j, k in enumerate(_CMS_DEPTH_KS):
+        one = orders.selectExpr(
+            f"CAST({j} AS BIGINT) AS row_j",
+            f"{_cms_hash('o_custkey', k)} AS col",
+        )
+        cells = one if cells is None else cells.unionByName(one)
+    cms = cells.groupBy("row_j", "col").agg(F.count("*").alias("cnt"))
+
+    probes = spark.createDataFrame(
+        [(k,) for k in _CMS_PROBE_KEYS], "key BIGINT"
+    )
+    est = probes
+    for j, k in enumerate(_CMS_DEPTH_KS):
+        row_j = cms.filter(F.col("row_j") == j).select(
+            F.col("col").alias(f"col{j}"), F.col("cnt").alias(f"e{j}")
+        )
+        est = est.withColumn(f"h{j}", F.expr(_cms_hash("key", k))).join(
+            F.broadcast(row_j), F.col(f"h{j}") == F.col(f"col{j}")
+        )
+    exact = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("exact_n")
+    )
+    least = "LEAST(" + ", ".join(f"e{j}" for j in range(len(_CMS_DEPTH_KS))) + ")"
+    return (
+        est.join(exact, "key", "left")
+        .selectExpr(
+            "key AS probe_key",
+            "COALESCE(exact_n, 0) AS exact_n",
+            f"CAST({least} AS BIGINT) AS cms_est",
+            f"CAST({least} - COALESCE(exact_n, 0) AS BIGINT) AS overcount",
+        )
+        .orderBy("probe_key")
+    )
