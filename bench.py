@@ -153,6 +153,7 @@ HEADLINE = [
     "analytics_rfm_segments",
     "window_range_time",
     "agg_count_min",
+    "time_travel_clone",
 ]
 
 

@@ -295,7 +295,13 @@ def _fs_for(table_path: str):
 def _join(base: str, *names: str) -> str:
     out = base.rstrip("/")
     for n in names:
-        out += "/" + n.strip("/")
+        # an absolute or fully-qualified member ref stands alone — this is
+        # what lets a shallow clone's manifest reference ANOTHER table's
+        # data files (see shallow_clone)
+        if n.startswith("/") or "://" in n:
+            out = n.rstrip("/")
+        else:
+            out += "/" + n.strip("/")
     return out
 
 
@@ -1888,3 +1894,131 @@ def _register_materialized_agg_refresh() -> None:
 
 
 _register_materialized_agg_refresh()
+
+
+def shallow_clone(
+    source_path: str, target_path: str, version: int | None = None
+) -> dict:
+    """Zero-copy clone (the Delta SHALLOW CLONE primitive): commit a new
+    table at ``target_path`` whose v0 manifest references the SOURCE's
+    live data files by absolute path — pure metadata, so cloning a
+    100 TB table costs one manifest write. The clone is independently
+    appendable/deletable (its own commits write under its own root and
+    rewrites copy-on-write the referenced files), and the source never
+    sees the clone's commits. Caveat (same as Delta's): a VACUUM on the
+    SOURCE can sweep files the clone still references — pin or deep-copy
+    before vacuuming a cloned-from table. Returns {"files_referenced",
+    "version"}. Absolute refs work because ``_join`` resolves an
+    absolute member path as-is on every FS shim."""
+    versions = list_versions(source_path)
+    if not versions:
+        raise ValueError(f"no committed versions at {source_path}")
+    if version is None:
+        version = max(versions)
+    files = live_files(source_path, version)
+    _check_not_vacuumed(source_path, version, files, versions)
+    if list_versions(target_path):
+        raise ValueError(f"target {target_path} already has commits")
+    abs_refs = [_join(source_path, f) for f in files]
+    _commit(target_path, 0, add=abs_refs, remove=[])
+    return {"files_referenced": len(abs_refs), "version": 0}
+
+
+def _register_time_travel_clone() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel_clone",
+        oracle="""
+        WITH src AS (
+          SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 900
+        ), extra AS (
+          SELECT o_custkey, o_totalprice FROM orders
+          WHERE o_orderkey >= 900 AND o_orderkey < 1100
+        ), combined AS (
+          SELECT * FROM src UNION ALL SELECT * FROM extra
+        )
+        SELECT 'clone' AS side, CAST(COUNT(*) AS BIGINT) AS rows_at,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total, TRUE AS zero_copy, TRUE AS source_isolated
+        FROM src
+        UNION ALL
+        SELECT 'clone_after_append', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               TRUE, TRUE
+        FROM combined
+        UNION ALL
+        SELECT 'source', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               TRUE, TRUE
+        FROM src
+        ORDER BY side
+        """,
+        doc="Zero-copy shallow clone of a versioned table (the Delta "
+        "SHALLOW CLONE / dev-test-snapshot primitive): the clone's v0 "
+        "manifest references the source's live files — one metadata "
+        "write at ANY table size, no data copied (the zero_copy "
+        "contract asserts no data file exists under the clone's root "
+        "after cloning). The clone then takes an independent APPEND; "
+        "the source_isolated contract asserts the source's live set and "
+        "row count are untouched by it. Output: aggregates of source, "
+        "clone, and appended clone, recomputed by the oracle from the "
+        "base table.",
+    )
+    def time_travel_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        root = scratch_dir("time_travel_clone")
+        src, tgt = _join(root, "src"), _join(root, "clone")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        write_version(o.filter(k < 900), src, 0)
+        src_live_before = set(live_files(src, 0))
+
+        out = shallow_clone(src, tgt)
+        fs = _fs_for(tgt)
+        clone_local_data = [
+            f for f in fs.list_files_recursive(tgt) if f.endswith(".parquet")
+        ]
+        zero_copy = out["files_referenced"] > 0 and not clone_local_data
+
+        append_version(
+            o.filter((k >= 900) & (k < 1100)).select(
+                "o_custkey", "o_totalprice"
+            ),
+            tgt,
+            1,
+        )
+        source_isolated = (
+            set(live_files(src, 0)) == src_live_before
+            and list_versions(src) == [0]
+        )
+
+        def agg(df: DataFrame, side: str) -> DataFrame:
+            return df.agg(
+                F.lit(side).alias("side"),
+                F.count("*").alias("rows_at"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+                F.lit(zero_copy).alias("zero_copy"),
+                F.lit(source_isolated).alias("source_isolated"),
+            )
+
+        sel = ["o_custkey", "o_totalprice"]
+        return (
+            agg(read_version(spark, tgt, 0).select(sel), "clone")
+            .unionByName(
+                agg(read_version(spark, tgt, 1).select(sel), "clone_after_append")
+            )
+            .unionByName(agg(read_version(spark, src, 0).select(sel), "source"))
+            .orderBy("side")
+        )
+
+
+_register_time_travel_clone()

@@ -1425,3 +1425,32 @@ def test_compact_zorder_empty_live_set_falls_back(spark, tmp_path):
     out = compact_files(spark, path, 2, target_files=4, zorder_by=("c", "d"))
     assert out["files_after"] >= 0
     assert read_version(spark, path, 2).count() == 0
+
+
+def test_shallow_clone_zero_copy_and_isolation(spark, table):
+    """SHALLOW CLONE: the clone's manifest references the source's files
+    (no data copied), both read identically, and commits to the clone
+    never touch the source (and vice versa)."""
+    from dodo_spark.sources.versioned import append_version, shallow_clone
+
+    clone = str(table) + "_clone"
+    out = shallow_clone(table, clone)
+    assert out == {"files_referenced": out["files_referenced"], "version": 0}
+    assert out["files_referenced"] > 0
+    # no parquet under the clone root
+    for root, _, files in os.walk(clone):
+        assert not [f for f in files if f.endswith(".parquet")], (root, files)
+    assert {r["k"] for r in read_version(spark, clone, 0).collect()} == {1, 2}
+
+    append_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), clone, 1
+    )
+    assert {r["k"] for r in read_version(spark, clone, 1).collect()} == {1, 2, 9}
+    assert list_versions(table) == [0]  # source untouched
+    assert {r["k"] for r in read_version(spark, table, 0).collect()} == {1, 2}
+
+    # cloning onto an existing table refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already has commits"):
+        shallow_clone(table, clone)

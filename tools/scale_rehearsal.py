@@ -274,6 +274,7 @@ KEYS = [
     "analytics_rfm_segments",
     "window_range_time",
     "agg_count_min",
+    "time_travel_clone",
 ]
 
 
