@@ -208,6 +208,8 @@ BNLJ_ALLOWED = {
     "profile_l_diversity",
     # r7: 1-row stage-count broadcasts assembling the 2-row report
     "corpus_dedup_funnel",
+    # r7: the 1-row bloom-bitmap broadcast onto the fact scan
+    "join_bloom_prune",
 }
 
 
