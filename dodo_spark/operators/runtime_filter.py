@@ -243,3 +243,83 @@ def _register_bloom_prune() -> None:
 
 
 _register_bloom_prune()
+
+
+def _register_partition_pruned() -> None:
+    import os
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.operators.schema import scratch_dir
+    from dodo_spark.plans.lint import plan_text
+    from dodo_spark.registry import register
+
+    @register(
+        "join_partition_pruned",
+        oracle="""
+        WITH m AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        ), dim AS (
+          SELECT month, n_orders FROM m WHERE n_orders % 2 = 1
+        )
+        SELECT d.month, d.n_orders,
+               CAST(COUNT(*) AS BIGINT) AS line_cnt,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               TRUE AS dpp_in_plan
+        FROM lineitem l
+        JOIN dim d ON strftime(l.l_shipdate, '%Y-%m') = d.month
+        GROUP BY d.month, d.n_orders
+        ORDER BY d.month
+        """,
+        doc="Dynamic partition pruning over a ship-month-partitioned fact "
+        "(the other half of the runtime-filter family): lineitem is laid "
+        "out partitioned by month; the dim side keeps only months whose "
+        "ORDER COUNT IS ODD — a predicate deliberately underivable from "
+        "the join key, so Catalyst's static constraint propagation CANNOT "
+        "pre-prune and the partition pruning must happen at RUNTIME via "
+        "the broadcast-reuse DPP subquery. At 100 TB this is the "
+        "difference between scanning every date partition and scanning "
+        "only the qualifying ones. dpp_in_plan is computed from the "
+        "actual physical plan (dynamicpruningexpression present in the "
+        "scan's PartitionFilters) and the oracle pins it TRUE, so losing "
+        "the runtime filter is a correctness failure, not a silent "
+        "slowdown.",
+    )
+    def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        fact_path = os.path.join(scratch_dir("dpp_fact"), "fact")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_extendedprice", "l_discount"
+        ).withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        ).write.partitionBy("ship_month").mode("overwrite").parquet(fact_path)
+        fact = spark.read.parquet(fact_path)
+
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count("*").alias("n_orders"))
+            .filter(F.col("n_orders") % 2 == 1)
+        )
+        out = (
+            fact.join(
+                F.broadcast(dim), fact["ship_month"] == dim["month"], "inner"
+            )
+            .groupBy("month", "n_orders")
+            .agg(
+                F.count("*").alias("line_cnt"),
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        dpp = "dynamicpruning" in plan_text(out).lower()
+        return out.withColumn("dpp_in_plan", F.lit(dpp)).orderBy("month")
+
+
+_register_partition_pruned()

@@ -88,3 +88,20 @@ def test_fact_side_never_shuffles_before_bloom(spark, sf_dir):
     for ex in ids.get("Exchange", []):
         assert ex < bnlj, (ex, bnlj, plan)
     assert "SortMergeJoin" not in ids and "CartesianProduct" not in ids
+
+
+def test_dpp_subquery_reaches_partition_filters(spark, sf_dir):
+    """join_partition_pruned's fact scan must carry a
+    dynamicpruningexpression in PartitionFilters — the runtime-filter
+    subquery, not a static predicate (the dim filter is underivable from
+    the join key by design, so a static prune is impossible)."""
+    from dodo_spark.registry import REGISTRY
+    from tests.test_plans import plan_of
+
+    plan = plan_of(REGISTRY["join_partition_pruned"].fn(spark, sf_dir))
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert pf, plan
