@@ -210,6 +210,8 @@ BNLJ_ALLOWED = {
     "corpus_dedup_funnel",
     # r7: the 1-row bloom-bitmap broadcast onto the fact scan
     "join_bloom_prune",
+    # r7: 1-row theta/exact-count broadcasts assembling the sketch report
+    "agg_kmv_theta",
 }
 
 
