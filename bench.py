@@ -154,6 +154,14 @@ HEADLINE = [
     "window_range_time",
     "agg_count_min",
     "time_travel_clone",
+    # round-7 continuation 2: runtime scan pruning (bloom semi-join +
+    # dynamic partition pruning), delta-join view maintenance, theta
+    # sketch set algebra, and MMR diversified re-ranking
+    "join_bloom_prune",
+    "join_partition_pruned",
+    "materialized_join_refresh",
+    "agg_kmv_theta",
+    "similarity_mmr",
 ]
 
 
