@@ -212,6 +212,8 @@ BNLJ_ALLOWED = {
     "join_bloom_prune",
     # r7: 1-row theta/exact-count broadcasts assembling the sketch report
     "agg_kmv_theta",
+    # r7: 1-row pooled-moments broadcast onto the 2-variant report
+    "events_cuped",
 }
 
 
