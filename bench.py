@@ -162,6 +162,9 @@ HEADLINE = [
     "materialized_join_refresh",
     "agg_kmv_theta",
     "similarity_mmr",
+    "events_cuped",
+    "profile_expectations",
+    "time_travel_delete_mor",
 ]
 
 

@@ -1,0 +1,282 @@
+"""Merge-on-read DELETE via deletion-vector sidecars — the Iceberg v2
+equality-delete / Delta deletion-vector primitive on this repo's
+manifest commit algebra (sources/versioned.py).
+
+``delete_where`` (copy-on-write) rewrites every file containing a
+match: correct, but a 100-row delete against a 100 TB table costs the
+touched files' full rewrite. Merge-on-read inverts the cost: the delete
+commit writes ONLY a small parquet of matched keys under
+``v=<n>/dv-<uuid>/`` and a manifest that adds NO data files — O(matches)
+I/O at commit time — and readers apply the deletions as a broadcast
+anti-join.
+
+Sequencing follows Iceberg's equality-delete rule exactly: a deletion
+vector committed at version v applies ONLY to rows in data files ADDED
+at versions < v. A key deleted at v2 and re-appended at v3 therefore
+EXISTS in a v3 read — deletes are point-in-time facts, not tombstones
+over the future. The same rule makes ``purge_deletes`` self-resetting:
+it materializes the merge-on-read view and commits it as a full rewrite
+(``write_version``), so every live file's add-version becomes the purge
+version and no prior DV can ever apply again — no reset flag, no epoch
+counter, the file algebra is the reset.
+
+Read shape at scale: live files group by add-version into GENERATIONS;
+each generation anti-joins the union of DVs committed after it (the DV
+side is matches-sized, broadcast), generations union by name. Total
+data I/O = the live set once, exactly like read_version. Time travel
+composes for free — reading version v applies only DVs with v' ≤ v, so
+``FOR VERSION AS OF`` sees the deletes that had happened by then.
+
+Reference analogue: the snapshot clause this layer serves
+(``/root/reference/src/parser/DorisParser.g4:1754-1757``); the CoW twin
+is ``delete_where`` (``versioned.py:595``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dodo_spark.sources.versioned import (
+    _check_commit_order,
+    _check_not_vacuumed,
+    _commit,
+    _fs_for,
+    _join,
+    _read_manifest,
+    list_versions,
+    live_files,
+    read_version,
+    write_version,
+)
+
+__all__ = ["delete_where_mor", "read_with_deletes", "purge_deletes"]
+
+
+def _dv_entries(table_path: str, versions: list[int]) -> list[tuple[int, list[str], str]]:
+    """[(version, dv_files, key)] for every DV commit, ascending."""
+    out = []
+    for v in versions:
+        m = _read_manifest(table_path, v)
+        if m.get("dv"):
+            out.append((v, m["dv"], m["dv_key"]))
+    return out
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    predicate: str,
+    key: str,
+) -> dict:
+    """Commit ``version`` as a merge-on-read DELETE: write the matched
+    ``key`` values (evaluated against the current merge-on-read view, so
+    already-deleted rows don't re-match) as a DV sidecar and publish a
+    manifest that adds/removes NO data files. Returns
+    {"dv_files", "keys_deleted"}."""
+    import uuid
+
+    versions = _check_commit_order(table_path, version)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    cur = read_with_deletes(spark, table_path, max(versions))
+    keys_df = cur.filter(predicate).select(key).distinct()
+    attempt = f"v={version}/dv-{uuid.uuid4().hex[:12]}"
+    snap = _join(table_path, attempt)
+    keys_df.write.mode("overwrite").parquet(snap)
+    fs = _fs_for(table_path)
+    files = sorted(
+        f"{attempt}/{name}"
+        for name in fs.list_names(snap)
+        if name.endswith(".parquet")
+    )
+    n = spark.read.parquet(snap).count()
+    _commit(
+        table_path,
+        version,
+        add=[],
+        remove=[],
+        extra={"dv": files, "dv_key": key},
+    )
+    return {"dv_files": len(files), "keys_deleted": n}
+
+
+def read_with_deletes(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """``read_version`` with deletion vectors applied under the
+    Iceberg sequencing rule: a DV at v' masks only rows in files added
+    at versions < v'. Reading an OLDER version applies only the DVs
+    that existed then."""
+    versions = list_versions(table_path)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    if version is None:
+        version = max(versions)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions} at {table_path}")
+    dvs = [(v, fs, k) for (v, fs, k) in _dv_entries(table_path, versions) if v <= version]
+    if not dvs:
+        return read_version(spark, table_path, version)
+    keys = {k for (_v, _f, k) in dvs}
+    if len(keys) > 1:
+        raise ValueError(f"mixed dv keys at {table_path}: {sorted(keys)}")
+    key = keys.pop()
+
+    files = live_files(table_path, version)
+    if not files:
+        raise ValueError(f"version {version} at {table_path} has no live files")
+    _check_not_vacuumed(table_path, version, files, versions)
+    first_added: dict[str, int] = {}
+    for v in versions:
+        for f in _read_manifest(table_path, v).get("add", []):
+            first_added.setdefault(f, v)
+
+    # group live files by the SET of DVs that apply (files between two
+    # DV commits share a mask — one scan subplan per group, total I/O =
+    # the live set once)
+    groups: dict[tuple[int, ...], list[str]] = {}
+    for f in files:
+        gen = first_added.get(f, version)
+        applies = tuple(v for (v, _fs, _k) in dvs if v > gen)
+        groups.setdefault(applies, []).append(f)
+
+    def _scan(paths: list[str]) -> DataFrame:
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[_join(table_path, p) for p in paths]
+        )
+
+    out = None
+    for applies, members in sorted(groups.items()):
+        part = _scan(members)
+        if applies:
+            dv_paths = [
+                p for (v, fl, _k) in dvs if v in applies for p in fl
+            ]
+            dels = _scan(dv_paths).select(key).distinct()
+            part = part.join(F.broadcast(dels), key, "anti")
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    return out
+
+
+def purge_deletes(
+    spark: SparkSession, table_path: str, version: int
+) -> str:
+    """Materialize the merge-on-read view and commit it as a full
+    rewrite. Every live file's add-version becomes ``version``, so no
+    earlier DV applies to anything live — the sequencing rule IS the
+    reset. Old DV sidecars stay manifest-referenced (time travel to
+    pre-purge versions still applies them) and inert for new reads."""
+    latest = read_with_deletes(spark, table_path)
+    # write_version computes the remove side itself; localCheckpoint
+    # pins the view content before the commit starts mutating state
+    return write_version(latest.localCheckpoint(eager=True), table_path, version)
+
+
+# ---------------------------------------------------------------------------
+# verify key
+# ---------------------------------------------------------------------------
+def _register_time_travel_delete_mor() -> None:
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+    from dodo_spark.sources.versioned import append_version
+
+    @register(
+        "time_travel_delete_mor",
+        oracle="""
+        WITH v1 AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000
+        ), final AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey < 2300
+            AND NOT (o_orderkey % 7 = 3 AND o_orderkey < 2000)
+        )
+        SELECT 'as_of_v1' AS side, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total,
+               CAST(COALESCE(SUM(CASE WHEN o_orderkey % 7 = 3
+                 AND o_orderkey >= 2000 THEN 1 END), 0) AS BIGINT)
+                 AS n_restored,
+               TRUE AS rewrite_free
+        FROM v1
+        UNION ALL
+        SELECT 'mor_read', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               CAST(COALESCE(SUM(CASE WHEN o_orderkey % 7 = 3
+                 AND o_orderkey >= 2000 THEN 1 END), 0) AS BIGINT),
+               TRUE
+        FROM final
+        UNION ALL
+        SELECT 'post_purge', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               CAST(COALESCE(SUM(CASE WHEN o_orderkey % 7 = 3
+                 AND o_orderkey >= 2000 THEN 1 END), 0) AS BIGINT),
+               TRUE
+        FROM final
+        ORDER BY side
+        """,
+        doc="Merge-on-read DELETE via deletion-vector sidecars (the "
+        "Iceberg v2 equality-delete / Delta DV primitive; CoW twin is "
+        "time_travel_delete): v2 deletes o_orderkey%7=3 as an "
+        "O(matches) DV commit that adds and removes NO data files "
+        "(rewrite_free pins that from the manifest); a later append's "
+        "matching keys SURVIVE because a DV applies only to files added "
+        "before it (n_restored > 0 — the Iceberg sequencing rule, "
+        "hash-verified); time travel to v1 shows the pre-delete rows; "
+        "and purge_deletes materializes+rewrites, after which the same "
+        "aggregates reproduce — the rewrite IS the DV reset, no epoch "
+        "flag. Readers apply DVs as broadcast anti-joins per file "
+        "generation; total I/O stays the live set once.",
+    )
+    def time_travel_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        tbl = _join(scratch_dir("time_travel_delete_mor"), "tbl")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        write_version(o.filter(k < 1500), tbl, 0)
+        append_version(o.filter((k >= 1500) & (k < 2000)), tbl, 1)
+        out = delete_where_mor(
+            spark, tbl, 2, "o_orderkey % 7 = 3", "o_orderkey"
+        )
+        m2 = _read_manifest(tbl, 2)
+        rewrite_free = (
+            not m2.get("add")
+            and not m2.get("remove")
+            and out["keys_deleted"] > 0
+        )
+        append_version(o.filter((k >= 2000) & (k < 2300)), tbl, 3)
+        purge_deletes(spark, tbl, 4)
+
+        def agg(df: DataFrame, side: str) -> DataFrame:
+            return df.agg(
+                F.lit(side).alias("side"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+                F.coalesce(
+                    F.sum(
+                        F.when((k % 7 == 3) & (k >= 2000), 1)
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_restored"),
+                F.lit(rewrite_free).alias("rewrite_free"),
+            )
+
+        return (
+            agg(read_with_deletes(spark, tbl, 1), "as_of_v1")
+            .unionByName(agg(read_with_deletes(spark, tbl, 3), "mor_read"))
+            .unionByName(agg(read_with_deletes(spark, tbl, 4), "post_purge"))
+            .orderBy("side")
+        )
+
+
+_register_time_travel_delete_mor()

@@ -491,6 +491,7 @@ def _commit(
     add: list[str],
     remove: list[str],
     commit_ts: str | None = None,
+    extra: dict | None = None,
 ) -> None:
     """Commit ``version``: put-if-absent publish the per-version manifest
     (add/remove lists + per-added-file footer min/max stats). The
@@ -522,17 +523,21 @@ def _commit(
             _dt.datetime.now(_dt.timezone.utc)
             .strftime("%Y-%m-%d %H:%M:%S.%f")
         )
+    manifest = {
+        "version": version,
+        "ts": commit_ts,
+        "add": add,
+        "remove": remove,
+        "stats": stats,
+    }
+    if extra:
+        # extension fields (e.g. merge-on-read deletion vectors,
+        # sources/mor.py) — additive only: every reader of the core
+        # fields above ignores keys it doesn't know
+        manifest.update(extra)
     won = _fs_for(table_path).put_if_absent_text(
         _version_manifest_path(table_path, version),
-        json.dumps(
-            {
-                "version": version,
-                "ts": commit_ts,
-                "add": add,
-                "remove": remove,
-                "stats": stats,
-            }
-        ),
+        json.dumps(manifest),
     )
     if not won:
         raise CommitConflict(
@@ -905,7 +910,11 @@ def _sweep_orphan_data_files(table_path: str, versions: list[int], fs) -> int:
         return 0
     referenced: set[str] = set()
     for v in versions:
-        referenced.update(_read_manifest(table_path, v, fs).get("add", []))
+        m = _read_manifest(table_path, v, fs)
+        referenced.update(m.get("add", []))
+        # deletion-vector sidecars (sources/mor.py) are manifest-
+        # referenced metadata, not orphans
+        referenced.update(m.get("dv") or [])
     hi = max(versions)
     deleted = 0
     for rel in fs.list_files_recursive(table_path):

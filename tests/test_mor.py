@@ -1,0 +1,110 @@
+"""Merge-on-read deletion vectors (sources/mor.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dodo_spark.sources.mor import (
+    delete_where_mor,
+    purge_deletes,
+    read_with_deletes,
+)
+from dodo_spark.sources.versioned import (
+    _read_manifest,
+    append_version,
+    list_versions,
+    vacuum,
+    write_version,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "mor")
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 7)], "k BIGINT, val DOUBLE"
+    )
+    write_version(df, path, 0)
+    return path
+
+
+def _keys(spark, path, version=None):
+    return {
+        r["k"] for r in read_with_deletes(spark, path, version).collect()
+    }
+
+
+def test_dv_commit_adds_no_data_files(spark, table):
+    out = delete_where_mor(spark, table, 1, "k % 2 = 0", "k")
+    assert out["keys_deleted"] == 3 and out["dv_files"] >= 1
+    m = _read_manifest(table, 1)
+    assert m["add"] == [] and m["remove"] == [] and m["dv"]
+    assert _keys(spark, table) == {1, 3, 5}
+
+
+def test_sequencing_rule_restores_reappended_keys(spark, table):
+    delete_where_mor(spark, table, 1, "k <= 2", "k")
+    assert _keys(spark, table) == {3, 4, 5, 6}
+    # re-append k=1: the v1 DV predates this file, so the row SURVIVES
+    append_version(
+        spark.createDataFrame([(1, 999.0)], "k BIGINT, val DOUBLE"),
+        table,
+        2,
+    )
+    assert _keys(spark, table) == {1, 3, 4, 5, 6}
+    # but time travel to v1 still shows the delete, and v0 predates it
+    assert _keys(spark, table, 1) == {3, 4, 5, 6}
+    assert _keys(spark, table, 0) == {1, 2, 3, 4, 5, 6}
+
+
+def test_stacked_dvs_apply_cumulatively(spark, table):
+    delete_where_mor(spark, table, 1, "k = 1", "k")
+    delete_where_mor(spark, table, 2, "k = 3", "k")
+    assert _keys(spark, table) == {2, 4, 5, 6}
+    assert _keys(spark, table, 1) == {2, 3, 4, 5, 6}
+
+
+def test_second_dv_does_not_rematch_deleted_rows(spark, table):
+    delete_where_mor(spark, table, 1, "k <= 3", "k")
+    out = delete_where_mor(spark, table, 2, "k <= 4", "k")
+    assert out["keys_deleted"] == 1  # only k=4; 1..3 already masked
+
+
+def test_purge_materializes_and_resets(spark, table):
+    delete_where_mor(spark, table, 1, "k % 2 = 1", "k")
+    before = _keys(spark, table)
+    purge_deletes(spark, table, 2)
+    assert _keys(spark, table) == before == {2, 4, 6}
+    # the rewrite is the reset: a key re-appended AFTER purge survives
+    # even though it matches the old DV
+    append_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"), table, 3
+    )
+    assert _keys(spark, table) == {1, 2, 4, 6}
+
+
+def test_vacuum_does_not_sweep_dv_sidecars(spark, table):
+    """DV files are manifest-referenced metadata: an orphan sweep after
+    later commits must leave them intact so older reads keep their
+    deletes applied."""
+    delete_where_mor(spark, table, 1, "k = 2", "k")
+    append_version(
+        spark.createDataFrame([(9, 9.0)], "k BIGINT, val DOUBLE"), table, 2
+    )
+    purge_deletes(spark, table, 3)
+    vacuum(table, keep_versions=3)
+    assert 1 in list_versions(table)
+    assert _keys(spark, table, 1) == {1, 3, 4, 5, 6}
+
+
+def test_mixed_dv_keys_rejected(spark, table):
+    delete_where_mor(spark, table, 1, "k = 1", "k")
+    delete_where_mor(spark, table, 2, "val = 20.0", "val")
+    with pytest.raises(ValueError, match="mixed dv keys"):
+        read_with_deletes(spark, table)
+
+
+def test_empty_match_dv_is_harmless(spark, table):
+    out = delete_where_mor(spark, table, 1, "k > 100", "k")
+    assert out["keys_deleted"] == 0
+    assert _keys(spark, table) == {1, 2, 3, 4, 5, 6}

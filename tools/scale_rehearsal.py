@@ -282,6 +282,9 @@ KEYS = [
     "materialized_join_refresh",
     "agg_kmv_theta",
     "similarity_mmr",
+    "events_cuped",
+    "profile_expectations",
+    "time_travel_delete_mor",
 ]
 
 
