@@ -165,6 +165,7 @@ HEADLINE = [
     "events_cuped",
     "profile_expectations",
     "time_travel_delete_mor",
+    "streaming_cdc_apply",
 ]
 
 

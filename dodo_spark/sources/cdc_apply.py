@@ -1,0 +1,278 @@
+"""Streaming CDC APPLY — Debezium-style change-stream materialization
+into the versioned lakehouse layer: latest-wins upserts + tombstoned
+deletes, ONE idempotent commit per micro-batch.
+
+This is the topology a production CDC pipeline runs (Kafka/Debezium →
+apply into Delta/Iceberg/Hudi): each change record carries a key, a
+total-order SEQUENCE (LSN / binlog position; here the unique event id),
+and an op. The apply rule is pure:
+
+    the row with the HIGHEST seq per key wins — across the batch,
+    against the stored state, and regardless of batch boundaries.
+
+Deletes materialize as TOMBSTONE rows (``deleted=true``, seq-stamped),
+never physical removal: a stale upsert arriving in a LATER micro-batch
+(file sources hand out batches in file order, not seq order) loses to
+the tombstone's higher seq instead of resurrecting the key. Because the
+rule is batch-order-independent, the final state equals the global
+argmax-per-key — which is exactly what the DuckDB oracle recomputes,
+so ANY misapplied batch, lost tombstone, or resurrection hashes wrong.
+
+Commit shape per batch (same file algebra as merge_upsert): footer-stats
+candidate pruning on the key bounds the probe; only files containing an
+incoming key are rewritten; the winner selection is one window over
+(touched rows ∪ incoming batch); manifest remove=touched/add=rewritten.
+Batch id maps to version, so a replayed batch (the Structured-Streaming
+at-least-once window) finds its version committed and SKIPS — the
+exactly-once pattern of streaming/versioned_sink.py, inherited.
+
+At 100 TB: a batch touching k files costs k rewrites + |batch| I/O;
+periodic ``compact_files`` bin-packs, and ``purge`` of tombstones is a
+plain filtered rewrite when retention allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dodo_spark.sources.versioned import (
+    CommitConflict,
+    _check_commit_order,
+    _commit,
+    _join,
+    _write_data_files,
+    file_stats,
+    list_versions,
+    live_files,
+    read_version,
+)
+
+__all__ = ["apply_cdc_batch", "cdc_batch_writer", "read_cdc_state"]
+
+
+def apply_cdc_batch(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+) -> dict:
+    """Apply one CDC micro-batch as commit ``version``. ``changes`` must
+    carry ``key``, ``seq_col`` (total order per key), and a boolean
+    ``deleted`` column (tombstones). Returns {"files_rewritten",
+    "rows_in_batch"}."""
+    versions = _check_commit_order(table_path, version)
+
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    incoming = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+
+    touched: list[str] = []
+    if versions:
+        prev_live = live_files(table_path, versions[-1])
+        paths = {f: _join(table_path, f) for f in prev_live}
+        keys_df = F.broadcast(incoming.select(key).distinct())
+        bounds = incoming.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        stats = file_stats(table_path, versions[-1])
+        candidates = [
+            f
+            for f in prev_live
+            if key not in stats.get(f, {})
+            or bounds["lo"] is None
+            or not (
+                stats[f][key][0] > bounds["hi"]
+                or stats[f][key][1] < bounds["lo"]
+            )
+        ]
+        if candidates:
+            probe = spark.read.option("mergeSchema", "true").parquet(
+                *[paths[f] for f in candidates]
+            )
+            from dodo_spark.sources.versioned import _canon_file_ref
+
+            hit = {
+                _canon_file_ref(r["f"])
+                for r in probe.join(keys_df, key, "semi")
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            }
+            touched = [
+                f for f in candidates if _canon_file_ref(paths[f]) in hit
+            ]
+
+    if touched:
+        existing = spark.read.option("mergeSchema", "true").parquet(
+            *[_join(table_path, f) for f in touched]
+        )
+        # latest-wins across stored state and batch; on an (impossible
+        # with unique seqs, but defensive) tie the STORED row wins, so
+        # re-applying identical content is a no-op
+        pool = existing.withColumn("__src", F.lit(0)).unionByName(
+            incoming.withColumn("__src", F.lit(1)), allowMissingColumns=True
+        )
+    else:
+        pool = incoming.withColumn("__src", F.lit(1))
+    w2 = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col("__src").asc()
+    )
+    winners = (
+        pool.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    add = _write_data_files(winners, table_path, version)
+    _commit(table_path, version, add=add, remove=touched)
+    return {
+        "files_rewritten": len(touched),
+        "rows_in_batch": incoming.count(),
+    }
+
+
+def cdc_batch_writer(table_path: str, key: str, seq_col: str):
+    """``foreachBatch`` function: batch id IS the version, so a replayed
+    batch finds its version committed and skips (exactly-once content,
+    the versioned_sink pattern)."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        try:
+            apply_cdc_batch(
+                df.sparkSession, table_path, int(batch_id), df, key, seq_col
+            )
+        except CommitConflict:
+            pass
+        except ValueError as e:
+            if "already committed" not in str(e):
+                raise
+
+    return write_batch
+
+
+def read_cdc_state(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """The materialized table WITHOUT tombstones — what a consumer
+    queries. Tombstones stay stored (resurrection protection); reclaim
+    them with a filtered rewrite once upstream retention guarantees no
+    older seqs can arrive."""
+    return read_version(spark, table_path, version).filter(~F.col("deleted"))
+
+
+# ---------------------------------------------------------------------------
+# verify key
+# ---------------------------------------------------------------------------
+def _register_streaming_cdc_apply() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "streaming_cdc_apply",
+        oracle="""
+        WITH latest AS (
+          SELECT user_id, value, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY event_id DESC) AS rn
+          FROM events
+        ), cur AS (SELECT * FROM latest WHERE rn = 1)
+        SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+               CAST(COALESCE(SUM(CASE WHEN event_type != 'error'
+                 THEN 1 END), 0) AS BIGINT) AS n_live,
+               CAST(SUM(CASE WHEN event_type != 'error'
+                 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+                 AS value_sum,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                 THEN 1 END), 0) AS BIGINT) AS n_tombstones,
+               TRUE AS replay_noop
+        FROM cur GROUP BY 1 ORDER BY 1
+        """,
+        doc="Streaming CDC APPLY (drain #10 — the Debezium topology): "
+        "events become change records keyed by user with the unique "
+        "event id as the CDC sequence and event_type='error' as a "
+        "DELETE; the stream lands pre-split across 4 files and drains "
+        "one file per micro-batch, so LATER batches carry LOWER "
+        "sequences — the latest-wins rule plus seq-stamped tombstones "
+        "must hold against genuinely out-of-order arrival (a stale "
+        "upsert after its key's delete must NOT resurrect it). One "
+        "idempotent merge commit per batch (batch id = version; "
+        "footer-stats candidate pruning; replay of a committed batch "
+        "skips — replay_noop re-drives batch 0's content and asserts "
+        "versions and live files unchanged). The oracle recomputes the "
+        "global argmax-per-key state, which equals the sequential "
+        "batch application ONLY if every rule held.",
+    )
+    def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.catalog import load_table
+        from dodo_spark.operators.schema import scratch_dir
+        from dodo_spark.streaming.events_stream import (
+            _bounded_state_partitions,
+        )
+
+        root = scratch_dir("streaming_cdc_apply")
+        landing, tbl = _join(root, "landing"), _join(root, "tbl")
+        changes = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            F.col("event_id").alias("seq"),
+            (F.col("event_type") == "error").alias("deleted"),
+        )
+        changes.repartition(4).write.mode("overwrite").parquet(landing)
+
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, value DOUBLE, seq BIGINT, deleted BOOLEAN"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        with _bounded_state_partitions(spark, sf_dir):
+            q = stream.writeStream.foreachBatch(
+                cdc_batch_writer(tbl, "user_id", "seq")
+            ).trigger(availableNow=True).start()
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(f"cdc apply into {tbl} did not drain")
+
+        versions = list_versions(tbl)
+        files_before = live_files(tbl, max(versions))
+        first = read_version(spark, tbl, versions[0])
+        cdc_batch_writer(tbl, "user_id", "seq")(first, versions[0])
+        replay_noop = (
+            list_versions(tbl) == versions
+            and live_files(tbl, max(versions)) == files_before
+        )
+
+        state = read_version(spark, tbl)
+        return (
+            state.groupBy((F.col("user_id") % 10).cast("bigint").alias("bucket"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(~F.col("deleted"), 1)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_live"),
+                F.sum(
+                    F.when(
+                        ~F.col("deleted"),
+                        F.col("value").cast("decimal(18,4)"),
+                    )
+                )
+                .cast("double")
+                .alias("value_sum"),
+                F.coalesce(F.sum(F.when(F.col("deleted"), 1)), F.lit(0))
+                .cast("bigint")
+                .alias("n_tombstones"),
+                F.lit(replay_noop).alias("replay_noop"),
+            )
+            .orderBy("bucket")
+        )
+
+
+_register_streaming_cdc_apply()

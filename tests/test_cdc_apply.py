@@ -1,0 +1,102 @@
+"""CDC apply semantics (sources/cdc_apply.py)."""
+
+from __future__ import annotations
+
+from dodo_spark.sources.cdc_apply import apply_cdc_batch, read_cdc_state
+from dodo_spark.sources.versioned import (
+    _read_manifest,
+    list_versions,
+    live_files,
+    read_version,
+)
+
+SCHEMA = "user_id BIGINT, value DOUBLE, seq BIGINT, deleted BOOLEAN"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(spark, path):
+    return {
+        r["user_id"]: (r["value"], r["seq"], r["deleted"])
+        for r in read_version(spark, path).collect()
+    }
+
+
+def test_latest_wins_within_batch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    apply_cdc_batch(
+        spark,
+        path,
+        0,
+        _batch(spark, [(1, 10.0, 1, False), (1, 20.0, 5, False),
+                       (1, 15.0, 3, False)]),
+        "user_id",
+        "seq",
+    )
+    assert _state(spark, path) == {1: (20.0, 5, False)}
+
+
+def test_stale_upsert_cannot_resurrect_tombstone(spark, tmp_path):
+    """The whole point of seq-stamped tombstones: a later BATCH carrying
+    an older seq for a deleted key must lose."""
+    path = str(tmp_path / "t")
+    apply_cdc_batch(
+        spark, path, 0,
+        _batch(spark, [(1, 10.0, 9, True)]), "user_id", "seq",
+    )
+    apply_cdc_batch(
+        spark, path, 1,
+        _batch(spark, [(1, 99.0, 4, False), (2, 5.0, 6, False)]),
+        "user_id", "seq",
+    )
+    st = _state(spark, path)
+    assert st[1] == (10.0, 9, True) and st[2] == (5.0, 6, False)
+    assert {r["user_id"] for r in read_cdc_state(spark, path).collect()} == {2}
+
+
+def test_newer_seq_overwrites_and_undeletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    apply_cdc_batch(
+        spark, path, 0, _batch(spark, [(1, 1.0, 2, True)]), "user_id", "seq"
+    )
+    apply_cdc_batch(
+        spark, path, 1, _batch(spark, [(1, 7.0, 8, False)]), "user_id", "seq"
+    )
+    assert _state(spark, path) == {1: (7.0, 8, False)}
+
+
+def test_untouched_files_are_not_rewritten(spark, tmp_path):
+    """Footer-stats pruning + probe: a batch whose keys miss a file's
+    range must leave that file live as-is."""
+    path = str(tmp_path / "t")
+    apply_cdc_batch(
+        spark, path, 0,
+        _batch(spark, [(i, float(i), i, False) for i in range(1, 5)]),
+        "user_id", "seq",
+    )
+    before = set(live_files(path, 0))
+    out = apply_cdc_batch(
+        spark, path, 1,
+        _batch(spark, [(100, 1.0, 100, False)]), "user_id", "seq",
+    )
+    assert out["files_rewritten"] == 0
+    assert before <= set(live_files(path, 1))
+    m1 = _read_manifest(path, 1)
+    assert m1["remove"] == []
+
+
+def test_version_collision_means_replay_and_raises_cleanly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    apply_cdc_batch(
+        spark, path, 0, _batch(spark, [(1, 1.0, 1, False)]), "user_id", "seq"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="already committed"):
+        apply_cdc_batch(
+            spark, path, 0, _batch(spark, [(1, 2.0, 2, False)]),
+            "user_id", "seq",
+        )
+    assert list_versions(path) == [0]

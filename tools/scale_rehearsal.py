@@ -285,6 +285,7 @@ KEYS = [
     "events_cuped",
     "profile_expectations",
     "time_travel_delete_mor",
+    "streaming_cdc_apply",
 ]
 
 
