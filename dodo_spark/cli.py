@@ -777,6 +777,43 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return rc
 
 
+def cmd_expect(args: argparse.Namespace) -> int:
+    """Declarative data-quality gate (operators/quality.py): evaluate a
+    JSON rule table against a parquet table and print per-rule
+    (checked, violations, pass). Exit code 1 when any rule fails —
+    drop-in for a CI data test step. ``fk`` rules resolve their parent
+    by table name in --sf-dir."""
+    from dodo_spark.catalog import load_table
+    from dodo_spark.operators.quality import expectations_report
+
+    with open(args.rules) as f:
+        rules = json.load(f)
+    spark = _spark(args.parallel)
+    df = (
+        load_table(spark, args.sf_dir, args.table)
+        if args.sf_dir
+        else spark.read.parquet(args.table)
+    )
+    parents = {}
+    for r in rules:
+        if r.get("kind") == "fk":
+            if not args.sf_dir:
+                print("fk rules need --sf-dir to resolve the parent table")
+                return 2
+            parents[r["parent"]] = load_table(spark, args.sf_dir, r["parent"])
+    rows = expectations_report(df, rules, parents).collect()  # |rules| rows
+    rc = 0
+    for row in rows:
+        mark = "ok " if row["pass"] else "FAIL"
+        print(
+            f"{mark} {row['rule']:32s} column={row['column']} "
+            f"checked={row['checked']} violations={row['violations']}"
+        )
+        if not row["pass"]:
+            rc = 1
+    return rc
+
+
 # --------------------------------------------------------------- clean ----
 def cmd_sql(args: argparse.Namespace) -> int:
     """Run ad-hoc SQL over the catalog tables (the interactive entry a
@@ -1097,6 +1134,15 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--sf-dir", required=True, help="data dir to register as views")
     pl.add_argument("--file", default=None, help="read the SQL from a file")
     pl.set_defaults(fn=cmd_plan_lint)
+
+    ex = sub.add_parser(
+        "expect", help="evaluate a JSON data-quality rule table (CI gate)"
+    )
+    ex.add_argument("table", help="parquet path, or table name with --sf-dir")
+    ex.add_argument("--rules", required=True, help="JSON list of rules")
+    ex.add_argument("--sf-dir", default=None,
+                    help="data dir: resolves table names and fk parents")
+    ex.set_defaults(fn=cmd_expect)
 
     cl = sub.add_parser("clean", help="delete local scratch/output data")
     cl.add_argument("--yes", action="store_true", help="skip confirmation")

@@ -777,3 +777,32 @@ def test_lint_plan_api_warns_on_bnlj(spark, sf_dir):
     codes = {x["code"] for x in f}
     assert "UNBOUNDED_BNLJ" in codes
     assert lint_findings_exit_code(f) == 0  # warn-only still passes
+
+
+def test_cli_expect_gate_exit_codes(spark, sf_dir, tmp_path, capsys):
+    """`expect` is a CI data gate: rc 0 when every rule passes, rc 1 on
+    any violation, fk parents resolved by name from --sf-dir."""
+    import json as _json
+
+    from dodo_spark.cli import build_parser
+
+    rules = tmp_path / "rules.json"
+    rules.write_text(_json.dumps([
+        {"rule": "orderkey_unique", "kind": "unique", "column": "o_orderkey"},
+        {"rule": "custkey_fk", "kind": "fk", "column": "o_custkey",
+         "parent": "customer", "parent_key": "c_custkey"},
+    ]))
+    p = build_parser()
+    ok = p.parse_args(["expect", "orders", "--rules", str(rules),
+                       "--sf-dir", sf_dir])
+    assert ok.fn(ok) == 0
+    assert "ok " in capsys.readouterr().out
+
+    rules.write_text(_json.dumps([
+        {"rule": "key_not_97", "kind": "expr", "column": "o_orderkey",
+         "predicate": "o_orderkey % 97 != 0"},
+    ]))
+    bad = p.parse_args(["expect", "orders", "--rules", str(rules),
+                        "--sf-dir", sf_dir])
+    assert bad.fn(bad) == 1
+    assert "FAIL" in capsys.readouterr().out
