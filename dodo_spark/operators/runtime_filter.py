@@ -75,7 +75,10 @@ def bloom_bitmap(
     assert m_bits % 64 == 0, m_bits
     words = m_bits // 64
     h1, h2 = _h1_h2(F.col(key_col))
-    pos = keys.select(
+    # NULL keys never match a semi-join, so they contribute no bits —
+    # and a NULL hash would otherwise reach map_from_entries as a NULL
+    # map key (an error), so drop them before hashing
+    pos = keys.filter(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*_positions(h1, h2, m_bits, k))).alias("p")
     )
     word_rows = pos.select(

@@ -105,3 +105,18 @@ def test_dpp_subquery_reaches_partition_filters(spark, sf_dir):
         if "PartitionFilters" in ln and "dynamicpruning" in ln
     ]
     assert pf, plan
+
+
+def test_null_keys_contribute_no_bits_and_never_pass(spark):
+    """NULL never matches an equi-semi-join, so a NULL build key adds no
+    bits (previously a NULL map key would error) and a NULL probe key
+    yields a non-true flag."""
+    build = spark.createDataFrame([(1,), (None,), (2,)], "k BIGINT")
+    bitmap = bloom_bitmap(build, "k")
+    probes = spark.createDataFrame([(1,), (None,), (7,)], "k BIGINT")
+    got = {
+        r["k"]: r["bloom_pass"]
+        for r in with_bloom_flag(probes, "k", bitmap).collect()
+    }
+    assert got[1] is True
+    assert got[None] is not True  # NULL flag, never a match
