@@ -214,6 +214,10 @@ BNLJ_ALLOWED = {
     "agg_kmv_theta",
     # r7: 1-row pooled-moments broadcast onto the 2-variant report
     "events_cuped",
+    # r7: the 3-row query-vector broadcast of the D7 scoring kernel
+    "similarity_mmr",
+    # r7: 1-row checked-count broadcasts assembling the report rows
+    "profile_expectations",
 }
 
 
