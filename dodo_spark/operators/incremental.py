@@ -45,10 +45,13 @@ def signed_join_delta(
     """γ±(delta ⋈ other): per ``group_key``, signed (count, DECIMAL-sum
     of ``value_col``) contribution of the joined delta rows."""
     j = delta.join(other, on, "inner")
+    # the per-row values quantize at (18,4); the SUM must carry the full
+    # widened precision — narrowing a sum back to (18,4) silently nulls
+    # past 10^14 under non-ANSI overflow while the oracle stays exact
     return j.groupBy(group_key).agg(
         (F.lit(sign) * F.count("*")).cast("bigint").alias("cnt"),
         (F.lit(sign) * F.sum(F.col(value_col).cast("decimal(18,4)")))
-        .cast("decimal(18,4)")
+        .cast("decimal(38,4)")
         .alias("total"),
     )
 
@@ -66,7 +69,7 @@ def merge_view_state(
         merged.groupBy(group_key)
         .agg(
             F.sum("cnt").cast("bigint").alias("cnt"),
-            F.sum("total").cast("decimal(18,4)").alias("total"),
+            F.sum("total").cast("decimal(38,4)").alias("total"),
         )
         .filter(F.col("cnt") > 0)
     )
@@ -207,9 +210,12 @@ def _register_materialized_join_refresh() -> None:
         merge_upsert(spark, c_tbl, 1, moved, "c_custkey")
         c_added, c_removed = read_changes(spark, c_tbl, 1)
         retraction_netted = c_removed is not None and moved.count() > 0
-        refresh(
-            [c_delta(c_added, 1, 1), c_delta(c_removed, 1, -1)], "c1"
-        )
+        deltas = []
+        if c_added is not None:
+            deltas.append(c_delta(c_added, 1, 1))
+        if c_removed is not None:  # a no-file-touched merge removes nothing
+            deltas.append(c_delta(c_removed, 1, -1))
+        refresh(deltas, "c1")
 
         # commit 3: orders row-level delete — signed rewrite ⋈ dim@v1
         delete_where(
@@ -219,7 +225,8 @@ def _register_materialized_join_refresh() -> None:
         deltas = []
         if d_added is not None:  # rewritten survivors re-enter with +1
             deltas.append(o_delta(d_added, 1, 1))
-        deltas.append(o_delta(d_removed, 1, -1))
+        if d_removed is not None:  # no-match delete removes nothing
+            deltas.append(o_delta(d_removed, 1, -1))
         refresh(deltas, "o2")
 
         return (

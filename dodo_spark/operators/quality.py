@@ -72,9 +72,22 @@ def expectations_report(
         aggs.append(_viol(cond).alias(f"__v_{r['rule']}"))
         row_rules.append(r)
 
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule STRING, column STRING, checked BIGINT, "
+            "violations BIGINT, pass BOOLEAN",
+        )
+
     parts = []
+    # one row count serves every rule: reuse the single-scan aggregate's
+    # __checked when row-wise rules exist, else count once — never once
+    # per fk rule
     if aggs:
         one = df.agg(F.count("*").alias("__checked"), *aggs)
+        checked_df = F.broadcast(
+            one.select(F.col("__checked").alias("checked"))
+        )
         for r in row_rules:
             parts.append(
                 one.select(
@@ -84,12 +97,22 @@ def expectations_report(
                     F.col(f"__v_{r['rule']}").alias("violations"),
                 )
             )
+    else:
+        checked_df = F.broadcast(df.agg(F.count("*").alias("checked")))
     for r in rules:
         if r["kind"] != "fk":
             continue
+        if not parents or r["parent"] not in parents:
+            raise ValueError(
+                f"fk rule {r['rule']!r} needs parents[{r['parent']!r}]"
+            )
         parent = parents[r["parent"]]
+        # dbt relationship-test convention (and the oracle's NOT IN
+        # semantics): NULL child keys are not orphans — they belong to
+        # a not_null rule
         orphans = (
             df.select(F.col(r["column"]).alias("__k"))
+            .filter(F.col(r["column"]).isNotNull())
             .join(
                 F.broadcast(
                     parent.select(
@@ -102,9 +125,7 @@ def expectations_report(
             .agg(F.count("*").alias("violations"))
         )
         parts.append(
-            orphans.crossJoin(
-                F.broadcast(df.agg(F.count("*").alias("checked")))
-            ).select(
+            orphans.crossJoin(checked_df).select(
                 F.lit(r["rule"]).alias("rule"),
                 F.lit(r["column"]).alias("column"),
                 "checked",

@@ -185,9 +185,11 @@ def _register_kmv_theta() -> None:
     )
     def agg_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load_table(spark, sf_dir, "orders")
+        # sk feeds five consumers (union/intersect/difference retained
+        # counts) — checkpoint once or the scan+window replays per use
         sk = kmv_sketch(
             orders, "o_orderpriority", row_hash_int("o_custkey")
-        )
+        ).localCheckpoint(eager=True)
         stats = sketch_stats(sk).localCheckpoint(eager=True)
 
         retained = F.when(F.col("n_in") == K, F.lit(K - 1)).otherwise(
@@ -207,14 +209,17 @@ def _register_kmv_theta() -> None:
             )
         )
 
+        # retained counts use a GLOBAL aggregate (never groupBy(theta)):
+        # a groupBy on empty input yields zero groups and the report row
+        # vanishes, where the oracle's scalar COUNT(*) emits est=0
         theta_u = stats.agg(F.min("theta").alias("theta_u"))
         u_ret = (
             sk.select("h")
             .distinct()
             .crossJoin(F.broadcast(theta_u))
             .filter(F.col("h") < F.col("theta_u"))
-            .groupBy("theta_u")
             .agg(F.count("*").alias("ret"))
+            .crossJoin(F.broadcast(theta_u))
         )
         u_row = u_ret.crossJoin(
             F.broadcast(orders.agg(F.countDistinct("o_custkey").alias("exact_ndv")))
@@ -234,8 +239,8 @@ def _register_kmv_theta() -> None:
             .join(sk.filter(F.col("seg") == SEG_B).select("h"), "h")
             .crossJoin(F.broadcast(theta_i))
             .filter(F.col("h") < F.col("theta_i"))
-            .groupBy("theta_i")
             .agg(F.count("*").alias("ret"))
+            .crossJoin(F.broadcast(theta_i))
         )
         i_exact = (
             orders.filter(F.col("o_orderpriority").isin(SEG_A, SEG_B))
@@ -258,8 +263,8 @@ def _register_kmv_theta() -> None:
             .join(sk.filter(F.col("seg") == SEG_B).select("h"), "h", "anti")
             .crossJoin(F.broadcast(theta_i))
             .filter(F.col("h") < F.col("theta_i"))
-            .groupBy("theta_i")
             .agg(F.count("*").alias("ret"))
+            .crossJoin(F.broadcast(theta_i))
         )
         d_exact = (
             orders.filter(F.col("o_orderpriority") == SEG_A)

@@ -597,6 +597,34 @@ def append_version(
     return _join(table_path, f"v={version}")
 
 
+def _check_no_active_dvs(table_path: str, versions: list[int], op: str) -> None:
+    """Copy-on-write rewriters read live files RAW: rewriting rows that
+    a merge-on-read deletion vector masks (sources/mor.py) would re-add
+    them at a version NEWER than the DV, which the Iceberg sequencing
+    rule then exempts forever — silent resurrection of deleted rows.
+    Refuse while any DV still applies to a live file; ``purge_deletes``
+    (which materializes the masked view first) is the sanctioned path."""
+    if not versions:
+        return
+    latest = max(versions)
+    first_added: dict[str, int] = {}
+    dvs: list[int] = []
+    for v in versions:
+        m = _read_manifest(table_path, v)
+        for f in m.get("add", []):
+            first_added.setdefault(f, v)
+        if m.get("dv"):
+            dvs.append(v)
+    if not dvs:
+        return
+    live = live_files(table_path, latest)
+    if any(first_added.get(f, latest) < dv for f in live for dv in dvs):
+        raise ValueError(
+            f"{op} on {table_path} would resurrect rows masked by active "
+            f"deletion vectors (commits {dvs}); run purge_deletes first"
+        )
+
+
 def delete_where(
     spark: SparkSession,
     table_path: str,
@@ -620,6 +648,7 @@ def delete_where(
     versions = _check_commit_order(table_path, version)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
+    _check_no_active_dvs(table_path, versions, "delete_where")
     prev_live = live_files(table_path, versions[-1])
     paths = {f: _join(table_path, f) for f in prev_live}
     # one scan: per-file count of matching rows (bounded collect: one row
@@ -675,6 +704,7 @@ def merge_upsert(
     versions = _check_commit_order(table_path, version)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
+    _check_no_active_dvs(table_path, versions, "merge_upsert")
     prev_live = live_files(table_path, versions[-1])
     paths = {f: _join(table_path, f) for f in prev_live}
     updates = updates.localCheckpoint(eager=True)  # one computation, 3 uses
@@ -778,6 +808,7 @@ def compact_files(
     versions = _check_commit_order(table_path, version)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
+    _check_no_active_dvs(table_path, versions, "compact_files")
     prev_live = live_files(table_path, versions[-1])
     df = spark.read.option("mergeSchema", "true").parquet(
         *[_join(table_path, f) for f in prev_live]
@@ -868,7 +899,15 @@ def vacuum(table_path: str, keep_versions: int = 2) -> dict:
     all_files: set[str] = set()
     for v in versions:
         all_files.update(_read_manifest(table_path, v, fs).get("add", []))
-    doomed = sorted(all_files - keep)
+    # absolute / fully-qualified refs point into ANOTHER table's root
+    # (shallow_clone): this table does not OWN those files, so vacuum
+    # must never delete them — only the owning table's vacuum may.
+    # Deleting them here would destroy the clone SOURCE's data.
+    doomed = sorted(
+        f
+        for f in all_files - keep
+        if not (f.startswith("/") or "://" in f)
+    )
     # publish the marker BEFORE deleting so a crash mid-delete still
     # reports affected versions as vacuumed rather than file-not-found.
     # The marker records the EXACT deleted list: the vacuum guard flags a
@@ -1926,6 +1965,27 @@ def shallow_clone(
         version = max(versions)
     files = live_files(source_path, version)
     _check_not_vacuumed(source_path, version, files, versions)
+    # a clone's flat v0 manifest cannot carry merge-on-read deletion
+    # vectors (the Iceberg sequencing rule keys off per-file add
+    # versions, which flattening destroys), so cloning a version with
+    # ACTIVE DVs would silently resurrect every MoR-deleted row —
+    # refuse and point at the purge path instead
+    first_added: dict[str, int] = {}
+    dv_versions: list[int] = []
+    for v in versions:
+        m = _read_manifest(source_path, v)
+        for f in m.get("add", []):
+            first_added.setdefault(f, v)
+        if m.get("dv") and v <= version:
+            dv_versions.append(v)
+    if any(
+        first_added.get(f, version) < dv for f in files for dv in dv_versions
+    ):
+        raise ValueError(
+            f"version {version} at {source_path} has active deletion "
+            f"vectors (commits {dv_versions}); run purge_deletes first, "
+            f"then clone"
+        )
     if list_versions(target_path):
         raise ValueError(f"target {target_path} already has commits")
     abs_refs = [_join(source_path, f) for f in files]

@@ -108,3 +108,39 @@ def test_empty_match_dv_is_harmless(spark, table):
     out = delete_where_mor(spark, table, 1, "k > 100", "k")
     assert out["keys_deleted"] == 0
     assert _keys(spark, table) == {1, 2, 3, 4, 5, 6}
+
+
+def test_cow_rewriters_refuse_active_dvs(spark, table):
+    """compact/merge/delete read live files RAW: with an active DV they
+    would re-add masked rows at a newer version, which the sequencing
+    rule exempts forever — they must refuse until purge_deletes."""
+    from dodo_spark.sources.versioned import (
+        compact_files,
+        delete_where,
+        merge_upsert,
+    )
+
+    delete_where_mor(spark, table, 1, "k = 2", "k")
+    with pytest.raises(ValueError, match="resurrect"):
+        compact_files(spark, table, 2)
+    with pytest.raises(ValueError, match="resurrect"):
+        delete_where(spark, table, 2, "k = 3")
+    up = spark.createDataFrame([(1, 5.0)], "k BIGINT, val DOUBLE")
+    with pytest.raises(ValueError, match="resurrect"):
+        merge_upsert(spark, table, 2, up, "k")
+    # purge resets: the same rewrite then succeeds and stays masked
+    purge_deletes(spark, table, 2)
+    compact_files(spark, table, 3)
+    assert _keys(spark, table) == {1, 3, 4, 5, 6}
+
+
+def test_shallow_clone_refuses_active_dvs(spark, table):
+    from dodo_spark.sources.versioned import shallow_clone
+
+    delete_where_mor(spark, table, 1, "k = 2", "k")
+    with pytest.raises(ValueError, match="active deletion vectors"):
+        shallow_clone(table, table + "_clone")
+    purge_deletes(spark, table, 2)
+    out = shallow_clone(table, table + "_clone")
+    assert out["files_referenced"] > 0
+    assert _keys(spark, table + "_clone") == {1, 3, 4, 5, 6}

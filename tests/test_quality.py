@@ -78,3 +78,37 @@ def test_unknown_kind_rejected(spark):
         expectations_report(
             df, [{"rule": "x", "kind": "nope", "column": "k"}]
         )
+
+
+def test_fk_ignores_null_child_keys(spark):
+    """dbt relationship-test convention (and SQL NOT IN semantics): NULL
+    child keys are not orphans — they belong to a not_null rule."""
+    child = spark.createDataFrame([(1,), (None,), (9,)], "k BIGINT")
+    parent = spark.createDataFrame([(1,), (2,)], "pk BIGINT")
+    got = _report(
+        spark,
+        child,
+        [{"rule": "fk", "kind": "fk", "column": "k",
+          "parent": "p", "parent_key": "pk"}],
+        parents={"p": parent},
+    )
+    assert got["fk"] == (3, 1, False)  # only k=9 is an orphan
+
+
+def test_empty_rules_yield_empty_report(spark):
+    df = spark.createDataFrame([(1,)], "k BIGINT")
+    out = expectations_report(df, [])
+    assert out.count() == 0
+    assert out.columns == ["rule", "column", "checked", "violations", "pass"]
+
+
+def test_fk_missing_parent_is_a_clear_error(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k BIGINT")
+    with pytest.raises(ValueError, match="needs parents"):
+        expectations_report(
+            df,
+            [{"rule": "fk", "kind": "fk", "column": "k",
+              "parent": "p", "parent_key": "pk"}],
+        )

@@ -1454,3 +1454,25 @@ def test_shallow_clone_zero_copy_and_isolation(spark, table):
 
     with _pytest.raises(ValueError, match="already has commits"):
         shallow_clone(table, clone)
+
+
+def test_vacuum_on_clone_never_deletes_source_files(spark, table, tmp_path):
+    """The clone's manifests reference the SOURCE's files by absolute
+    path; the clone does not own them, so a clone-side rewrite + vacuum
+    must only delete clone-owned files — the source stays readable."""
+    from dodo_spark.sources.versioned import (
+        shallow_clone,
+        vacuum,
+        write_version,
+    )
+
+    clone = str(tmp_path / "clone")
+    shallow_clone(table, clone)
+    # rewrite the clone so the absolute refs leave its live set entirely
+    write_version(
+        spark.createDataFrame([(7, 70.0)], "k BIGINT, val DOUBLE"), clone, 1
+    )
+    out = vacuum(clone, keep_versions=1)
+    assert out["files_deleted"] == 0  # abs refs are not clone-owned
+    # the source is untouched and fully readable
+    assert {r["k"] for r in read_version(spark, table, 0).collect()} == {1, 2}
