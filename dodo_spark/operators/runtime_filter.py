@@ -292,11 +292,17 @@ def _register_partition_pruned() -> None:
     )
     def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact_path = os.path.join(scratch_dir("dpp_fact"), "fact")
+        # repartition on the partition column first: one task per month
+        # writes one file, instead of every task spraying a sliver into
+        # all ~84 month dirs (tasks x months small files — slower to
+        # write AND to list/prune on read)
         load_table(spark, sf_dir, "lineitem").select(
             "l_shipdate", "l_extendedprice", "l_discount"
         ).withColumn(
             "ship_month", F.date_format("l_shipdate", "yyyy-MM")
-        ).write.partitionBy("ship_month").mode("overwrite").parquet(fact_path)
+        ).repartition("ship_month").write.partitionBy("ship_month").mode(
+            "overwrite"
+        ).parquet(fact_path)
         fact = spark.read.parquet(fact_path)
 
         dim = (
