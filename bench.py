@@ -166,6 +166,7 @@ HEADLINE = [
     "profile_expectations",
     "time_travel_delete_mor",
     "streaming_cdc_apply",
+    "anonymize_k_generalize",
 ]
 
 

@@ -333,3 +333,116 @@ def anonymize_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = o.select("o_orderkey", stmt.alias("stmt"))
     out = anonymize_statements(spark, df, "stmt", method="minihash")
     return out.select("o_orderkey", "anonymized")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity GENERALIZATION — the mechanism profile_k_anonymity's audit
+# feeds: pick the minimal quasi-identifier coarsening that meets k
+# ---------------------------------------------------------------------------
+K_GEN_K = 20
+
+# generalization ladder over (c_nationkey, c_mktsegment, c_acctbal):
+#   0-2: acctbal in $100 / $400 / $1600 buckets
+#   3:   acctbal suppressed
+#   4:   + segment suppressed
+#   5:   + nation coarsened to 5-nation groups
+#   6:   everything suppressed (one class — always k-anonymous at n >= k)
+_K_GEN_LEVELS = 7
+
+
+@register(
+    "anonymize_k_generalize",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), lev AS (
+      SELECT b.*, l.level FROM base b,
+             (VALUES (0),(1),(2),(3),(4),(5),(6)) l(level)
+    ), q AS (
+      SELECT level,
+             CASE WHEN level <= 4 THEN CAST(nat AS VARCHAR)
+                  WHEN level = 5 THEN
+                    CAST(CAST(FLOOR(nat / 5.0) AS BIGINT) AS VARCHAR)
+                  ELSE '*' END AS qa,
+             CASE WHEN level <= 3 THEN seg ELSE '*' END AS qb,
+             CASE WHEN level = 0 THEN
+                    CAST(CAST(FLOOR(cents / 10000.0) AS BIGINT) AS VARCHAR)
+                  WHEN level = 1 THEN
+                    CAST(CAST(FLOOR(cents / 40000.0) AS BIGINT) AS VARCHAR)
+                  WHEN level = 2 THEN
+                    CAST(CAST(FLOOR(cents / 160000.0) AS BIGINT) AS VARCHAR)
+                  ELSE '*' END AS qc
+      FROM lev
+    ), classes AS (
+      SELECT level, qa, qb, qc, COUNT(*) AS sz
+      FROM q GROUP BY level, qa, qb, qc
+    ), per_level AS (
+      SELECT level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(sz) AS BIGINT) AS min_class
+      FROM classes GROUP BY level
+    ), chosen AS (
+      SELECT MIN(level) AS c FROM per_level WHERE min_class >= {K_GEN_K}
+    )
+    SELECT CAST(level AS BIGINT) AS level, n_classes, min_class,
+           (min_class >= {K_GEN_K}) AS meets_k,
+           (level = (SELECT c FROM chosen)) AS chosen
+    FROM per_level ORDER BY level
+    """,
+    doc="k-anonymity GENERALIZATION (the mechanism consuming "
+    "profile_k_anonymity's audit): a 7-level ladder coarsens the "
+    "quasi-identifiers (acctbal $100/$400/$1600 buckets -> suppressed; "
+    "then segment; then nation to 5-nation groups; then full "
+    "suppression) and the MINIMAL level whose worst equivalence class "
+    "reaches k=20 is chosen. Evaluated SET-BASED: one scan exploded "
+    "x7 levels (map-side), one groupBy over (level, QI tuple), so "
+    "adding ladder rungs never rescans the base table — at 100 TB the "
+    "ladder evaluation costs one aggregate, not one pass per rung. "
+    "Full per-level report (classes, worst class, meets_k) with the "
+    "chosen level flagged; the top rung is a single class, so a "
+    "feasible level always exists at n >= k.",
+)
+def anonymize_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    lev = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    ).withColumn("level", F.explode(F.sequence(F.lit(0), F.lit(_K_GEN_LEVELS - 1))))
+    nat, seg, cents, level = (F.col(c) for c in ("nat", "seg", "cents", "level"))
+    qa = (
+        F.when(level <= 4, nat.cast("string"))
+        .when(level == 5, F.floor(nat / 5.0).cast("bigint").cast("string"))
+        .otherwise("*")
+    )
+    qb = F.when(level <= 3, seg).otherwise("*")
+    qc = (
+        F.when(level == 0, F.floor(cents / 10000.0).cast("bigint").cast("string"))
+        .when(level == 1, F.floor(cents / 40000.0).cast("bigint").cast("string"))
+        .when(level == 2, F.floor(cents / 160000.0).cast("bigint").cast("string"))
+        .otherwise("*")
+    )
+    classes = (
+        lev.select(level.alias("level"), qa.alias("qa"), qb.alias("qb"), qc.alias("qc"))
+        .groupBy("level", "qa", "qb", "qc")
+        .agg(F.count("*").alias("sz"))
+    )
+    per_level = classes.groupBy("level").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("min_class"),
+    )
+    chosen = per_level.filter(F.col("min_class") >= K_GEN_K).agg(
+        F.min("level").alias("c")
+    )
+    return (
+        per_level.crossJoin(F.broadcast(chosen))
+        .select(
+            F.col("level").cast("bigint").alias("level"),
+            "n_classes",
+            "min_class",
+            (F.col("min_class") >= K_GEN_K).alias("meets_k"),
+            (F.col("level") == F.col("c")).alias("chosen"),
+        )
+        .orderBy("level")
+    )

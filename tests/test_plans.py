@@ -218,6 +218,8 @@ BNLJ_ALLOWED = {
     "similarity_mmr",
     # r7: 1-row checked-count broadcasts assembling the report rows
     "profile_expectations",
+    # r7: the 1-row chosen-level broadcast onto the 7-level ladder report
+    "anonymize_k_generalize",
 }
 
 

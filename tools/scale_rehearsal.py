@@ -286,6 +286,7 @@ KEYS = [
     "profile_expectations",
     "time_travel_delete_mor",
     "streaming_cdc_apply",
+    "anonymize_k_generalize",
 ]
 
 
