@@ -167,6 +167,7 @@ HEADLINE = [
     "time_travel_delete_mor",
     "streaming_cdc_apply",
     "anonymize_k_generalize",
+    "time_travel_schema_evolution",
 ]
 
 

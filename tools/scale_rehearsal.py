@@ -287,6 +287,7 @@ KEYS = [
     "time_travel_delete_mor",
     "streaming_cdc_apply",
     "anonymize_k_generalize",
+    "time_travel_schema_evolution",
 ]
 
 
