@@ -144,3 +144,64 @@ def test_shallow_clone_refuses_active_dvs(spark, table):
     out = shallow_clone(table, table + "_clone")
     assert out["files_referenced"] > 0
     assert _keys(spark, table + "_clone") == {1, 3, 4, 5, 6}
+
+
+def test_mor_algebra_randomized_against_model(spark, tmp_path):
+    """Model-based check of the merge-on-read algebra: a random sequence
+    of append / MoR-delete / purge commits must keep EVERY version's
+    read_with_deletes content equal to a plain-dict model replayed to
+    that version. Appends deliberately RECYCLE previously deleted keys,
+    so the Iceberg sequencing rule (a DV masks only files added before
+    it) is exercised on every recycled key; purges must be
+    content-neutral at their version and reset nothing visible."""
+    import random
+
+    from dodo_spark.sources.versioned import append_version, write_version
+
+    rng = random.Random(23)
+    path = str(tmp_path / "mor_alg")
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "k BIGINT, val DOUBLE"
+        ).coalesce(1)
+
+    model = {k: float(k * 10) for k in range(6)}
+    write_version(df_of(model), path, 0)
+    snapshots = {0: dict(model)}
+    deleted_pool: list[int] = []
+    next_key = 100
+    for v in range(1, 13):
+        op = rng.choice(["append", "mor_delete", "mor_delete", "purge"])
+        if op == "append":
+            new = {}
+            # recycle a deleted key half the time — the sequencing case
+            if deleted_pool and rng.random() < 0.5:
+                k = deleted_pool.pop(rng.randrange(len(deleted_pool)))
+                new[k] = float(rng.randrange(1000))
+            new[next_key] = float(rng.randrange(1000))
+            next_key += 1
+            append_version(df_of(new), path, v)
+            model.update(new)
+        elif op == "mor_delete":
+            candidates = sorted(model)[:-1]  # never empty the table
+            cutoff = rng.choice(candidates) if candidates else -1
+            pred = f"k <= {cutoff} AND k % 2 = {v % 2}"
+            out = delete_where_mor(spark, path, v, pred, "k")
+            doomed = [
+                k for k in model if k <= cutoff and k % 2 == v % 2
+            ]
+            assert out["keys_deleted"] == len(doomed), (v, pred)
+            for k in doomed:
+                model.pop(k)
+                deleted_pool.append(k)
+        else:
+            purge_deletes(spark, path, v)
+        snapshots[v] = dict(model)
+
+    for v, want in snapshots.items():
+        got = {
+            r["k"]: r["val"]
+            for r in read_with_deletes(spark, path, v).collect()
+        }
+        assert got == want, f"version {v}"
