@@ -100,3 +100,53 @@ def test_version_collision_means_replay_and_raises_cleanly(spark, tmp_path):
             "user_id", "seq",
         )
     assert list_versions(path) == [0]
+
+
+def test_concurrent_same_batch_race_keeps_winner_state(spark, tmp_path):
+    """The zombie-replay window of the CDC sink: 4 threads race
+    apply_cdc_batch for the SAME batch version with different content.
+    Exactly one commits; the losers raise (CommitConflict at the
+    manifest or 'already committed' from the pre-check); and the
+    winner's committed files survive the losers' staging writes, so the
+    table content equals exactly one attempt's apply."""
+    import os
+    import threading
+
+    from dodo_spark.sources.versioned import CommitConflict, live_files
+
+    path = str(tmp_path / "cdcr")
+    apply_cdc_batch(
+        spark, path, 0, _batch(spark, [(0, 0.0, 1, False)]), "user_id", "seq"
+    )
+    batches = [
+        _batch(spark, [(100 + i, float(i), 10 + i, False)]) for i in range(4)
+    ]
+    results: list = [None] * 4
+    barrier = threading.Barrier(4)
+
+    def writer(i: int) -> None:
+        try:
+            barrier.wait()
+            apply_cdc_batch(spark, path, 1, batches[i], "user_id", "seq")
+            results[i] = "won"
+        except CommitConflict:
+            results[i] = "conflict"
+        except ValueError as e:
+            results[i] = "late" if "already committed" in str(e) else f"ERR {e}"
+        except Exception as e:  # pragma: no cover - diagnostic
+            results[i] = f"ERR {e}"
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("won") == 1, results
+    assert all(r in ("won", "conflict", "late") for r in results), results
+
+    winner = results.index("won")
+    st = _state(spark, path)
+    assert st == {0: (0.0, 1, False),
+                  100 + winner: (float(winner), 10 + winner, False)}, (results, st)
+    for f in live_files(path, 1):
+        assert os.path.exists(os.path.join(path, f)), f
