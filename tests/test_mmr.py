@@ -64,3 +64,55 @@ def test_mmr_groups_are_independent(spark):
     out = mmr_rerank(_cands(spark, rows)).collect()
     first = {r["query_id"]: r["cand_id"] for r in out if r["mmr_rank"] == 1}
     assert first == {0: 1, 1: 2}
+
+
+def test_mmr_matches_pure_python_reference(spark):
+    """The applyInPandas greedy loop must equal a from-scratch pure-
+    Python MMR on the same inputs — ids, ranks, AND float scores
+    exactly (all dots are exact integers, so no summation-order slack).
+    Randomized over seeds; deterministic inputs per seed."""
+    import math
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(3, 12)
+        rows = []
+        vecs = {}
+        for cid in range(n):
+            v = [rng.randint(-1000, 1000) for _ in range(4)]
+            if not any(v):
+                v[0] = 1
+            vecs[cid] = v
+            rows.append((0, cid, rng.uniform(-1, 1), v))
+        df = spark.createDataFrame(
+            rows, "query_id BIGINT, cand_id BIGINT, rel DOUBLE, sv ARRAY<BIGINT>"
+        )
+        got = {
+            r["mmr_rank"]: (r["cand_id"], r["mmr_score"])
+            for r in mmr_rerank(df).collect()
+        }
+
+        # pure-python reference (same op order as the numpy kernel)
+        rel = {cid: r for (_q, cid, r, _v) in rows}
+
+        def sim(a, b):
+            da = float(sum(x * y for x, y in zip(vecs[a], vecs[b])))
+            na = math.sqrt(float(sum(x * x for x in vecs[a])))
+            nb = math.sqrt(float(sum(x * x for x in vecs[b])))
+            return da / (na * nb)
+
+        chosen = [min(sorted(rel), key=lambda c: (-rel[c], c))]
+        want = {1: (chosen[0], rel[chosen[0]])}
+        k = min(8, n)
+        while len(chosen) < k:
+            best, best_score = None, None
+            for c in sorted(rel):
+                if c in chosen:
+                    continue
+                s = 0.7 * rel[c] - 0.3 * max(sim(c, ch) for ch in chosen)
+                if best is None or s > best_score:
+                    best, best_score = c, s
+            chosen.append(best)
+            want[len(chosen)] = (best, best_score)
+        assert got == want, (seed, got, want)

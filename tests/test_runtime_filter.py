@@ -120,3 +120,21 @@ def test_null_keys_contribute_no_bits_and_never_pass(spark):
     }
     assert got[1] is True
     assert got[None] is not True  # NULL flag, never a match
+
+
+def test_no_false_negatives_across_key_types_property(spark):
+    """Property over mixed key domains (negatives, unicode strings,
+    decimals rendered via CAST AS STRING): every inserted key passes its
+    own probe — the kernel's canonical string rendering is total."""
+    cases = [
+        ("BIGINT", [(-5,), (0,), (7,), (2**62,)]),
+        ("STRING", [("",), ("héllo",), ("新疆",), ("a\tb",)]),
+        ("DOUBLE", [(1.5,), (-0.25,), (1e18,)]),
+    ]
+    for dtype, rows in cases:
+        df = spark.createDataFrame(rows, f"k {dtype}")
+        bitmap = bloom_bitmap(df, "k")
+        misses = (
+            with_bloom_flag(df, "k", bitmap).filter("NOT bloom_pass").count()
+        )
+        assert misses == 0, dtype
