@@ -355,7 +355,7 @@ _K_GEN_LEVELS = 7
     oracle=f"""
     WITH base AS (
       SELECT c_nationkey AS nat, c_mktsegment AS seg,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM customer
     ), lev AS (
       SELECT b.*, l.level FROM base b,
@@ -408,7 +408,9 @@ def anonymize_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lev = cust.select(
         F.col("c_nationkey").alias("nat"),
         F.col("c_mktsegment").alias("seg"),
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
     ).withColumn("level", F.explode(F.sequence(F.lit(0), F.lit(_K_GEN_LEVELS - 1))))
     nat, seg, cents, level = (F.col(c) for c in ("nat", "seg", "cents", "level"))
     qa = (

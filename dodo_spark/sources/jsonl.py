@@ -83,7 +83,9 @@ def _inject_bad_lines(path: str) -> None:
     a Spark append-mode write of 3 rows costs ~5 s of committer/file-
     index overhead per invocation, which the bench then bills to the
     ingest it is supposed to measure."""
-    with open(os.path.join(path, "part-badlines.txt"), "w") as f:
+    with open(
+        os.path.join(path, "part-badlines.txt"), "w", encoding="utf-8"
+    ) as f:
         f.write("\n".join(_BAD_LINES) + "\n")
 
 

@@ -2091,3 +2091,80 @@ def _register_time_travel_clone() -> None:
 
 
 _register_time_travel_clone()
+
+
+
+def _register_time_travel_schema_evolution() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel_schema_evolution",
+        oracle="""
+        WITH sim AS (
+          SELECT o_orderkey, o_totalprice,
+                 CASE WHEN o_orderkey >= 1000 THEN o_orderpriority END
+                   AS o_orderpriority
+          FROM orders WHERE o_orderkey < 1500
+        )
+        SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS prio,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total,
+               CAST(2 AS BIGINT) AS v0_n_cols,
+               CAST(3 AS BIGINT) AS v1_n_cols
+        FROM sim GROUP BY 1 ORDER BY 1
+        """,
+        doc="ADDITIVE schema evolution through the versioned commit log "
+        "(the Delta/Iceberg add-column semantics read_version implements "
+        "via mergeSchema): v0 commits two columns, v1 APPENDS rows "
+        "carrying a third (o_orderpriority) without rewriting any v0 "
+        "file; reading v1 unions by name — pre-evolution rows surface "
+        "NULL for the new column (grouped here as '<pre-evolution>') — "
+        "while time travel to v0 still presents exactly the original "
+        "2-column schema (v0_n_cols/v1_n_cols are measured from the "
+        "actual read schemas and pinned by the oracle). Renames/drops/"
+        "retypes are rewrites, not evolution, here as in Delta.",
+    )
+    def time_travel_schema_evolution(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        tbl = _join(scratch_dir("time_travel_schema_evolution"), "tbl")
+        o = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        write_version(
+            o.filter(k < 1000).select("o_orderkey", "o_totalprice"), tbl, 0
+        )
+        append_version(
+            o.filter((k >= 1000) & (k < 1500)).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            tbl,
+            1,
+        )
+        v0_n_cols = len(read_version(spark, tbl, 0).columns)
+        cur = read_version(spark, tbl, 1)
+        v1_n_cols = len(cur.columns)
+        return (
+            cur.groupBy(
+                F.coalesce(
+                    F.col("o_orderpriority"), F.lit("<pre-evolution>")
+                ).alias("prio")
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+                F.lit(v0_n_cols).cast("bigint").alias("v0_n_cols"),
+                F.lit(v1_n_cols).cast("bigint").alias("v1_n_cols"),
+            )
+            .orderBy("prio")
+        )
+
+
+_register_time_travel_schema_evolution()

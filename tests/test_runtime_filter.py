@@ -130,8 +130,13 @@ def test_no_false_negatives_across_key_types_property(spark):
         ("BIGINT", [(-5,), (0,), (7,), (2**62,)]),
         ("STRING", [("",), ("héllo",), ("新疆",), ("a\tb",)]),
         ("DOUBLE", [(1.5,), (-0.25,), (1e18,)]),
+        ("DECIMAL(10,2)", None),  # built below: Decimal literals
     ]
+    from decimal import Decimal
+
     for dtype, rows in cases:
+        if rows is None:
+            rows = [(Decimal("1.50"),), (Decimal("-0.25"),), (Decimal("0.00"),)]
         df = spark.createDataFrame(rows, f"k {dtype}")
         bitmap = bloom_bitmap(df, "k")
         misses = (
