@@ -168,6 +168,7 @@ HEADLINE = [
     "streaming_cdc_apply",
     "anonymize_k_generalize",
     "time_travel_schema_evolution",
+    "time_travel_bloom_index",
 ]
 
 

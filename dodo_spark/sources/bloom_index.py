@@ -1,0 +1,274 @@
+"""File-level BLOOM INDEX in the versioned manifest — point lookups on
+an UNSORTED key over a huge table (the Delta bloom-filter-index /
+parquet bloom idea, on this repo's manifest commit algebra).
+
+Footer min/max stats (``prune_files_by_stats``) prune range predicates
+on CLUSTERED columns; they are useless for a point lookup on a column
+the layout doesn't sort by — every file's [min,max] spans the domain.
+This module stores a per-file bloom bitmap of the index column in the
+commit manifest: ``read_point_lookup`` tests the probe's k positions
+against each file's bitmap DRIVER-SIDE (pure metadata, zero data IO)
+and scans only the files that might contain the key.
+
+The bitmaps reuse the runtime-filter kernel (``operators/
+runtime_filter.py``): md5-derived double hashing, so the driver-side
+Python probe (hashlib.md5) and the executor-side build (Spark ``md5``)
+compute IDENTICAL positions by construction. Bloom semantics carry
+over: a probe may scan a false-positive file (wasted IO, counted) but
+can never skip a file containing the key.
+
+Write shape: the data is hash-repartitioned ON the index column before
+writing, so every key lives in exactly ONE file — the lookup contract
+``files_scanned == 1`` (no-FP case) that the verify key pins. One extra
+pass computes the per-file bitmaps (a groupBy over exploded positions;
+the collect is |files|·words rows — bounded metadata, not data). At
+100 TB: bitmap size per file is tunable to the per-file key count; the
+manifest carries KBs per file, and a point lookup costs one manifest
+read + one file scan instead of the whole table.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dodo_spark.operators.runtime_filter import BLOOM_K, BLOOM_M_BITS
+from dodo_spark.sources.versioned import (
+    _check_commit_order,
+    _commit,
+    _join,
+    _read_manifest,
+    _write_data_files,
+    list_versions,
+)
+
+__all__ = ["write_version_bloom_indexed", "read_point_lookup"]
+
+
+def _words(m_bits: int) -> int:
+    return m_bits // 64
+
+
+def write_version_bloom_indexed(
+    df: DataFrame,
+    table_path: str,
+    version: int,
+    index_col: str,
+    n_files: int = 8,
+    m_bits: int = BLOOM_M_BITS,
+) -> dict:
+    """Commit ``df`` as ``version`` hash-partitioned on ``index_col``
+    into ``n_files`` files, with a per-file bloom bitmap of the column
+    stored in the manifest. Returns {"files", "indexed_col"}."""
+    versions = _check_commit_order(table_path, version)
+    prev_live = []
+    if versions:
+        from dodo_spark.sources.versioned import live_files
+
+        prev_live = live_files(table_path, versions[-1])
+    add = _write_data_files(
+        df.repartition(n_files, F.col(index_col)), table_path, version
+    )
+
+    # one metadata pass: per-file bloom words over the written files
+    from dodo_spark.operators.runtime_filter import _h1_h2, _positions
+
+    scan = (
+        F.input_file_name().alias("f"),
+        F.col(index_col).alias("k"),
+    )
+    read_back = (
+        df.sparkSession.read.option("mergeSchema", "true")
+        .parquet(*[_join(table_path, f) for f in add])
+        .select(*scan)
+        .filter(F.col("k").isNotNull())
+    )
+    h1, h2 = _h1_h2(F.col("k"))
+    pos = read_back.select(
+        "f", F.explode(F.array(*_positions(h1, h2, m_bits, BLOOM_K))).alias("p")
+    )
+    rows = (
+        pos.select(
+            "f",
+            F.expr("p DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("f", "w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()  # bounded: |files| x occupied words of METADATA
+    )
+    from dodo_spark.sources.versioned import _canon_file_ref
+
+    per_file: dict[str, list[int]] = {}
+    canon_to_rel = {_canon_file_ref(_join(table_path, f)): f for f in add}
+    for r in rows:
+        rel = canon_to_rel[_canon_file_ref(r["f"])]
+        words = per_file.setdefault(rel, [0] * _words(m_bits))
+        words[r["w"]] = r["word"]
+    blooms = {
+        rel: base64.b64encode(
+            struct.pack(f"<{_words(m_bits)}q", *words)
+        ).decode("ascii")
+        for rel, words in per_file.items()
+    }
+    _commit(
+        table_path,
+        version,
+        add=add,
+        remove=prev_live,
+        extra={
+            "bloom_index": {
+                "col": index_col,
+                "m_bits": m_bits,
+                "k": BLOOM_K,
+                "files": blooms,
+            }
+        },
+    )
+    return {"files": len(add), "indexed_col": index_col}
+
+
+def _probe_positions(value, m_bits: int, k: int) -> list[int]:
+    """Driver-side twin of the executor kernel: identical md5-derived
+    double hashing over the canonical string rendering."""
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    h1 = int(h[:12], 16)
+    step = int(h[12:24], 16) * 2 + 1
+    return [(h1 + i * step) % m_bits for i in range(k)]
+
+
+def read_point_lookup(
+    spark: SparkSession, table_path: str, value, version: int | None = None
+) -> tuple[DataFrame, dict]:
+    """Point lookup via the manifest bloom index: test the probe
+    DRIVER-SIDE against each live file's bitmap, scan only passing
+    files, filter exactly. Returns (rows_df, {"files_total",
+    "files_scanned"}). Falls back to scanning files without an index
+    entry (never skips blind)."""
+    versions = list_versions(table_path)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    if version is None:
+        version = max(versions)
+    from dodo_spark.sources.versioned import live_files
+
+    files = live_files(table_path, version)
+    # index entries live in the manifest of each file's ADDING commit
+    idx: dict[str, tuple[dict, str, int, int]] = {}
+    col = None
+    for v in versions:
+        if v > version:
+            break
+        m = _read_manifest(table_path, v)
+        bi = m.get("bloom_index")
+        if not bi:
+            continue
+        col = bi["col"]
+        for rel, b64 in bi["files"].items():
+            idx[rel] = (b64, bi["col"], bi["m_bits"], bi["k"])
+    if col is None:
+        raise ValueError(f"no bloom index in any manifest at {table_path}")
+
+    scan_files = []
+    for f in files:
+        entry = idx.get(f)
+        if entry is None:
+            scan_files.append(f)  # unindexed file: never skip blind
+            continue
+        b64, _c, m_bits, k = entry
+        words = struct.unpack(
+            f"<{_words(m_bits)}q", base64.b64decode(b64)
+        )
+        if all(
+            words[p // 64] & (1 << (p % 64)) for p in _probe_positions(value, m_bits, k)
+        ):
+            scan_files.append(f)
+    stats = {"files_total": len(files), "files_scanned": len(scan_files)}
+    if not scan_files:
+        empty = spark.read.option("mergeSchema", "true").parquet(
+            *[_join(table_path, f) for f in files[:1]]
+        )
+        return empty.filter(F.lit(False)), stats
+    out = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[_join(table_path, f) for f in scan_files])
+        .filter(F.col(col) == F.lit(value))
+    )
+    return out, stats
+
+
+# ---------------------------------------------------------------------------
+# verify key
+# ---------------------------------------------------------------------------
+def _register_bloom_index() -> None:
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    probes = [7, 19, 1501]  # customers with orders; 1501 beyond sf0.001 range
+
+    @register(
+        "time_travel_bloom_index",
+        oracle=f"""
+        WITH probes AS (SELECT unnest(ARRAY{probes}) AS ck)
+        SELECT p.ck AS probe_key,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total,
+               TRUE AS pruned_to_one_file
+        FROM probes p
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderkey < 5000) o
+          ON o.o_custkey = p.ck
+        GROUP BY p.ck ORDER BY p.ck
+        """,
+        doc="File-level BLOOM INDEX point lookups (the Delta bloom-"
+        "filter-index idea on the manifest commit algebra): orders "
+        "commit hash-partitioned on o_custkey into 8 files with a "
+        "per-file bloom bitmap stored in the manifest; each probe tests "
+        "its positions DRIVER-SIDE (zero data IO) and scans only "
+        "passing files. Because hash partitioning puts every key in "
+        "exactly one file, pruned_to_one_file pins files_scanned <= 1 "
+        "per probe (a bloom false positive would scan 2 and fail the "
+        "hash) — min/max footer stats cannot prune this lookup at all "
+        "(the key is unsorted, every file spans the domain). The oracle "
+        "recomputes each probe's rows from the base table; a probe for "
+        "a key with no orders returns the 0-row group via the LEFT "
+        "JOIN.",
+    )
+    def time_travel_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+
+        tbl = _join(scratch_dir("time_travel_bloom_index"), "tbl")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") < 5000
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+        write_version_bloom_indexed(o, tbl, 0, "o_custkey", n_files=8)
+
+        parts = []
+        pruned_all = True
+        for ck in probes:
+            rows, stats = read_point_lookup(spark, tbl, ck)
+            pruned_all = pruned_all and stats["files_scanned"] <= 1
+            parts.append(
+                rows.agg(
+                    F.lit(ck).cast("bigint").alias("probe_key"),
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                    .cast("double")
+                    .alias("total"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.withColumn(
+            "pruned_to_one_file", F.lit(pruned_all)
+        ).orderBy("probe_key")
+
+
+_register_bloom_index()

@@ -288,6 +288,7 @@ KEYS = [
     "streaming_cdc_apply",
     "anonymize_k_generalize",
     "time_travel_schema_evolution",
+    "time_travel_bloom_index",
 ]
 
 
