@@ -169,6 +169,7 @@ HEADLINE = [
     "anonymize_k_generalize",
     "time_travel_schema_evolution",
     "time_travel_bloom_index",
+    "analytics_forecast_holt",
 ]
 
 

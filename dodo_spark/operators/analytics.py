@@ -761,3 +761,91 @@ def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_cents"),
         (F.col("rev_cents") - prev).cast("bigint").alias("delta_cents"),
     ).orderBy("nation", "yr")
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast — the sequential-recurrence pattern
+# ---------------------------------------------------------------------------
+def _holt_forecast_group(pdf):
+    """Holt's linear trend (alpha=0.5, beta=0.3, literal coefficients on
+    BOTH engines): l_1=y_1, b_1=y_2-y_1, then for each later month
+    l'=0.5*y+0.5*(l+b), b'=0.3*(l'-l)+0.7*b — plain IEEE +,-,* in a
+    fixed order, so the DuckDB recursive CTE replays it bit-for-bit."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("month").reset_index(drop=True)
+    y = pdf["y"].tolist()
+    lvl = y[0]
+    b = y[1] - y[0]
+    for yt in y[1:]:
+        new = 0.5 * yt + 0.5 * (lvl + b)
+        b = 0.3 * (new - lvl) + 0.7 * b
+        lvl = new
+    return pd.DataFrame(
+        {
+            "horizon": [1, 2, 3],
+            "forecast": [lvl + h * b for h in (1.0, 2.0, 3.0)],
+            "n_months": len(y),
+        }
+    )
+
+
+@register(
+    "analytics_forecast_holt",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT y, row_number() OVER (ORDER BY month) AS t FROM monthly
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    holt AS (
+      SELECT 1 AS t,
+             (SELECT y FROM idx WHERE t = 1) AS l,
+             (SELECT y FROM idx WHERE t = 2)
+               - (SELECT y FROM idx WHERE t = 1) AS b
+      UNION ALL
+      SELECT h.t + 1,
+             0.5 * i.y + 0.5 * (h.l + h.b),
+             0.3 * ((0.5 * i.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+      FROM holt h JOIN idx i ON i.t = h.t + 1
+      WHERE h.t < (SELECT n FROM nn)
+    ), final AS (
+      SELECT l, b FROM holt WHERE t = (SELECT n FROM nn)
+    )
+    SELECT CAST(hh.h AS BIGINT) AS horizon,
+           f.l + hh.h * f.b AS forecast,
+           (SELECT n FROM nn) AS n_months
+    FROM final f, (VALUES (1.0), (2.0), (3.0)) hh(h)
+    ORDER BY horizon
+    """,
+    doc="Holt linear-trend forecast of monthly revenue, 3 months ahead "
+    "(double exponential smoothing — the classic sequential RECURRENCE "
+    "no window function expresses): the monthly series aggregates "
+    "distributed (decimal sums), then the ~bounded-by-the-calendar "
+    "recurrence runs in one Arrow applyInPandas group while the oracle "
+    "replays it as a DuckDB RECURSIVE CTE — literal 0.5/0.3/0.7 "
+    "coefficients and a fixed IEEE op order make level, trend, and all "
+    "three forecasts bit-identical cross-engine. Complements the "
+    "closed-form regression of analytics_forecast_revenue with the "
+    "recursive-smoother family.",
+)
+def analytics_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    return (
+        monthly.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            lambda pdf: _holt_forecast_group(pdf),
+            "horizon BIGINT, forecast DOUBLE, n_months BIGINT",
+        )
+        .orderBy("horizon")
+    )

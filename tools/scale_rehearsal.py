@@ -289,6 +289,7 @@ KEYS = [
     "anonymize_k_generalize",
     "time_travel_schema_evolution",
     "time_travel_bloom_index",
+    "analytics_forecast_holt",
 ]
 
 
