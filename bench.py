@@ -170,6 +170,7 @@ HEADLINE = [
     "time_travel_schema_evolution",
     "time_travel_bloom_index",
     "analytics_forecast_holt",
+    "time_travel_add_files",
 ]
 
 

@@ -1993,6 +1993,120 @@ def shallow_clone(
     return {"files_referenced": len(abs_refs), "version": 0}
 
 
+def add_external_files(
+    table_path: str, version: int, files: list[str]
+) -> dict:
+    """Zero-copy CONVERT/import (the Iceberg ``add_files`` / Delta
+    CONVERT TO DELTA primitive): commit ``version`` as an APPEND whose
+    manifest references EXISTING parquet files by absolute path — no
+    data is read, rewritten, or copied, so onboarding 100 TB of plain
+    parquet into the versioned layer costs one manifest write. The
+    files must be absolute (or fully qualified) and are NOT owned by
+    the table: vacuum never deletes cross-root refs (same rule as
+    shallow_clone), and deleting the originals out from under the
+    table breaks reads exactly like vacuuming a clone source would.
+    Returns {"files_added"}."""
+    _check_commit_order(table_path, version)
+    bad = [f for f in files if not (f.startswith("/") or "://" in f)]
+    if bad:
+        raise ValueError(
+            f"add_external_files takes absolute/fully-qualified paths; "
+            f"got {bad[:3]}"
+        )
+    _commit(table_path, version, add=[_canon_file_ref(f) for f in files], remove=[])
+    return {"files_added": len(files)}
+
+
+def _register_time_travel_add_files() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table, table_path as _table_path
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel_add_files",
+        oracle="""
+        WITH ext AS (
+          SELECT o_custkey, o_totalprice FROM orders
+        ), extra AS (
+          SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 500
+        ), combined AS (
+          SELECT * FROM ext UNION ALL SELECT * FROM extra
+        )
+        SELECT 'converted' AS side, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total, TRUE AS zero_copy
+        FROM ext
+        UNION ALL
+        SELECT 'after_append', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               TRUE
+        FROM combined
+        ORDER BY side
+        """,
+        doc="Zero-copy CONVERT of existing parquet into the versioned "
+        "layer (the Iceberg add_files / Delta CONVERT primitive): the "
+        "driver's own orders.parquet registers as v0 by absolute "
+        "reference — ONE manifest write, no data copied (zero_copy "
+        "asserts no parquet exists under the table root at v0) — and "
+        "the converted table is immediately a first-class versioned "
+        "table: v1 appends normally and time travel, snapshots, and "
+        "the commit protocol all apply. At 100 TB this is the "
+        "onboarding path that costs metadata instead of a rewrite.",
+    )
+    def time_travel_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+
+        from dodo_spark.operators.schema import scratch_dir
+
+        tbl = _join(scratch_dir("time_travel_add_files"), "tbl")
+        src = _table_path(sf_dir, "orders")
+        files = (
+            sorted(
+                _os.path.join(src, f)
+                for f in _os.listdir(src)
+                if f.endswith(".parquet")
+            )
+            if _os.path.isdir(src)
+            else [src]
+        )
+        add_external_files(tbl, 0, files)
+        fs = _fs_for(tbl)
+        local_parquet = [
+            f for f in fs.list_files_recursive(tbl) if f.endswith(".parquet")
+        ]
+        zero_copy = not local_parquet
+
+        o = load_table(spark, sf_dir, "orders")
+        append_version(
+            o.filter(F.col("o_orderkey") < 500).select(
+                "o_custkey", "o_totalprice"
+            ),
+            tbl,
+            1,
+        )
+
+        def agg(df: DataFrame, side: str) -> DataFrame:
+            return df.agg(
+                F.lit(side).alias("side"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+                F.lit(zero_copy).alias("zero_copy"),
+            )
+
+        sel = ["o_custkey", "o_totalprice"]
+        return (
+            agg(read_version(spark, tbl, 1).select(sel), "after_append")
+            .unionByName(agg(read_version(spark, tbl, 0).select(sel), "converted"))
+            .orderBy("side")
+        )
+
+
+_register_time_travel_add_files()
+
+
 def _register_time_travel_clone() -> None:
     from pyspark.sql import functions as F
 

@@ -1476,3 +1476,47 @@ def test_vacuum_on_clone_never_deletes_source_files(spark, table, tmp_path):
     assert out["files_deleted"] == 0  # abs refs are not clone-owned
     # the source is untouched and fully readable
     assert {r["k"] for r in read_version(spark, table, 0).collect()} == {1, 2}
+
+
+def test_add_external_files_zero_copy_convert(spark, table, tmp_path):
+    """CONVERT: existing parquet registers by absolute reference — no
+    copy, immediately versioned (appends, time travel), relative paths
+    refused, and vacuum never deletes the cross-root originals."""
+    from dodo_spark.sources.versioned import (
+        add_external_files,
+        append_version,
+        vacuum,
+        write_version,
+    )
+
+    ext = str(tmp_path / "ext.parquet")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k BIGINT, val DOUBLE"
+    ).coalesce(1).write.parquet(ext)
+    files = [
+        os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")
+    ]
+
+    tbl = str(tmp_path / "converted")
+    out = add_external_files(tbl, 0, files)
+    assert out["files_added"] == len(files)
+    for root, _d, names in os.walk(tbl):
+        assert not [n for n in names if n.endswith(".parquet")]
+    assert {r["k"] for r in read_version(spark, tbl, 0).collect()} == {1, 2, 3}
+
+    append_version(
+        spark.createDataFrame([(9, 90.0)], "k BIGINT, val DOUBLE"), tbl, 1
+    )
+    assert {r["k"] for r in read_version(spark, tbl, 1).collect()} == {1, 2, 3, 9}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absolute"):
+        add_external_files(str(tmp_path / "x"), 0, ["relative/part.parquet"])
+
+    # drop the external refs from the live set, vacuum: originals survive
+    write_version(
+        spark.createDataFrame([(7, 7.0)], "k BIGINT, val DOUBLE"), tbl, 2
+    )
+    stats = vacuum(tbl, keep_versions=1)
+    assert all(os.path.exists(f) for f in files), stats
