@@ -513,6 +513,18 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
 
         print(f"checkpointed -> {checkpoint_manifest(args.path, args.version)}")
         return 0
+    if args.action == "lookup":
+        from dodo_spark.sources.bloom_index import read_point_lookup
+
+        if args.value is None:
+            print("lookup requires --value <probe>")
+            return 1
+        value = int(args.value) if args.value.lstrip("-").isdigit() else args.value
+        rows, stats = read_point_lookup(spark, args.path, value, args.version)
+        for row in rows.limit(args.limit).collect():  # point lookup: tiny
+            print("  " + " ".join(f"{k}={row[k]}" for k in row.asDict()))
+        print(f"scanned {stats['files_scanned']}/{stats['files_total']} files")
+        return 0
     if args.action == "restore":
         from dodo_spark.sources.versioned import restore_version
 
@@ -1041,7 +1053,8 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "action",
         choices=["commit", "append", "delete", "merge", "checkpoint",
-                 "compact", "restore", "vacuum", "list", "history", "read"],
+                 "compact", "restore", "vacuum", "list", "history", "read",
+                 "lookup"],
     )
     sn.add_argument("--path", required=True, help="versioned table directory")
     sn.add_argument("--version", type=int, default=None)
@@ -1063,6 +1076,9 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--as-of", default=None,
                     help="FOR TIME AS OF timestamp (read; newest version "
                     "committed at or before this time)")
+    sn.add_argument("--value", default=None,
+                    help="probe value for the lookup action (bloom-indexed "
+                    "point lookup; integer-looking values probe as BIGINT)")
     sn.set_defaults(fn=cmd_snapshot)
 
     se = sub.add_parser("search", help="hybrid lexical+vector retrieval (RRF)")

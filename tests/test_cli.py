@@ -806,3 +806,24 @@ def test_cli_expect_gate_exit_codes(spark, sf_dir, tmp_path, capsys):
                         "--sf-dir", sf_dir])
     assert bad.fn(bad) == 1
     assert "FAIL" in capsys.readouterr().out
+
+
+def test_cli_snapshot_lookup_uses_bloom_index(spark, tmp_path, capsys):
+    from dodo_spark.cli import build_parser
+    from dodo_spark.sources.bloom_index import write_version_bloom_indexed
+
+    path = str(tmp_path / "bi")
+    df = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(100)],
+        "rid BIGINT, k BIGINT, val DOUBLE",
+    )
+    write_version_bloom_indexed(df, path, 0, "k", n_files=4)
+    p = build_parser()
+    a = p.parse_args(["snapshot", "lookup", "--path", path, "--value", "3"])
+    assert a.fn(a) == 0
+    out = capsys.readouterr().out
+    assert "k=3" in out and "scanned 1/" in out  # 10 keys may
+    # hash to fewer than n_files partitions; pruning to 1 is the contract
+
+    missing = p.parse_args(["snapshot", "lookup", "--path", path])
+    assert missing.fn(missing) == 1
