@@ -46,17 +46,28 @@ def z_formula(qx: str, qy: str, div: str) -> str:
 
 
 def zorder_frame(
-    df: DataFrame, xcol: str, ycol: str, bounds: tuple[int, int, int, int]
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bounds: tuple[int, int, int, int],
+    zcol: str = "z",
 ) -> DataFrame:
-    """``df`` plus a ``z`` column: both integer dimensions quantized to
+    """``df`` plus a ``zcol`` column: both integer dimensions quantized to
     ``_BITS`` bits against the supplied (minx, maxx, miny, maxy) bounds,
     then Morton-interleaved. Bounds are passed in (driver-side bounded
     literals — 4 scalars, the ref-pool idiom) so the frame itself stays a
-    pure projection: no shuffle, no scan beyond the caller's."""
+    pure projection: no shuffle, no scan beyond the caller's. Raises if
+    the input already carries a column named ``zcol`` — silently
+    overwriting user data with the Morton code is never acceptable."""
+    if zcol in df.columns:
+        raise ValueError(
+            f"zorder helper column {zcol!r} collides with an input column;"
+            " pass a different zcol"
+        )
     minx, maxx, miny, maxy = bounds
     qx = f"((CAST({xcol} AS BIGINT) - {minx}) * {_SIDE}) DIV {maxx - minx + 1}"
     qy = f"((CAST({ycol} AS BIGINT) - {miny}) * {_SIDE}) DIV {maxy - miny + 1}"
-    return df.withColumn("z", F.expr(z_formula(f"({qx})", f"({qy})", "DIV")))
+    return df.withColumn(zcol, F.expr(z_formula(f"({qx})", f"({qy})", "DIV")))
 
 
 def zorder_repartitioned(
@@ -80,11 +91,17 @@ def zorder_repartitioned(
         if any(v is None for v in ext):
             return df.coalesce(max(1, n_files))
         bounds = (ext[0], ext[1], ext[2], ext[3])
+    # collision-safe helper name: a user table legitimately named a
+    # column "z"; clobbering it then dropping it would silently lose
+    # that column's data in the rewritten files (round-8 advisor fix)
+    zcol = "__zorder"
+    while zcol in df.columns:
+        zcol = "_" + zcol
     return (
-        zorder_frame(df, xcol, ycol, bounds)
-        .repartitionByRange(max(1, n_files), "z")
-        .sortWithinPartitions("z")
-        .drop("z")
+        zorder_frame(df, xcol, ycol, bounds, zcol=zcol)
+        .repartitionByRange(max(1, n_files), zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
     )
 
 

@@ -689,9 +689,12 @@ def _cms_oracle() -> str:
     probes = ", ".join(str(k) for k in _CMS_PROBE_KEYS)
     est_cols = []
     for j, k in enumerate(_CMS_DEPTH_KS):
+        # COALESCE to 0: an empty cell means the sketch's estimate for
+        # that row is exactly 0 (CMS never undercounts) — the probe row
+        # must survive with e{j}=0, not vanish.
         est_cols.append(
-            f"(SELECT cnt FROM cms WHERE row_j = {j}"
-            f" AND col = {_cms_hash('p.key', k)}) AS e{j}"
+            f"COALESCE((SELECT cnt FROM cms WHERE row_j = {j}"
+            f" AND col = {_cms_hash('p.key', k)}), 0) AS e{j}"
         )
     rows = "\n      UNION ALL\n      ".join(
         f"SELECT {j} AS row_j, {_cms_hash('o_custkey', k)} AS col"
@@ -758,8 +761,17 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_j = cms.filter(F.col("row_j") == j).select(
             F.col("col").alias(f"col{j}"), F.col("cnt").alias(f"e{j}")
         )
-        est = est.withColumn(f"h{j}", F.expr(_cms_hash("key", k))).join(
-            F.broadcast(row_j), F.col(f"h{j}") == F.col(f"col{j}")
+        # LEFT join + COALESCE 0: an empty CMS cell is the one case the
+        # sketch answers exactly (estimate 0); an inner join would drop
+        # the probe row entirely while the oracle still emits it.
+        est = (
+            est.withColumn(f"h{j}", F.expr(_cms_hash("key", k)))
+            .join(
+                F.broadcast(row_j),
+                F.col(f"h{j}") == F.col(f"col{j}"),
+                "left",
+            )
+            .withColumn(f"e{j}", F.coalesce(F.col(f"e{j}"), F.lit(0)))
         )
     exact = orders.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count("*").cast("bigint").alias("exact_n")

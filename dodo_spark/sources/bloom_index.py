@@ -134,10 +134,28 @@ def write_version_bloom_indexed(
     return {"files": len(add), "indexed_col": index_col}
 
 
-def _probe_positions(value, m_bits: int, k: int) -> list[int]:
+def _spark_string_render(spark: SparkSession, value) -> str:
+    """Render ``value`` exactly as Spark's ``CAST(col AS STRING)`` does —
+    the executor-side bitmap was built over that rendering, so the
+    driver probe must match it bit-for-bit. Python str() agrees for int
+    and str; it does NOT for bool ("True" vs "true") or floats/decimals
+    (repr vs Java Double.toString), so those route through a 1-row local
+    Spark evaluation of the very same cast."""
+    if isinstance(value, bool):  # bool before int: bool is an int subclass
+        return "true" if value else "false"
+    if isinstance(value, (int, str)):
+        return str(value)
+    row = spark.range(1).select(
+        F.lit(value).cast("string").alias("s")
+    ).first()
+    return row["s"]
+
+
+def _probe_positions(rendered: str, m_bits: int, k: int) -> list[int]:
     """Driver-side twin of the executor kernel: identical md5-derived
-    double hashing over the canonical string rendering."""
-    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    double hashing over the canonical string rendering (caller supplies
+    the Spark-cast rendering via ``_spark_string_render``)."""
+    h = hashlib.md5(rendered.encode("utf-8")).hexdigest()
     h1 = int(h[:12], 16)
     step = int(h[12:24], 16) * 2 + 1
     return [(h1 + i * step) % m_bits for i in range(k)]
@@ -175,18 +193,26 @@ def read_point_lookup(
     if col is None:
         raise ValueError(f"no bloom index in any manifest at {table_path}")
 
+    rendered = _spark_string_render(spark, value)
     scan_files = []
     for f in files:
         entry = idx.get(f)
         if entry is None:
             scan_files.append(f)  # unindexed file: never skip blind
             continue
-        b64, _c, m_bits, k = entry
+        b64, entry_col, m_bits, k = entry
+        if entry_col != col:
+            # the file's bitmap indexes a DIFFERENT column than the one
+            # being probed — testing it would false-negative; treat the
+            # file as unindexed (always scan, never skip blind)
+            scan_files.append(f)
+            continue
         words = struct.unpack(
             f"<{_words(m_bits)}q", base64.b64decode(b64)
         )
         if all(
-            words[p // 64] & (1 << (p % 64)) for p in _probe_positions(value, m_bits, k)
+            words[p // 64] & (1 << (p % 64))
+            for p in _probe_positions(rendered, m_bits, k)
         ):
             scan_files.append(f)
     stats = {"files_total": len(files), "files_scanned": len(scan_files)}

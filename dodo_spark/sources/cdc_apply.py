@@ -65,6 +65,12 @@ def apply_cdc_batch(
     ``deleted`` column (tombstones). Returns {"files_rewritten",
     "rows_in_batch"}."""
     versions = _check_commit_order(table_path, version)
+    # copy-on-write rewriter: like delete_where/merge_upsert/compact,
+    # reading live files RAW under an active MoR deletion vector would
+    # resurrect DV-masked rows at a newer version — refuse up front
+    from dodo_spark.sources.versioned import _check_no_active_dvs
+
+    _check_no_active_dvs(table_path, versions, "apply_cdc_batch")
 
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
     incoming = (

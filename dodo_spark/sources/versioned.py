@@ -1890,11 +1890,15 @@ def _register_materialized_agg_refresh() -> None:
         def delta(df: DataFrame, sign: int) -> DataFrame:
             return df.groupBy("o_custkey").agg(
                 (F.lit(sign) * F.count("*")).cast("bigint").alias("cnt"),
+                # widen to (38,4) like operators/incremental.py's
+                # merge_view_state: narrowing an accumulated sum back to
+                # the per-row precision silently NULLs past 1e14 under
+                # non-ANSI Spark
                 (
                     F.lit(sign)
                     * F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
                 )
-                .cast("decimal(18,4)")
+                .cast("decimal(38,4)")
                 .alias("total"),
             )
 
@@ -1915,7 +1919,7 @@ def _register_materialized_agg_refresh() -> None:
                 merged.groupBy("o_custkey")
                 .agg(
                     F.sum("cnt").cast("bigint").alias("cnt"),
-                    F.sum("total").cast("decimal(18,4)").alias("total"),
+                    F.sum("total").cast("decimal(38,4)").alias("total"),
                 )
                 .filter(F.col("cnt") > 0)
             )

@@ -76,8 +76,106 @@ def test_driver_probe_matches_executor_kernel(spark):
     ).collect()
     for r in got:
         assert list(r["p"]) == _probe_positions(
-            r["k"], BLOOM_M_BITS, BLOOM_K
+            str(r["k"]), BLOOM_M_BITS, BLOOM_K
         ), r["k"]
+
+
+def test_probe_rendering_matches_spark_cast(spark):
+    """Non-int probe values (bool, float, Decimal) must be rendered the
+    way Spark's CAST(col AS STRING) renders them — Python str() says
+    "True"/"0.1"; Spark says "true"/"0.1" but "1.0E16" for 1e16. The
+    probe routes through _spark_string_render so positions match the
+    executor-built bitmap for every type."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from dodo_spark.sources.bloom_index import _spark_string_render
+
+    for v in (True, False, 0.1, 1e16, -2.5, Decimal("12.3400"), "s", 42):
+        expected = (
+            spark.range(1)
+            .select(F.lit(v).cast("string").alias("s"))
+            .first()["s"]
+        )
+        assert _spark_string_render(spark, v) == expected, v
+
+
+def test_float_and_bool_lookups_never_miss(spark, tmp_path):
+    """End-to-end: a lookup on a DOUBLE / BOOLEAN index column must find
+    every row — the old str(value) probe rendering false-negatived on
+    these types (e.g. Python 'True' vs Spark 'true')."""
+    path = str(tmp_path / "bi_f")
+    df = spark.createDataFrame(
+        [(i, float(i) + 0.5, i % 2 == 0) for i in range(200)],
+        "rid BIGINT, fk DOUBLE, bk BOOLEAN",
+    )
+    write_version_bloom_indexed(df, path, 0, "fk", n_files=4)
+    rows, stats = read_point_lookup(spark, path, 7.5)
+    assert {r["rid"] for r in rows.collect()} == {7}
+    assert stats["files_scanned"] <= 1
+
+    path_b = str(tmp_path / "bi_b")
+    write_version_bloom_indexed(df, path_b, 0, "bk", n_files=2)
+    rows, _ = read_point_lookup(spark, path_b, True)
+    assert {r["rid"] for r in rows.collect()} == {
+        i for i in range(200) if i % 2 == 0
+    }
+
+
+def test_mixed_index_columns_never_skip(spark, tmp_path):
+    """Commits that indexed DIFFERENT columns: files whose entry column
+    differs from the probed (latest) column are treated as unindexed —
+    always scanned, never bloom-skipped with the wrong column's bitmap.
+    v0 is indexed on 'a' (whose value domain excludes the probe), v1 on
+    'b' (the probed column): the OLD code tested v0's a-bitmaps with the
+    b-probe — a guaranteed miss here — and silently lost v0's rows."""
+    path = str(tmp_path / "bi_mix")
+    # a in [100,110): the a-bitmaps can never contain the probe "3"
+    df0 = spark.createDataFrame(
+        [(i, 100 + i % 10, i % 7) for i in range(100)],
+        "rid BIGINT, a BIGINT, b BIGINT",
+    )
+    write_version_bloom_indexed(df0, path, 0, "a", n_files=2)
+
+    # hand-commit an APPEND (v1) indexed on column "b" with an all-zeros
+    # bitmap — truthful for the probe below (df1 has no b==3 rows)
+    import base64 as _b64
+    import struct as _struct
+
+    from dodo_spark.operators.runtime_filter import BLOOM_K, BLOOM_M_BITS
+    from dodo_spark.sources.versioned import _commit, _write_data_files
+
+    df1 = spark.createDataFrame(
+        [(1000 + i, 200, 5) for i in range(20)],
+        "rid BIGINT, a BIGINT, b BIGINT",
+    )
+    add = _write_data_files(df1.repartition(1), path, 1)
+    zero = _b64.b64encode(
+        _struct.pack(f"<{BLOOM_M_BITS // 64}q", *([0] * (BLOOM_M_BITS // 64)))
+    ).decode("ascii")
+    _commit(
+        path,
+        1,
+        add=add,
+        remove=[],
+        extra={
+            "bloom_index": {
+                "col": "b",
+                "m_bits": BLOOM_M_BITS,
+                "k": BLOOM_K,
+                "files": {f: zero for f in add},
+            }
+        },
+    )
+    # latest index column is "b" -> probe b==3; v0 files (indexed on
+    # "a") must be scan-always, so every b==3 row survives
+    rows, stats = read_point_lookup(spark, path, 3)
+    got = {r["rid"] for r in rows.collect()}
+    assert got == {i for i in range(100) if i % 7 == 3}
+    # both v0 files forced into the scan set (entry-col mismatch); the
+    # v1 file is legitimately bloom-skipped (its bitmap is truthful)
+    assert stats["files_scanned"] == 2
 
 
 def test_lookup_without_index_raises(spark, tmp_path):

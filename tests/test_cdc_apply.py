@@ -150,3 +150,34 @@ def test_concurrent_same_batch_race_keeps_winner_state(spark, tmp_path):
                   100 + winner: (float(winner), 10 + winner, False)}, (results, st)
     for f in live_files(path, 1):
         assert os.path.exists(os.path.join(path, f)), f
+
+
+def test_apply_refuses_under_active_deletion_vector(spark, tmp_path):
+    """apply_cdc_batch is a copy-on-write rewriter: reading live files
+    RAW under an active MoR deletion vector would re-add DV-masked rows
+    at a newer version, which the Iceberg sequencing rule then exempts
+    forever. Like delete_where/merge_upsert/compact_files it must refuse
+    up front (round-8 advisor fix)."""
+    import pytest
+
+    from dodo_spark.sources.mor import delete_where_mor
+
+    path = str(tmp_path / "t")
+    apply_cdc_batch(
+        spark,
+        path,
+        0,
+        _batch(spark, [(1, 1.0, 10, False), (2, 2.0, 11, False)]),
+        "user_id",
+        "seq",
+    )
+    delete_where_mor(spark, path, 1, "user_id = 1", "user_id")
+    with pytest.raises(ValueError, match="apply_cdc_batch"):
+        apply_cdc_batch(
+            spark,
+            path,
+            2,
+            _batch(spark, [(2, 9.0, 20, False)]),
+            "user_id",
+            "seq",
+        )

@@ -114,3 +114,25 @@ def test_z_formula_is_a_bijective_interleave(spark):
         + " AS ry",
     ).filter("rx != qx OR ry != qy")
     assert bad.count() == 0
+
+
+def test_zorder_helper_never_clobbers_a_user_column_named_z(spark, tmp_path):
+    """A table that already has a column named "z": zorder_repartitioned
+    must preserve its values (collision-safe helper name), and the
+    low-level zorder_frame must refuse rather than silently overwrite
+    (round-8 advisor fix)."""
+    import pytest
+
+    from dodo_spark.operators.layout import zorder_frame, zorder_repartitioned
+
+    df = spark.createDataFrame(
+        [(i, i % 16, i % 32, i * 100) for i in range(500)],
+        "rid BIGINT, x BIGINT, y BIGINT, z BIGINT",
+    )
+    out = zorder_repartitioned(df, "x", "y", 4)
+    got = {(r["rid"], r["z"]) for r in out.collect()}
+    assert got == {(i, i * 100) for i in range(500)}
+    assert set(out.columns) == {"rid", "x", "y", "z"}
+
+    with pytest.raises(ValueError, match="collides"):
+        zorder_frame(df, "x", "y", (0, 15, 0, 31))
