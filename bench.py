@@ -202,18 +202,29 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": runs,
-            }
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        # SORTED key order: the driver's record of this line truncates
+        # from the tail, so a stable ordering keeps the same keys
+        # comparable across rounds (r7 verdict: only 16 keys overlapped
+        # between two rounds' truncated tails)
+        "queries": dict(sorted(timings.items())),
+        "sf": sf,
+        "runs_per_query": runs,
+    }
+    print(json.dumps(payload))
+    # full, never-truncated sidecar for cross-round regression tracking;
+    # committed per-round as BENCH_LOCAL_r{N}.json
+    try:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
         )
-    )
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # sidecar is best-effort; the stdout line is the contract
     spark.stop()
 
 

@@ -59,16 +59,21 @@ path's scheme:
   fail-if-destination-exists contract on every AbstractFileSystem,
   atomic at the HDFS namenode (the Delta HDFSLogStore protocol)).
 
-S3 caveat (documented, by design): S3A has no atomic rename, so the
-rename-based put-if-absent is not atomic there. The O_EXCL-equivalent
-strategy on S3 is a CONDITIONAL PUT — ``PutObject`` with
-``If-None-Match: *`` (supported by S3 since 2024), or a DynamoDB
-conditional write à la S3DynamoDBLogStore. That would be a third, small
-``_S3FS.put_if_absent_text`` implementation behind the same shim; the
-rest of the commit algebra is backend-agnostic. Listing is safe on
-modern S3 (strongly consistent since 2020). Parquet footer-stats
-harvesting degrades gracefully off the local FS (files without recorded
-stats simply stay merge/delete probe candidates).
+- ``s3://`` / ``s3a://`` / ``s3n://`` -> ``_S3FS`` when an S3 client is
+  reachable (installed via ``set_s3_client_factory`` or importable
+  boto3): put-if-absent is a true CONDITIONAL PUT — ``PutObject`` with
+  ``If-None-Match: *`` (supported natively by S3 since Nov 2024; same
+  header on MinIO/GCS XML) — so the store itself rejects the losing
+  committer with HTTP 412. 409 ``ConditionalRequestConflict`` (another
+  conditional write in flight) is retried bounded. Without a client the
+  path falls back to ``_HadoopFS`` (S3A rename: put-if-absent degrades
+  to check-then-act — the pre-2024 posture; a DynamoDB conditional
+  write à la S3DynamoDBLogStore would be the alternative there). The
+  rest of the commit algebra is backend-agnostic and model-tested over
+  all three shims (tests/test_versioned.py). Listing is safe on modern
+  S3 (strongly consistent since 2020). Parquet footer-stats harvesting
+  degrades gracefully off the local FS (files without recorded stats
+  simply stay merge/delete probe candidates).
 """
 
 from __future__ import annotations
@@ -271,11 +276,177 @@ class _HadoopFS:
         return sorted(out)
 
 
+class _S3FS:
+    """Object-store metadata IO with a true compare-and-set commit:
+    ``PutObject`` + ``If-None-Match: *`` — the conditional PUT S3 has
+    supported natively since Nov 2024 (and MinIO/GCS XML expose the
+    same header). This closes the S3 gap the module docstring names:
+    unlike the rename-based ``_HadoopFS`` path (not atomic on S3A),
+    the store itself rejects the losing writer with HTTP 412, so
+    exactly one manifest for a version can ever exist.
+
+    ``client`` is boto3-shaped (``put_object`` / ``get_object`` /
+    ``head_object`` / ``delete_object`` / ``list_objects_v2`` with
+    paginated ``ContinuationToken``); errors are classified by HTTP
+    status so botocore's ``ClientError`` and any compatible fake both
+    work. 409 (``ConditionalRequestConflict``: another conditional
+    write on the same key is in flight) is retried a bounded number of
+    times — the retry then either wins or sees the committed object as
+    412, per the S3 conditional-write contract.
+
+    Only METADATA flows through this shim; data files are parquet
+    written by Spark's own S3A committer. Listing is safe: S3 has been
+    strongly consistent since Dec 2020 (module docstring)."""
+
+    _MAX_CONFLICT_RETRIES = 16
+
+    def __init__(self, client, path_to_key):
+        self._client = client
+        self._to_key = path_to_key  # path -> (bucket, key)
+
+    @staticmethod
+    def _status(exc) -> int:
+        """HTTP status from a botocore ClientError (or a fake shaped
+        like one); 0 when the exception carries none."""
+        resp = getattr(exc, "response", None)
+        if isinstance(resp, dict):
+            try:
+                return int(resp["ResponseMetadata"]["HTTPStatusCode"])
+            except (KeyError, TypeError, ValueError):
+                return 0
+        return 0
+
+    def read_text(self, path: str) -> str:
+        bucket, key = self._to_key(path)
+        try:
+            obj = self._client.get_object(Bucket=bucket, Key=key)
+        except Exception as e:
+            if self._status(e) == 404:
+                raise FileNotFoundError(path) from e
+            raise
+        return obj["Body"].read().decode("utf-8")
+
+    def put_if_absent_text(self, path: str, text: str) -> bool:
+        bucket, key = self._to_key(path)
+        body = text.encode("utf-8")
+        for attempt in range(self._MAX_CONFLICT_RETRIES):
+            try:
+                self._client.put_object(
+                    Bucket=bucket, Key=key, Body=body, IfNoneMatch="*"
+                )
+                return True
+            except Exception as e:
+                status = self._status(e)
+                if status == 412:  # PreconditionFailed: lost the race
+                    return False
+                if status == 409 and attempt + 1 < self._MAX_CONFLICT_RETRIES:
+                    continue  # concurrent conditional write: re-attempt
+                raise  # genuine IO failure: surface, never mask as a race
+
+    def exists(self, path: str) -> bool:
+        bucket, key = self._to_key(path)
+        try:
+            self._client.head_object(Bucket=bucket, Key=key)
+            return True
+        except Exception as e:
+            if self._status(e) == 404:
+                return False
+            raise
+
+    def delete(self, path: str) -> bool:
+        if not self.exists(path):
+            return False  # S3 DELETE is silent on missing keys
+        bucket, key = self._to_key(path)
+        self._client.delete_object(Bucket=bucket, Key=key)
+        return True
+
+    def _list_keys(self, bucket: str, prefix: str, delimiter: str = ""):
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix}
+            if delimiter:
+                kw["Delimiter"] = delimiter
+            if token:
+                kw["ContinuationToken"] = token
+            page = self._client.list_objects_v2(**kw)
+            yield page
+            if not page.get("IsTruncated"):
+                return
+            token = page.get("NextContinuationToken")
+
+    def list_names(self, dir_path: str) -> list[str]:
+        bucket, key = self._to_key(dir_path)
+        prefix = key.rstrip("/") + "/"
+        names: set[str] = set()
+        for page in self._list_keys(bucket, prefix, delimiter="/"):
+            for c in page.get("Contents", []):
+                names.add(c["Key"][len(prefix):])
+            for p in page.get("CommonPrefixes", []):
+                names.add(p["Prefix"][len(prefix):].rstrip("/"))
+        names.discard("")
+        return sorted(names)
+
+    def list_files_recursive(self, dir_path: str) -> list[str]:
+        bucket, key = self._to_key(dir_path)
+        prefix = key.rstrip("/") + "/"
+        out = []
+        for page in self._list_keys(bucket, prefix):
+            out.extend(c["Key"][len(prefix):] for c in page.get("Contents", []))
+        return sorted(out)
+
+
+def _s3_uri_to_key(path: str) -> tuple[str, str]:
+    """``s3://bucket/a/b`` -> ("bucket", "a/b")."""
+    rest = path.split("://", 1)[1]
+    bucket, _, key = rest.partition("/")
+    return bucket, key
+
+
+# deployment/test hooks: a factory returning a boto3-shaped client for
+# s3:///s3a:// table paths, and a full-shim override (tests route plain
+# local paths through _S3FS + a local-mirror fake to drive every
+# lakehouse op through the conditional-PUT protocol end-to-end)
+_S3_CLIENT_FACTORY = None
+_FS_OVERRIDE = None
+
+
+def set_s3_client_factory(factory) -> None:
+    """Install a zero-arg factory returning a boto3-shaped S3 client;
+    s3://-scheme table paths then commit via ``_S3FS`` conditional PUT
+    instead of the Hadoop rename path. Pass None to clear (falls back
+    to boto3 if importable, else _HadoopFS)."""
+    global _S3_CLIENT_FACTORY
+    _S3_CLIENT_FACTORY = factory
+
+
+def _s3_client():
+    if _S3_CLIENT_FACTORY is not None:
+        return _S3_CLIENT_FACTORY()
+    try:
+        import boto3  # gated: not a hard dependency
+
+        return boto3.client("s3")
+    except ImportError:
+        return None
+
+
 def _fs_for(table_path: str):
-    """Scheme dispatch: URIs go through the Hadoop FileSystem of the live
+    """Scheme dispatch: s3://-style URIs commit via ``_S3FS`` conditional
+    PUT when a client is available (installed factory or importable
+    boto3); other URIs go through the Hadoop FileSystem of the live
     SparkSession (so ``file://`` exercises the Hadoop path end-to-end in
     tests and ``hdfs://`` works unchanged on a real cluster); plain local
     paths use direct POSIX IO."""
+    if _FS_OVERRIDE is not None:
+        fs = _FS_OVERRIDE(table_path)
+        if fs is not None:
+            return fs
+    if table_path.startswith(("s3://", "s3a://", "s3n://")):
+        client = _s3_client()
+        if client is not None:
+            return _S3FS(client, _s3_uri_to_key)
+        # no client reachable: the Hadoop S3A path still works (weaker
+        # put-if-absent — module docstring's per-backend guarantees)
     if "://" in table_path:
         # getActiveSession is THREAD-local: a commit issued from a worker
         # thread (thread-pooled writers are normal) would see None, so fall

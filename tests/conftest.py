@@ -29,3 +29,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return TEST_SF_DIR
+
+
+@pytest.fixture
+def s3_shim():
+    """Conditional-PUT object-store shim over the local tree (fake_s3):
+    request via request.getfixturevalue("s3_shim") in backend-param
+    tests, or directly, to drive the lakehouse layer through _S3FS."""
+    from tests.fake_s3 import s3_override
+
+    with s3_override() as client:
+        yield client

@@ -1,0 +1,219 @@
+"""The S3 conditional-PUT commit backend (_S3FS, sources/versioned.py).
+
+The round-7 verdict named this the last gap between the lakehouse
+layer's commit-protocol claim and a real object store: rename-based
+put-if-absent is not atomic on S3A; the sanctioned primitive is
+``PutObject`` + ``If-None-Match: *`` (native S3 since Nov 2024).
+These tests prove the compare-and-set CONTRACT against a boto3-shaped
+local-mirror fake (tests/fake_s3.py) — the semantics under test are the
+store's, not AWS networking — including the racing-committers scenario
+and the full append path end-to-end through the shim.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from tests.fake_s3 import FakeClientError, LocalMirrorS3Client, s3_override
+
+
+def _fs(client, root: str = ""):
+    from dodo_spark.sources.versioned import _S3FS
+
+    return _S3FS(client, lambda p: ("local", p.lstrip("/")))
+
+
+def test_conditional_put_first_writer_wins(tmp_path):
+    fs = _fs(LocalMirrorS3Client())
+    p = str(tmp_path / "m" / "_manifest_0.json")
+    assert fs.put_if_absent_text(p, "first") is True
+    assert fs.put_if_absent_text(p, "second") is False
+    assert fs.read_text(p) == "first"
+
+
+def test_conditional_request_conflict_is_retried(tmp_path):
+    """HTTP 409 (a concurrent conditional write in flight) is transient
+    per the S3 contract: the client retries and then either wins or
+    observes the committed object as a definitive 412."""
+    client = LocalMirrorS3Client(fail_conflicts=2)
+    fs = _fs(client)
+    p = str(tmp_path / "_manifest_0.json")
+    assert fs.put_if_absent_text(p, "x") is True
+    assert client.put_attempts == 3  # 2 injected conflicts + the win
+    assert fs.read_text(p) == "x"
+
+
+def test_shim_surface_roundtrip(tmp_path):
+    """exists/delete/list_names/list_files_recursive over paginated
+    ListObjectsV2 (fake page size 3 forces ContinuationToken)."""
+    fs = _fs(LocalMirrorS3Client())
+    base = str(tmp_path / "t")
+    for i in range(5):
+        assert fs.put_if_absent_text(f"{base}/_manifest_{i}.json", str(i))
+    for i in range(4):
+        assert fs.put_if_absent_text(f"{base}/v=0/part-{i}.parquet", "d")
+    assert fs.list_names(base) == [
+        *(f"_manifest_{i}.json" for i in range(5)),
+        "v=0",
+    ]
+    assert fs.list_files_recursive(base) == [
+        *(f"_manifest_{i}.json" for i in range(5)),
+        *(f"v=0/part-{i}.parquet" for i in range(4)),
+    ]
+    assert fs.exists(f"{base}/v=0/part-0.parquet")
+    assert fs.delete(f"{base}/v=0/part-0.parquet") is True
+    assert fs.delete(f"{base}/v=0/part-0.parquet") is False
+    assert not fs.exists(f"{base}/v=0/part-0.parquet")
+    with pytest.raises(FileNotFoundError):
+        fs.read_text(f"{base}/nope.json")
+
+
+def test_genuine_put_error_is_surfaced(tmp_path):
+    """A non-412/409 failure must raise, never be misreported as a lost
+    race (that would silently drop a commit)."""
+
+    class Broken(LocalMirrorS3Client):
+        def put_object(self, **kw):
+            raise FakeClientError(503, "SlowDown")
+
+    fs = _fs(Broken())
+    with pytest.raises(FakeClientError, match="503"):
+        fs.put_if_absent_text(str(tmp_path / "m.json"), "x")
+
+
+def test_commit_race_exactly_one_winner_on_s3(tmp_path):
+    """The racing-committers scenario through the conditional PUT: 8
+    threads commit the SAME version; the store's If-None-Match rejects
+    all but one with 412 -> CommitConflict."""
+    from dodo_spark.sources.versioned import (
+        CommitConflict,
+        _commit,
+        list_versions,
+    )
+
+    with s3_override():
+        path = str(tmp_path / "race")
+        results: list = [None] * 8
+        barrier = threading.Barrier(8)
+
+        def writer(i: int) -> None:
+            try:
+                barrier.wait()
+                _commit(path, 0, add=[], remove=[f"writer_{i}"])
+                results[i] = "won"
+            except CommitConflict:
+                results[i] = "conflict"
+            except Exception as e:  # pragma: no cover - diagnostic
+                results[i] = f"ERR {e}"
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results.count("won") == 1, results
+        assert results.count("conflict") == 7, results
+        assert list_versions(path) == [0]
+
+
+def test_full_append_race_on_s3(spark, tmp_path):
+    """7cc738c's scenario on the S3 backend: 4 threads race the FULL
+    append path (per-attempt staging dirs + conditional-PUT manifest)
+    for the same version — one winner, losers' data never clobbers the
+    winner's committed files."""
+    from dodo_spark.sources.versioned import (
+        CommitConflict,
+        append_version,
+        live_files,
+        read_version,
+        write_version,
+    )
+
+    with s3_override():
+        path = str(tmp_path / "zr")
+        write_version(
+            spark.createDataFrame([(0, 0.0)], "k BIGINT, val DOUBLE")
+            .coalesce(1),
+            path,
+            0,
+        )
+        dfs = [
+            spark.createDataFrame(
+                [(100 + i, float(i))], "k BIGINT, val DOUBLE"
+            ).coalesce(1)
+            for i in range(4)
+        ]
+        results: list = [None] * 4
+        barrier = threading.Barrier(4)
+
+        def writer(i: int) -> None:
+            try:
+                barrier.wait()
+                append_version(dfs[i], path, 1)
+                results[i] = "won"
+            except CommitConflict:
+                results[i] = "conflict"
+            except ValueError as e:
+                results[i] = (
+                    "late" if "already committed" in str(e) else f"ERR {e}"
+                )
+            except Exception as e:  # pragma: no cover - diagnostic
+                results[i] = f"ERR {e}"
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results.count("won") == 1, results
+        assert all(r in ("won", "conflict", "late") for r in results), results
+        winner = results.index("won")
+        got = {
+            r["k"]: r["val"] for r in read_version(spark, path, 1).collect()
+        }
+        assert got == {0: 0.0, 100 + winner: float(winner)}, (results, got)
+        for f in live_files(path, 1):
+            assert os.path.exists(os.path.join(path, f)), f
+
+
+def test_scheme_dispatch_prefers_s3fs_when_client_available(tmp_path):
+    """s3:// table paths route to _S3FS when a client factory is
+    installed, and fall back to _HadoopFS-or-error when cleared."""
+    from dodo_spark.sources import versioned
+
+    client = LocalMirrorS3Client()
+    versioned.set_s3_client_factory(lambda: client)
+    try:
+        fs = versioned._fs_for("s3://local" + str(tmp_path))
+        assert isinstance(fs, versioned._S3FS)
+        # full URI key mapping: bucket from the authority, key below it
+        p = f"s3://local{tmp_path}/_manifest_0.json"
+        assert fs.put_if_absent_text(p, "via-uri") is True
+        assert fs.read_text(p) == "via-uri"
+        assert (tmp_path / "_manifest_0.json").read_text() == "via-uri"
+    finally:
+        versioned.set_s3_client_factory(None)
+
+
+def test_time_travel_keys_green_through_s3_backend(spark, sf_dir):
+    """The verdict's Done bar: every time_travel* registry key (plus the
+    CDC streaming sink) stays oracle-green when ALL its lakehouse
+    metadata IO flows through the conditional-PUT backend."""
+    import __spark_entry__ as e
+    from tests.parity import assert_parity, duckdb_con, run_oracle
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    keys = sorted(k for k in qs if k.startswith("time_travel")) + [
+        "streaming_cdc_apply",
+        "streaming_jsonl_ingest",
+    ]
+    con = duckdb_con(sf_dir)
+    with s3_override() as client:
+        for name in keys:
+            df = qs[name](spark, sf_dir)
+            assert_parity(df, run_oracle(con, oracles[name]), name)
+    # proof the protocol actually carried the commits
+    assert client.put_attempts > 0

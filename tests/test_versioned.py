@@ -411,17 +411,24 @@ def test_manifest_presence_is_the_whole_commit(spark, table):
     assert not os.path.exists(os.path.join(str(table), "_versions.json"))
 
 
-@pytest.mark.parametrize("backend", ["local", "hadoop"])
-def test_commit_algebra_randomized_against_model(spark, tmp_path, backend):
+@pytest.mark.parametrize("backend", ["local", "hadoop", "s3"])
+def test_commit_algebra_randomized_against_model(
+    spark, tmp_path, backend, request
+):
     """Model-based check of the whole commit algebra: a random sequence of
     append / delete / merge / compact / checkpoint commits must keep EVERY
     version's readable content equal to a plain-Python dict model replayed
     to that version — file sharing, stats skipping, checkpoints and
-    compaction are invisible to readers. Parameterized over BOTH
+    compaction are invisible to readers. Parameterized over ALL THREE
     filesystem shims: plain paths drive _LocalFS (os.* put-if-absent via
     hard link); file:// URIs drive _HadoopFS (the Hadoop FileSystem via
-    spark._jvm — the same code path hdfs:// takes on a cluster)."""
+    spark._jvm — the same code path hdfs:// takes on a cluster); "s3"
+    routes metadata through _S3FS's conditional PUT (If-None-Match: *)
+    over the boto3-shaped local-mirror fake."""
     import random
+
+    if backend == "s3":
+        request.getfixturevalue("s3_shim")
 
     from dodo_spark.sources.versioned import (
         append_version,
@@ -1097,8 +1104,10 @@ def test_fs_list_files_recursive(spark, tmp_path):
     ) == []
 
 
-@pytest.mark.parametrize("backend", ["local", "hadoop"])
-def test_vacuum_algebra_randomized_against_model(spark, tmp_path, backend):
+@pytest.mark.parametrize("backend", ["local", "hadoop", "s3"])
+def test_vacuum_algebra_randomized_against_model(
+    spark, tmp_path, backend, request
+):
     """Model-based check of the VACUUM/RESTORE algebra (the area of the
     round-6 advisor's high finding): a random sequence of write / append /
     restore / vacuum ops is mirrored by a pure-Python model tracking each
@@ -1109,8 +1118,12 @@ def test_vacuum_algebra_randomized_against_model(spark, tmp_path, backend):
     and every version the model says lost a file must raise 'was
     vacuumed' — commits made after a vacuum stay readable, appends that
     share still-live files stay readable below the retention cutoff, and
-    restores of vacuumed targets fail cleanly. Both filesystem shims."""
+    restores of vacuumed targets fail cleanly. All three filesystem
+    shims, including _S3FS conditional PUT over the local-mirror fake."""
     import random
+
+    if backend == "s3":
+        request.getfixturevalue("s3_shim")
 
     from dodo_spark.sources.versioned import (
         append_version,
