@@ -46,11 +46,73 @@ from dodo_spark.sources.versioned import (
     list_versions,
 )
 
-__all__ = ["write_version_bloom_indexed", "read_point_lookup"]
+__all__ = [
+    "write_version_bloom_indexed",
+    "read_point_lookup",
+    "bloom_words_for_files",
+]
 
 
 def _words(m_bits: int) -> int:
     return m_bits // 64
+
+
+def bloom_words_for_files(
+    spark: SparkSession,
+    table_path: str,
+    rel_files: list[str],
+    index_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> dict[str, str]:
+    """One metadata pass computing the per-file bloom bitmap of
+    ``index_col`` over already-written ``rel_files`` (relative to
+    ``table_path``): the shared builder behind the indexed writer AND
+    compaction-time index REBUILD (compact_files). Returns
+    {rel_file: base64 words}; files whose rows are all-NULL on the
+    column get an all-zeros bitmap (probe never matches — correct,
+    since the column's lookup filter can't match NULL either)."""
+    from dodo_spark.operators.runtime_filter import _h1_h2, _positions
+    from dodo_spark.sources.versioned import _canon_file_ref
+
+    read_back = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[_join(table_path, f) for f in rel_files])
+        .select(
+            F.input_file_name().alias("f"),
+            F.col(index_col).alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+    h1, h2 = _h1_h2(F.col("k"))
+    pos = read_back.select(
+        "f", F.explode(F.array(*_positions(h1, h2, m_bits, k))).alias("p")
+    )
+    rows = (
+        pos.select(
+            "f",
+            F.expr("p DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("f", "w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()  # bounded: |files| x occupied words of METADATA
+    )
+    per_file: dict[str, list[int]] = {f: [0] * _words(m_bits) for f in rel_files}
+    canon_to_rel = {
+        _canon_file_ref(_join(table_path, f)): f for f in rel_files
+    }
+    for r in rows:
+        rel = canon_to_rel[_canon_file_ref(r["f"])]
+        per_file[rel][r["w"]] = r["word"]
+    return {
+        rel: base64.b64encode(
+            struct.pack(f"<{_words(m_bits)}q", *words)
+        ).decode("ascii")
+        for rel, words in per_file.items()
+    }
 
 
 def write_version_bloom_indexed(
@@ -73,50 +135,9 @@ def write_version_bloom_indexed(
     add = _write_data_files(
         df.repartition(n_files, F.col(index_col)), table_path, version
     )
-
-    # one metadata pass: per-file bloom words over the written files
-    from dodo_spark.operators.runtime_filter import _h1_h2, _positions
-
-    scan = (
-        F.input_file_name().alias("f"),
-        F.col(index_col).alias("k"),
+    blooms = bloom_words_for_files(
+        df.sparkSession, table_path, add, index_col, m_bits, BLOOM_K
     )
-    read_back = (
-        df.sparkSession.read.option("mergeSchema", "true")
-        .parquet(*[_join(table_path, f) for f in add])
-        .select(*scan)
-        .filter(F.col("k").isNotNull())
-    )
-    h1, h2 = _h1_h2(F.col("k"))
-    pos = read_back.select(
-        "f", F.explode(F.array(*_positions(h1, h2, m_bits, BLOOM_K))).alias("p")
-    )
-    rows = (
-        pos.select(
-            "f",
-            F.expr("p DIV 64").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
-                "m"
-            ),
-        )
-        .groupBy("f", "w")
-        .agg(F.bit_or("m").alias("word"))
-        .collect()  # bounded: |files| x occupied words of METADATA
-    )
-    from dodo_spark.sources.versioned import _canon_file_ref
-
-    per_file: dict[str, list[int]] = {}
-    canon_to_rel = {_canon_file_ref(_join(table_path, f)): f for f in add}
-    for r in rows:
-        rel = canon_to_rel[_canon_file_ref(r["f"])]
-        words = per_file.setdefault(rel, [0] * _words(m_bits))
-        words[r["w"]] = r["word"]
-    blooms = {
-        rel: base64.b64encode(
-            struct.pack(f"<{_words(m_bits)}q", *words)
-        ).decode("ascii")
-        for rel, words in per_file.items()
-    }
     _commit(
         table_path,
         version,
@@ -298,3 +319,104 @@ def _register_bloom_index() -> None:
 
 
 _register_bloom_index()
+
+
+def _register_bloom_compact() -> None:
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    probes = [7, 19, 1501]
+
+    @register(
+        "time_travel_bloom_compact",
+        oracle=f"""
+        WITH probes AS (SELECT unnest(ARRAY{probes}) AS ck)
+        SELECT p.ck AS probe_key,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total,
+               TRUE AS index_rebuilt,
+               TRUE AS pruned_after_compact
+        FROM probes p
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderkey < 5000) o
+          ON o.o_custkey = p.ck
+        GROUP BY p.ck ORDER BY p.ck
+        """,
+        doc="Compaction-aware BLOOM INDEX maintenance (r7 verdict "
+        "stretch): orders commit bloom-indexed on o_custkey (v0, 8 "
+        "hash-partitioned files), then an OPTIMIZE ZORDER rewrite "
+        "(compact_files(zorder_by=(o_custkey, o_day)) — composing the "
+        "layout_zorder Morton machinery with the manifest index) "
+        "replaces every indexed file at v1. compact_files detects the "
+        "ancestor bloom_index and REBUILDS per-file bitmaps for the "
+        "rewritten files in the same commit, so point lookups keep "
+        "pruning across the compaction instead of degrading to "
+        "scan-always. index_rebuilt pins that v1's manifest carries an "
+        "index entry for EVERY live file; pruned_after_compact pins "
+        "that the probes' combined scans skipped at least one file "
+        "(the z-layout no longer isolates a key in one file, so the "
+        "per-probe bound is the bitmap's, not the partitioner's). The "
+        "oracle recomputes every probe from the base table — a lookup "
+        "that misses a row after the rewrite hash-fails.",
+    )
+    def time_travel_bloom_compact(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from dodo_spark.operators.schema import scratch_dir
+        from dodo_spark.sources.versioned import (
+            _read_manifest,
+            compact_files,
+            live_files,
+        )
+
+        tbl = _join(scratch_dir("time_travel_bloom_compact"), "tbl")
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 5000)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+                .cast("bigint")
+                .alias("o_day"),
+            )
+        )
+        write_version_bloom_indexed(o, tbl, 0, "o_custkey", n_files=8)
+        compact_files(
+            spark, tbl, 1, target_files=4, zorder_by=("o_custkey", "o_day")
+        )
+
+        live = live_files(tbl, 1)
+        v1_idx = _read_manifest(tbl, 1).get("bloom_index") or {"files": {}}
+        index_rebuilt = (
+            v1_idx.get("col") == "o_custkey"
+            and set(v1_idx["files"]) >= set(live)
+        )
+
+        parts = []
+        scanned_total = 0
+        for ck in probes:
+            rows, stats = read_point_lookup(spark, tbl, ck)
+            scanned_total += stats["files_scanned"]
+            parts.append(
+                rows.agg(
+                    F.lit(ck).cast("bigint").alias("probe_key"),
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                    .cast("double")
+                    .alias("total"),
+                )
+            )
+        pruned = scanned_total < len(probes) * len(live)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.withColumn("index_rebuilt", F.lit(index_rebuilt))
+            .withColumn("pruned_after_compact", F.lit(pruned))
+            .orderBy("probe_key")
+        )
+
+
+_register_bloom_compact()

@@ -995,7 +995,32 @@ def compact_files(
     else:
         df = df.coalesce(max(1, target_files))
     add = _write_data_files(df, table_path, version)
-    _commit(table_path, version, add=add, remove=prev_live, commit_ts=commit_ts)
+    # compaction-aware BLOOM INDEX maintenance: a rewrite invalidates the
+    # per-file bitmaps of every file it removes; without a rebuild the
+    # new files would fall back to scan-always (correct but unpruned).
+    # If any ancestor manifest carries a bloom_index whose column
+    # survives the rewrite, rebuild bitmaps for the NEW files on the
+    # same column in this commit — point lookups keep their pruning
+    # across OPTIMIZE/Z-order rewrites (Delta bloom-filter-index
+    # semantics: the index is table metadata, OPTIMIZE maintains it).
+    extra = None
+    bi_meta = None
+    for v in versions:
+        bi = _read_manifest(table_path, v).get("bloom_index")
+        if bi:
+            bi_meta = {"col": bi["col"], "m_bits": bi["m_bits"], "k": bi["k"]}
+    if bi_meta is not None and bi_meta["col"] in df.columns:
+        from dodo_spark.sources.bloom_index import bloom_words_for_files
+
+        blooms = bloom_words_for_files(
+            spark, table_path, add, bi_meta["col"],
+            bi_meta["m_bits"], bi_meta["k"],
+        )
+        extra = {"bloom_index": {**bi_meta, "files": blooms}}
+    _commit(
+        table_path, version, add=add, remove=prev_live,
+        commit_ts=commit_ts, extra=extra,
+    )
     return {"files_before": len(prev_live), "files_after": len(add)}
 
 

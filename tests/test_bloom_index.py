@@ -185,3 +185,55 @@ def test_lookup_without_index_raises(spark, tmp_path):
     write_version(_df(spark, 10), path, 0)
     with pytest.raises(ValueError, match="no bloom index"):
         read_point_lookup(spark, path, 1)
+
+
+def test_compaction_rebuilds_bloom_index(spark, tmp_path):
+    """compact_files on a bloom-indexed table rebuilds the per-file
+    bitmaps for the rewritten files in the SAME commit (Delta OPTIMIZE
+    maintains the bloom-filter index): lookups after the compaction
+    stay correct AND still prune — they never degrade to scan-always."""
+    from dodo_spark.sources.versioned import (
+        _read_manifest,
+        compact_files,
+        live_files,
+    )
+
+    path = str(tmp_path / "bi")
+    write_version_bloom_indexed(_df(spark, 2000), path, 0, "k", n_files=8)
+    # plain bin-pack AND a z-order rewrite, chained
+    compact_files(spark, path, 1, target_files=4)
+    from pyspark.sql import functions as F
+
+    bi1 = _read_manifest(path, 1)["bloom_index"]
+    assert bi1["col"] == "k"
+    assert set(bi1["files"]) == set(live_files(path, 1))
+
+    compact_files(spark, path, 2, target_files=2, zorder_by=("k", "rid"))
+    bi2 = _read_manifest(path, 2)["bloom_index"]
+    assert set(bi2["files"]) == set(live_files(path, 2))
+
+    pruned_something = False
+    for key in (0, 7, 49):
+        rows, stats = read_point_lookup(spark, path, key)
+        got = {r["rid"] for r in rows.collect()}
+        assert got == {i for i in range(2000) if i % 50 == key}, key
+        pruned_something |= stats["files_scanned"] < stats["files_total"]
+    # absent key: the rebuilt bitmaps still skip every file (no FP here)
+    rows, stats = read_point_lookup(spark, path, 999_999)
+    assert rows.count() == 0
+    assert stats["files_scanned"] <= 1
+    assert pruned_something or stats["files_total"] == 1
+
+
+def test_compaction_without_index_adds_none(spark, tmp_path):
+    """A compaction of a NEVER-indexed table must not invent an index."""
+    from dodo_spark.sources.versioned import (
+        _read_manifest,
+        compact_files,
+        write_version,
+    )
+
+    path = str(tmp_path / "plain")
+    write_version(_df(spark, 100), path, 0)
+    compact_files(spark, path, 1, target_files=1)
+    assert "bloom_index" not in _read_manifest(path, 1)

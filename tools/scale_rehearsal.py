@@ -291,6 +291,9 @@ KEYS = [
     "time_travel_bloom_index",
     "analytics_forecast_holt",
     "time_travel_add_files",
+    # round-8: compaction-aware bloom-index maintenance (zorder rewrite
+    # rebuilds the per-file bitmaps in the same commit)
+    "time_travel_bloom_compact",
 ]
 
 
