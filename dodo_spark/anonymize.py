@@ -135,6 +135,15 @@ class MiniDict:
     def alias(self, hashed: str) -> str:
         if hashed in self.dict:
             return self.dict[hashed]
+        # round-8 _hash_id remaps a leading digit nibble to g-p; a dict
+        # persisted BEFORE that change keys this identifier under the
+        # digit-leading form. Migrate the entry in place so saved dicts
+        # keep aliases stable across the upgrade (the save/load contract).
+        if "g" <= hashed[0] <= "p":
+            legacy = str(ord(hashed[0]) - ord("g")) + hashed[1:]
+            if legacy in self.dict:
+                self.dict[hashed] = self.dict.pop(legacy)
+                return self.dict[hashed]
         if self.last is None:
             self.last = "a"
         else:

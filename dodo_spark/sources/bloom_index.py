@@ -155,19 +155,32 @@ def write_version_bloom_indexed(
     return {"files": len(add), "indexed_col": index_col}
 
 
-def _spark_string_render(spark: SparkSession, value) -> str:
-    """Render ``value`` exactly as Spark's ``CAST(col AS STRING)`` does —
-    the executor-side bitmap was built over that rendering, so the
-    driver probe must match it bit-for-bit. Python str() agrees for int
-    and str; it does NOT for bool ("True" vs "true") or floats/decimals
-    (repr vs Java Double.toString), so those route through a 1-row local
-    Spark evaluation of the very same cast."""
-    if isinstance(value, bool):  # bool before int: bool is an int subclass
-        return "true" if value else "false"
-    if isinstance(value, (int, str)):
+def _spark_string_render(spark: SparkSession, value, dtype) -> str | None:
+    """Render ``value`` exactly as the executor-side bitmap build did:
+    ``CAST(CAST(value AS <column type>) AS STRING)``. Casting through
+    the INDEX COLUMN's type first is load-bearing — an int probe 42 on
+    a DOUBLE column must hash "42.0" (what the bitmaps contain), not
+    "42", or every file is silently skipped. Python-side rendering is
+    used only where provably identical (integral value on an integral
+    column, str on string); everything else routes through a 1-row
+    local Spark evaluation of the very same cast chain. Returns None
+    when the value does not cast into the column's type at all (no
+    stored value can equal it through that cast)."""
+    from pyspark.sql import types as T
+
+    if isinstance(value, bool):
+        if isinstance(dtype, T.BooleanType):
+            return "true" if value else "false"
+    elif isinstance(value, int) and isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
         return str(value)
+    elif isinstance(value, str) and isinstance(dtype, T.StringType):
+        return value
+    # try_cast: under ANSI (Spark 4 default) a malformed cast THROWS;
+    # an uncastable probe must yield None (no stored value can match)
     row = spark.range(1).select(
-        F.lit(value).cast("string").alias("s")
+        F.lit(value).try_cast(dtype).cast("string").alias("s")
     ).first()
     return row["s"]
 
@@ -214,7 +227,25 @@ def read_point_lookup(
     if col is None:
         raise ValueError(f"no bloom index in any manifest at {table_path}")
 
-    rendered = _spark_string_render(spark, value)
+    # the probe must render through the INDEX COLUMN's type (one footer
+    # read; merged-footer fallback after additive schema evolution)
+    schema = spark.read.parquet(_join(table_path, files[0])).schema
+    if col not in schema.names:
+        schema = spark.read.option("mergeSchema", "true").parquet(
+            *[_join(table_path, f) for f in files]
+        ).schema
+    rendered = _spark_string_render(spark, value, schema[col].dataType)
+    if rendered is None:
+        # the value does not cast into the column's type: no stored value
+        # can equal it (and under ANSI the exact filter would throw) —
+        # an empty result with zero files scanned is the true answer
+        empty = spark.read.option("mergeSchema", "true").parquet(
+            *[_join(table_path, f) for f in files[:1]]
+        )
+        return (
+            empty.filter(F.lit(False)),
+            {"files_total": len(files), "files_scanned": 0},
+        )
     scan_files = []
     for f in files:
         entry = idx.get(f)

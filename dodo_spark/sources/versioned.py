@@ -354,8 +354,12 @@ class _S3FS:
             raise
 
     def delete(self, path: str) -> bool:
-        if not self.exists(path):
-            return False  # S3 DELETE is silent on missing keys
+        """Unconditional DELETE (idempotent per S3): a HEAD-then-DELETE
+        would double the request count of vacuum's sweep and race a
+        concurrent deleter for a return value the callers derive from
+        manifests/listings anyway. Missing keys report True — vacuum's
+        counters come from the doomed list / fresh listing, both of
+        which name existing files."""
         bucket, key = self._to_key(path)
         self._client.delete_object(Bucket=bucket, Key=key)
         return True
@@ -414,20 +418,35 @@ def set_s3_client_factory(factory) -> None:
     """Install a zero-arg factory returning a boto3-shaped S3 client;
     s3://-scheme table paths then commit via ``_S3FS`` conditional PUT
     instead of the Hadoop rename path. Pass None to clear (falls back
-    to boto3 if importable, else _HadoopFS)."""
-    global _S3_CLIENT_FACTORY
+    to boto3 if importable AND constructible, else _HadoopFS)."""
+    global _S3_CLIENT_FACTORY, _S3_CLIENT_CACHE
     _S3_CLIENT_FACTORY = factory
+    _S3_CLIENT_CACHE = None  # invalidate the memoized client
+
+
+_S3_CLIENT_CACHE = None
 
 
 def _s3_client():
+    """Memoized: metadata ops call _fs_for per manifest access, and a
+    boto3 client construction (service model load + credential resolve)
+    costs tens of ms — one client serves the whole process."""
+    global _S3_CLIENT_CACHE
+    if _S3_CLIENT_CACHE is not None:
+        return _S3_CLIENT_CACHE
     if _S3_CLIENT_FACTORY is not None:
-        return _S3_CLIENT_FACTORY()
+        _S3_CLIENT_CACHE = _S3_CLIENT_FACTORY()
+        return _S3_CLIENT_CACHE
     try:
         import boto3  # gated: not a hard dependency
 
-        return boto3.client("s3")
-    except ImportError:
+        # ANY construction failure (no region, no credentials, broken
+        # transitive install) falls back to the Hadoop S3A path rather
+        # than crashing metadata IO that worked before boto3 appeared
+        _S3_CLIENT_CACHE = boto3.client("s3")
+    except Exception:
         return None
+    return _S3_CLIENT_CACHE
 
 
 def _fs_for(table_path: str):
@@ -1005,10 +1024,11 @@ def compact_files(
     # semantics: the index is table metadata, OPTIMIZE maintains it).
     extra = None
     bi_meta = None
-    for v in versions:
+    for v in reversed(versions):  # newest-first: only the LATEST index
         bi = _read_manifest(table_path, v).get("bloom_index")
         if bi:
             bi_meta = {"col": bi["col"], "m_bits": bi["m_bits"], "k": bi["k"]}
+            break
     if bi_meta is not None and bi_meta["col"] in df.columns:
         from dodo_spark.sources.bloom_index import bloom_words_for_files
 

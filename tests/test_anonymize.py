@@ -242,3 +242,30 @@ def test_cli_anonymize_dict_roundtrip(tmp_path):
                  "--method", "minihash", "--minihash-dict", str(d)]) == 0
     alias1 = o1.read_text().split()[1]
     assert o2.read_text().split()[1] == alias1  # alpha_col alias stable
+
+
+def test_minihash_dict_migrates_pre_r8_hash_keys(tmp_path):
+    """A dictionary persisted BEFORE the round-8 leading-digit remap
+    keys its aliases under digit-leading hashes; alias() must migrate
+    those entries in place so the same identifier keeps the same alias
+    across the upgrade (the save/load stability contract)."""
+    import json
+
+    from dodo_spark.anonymize import MiniDict, _hash_id, anonymize_sql
+
+    ident = "orders"  # md5('orders') starts with a digit -> was remapped
+    import hashlib
+
+    old_hash = hashlib.md5(ident.encode()).hexdigest()[:16]
+    assert old_hash[0].isdigit(), "pick an identifier with digit-leading md5"
+    new_hash = _hash_id(ident)
+    assert new_hash != old_hash and not new_hash[0].isdigit()
+
+    # simulate a pre-upgrade dict: the identifier already has alias 'q'
+    legacy_path = str(tmp_path / "dict.json")
+    with open(legacy_path, "w") as f:
+        json.dump({"dict": {old_hash: "q"}, "last": "q"}, f)
+    mini = MiniDict.load(legacy_path)
+    out = anonymize_sql(f"SELECT x FROM {ident}", method="minihash", mini=mini)
+    assert " q" in out  # kept the saved alias, no fresh assignment
+    assert mini.dict[new_hash] == "q" and old_hash not in mini.dict

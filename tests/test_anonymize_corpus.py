@@ -89,9 +89,15 @@ def test_corpus_structure_preserved_and_stable(spark, corpus, method):
         norm_orig = _rewrite_sql(sql, lambda _i: "X")
         norm_anon = _rewrite_sql(a1, lambda _i: "X")
         assert norm_anon == norm_orig, sql[:80]
-        # no raw comment bodies survive (redaction is total)
-        for c in re.findall(r"/\*(?!')(.*?)\*/", a1, re.S):
-            assert c == "'***'" or c.startswith("dodo") is False
+        # no raw comment bodies survive (redaction is total): tokenize
+        # the OUTPUT with the anonymizer's own lexer (a regex over the
+        # raw text would false-match '--' inside the corpus's string
+        # literals) and require every comment token to be the marker
+        from dodo_spark.anonymize import _TOKEN_RE
+
+        for m in _TOKEN_RE.finditer(a1):
+            if m.lastgroup == "comment":
+                assert m.group() in ("/*'***'*/", "--'***'"), m.group()[:60]
 
 
 def test_corpus_parse_survival(spark, corpus):

@@ -93,12 +93,13 @@ def test_probe_rendering_matches_spark_cast(spark):
     from dodo_spark.sources.bloom_index import _spark_string_render
 
     for v in (True, False, 0.1, 1e16, -2.5, Decimal("12.3400"), "s", 42):
+        dtype = spark.range(1).select(F.lit(v)).schema[0].dataType
         expected = (
             spark.range(1)
-            .select(F.lit(v).cast("string").alias("s"))
+            .select(F.lit(v).cast(dtype).cast("string").alias("s"))
             .first()["s"]
         )
-        assert _spark_string_render(spark, v) == expected, v
+        assert _spark_string_render(spark, v, dtype) == expected, v
 
 
 def test_float_and_bool_lookups_never_miss(spark, tmp_path):
@@ -237,3 +238,26 @@ def test_compaction_without_index_adds_none(spark, tmp_path):
     write_version(_df(spark, 100), path, 0)
     compact_files(spark, path, 1, target_files=1)
     assert "bloom_index" not in _read_manifest(path, 1)
+
+
+def test_type_mismatched_probe_never_misses(spark, tmp_path):
+    """An int probe on a DOUBLE column must render through the COLUMN's
+    type ("42.0", what the bitmaps hashed), not Python str(42) — the
+    round-8 review's false-negative: every file silently skipped while
+    the exact filter would have matched 42.0."""
+    path = str(tmp_path / "bi_t")
+    df = spark.createDataFrame(
+        [(i, float(i % 50)) for i in range(500)],
+        "rid BIGINT, fk DOUBLE",
+    )
+    write_version_bloom_indexed(df, path, 0, "fk", n_files=4)
+    rows, stats = read_point_lookup(spark, path, 42)  # int probe
+    got = {r["rid"] for r in rows.collect()}
+    assert got == {i for i in range(500) if i % 50 == 42}
+    assert stats["files_scanned"] <= 1
+
+    # a value that cannot cast into the column's type: no stored value
+    # can equal it (ANSI filter would throw) -> empty, zero files read
+    rows, stats = read_point_lookup(spark, path, "not-a-number")
+    assert rows.count() == 0
+    assert stats["files_scanned"] == 0

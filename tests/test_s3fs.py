@@ -65,7 +65,9 @@ def test_shim_surface_roundtrip(tmp_path):
     ]
     assert fs.exists(f"{base}/v=0/part-0.parquet")
     assert fs.delete(f"{base}/v=0/part-0.parquet") is True
-    assert fs.delete(f"{base}/v=0/part-0.parquet") is False
+    # S3 DELETE is idempotent and unconditional (no HEAD round-trip):
+    # a second delete also reports True — callers count from manifests
+    assert fs.delete(f"{base}/v=0/part-0.parquet") is True
     assert not fs.exists(f"{base}/v=0/part-0.parquet")
     with pytest.raises(FileNotFoundError):
         fs.read_text(f"{base}/nope.json")
