@@ -49,7 +49,12 @@ from dodo_spark.sources.versioned import (
     read_version,
 )
 
-__all__ = ["apply_cdc_batch", "cdc_batch_writer", "read_cdc_state"]
+__all__ = [
+    "apply_cdc_batch",
+    "cdc_batch_writer",
+    "read_cdc_state",
+    "purge_tombstones",
+]
 
 
 def apply_cdc_batch(
@@ -168,9 +173,78 @@ def read_cdc_state(
 ) -> DataFrame:
     """The materialized table WITHOUT tombstones — what a consumer
     queries. Tombstones stay stored (resurrection protection); reclaim
-    them with a filtered rewrite once upstream retention guarantees no
+    them with ``purge_tombstones`` once upstream retention guarantees no
     older seqs can arrive."""
     return read_version(spark, table_path, version).filter(~F.col("deleted"))
+
+
+def purge_tombstones(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    seq_horizon: int,
+    seq_col: str = "seq",
+) -> dict:
+    """Commit ``version`` as a filtered rewrite dropping tombstones with
+    ``seq < seq_horizon`` — the retention-gated reclaim the apply rule
+    defers (a tombstone protects its key from STALE upserts; once the
+    upstream log's retention guarantees no change with a smaller seq can
+    ever arrive, tombstones below that horizon are dead weight).
+
+    ``seq_horizon`` is the CALLER'S retention promise (Kafka retention
+    watermark / binlog purge LSN): a stale upsert below a purged
+    tombstone's seq arriving AFTER the purge would resurrect its key —
+    exactly the event the promise rules out. Tombstones at or above the
+    horizon are kept verbatim.
+
+    Cost shape (the merge_upsert file algebra): footer min/max stats on
+    ``seq_col`` skip files whose every row is at or above the horizon;
+    only files actually CONTAINING purgeable tombstones are rewritten;
+    older versions still read their tombstones (time travel unchanged).
+    An idempotent no-op (nothing purgeable) still publishes an empty
+    manifest so the caller's version numbering stays monotone."""
+    versions = _check_commit_order(table_path, version)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    from dodo_spark.sources.versioned import _check_no_active_dvs
+
+    _check_no_active_dvs(table_path, versions, "purge_tombstones")
+    prev_live = live_files(table_path, versions[-1])
+    stats = file_stats(table_path, versions[-1])
+    candidates = [
+        f
+        for f in prev_live
+        if seq_col not in stats.get(f, {})
+        or stats[f][seq_col][0] < seq_horizon
+    ]
+    touched: list[str] = []
+    purged = 0
+    if candidates:
+        from dodo_spark.sources.versioned import _canon_file_ref
+
+        paths = {f: _join(table_path, f) for f in candidates}
+        doomed = F.col("deleted") & (F.col(seq_col) < F.lit(seq_horizon))
+        hits = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*paths.values())
+            .filter(doomed)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count("*").alias("n"))
+            .collect()  # bounded: one row per touched FILE
+        )
+        by_file = {_canon_file_ref(r["f"]): r["n"] for r in hits}
+        touched = [f for f in candidates if _canon_file_ref(paths[f]) in by_file]
+        purged = sum(by_file.values())
+    add: list[str] = []
+    if touched:
+        survivors = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[_join(table_path, f) for f in touched])
+            .filter(~(F.col("deleted") & (F.col(seq_col) < F.lit(seq_horizon))))
+        )
+        add = _write_data_files(survivors, table_path, version)
+    _commit(table_path, version, add=add, remove=touched)
+    return {"files_rewritten": len(touched), "tombstones_purged": int(purged)}
 
 
 # ---------------------------------------------------------------------------
@@ -282,3 +356,120 @@ def _register_streaming_cdc_apply() -> None:
 
 
 _register_streaming_cdc_apply()
+
+
+def _register_cdc_purge() -> None:
+    from dodo_spark.registry import register
+
+    @register(
+        "cdc_purge_tombstones",
+        oracle="""
+        WITH latest AS (
+          SELECT user_id, value, event_type, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY event_id DESC) AS rn
+          FROM events
+        ), cur AS (SELECT * FROM latest WHERE rn = 1),
+        h AS (SELECT MAX(event_id) // 2 AS hz FROM events),
+        kept AS (
+          SELECT * FROM cur
+          WHERE NOT (event_type = 'error'
+                     AND event_id < (SELECT hz FROM h))
+        )
+        SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+               CAST(COALESCE(SUM(CASE WHEN event_type != 'error'
+                 THEN 1 END), 0) AS BIGINT) AS n_live,
+               CAST(SUM(CASE WHEN event_type != 'error'
+                 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+                 AS value_sum,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                 THEN 1 END), 0) AS BIGINT) AS n_tombstones_kept,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cur
+                WHERE event_type = 'error'
+                  AND event_id < (SELECT hz FROM h)) AS purged_total,
+               TRUE AS prepurge_intact
+        FROM kept GROUP BY 1 ORDER BY 1
+        """,
+        doc="CDC tombstone PURGE under a retention horizon (completes "
+        "the Debezium apply story): three CDC batches (events split by "
+        "seq % 3 — deliberately out-of-order arrival) materialize the "
+        "latest-wins state with seq-stamped tombstones, then "
+        "purge_tombstones reclaims every tombstone whose seq is below "
+        "MAX(seq) DIV 2 — the caller's upstream-retention promise. "
+        "Footer min/max stats on seq skip files wholly at/above the "
+        "horizon; only files containing purgeable tombstones are "
+        "rewritten. purged_total pins the exact reclaim count (a "
+        "scalar subquery on both engines); n_tombstones_kept pins that "
+        "at-or-above-horizon tombstones survive verbatim (still "
+        "guarding against stale upserts); prepurge_intact pins time "
+        "travel — the pre-purge version still reads ALL its tombstones "
+        "after the purge commit. The oracle recomputes the purged "
+        "state from the raw stream, so a lost live row, an over-eager "
+        "purge, or a broken horizon comparison hash-fails.",
+    )
+    def cdc_purge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dodo_spark.catalog import load_table
+        from dodo_spark.operators.schema import scratch_dir
+
+        root = scratch_dir("cdc_purge_tombstones")
+        tbl = _join(root, "tbl")
+        changes = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            F.col("event_id").alias("seq"),
+            (F.col("event_type") == "error").alias("deleted"),
+        )
+        for i in range(3):
+            apply_cdc_batch(
+                spark,
+                tbl,
+                i,
+                changes.filter(F.col("seq") % 3 == i),
+                "user_id",
+                "seq",
+            )
+        hz = changes.agg(F.max("seq")).first()[0] // 2  # 1-row collect
+        pre_tombs = (
+            read_version(spark, tbl, 2).filter(F.col("deleted")).count()
+        )
+        out = purge_tombstones(spark, tbl, 3, hz)
+
+        state = read_version(spark, tbl)
+        kept_tombs = state.filter(F.col("deleted")).count()
+        # time travel: the pre-purge version still reads all tombstones,
+        # and the purge accounting is exact
+        prepurge_intact = (
+            read_version(spark, tbl, 2).filter(F.col("deleted")).count()
+            == pre_tombs
+            and pre_tombs == kept_tombs + out["tombstones_purged"]
+        )
+        return (
+            state.groupBy(
+                (F.col("user_id") % 10).cast("bigint").alias("bucket")
+            )
+            .agg(
+                F.coalesce(F.sum(F.when(~F.col("deleted"), 1)), F.lit(0))
+                .cast("bigint")
+                .alias("n_live"),
+                F.sum(
+                    F.when(
+                        ~F.col("deleted"),
+                        F.col("value").cast("decimal(18,4)"),
+                    )
+                )
+                .cast("double")
+                .alias("value_sum"),
+                F.coalesce(F.sum(F.when(F.col("deleted"), 1)), F.lit(0))
+                .cast("bigint")
+                .alias("n_tombstones_kept"),
+            )
+            .withColumn(
+                "purged_total",
+                F.lit(out["tombstones_purged"]).cast("bigint"),
+            )
+            .withColumn("prepurge_intact", F.lit(prepurge_intact))
+            .orderBy("bucket")
+        )
+
+
+_register_cdc_purge()

@@ -181,3 +181,85 @@ def test_apply_refuses_under_active_deletion_vector(spark, tmp_path):
             "user_id",
             "seq",
         )
+
+
+def test_purge_tombstones_respects_horizon_and_time_travel(spark, tmp_path):
+    """purge_tombstones drops ONLY tombstones below the retention
+    horizon, rewrites only files containing them, keeps newer
+    tombstones verbatim, and leaves older versions' reads unchanged."""
+    from dodo_spark.sources.cdc_apply import purge_tombstones
+    from dodo_spark.sources.versioned import _read_manifest
+
+    path = str(tmp_path / "t")
+    # batch 0: two live rows + two tombstones straddling the horizon
+    apply_cdc_batch(
+        spark,
+        path,
+        0,
+        _batch(
+            spark,
+            [
+                (1, 1.0, 10, False),
+                (2, 0.0, 20, True),   # tombstone below horizon -> purged
+                (3, 3.0, 30, False),
+                (4, 0.0, 40, True),   # tombstone above horizon -> kept
+            ],
+        ),
+        "user_id",
+        "seq",
+    )
+    out = purge_tombstones(spark, path, 1, seq_horizon=25)
+    assert out == {"files_rewritten": 1, "tombstones_purged": 1}
+
+    got = _state(spark, path)
+    assert set(got) == {1, 3, 4}
+    assert got[4] == (0.0, 40, True)  # the protected tombstone survives
+    # v0 time travel still shows both tombstones
+    v0 = {
+        r["user_id"]: r["deleted"]
+        for r in read_version(spark, path, 0).collect()
+    }
+    assert v0 == {1: False, 2: True, 3: False, 4: True}
+
+    # idempotent no-op: nothing below the horizon now -> empty manifest,
+    # no files rewritten, version still committed
+    out2 = purge_tombstones(spark, path, 2, seq_horizon=25)
+    assert out2 == {"files_rewritten": 0, "tombstones_purged": 0}
+    m2 = _read_manifest(path, 2)
+    assert m2.get("add", []) == [] and m2.get("remove", []) == []
+    assert _state(spark, path) == got
+
+
+def test_purge_skips_files_above_horizon_by_stats(spark, tmp_path):
+    """Footer min/max stats on seq prune files whose rows all sit at or
+    above the horizon: they are never rewritten (manifest remove list
+    proves it)."""
+    from dodo_spark.sources.cdc_apply import purge_tombstones
+    from dodo_spark.sources.versioned import _read_manifest
+
+    path = str(tmp_path / "t")
+    # batch 0: all seqs >= 100 (one tombstone above any sane horizon)
+    apply_cdc_batch(
+        spark,
+        path,
+        0,
+        _batch(spark, [(1, 1.0, 100, False), (2, 0.0, 120, True)]),
+        "user_id",
+        "seq",
+    )
+    # batch 1: a purgeable tombstone in its own file
+    apply_cdc_batch(
+        spark,
+        path,
+        1,
+        _batch(spark, [(9, 0.0, 5, True)]),
+        "user_id",
+        "seq",
+    )
+    v0_files = set(_read_manifest(path, 0)["add"])
+    out = purge_tombstones(spark, path, 2, seq_horizon=50)
+    assert out["tombstones_purged"] == 1
+    removed = set(_read_manifest(path, 2)["remove"])
+    assert not (removed & v0_files)  # stats-pruned, never rewritten
+    got = _state(spark, path)
+    assert set(got) == {1, 2}

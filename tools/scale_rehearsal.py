@@ -294,6 +294,8 @@ KEYS = [
     # round-8: compaction-aware bloom-index maintenance (zorder rewrite
     # rebuilds the per-file bitmaps in the same commit)
     "time_travel_bloom_compact",
+    # round-8: retention-gated CDC tombstone reclaim
+    "cdc_purge_tombstones",
 ]
 
 
