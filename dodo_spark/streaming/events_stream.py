@@ -281,12 +281,13 @@ def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     )
 
 
-def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str):
-    """Exactly-once parquet sink via foreachBatch: each micro-batch writes
-    its own ``__batch_id`` partition with dynamic partition overwrite, so a
-    replayed batch (failure between write and checkpoint commit) overwrites
-    its partition instead of duplicating rows. Returns the started query.
-    """
+def parquet_batch_writer(path: str):
+    """The ``foreachBatch`` function behind ``write_stream_parquet``,
+    exposed so the crash-window tests can wrap it with fault injection:
+    each micro-batch writes its own ``__batch_id`` partition with dynamic
+    partition overwrite, so a replayed batch (failure between write and
+    checkpoint commit) overwrites its partition instead of duplicating
+    rows."""
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
@@ -305,8 +306,15 @@ def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str):
             else:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    return write_batch
+
+
+def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str):
+    """Exactly-once parquet sink via foreachBatch (see
+    ``parquet_batch_writer`` for the replay-idempotence argument).
+    Returns the started query."""
     return (
-        stream_df.writeStream.foreachBatch(write_batch)
+        stream_df.writeStream.foreachBatch(parquet_batch_writer(path))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -658,3 +658,113 @@ def test_cdc_crash_mid_batch_resumes_exactly_once(spark, tmp_path, monkeypatch):
     assert {
         r["user_id"] for r in read_cdc_state(spark, table).collect()
     } == {2}
+
+
+def test_agg_drain_crash_after_write_before_checkpoint_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The AGG-drain crash window: a watermarked tumbling aggregation
+    drains through the partition-overwrite parquet sink; the killed
+    batch's partition is already WRITTEN when the crash hits (after
+    data write, before the streaming checkpoint commit). The restart
+    replays the batch, OVERWRITES its partition (no duplication), and
+    the final content equals a crash-free drain of identical input."""
+    import datetime
+    import os
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import StreamingQueryException
+
+    from dodo_spark.streaming.events_stream import (
+        parquet_batch_writer,
+        tumbling_stream,
+    )
+
+    src = str(tmp_path / "src")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    for i in range(3):
+        _one_file_source(
+            spark,
+            src,
+            f"p{i}.parquet",
+            [
+                (
+                    100 * i + j,
+                    # files two hours apart: batch i+1's watermark
+                    # (prev batch max ts - 10 min) passes batch i's
+                    # hour-window end, so EVERY file batch from #2 on
+                    # finalizes and emits the previous file's windows
+                    base + datetime.timedelta(hours=2 * i, minutes=j),
+                    "click" if j % 2 == 0 else "view",
+                    float(j),
+                )
+                for j in range(8)
+            ],
+            "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+        )
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def agg_stream():
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return tumbling_stream(ev)
+
+    def drain(out, ckpt, writer):
+        q = (
+            agg_stream()
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "drain timed out"
+
+    # crash-free reference drain
+    ref = str(tmp_path / "ref")
+    drain(ref, str(tmp_path / "ckpt_ref"), parquet_batch_writer(ref))
+
+    # faulted drain: batch 1's partition is fully written, THEN the
+    # foreachBatch raises -> the checkpoint never commits the batch
+    out = str(tmp_path / "out")
+    inner = parquet_batch_writer(out)
+    state = {"crashed": False}
+
+    def crashing(df, batch_id):
+        inner(df, batch_id)
+        # batch 2 is the first that EMITS (finalizes batch 0's windows)
+        if int(batch_id) == 2 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash: partition written, no commit")
+
+    ckpt = str(tmp_path / "ckpt_out")
+    try:
+        drain(out, ckpt, crashing)
+        raise AssertionError("injected crash must fail the stream")
+    except (StreamingQueryException, Py4JJavaError) as e:
+        assert "injected crash" in str(e)
+    assert state["crashed"]
+    # the crash window is real: the killed batch's partition is on disk
+    # with rows, yet the checkpoint never committed it
+    crashed_part = os.path.join(out, "__batch_id=2")
+    assert os.path.isdir(crashed_part)
+    assert spark.read.parquet(crashed_part).count() > 0
+
+    drain(out, ckpt, parquet_batch_writer(out))  # restart, same checkpoint
+
+    cols = ["ws", "we", "event_type", "cnt", "value_sum"]
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(ref).select(*cols).collect()
+    )
+    assert got == want and len(got) > 0
