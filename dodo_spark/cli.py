@@ -472,7 +472,8 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         for h in hist:
             print(f"v{h['version']}  {h['ts'] or '-'}")
         return 0
-    write_actions = {"commit", "append", "delete", "merge", "compact", "restore"}
+    write_actions = {"commit", "append", "delete", "merge", "compact",
+                     "restore", "purge-tombstones"}
     if args.action in write_actions:
         # validate BEFORE touching the table: a missing/negative --version
         # must be a usage error, never a half-written v=None/ directory
@@ -543,11 +544,29 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     if args.action == "compact":
         from dodo_spark.sources.versioned import compact_files
 
+        zorder = tuple(args.zorder_by.split(",")) if args.zorder_by else None
+        if zorder is not None and len(zorder) != 2:
+            print("--zorder-by takes exactly two comma-separated columns")
+            return 1
         stats = compact_files(
             spark, args.path, args.version, target_files=args.target_files,
             cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            zorder_by=zorder,
         )
         print(f"compacted as v{args.version}: {stats}")
+        return 0
+    if args.action == "purge-tombstones":
+        if args.seq_horizon is None:
+            print("purge-tombstones requires --seq-horizon <int> (the "
+                  "upstream retention promise: no smaller seq can arrive)")
+            return 1
+        from dodo_spark.sources.cdc_apply import purge_tombstones
+
+        stats = purge_tombstones(
+            spark, args.path, args.version, args.seq_horizon,
+            seq_col=args.seq_col,
+        )
+        print(f"purged as v{args.version}: {stats}")
         return 0
     if args.action == "delete":
         if not args.where:
@@ -1054,7 +1073,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=["commit", "append", "delete", "merge", "checkpoint",
                  "compact", "restore", "vacuum", "list", "history", "read",
-                 "lookup"],
+                 "lookup", "purge-tombstones"],
     )
     sn.add_argument("--path", required=True, help="versioned table directory")
     sn.add_argument("--version", type=int, default=None)
@@ -1070,6 +1089,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="newest versions whose files survive (vacuum)")
     sn.add_argument("--cluster-by", default=None,
                     help="comma columns to range-cluster a compact rewrite")
+    sn.add_argument("--zorder-by", default=None,
+                    help="two comma columns to Z-order a compact rewrite "
+                    "(rebuilds any manifest bloom index)")
+    sn.add_argument("--seq-horizon", type=int, default=None,
+                    help="retention horizon: purge tombstones with "
+                    "seq < horizon (purge-tombstones)")
+    sn.add_argument("--seq-col", default="seq",
+                    help="CDC sequence column (purge-tombstones)")
     sn.add_argument("--expect", default=None,
                     help='JSON {name: sql_predicate} CHECK constraints '
                     "(commit/append; violating batches are rejected)")

@@ -827,3 +827,53 @@ def test_cli_snapshot_lookup_uses_bloom_index(spark, tmp_path, capsys):
 
     missing = p.parse_args(["snapshot", "lookup", "--path", path])
     assert missing.fn(missing) == 1
+
+
+def test_cli_snapshot_purge_tombstones_and_zorder_compact(
+    spark, sf_dir, tmp_path, capsys
+):
+    """The purge-tombstones action reclaims sub-horizon tombstones from a
+    CDC table; compact --zorder-by lays the rewrite along the z-curve.
+    Usage errors (missing --seq-horizon, wrong --zorder-by arity) return
+    rc 1 before touching the table."""
+    from dodo_spark.sources.cdc_apply import apply_cdc_batch, read_cdc_state
+
+    table = str(tmp_path / "cdc")
+    apply_cdc_batch(
+        spark,
+        table,
+        0,
+        spark.createDataFrame(
+            [(1, 1.0, 10, False), (2, 0.0, 20, True), (3, 0.0, 90, True)],
+            "user_id BIGINT, value DOUBLE, seq BIGINT, deleted BOOLEAN",
+        ),
+        "user_id",
+        "seq",
+    )
+    assert main(["snapshot", "purge-tombstones", "--path", table]) == 1
+    assert "requires --version" in capsys.readouterr().out
+    assert main(["snapshot", "purge-tombstones", "--path", table,
+                 "--version", "1"]) == 1
+    assert "--seq-horizon" in capsys.readouterr().out
+    assert main(["snapshot", "purge-tombstones", "--path", table,
+                 "--version", "1", "--seq-horizon", "50"]) == 0
+    assert "'tombstones_purged': 1" in capsys.readouterr().out
+    state = {r["user_id"] for r in read_cdc_state(spark, table).collect()}
+    assert state == {1}
+    from dodo_spark.sources.versioned import read_version
+
+    kept = {
+        r["user_id"]
+        for r in read_version(spark, table).filter("deleted").collect()
+    }
+    assert kept == {3}  # the above-horizon tombstone survived
+
+    # zorder compact through the CLI: arity check, then a real rewrite
+    assert main(["snapshot", "compact", "--path", table, "--version", "2",
+                 "--zorder-by", "user_id"]) == 1
+    assert "exactly two" in capsys.readouterr().out
+    assert main(["snapshot", "compact", "--path", table, "--version", "2",
+                 "--target-files", "1", "--zorder-by", "user_id,seq"]) == 0
+    assert "'files_after': 1" in capsys.readouterr().out
+    assert {r["user_id"] for r in read_version(spark, table, 2).collect()} \
+        == {1, 3}
