@@ -501,11 +501,41 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
             return 1
     if args.action == "commit":
         df = load_table(spark, args.sf_dir, args.table)
+        if args.index_col:
+            from dodo_spark.sources.bloom_index import (
+                write_version_bloom_indexed,
+            )
+
+            if expectations:
+                from dodo_spark.sources.versioned import check_expectations
+
+                check_expectations(df, expectations)
+            stats = write_version_bloom_indexed(
+                df, args.path, args.version, args.index_col
+            )
+            print(f"committed {args.table} as v{args.version} "
+                  f"(bloom-indexed): {stats}")
+            return 0
         snap = write_version(df, args.path, args.version, expectations=expectations)
         print(f"committed {args.table} as v{args.version} -> {snap}")
         return 0
     if args.action == "append":
         df = load_table(spark, args.sf_dir, args.table)
+        if args.index_col:
+            from dodo_spark.sources.bloom_index import (
+                append_version_bloom_indexed,
+            )
+
+            if expectations:
+                from dodo_spark.sources.versioned import check_expectations
+
+                check_expectations(df, expectations)
+            stats = append_version_bloom_indexed(
+                df, args.path, args.version, args.index_col
+            )
+            print(f"appended {args.table} as v{args.version} "
+                  f"(bloom-indexed): {stats}")
+            return 0
         snap = append_version(df, args.path, args.version, expectations=expectations)
         print(f"appended {args.table} as v{args.version} -> {snap}")
         return 0
@@ -1097,6 +1127,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "seq < horizon (purge-tombstones)")
     sn.add_argument("--seq-col", default="seq",
                     help="CDC sequence column (purge-tombstones)")
+    sn.add_argument("--index-col", default=None,
+                    help="bloom-index the commit/append on this column "
+                    "(point lookups via the lookup action)")
     sn.add_argument("--expect", default=None,
                     help='JSON {name: sql_predicate} CHECK constraints '
                     "(commit/append; violating batches are rejected)")

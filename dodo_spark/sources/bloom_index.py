@@ -48,6 +48,7 @@ from dodo_spark.sources.versioned import (
 
 __all__ = [
     "write_version_bloom_indexed",
+    "append_version_bloom_indexed",
     "read_point_lookup",
     "bloom_words_for_files",
 ]
@@ -143,6 +144,52 @@ def write_version_bloom_indexed(
         version,
         add=add,
         remove=prev_live,
+        extra={
+            "bloom_index": {
+                "col": index_col,
+                "m_bits": m_bits,
+                "k": BLOOM_K,
+                "files": blooms,
+            }
+        },
+    )
+    return {"files": len(add), "indexed_col": index_col}
+
+
+def append_version_bloom_indexed(
+    df: DataFrame,
+    table_path: str,
+    version: int,
+    index_col: str,
+    n_files: int = 1,
+    m_bits: int = BLOOM_M_BITS,
+) -> dict:
+    """APPEND ``df`` as ``version`` with per-file bloom bitmaps for the
+    NEW files — the incremental index-maintenance path (a plain
+    ``append_version`` leaves its files unindexed: correct but
+    scan-always). Together with the compaction-time rebuild this closes
+    the index lifecycle: indexed write → indexed appends → OPTIMIZE
+    rebuild, and a point lookup prunes across every vintage. The append
+    is hash-partitioned on the index column like the writer, so within
+    this commit a key lives in one file; across commits a key may live
+    in one file PER COMMIT (the lookup scans each passing file)."""
+    versions = _check_commit_order(table_path, version)
+    if not versions:
+        raise ValueError(
+            f"no committed versions at {table_path}; use "
+            "write_version_bloom_indexed for the initial commit"
+        )
+    add = _write_data_files(
+        df.repartition(n_files, F.col(index_col)), table_path, version
+    )
+    blooms = bloom_words_for_files(
+        df.sparkSession, table_path, add, index_col, m_bits, BLOOM_K
+    )
+    _commit(
+        table_path,
+        version,
+        add=add,
+        remove=[],
         extra={
             "bloom_index": {
                 "col": index_col,

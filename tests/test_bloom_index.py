@@ -261,3 +261,46 @@ def test_type_mismatched_probe_never_misses(spark, tmp_path):
     rows, stats = read_point_lookup(spark, path, "not-a-number")
     assert rows.count() == 0
     assert stats["files_scanned"] == 0
+
+
+def test_indexed_append_prunes_across_vintages(spark, tmp_path):
+    """append_version_bloom_indexed carries bitmaps for its own files:
+    a lookup prunes across BOTH commit vintages (one file per commit
+    for a present key, bloom-skip for the rest), and a compaction after
+    the append rebuilds one unified index."""
+    from dodo_spark.sources.bloom_index import append_version_bloom_indexed
+    from dodo_spark.sources.versioned import compact_files
+
+    path = str(tmp_path / "bi_app")
+    write_version_bloom_indexed(_df(spark, 1000), path, 0, "k", n_files=4)
+    extra = spark.createDataFrame(
+        [(10_000 + i, i % 50, 0.0) for i in range(200)],
+        "rid BIGINT, k BIGINT, val DOUBLE",
+    )
+    append_version_bloom_indexed(extra, path, 1, "k", n_files=4)
+
+    rows, stats = read_point_lookup(spark, path, 7)
+    got = {r["rid"] for r in rows.collect()}
+    want = {i for i in range(1000) if i % 50 == 7} | {
+        10_000 + i for i in range(200) if i % 50 == 7
+    }
+    assert got == want
+    assert stats["files_total"] == 8
+    # one file per vintage contains the key (+1 FP slack)
+    assert stats["files_scanned"] <= 3
+
+    # absent key: pruned to ~zero across both vintages
+    rows, stats = read_point_lookup(spark, path, 999_999)
+    assert rows.count() == 0
+    assert stats["files_scanned"] <= 1
+
+    compact_files(spark, path, 2, target_files=2)
+    rows, stats = read_point_lookup(spark, path, 7)
+    assert {r["rid"] for r in rows.collect()} == want
+    assert stats["files_total"] == 2
+
+    # initial commit must go through the writer, not the append
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="initial commit"):
+        append_version_bloom_indexed(extra, str(tmp_path / "fresh"), 0, "k")

@@ -877,3 +877,24 @@ def test_cli_snapshot_purge_tombstones_and_zorder_compact(
     assert "'files_after': 1" in capsys.readouterr().out
     assert {r["user_id"] for r in read_version(spark, table, 2).collect()} \
         == {1, 3}
+
+
+def test_cli_snapshot_indexed_commit_append_lookup(
+    spark, sf_dir, tmp_path, capsys
+):
+    """--index-col on commit/append maintains the manifest bloom index
+    through the CLI; the lookup action prunes across both vintages."""
+    table = str(tmp_path / "bi")
+    assert main(["snapshot", "commit", "--path", table, "--version", "0",
+                 "--sf-dir", sf_dir, "--table", "nation",
+                 "--index-col", "n_nationkey"]) == 0
+    assert "bloom-indexed" in capsys.readouterr().out
+    assert main(["snapshot", "append", "--path", table, "--version", "1",
+                 "--sf-dir", sf_dir, "--table", "nation",
+                 "--index-col", "n_nationkey"]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", "lookup", "--path", table,
+                 "--value", "7"]) == 0
+    out = capsys.readouterr().out
+    # both vintages' copies of nation 7, and the scan was pruned
+    assert out.count("n_nationkey=7") == 2, out
