@@ -568,7 +568,11 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     if args.action == "vacuum":
         from dodo_spark.sources.versioned import vacuum
 
-        stats = vacuum(args.path, keep_versions=args.keep_versions)
+        stats = vacuum(
+            args.path,
+            keep_versions=args.keep_versions,
+            retain_after=args.retain_after,
+        )
         print(f"vacuumed: {stats}")
         return 0
     if args.action == "compact":
@@ -1117,6 +1121,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="source version for the restore action")
     sn.add_argument("--keep-versions", type=int, default=2,
                     help="newest versions whose files survive (vacuum)")
+    sn.add_argument("--retain-after", default=None,
+                    help='also retain versions committed at/after this '
+                    '"YYYY-MM-DD HH:MM:SS" timestamp (vacuum)')
     sn.add_argument("--cluster-by", default=None,
                     help="comma columns to range-cluster a compact rewrite")
     sn.add_argument("--zorder-by", default=None,

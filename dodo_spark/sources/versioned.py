@@ -1090,14 +1090,23 @@ def _vacuum_markers(table_path: str, fs=None) -> list[dict]:
     return out
 
 
-def vacuum(table_path: str, keep_versions: int = 2) -> dict:
-    """Delete data files referenced ONLY by versions older than the newest
-    ``keep_versions`` (Delta VACUUM): time travel keeps working for the
-    retained versions; older versions become unreadable (their manifests
-    remain as history metadata) and ``read_version`` reports them as
-    vacuumed via a put-if-absent vacuum MARKER recording the retained
-    set. Pure driver-side file arithmetic over the manifests — no Spark
-    job."""
+def vacuum(
+    table_path: str,
+    keep_versions: int = 2,
+    retain_after: str | None = None,
+) -> dict:
+    """Delete data files referenced ONLY by versions outside the retention
+    set (Delta VACUUM): time travel keeps working for the retained
+    versions; older versions become unreadable (their manifests remain as
+    history metadata) and ``read_version`` reports them as vacuumed via a
+    put-if-absent vacuum MARKER recording the retained set. Pure
+    driver-side file arithmetic over the manifests — no Spark job.
+
+    Retention set = the newest ``keep_versions`` UNION every version
+    whose commit ts >= ``retain_after`` (the Delta ``RETAIN n HOURS``
+    form; pass a ``"YYYY-MM-DD HH:MM:SS[.ffffff]"`` string — commit
+    timestamps compare lexicographically in this format). The newest
+    version always survives regardless of its age."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     fs = _fs_for(table_path)
@@ -1109,6 +1118,14 @@ def vacuum(table_path: str, keep_versions: int = 2) -> dict:
             "orphan_files_deleted": 0,
         }
     retained = versions[-keep_versions:]
+    if retain_after is not None:
+        by_time = [
+            v
+            for v in versions
+            if (_read_manifest(table_path, v, fs).get("ts") or "")
+            >= retain_after
+        ]
+        retained = sorted(set(retained) | set(by_time))
     keep: set[str] = set()
     for v in retained:
         keep.update(live_files(table_path, v))

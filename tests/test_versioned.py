@@ -1533,3 +1533,43 @@ def test_add_external_files_zero_copy_convert(spark, table, tmp_path):
     )
     stats = vacuum(tbl, keep_versions=1)
     assert all(os.path.exists(f) for f in files), stats
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """vacuum(retain_after=ts) keeps every version committed at/after the
+    timestamp IN ADDITION to the newest keep_versions — the Delta
+    RETAIN-n-HOURS form. Versions older than both bounds lose their
+    files; retained ones stay readable."""
+    from dodo_spark.sources.versioned import (
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+
+    def df(k):
+        return spark.createDataFrame(
+            [(k, float(k))], "k BIGINT, val DOUBLE"
+        ).coalesce(1)
+
+    # explicit commit timestamps: v0/v1 old, v2/v3 recent
+    write_version(df(0), path, 0, commit_ts="2024-01-01 00:00:00.000000")
+    write_version(df(1), path, 1, commit_ts="2024-01-02 00:00:00.000000")
+    write_version(df(2), path, 2, commit_ts="2024-06-01 00:00:00.000000")
+    write_version(df(3), path, 3, commit_ts="2024-06-02 00:00:00.000000")
+
+    stats = vacuum(path, keep_versions=1, retain_after="2024-06-01 00:00:00")
+    assert stats["versions_retained"] == [2, 3]
+    for v in (2, 3):
+        assert {r["k"] for r in read_version(spark, path, v).collect()} == {v}
+    for v in (0, 1):
+        with pytest.raises(ValueError, match="was vacuumed"):
+            read_version(spark, path, v)
+
+    # no timestamp qualifies -> pure keep_versions behavior (newest only)
+    path2 = str(tmp_path / "t2")
+    write_version(df(0), path2, 0, commit_ts="2024-01-01 00:00:00.000000")
+    write_version(df(1), path2, 1, commit_ts="2024-01-02 00:00:00.000000")
+    stats = vacuum(path2, keep_versions=1, retain_after="2030-01-01 00:00:00")
+    assert stats["versions_retained"] == [1]  # newest always survives
