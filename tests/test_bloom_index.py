@@ -304,3 +304,53 @@ def test_indexed_append_prunes_across_vintages(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="initial commit"):
         append_version_bloom_indexed(extra, str(tmp_path / "fresh"), 0, "k")
+
+
+def test_bloom_lifecycle_randomized_against_model(spark, tmp_path):
+    """Model-based check of the WHOLE index lifecycle: a random sequence
+    of indexed appends, PLAIN (unindexed) appends, and bin-pack/Z-order
+    compactions must keep every point lookup equal to a plain-Python
+    dict model — and never scan more than the bitmaps allow. The mix of
+    indexed and unindexed vintages exercises the scan-always fallback
+    and the compaction rebuild together."""
+    import random
+
+    from dodo_spark.sources.bloom_index import append_version_bloom_indexed
+    from dodo_spark.sources.versioned import append_version, compact_files
+
+    rng = random.Random(11)
+    path = str(tmp_path / "bl")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "rid BIGINT, k BIGINT, val DOUBLE")
+
+    model: dict[int, int] = {i: i % 20 for i in range(300)}
+    write_version_bloom_indexed(
+        frame([(r, k, 0.0) for r, k in model.items()]), path, 0, "k",
+        n_files=4,
+    )
+    next_rid = 1000
+    for v in range(1, 9):
+        op = rng.choice(["iappend", "append", "compact", "zorder"])
+        if op in ("iappend", "append"):
+            rows = {next_rid + i: rng.randrange(25) for i in range(40)}
+            next_rid += 40
+            df = frame([(r, k, 0.0) for r, k in rows.items()])
+            if op == "iappend":
+                append_version_bloom_indexed(df, path, v, "k", n_files=2)
+            else:
+                append_version(df, path, v)
+            model.update(rows)
+        elif op == "compact":
+            compact_files(spark, path, v, target_files=rng.choice([1, 3]))
+        else:
+            compact_files(
+                spark, path, v, target_files=2, zorder_by=("k", "rid")
+            )
+        # probe three present keys and one absent key against the model
+        for key in (*rng.sample(sorted(set(model.values())), 3), 999):
+            rows_df, stats = read_point_lookup(spark, path, key)
+            got = {r["rid"] for r in rows_df.collect()}
+            want = {r for r, k in model.items() if k == key}
+            assert got == want, (v, op, key)
+            assert stats["files_scanned"] <= stats["files_total"]
