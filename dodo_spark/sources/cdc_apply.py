@@ -64,11 +64,19 @@ def apply_cdc_batch(
     changes: DataFrame,
     key: str,
     seq_col: str,
+    expectations: dict[str, str] | None = None,
 ) -> dict:
     """Apply one CDC micro-batch as commit ``version``. ``changes`` must
     carry ``key``, ``seq_col`` (total order per key), and a boolean
-    ``deleted`` column (tombstones). Returns {"files_rewritten",
+    ``deleted`` column (tombstones). ``expectations`` ({name:
+    sql_predicate}) gate the batch with the same fail-closed CHECK
+    semantics as the other ingest writers — a violating batch raises
+    up front and nothing is committed. Returns {"files_rewritten",
     "rows_in_batch"}."""
+    if expectations:
+        from dodo_spark.sources.versioned import check_expectations
+
+        check_expectations(changes, expectations)
     versions = _check_commit_order(table_path, version)
     # copy-on-write rewriter: like delete_where/merge_upsert/compact,
     # reading live files RAW under an active MoR deletion vector would
@@ -149,15 +157,28 @@ def apply_cdc_batch(
     }
 
 
-def cdc_batch_writer(table_path: str, key: str, seq_col: str):
+def cdc_batch_writer(
+    table_path: str,
+    key: str,
+    seq_col: str,
+    expectations: dict[str, str] | None = None,
+):
     """``foreachBatch`` function: batch id IS the version, so a replayed
     batch finds its version committed and skips (exactly-once content,
-    the versioned_sink pattern)."""
+    the versioned_sink pattern). ``expectations`` fail the STREAM on a
+    violating batch before anything commits (resume after fixing the
+    source picks the batch back up from the checkpoint)."""
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         try:
             apply_cdc_batch(
-                df.sparkSession, table_path, int(batch_id), df, key, seq_col
+                df.sparkSession,
+                table_path,
+                int(batch_id),
+                df,
+                key,
+                seq_col,
+                expectations=expectations,
             )
         except CommitConflict:
             pass

@@ -263,3 +263,31 @@ def test_purge_skips_files_above_horizon_by_stats(spark, tmp_path):
     assert not (removed & v0_files)  # stats-pruned, never rewritten
     got = _state(spark, path)
     assert set(got) == {1, 2}
+
+
+def test_apply_expectations_fail_closed(spark, tmp_path):
+    """A CDC batch violating an ingest expectation raises and commits
+    NOTHING (same CHECK semantics as the other writers); a passing set
+    applies normally."""
+    import pytest
+
+    from dodo_spark.sources.versioned import ExpectationViolation
+
+    path = str(tmp_path / "t")
+    good = _batch(spark, [(1, 1.0, 10, False)])
+    with pytest.raises(ExpectationViolation, match="positive_seq"):
+        apply_cdc_batch(
+            spark,
+            path,
+            0,
+            _batch(spark, [(1, 1.0, -5, False)]),
+            "user_id",
+            "seq",
+            expectations={"positive_seq": "seq > 0"},
+        )
+    assert list_versions(path) == []  # nothing committed
+    apply_cdc_batch(
+        spark, path, 0, good, "user_id", "seq",
+        expectations={"positive_seq": "seq > 0"},
+    )
+    assert list_versions(path) == [0]
