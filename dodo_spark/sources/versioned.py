@@ -1326,17 +1326,30 @@ def read_changes(
     of I/O. A rewriting commit (delete/merge/compact) yields both sides;
     consumers net them (``removed`` rows carry negative multiplicity in
     an aggregate delta). Either side is ``None`` when the manifest's
-    list is empty."""
+    list is empty.
+
+    A merge-on-read DELETE commit (``sources/mor.py``: a DV sidecar,
+    NO data files added or removed) yields its masked rows as the
+    REMOVED side — without this an incremental consumer would silently
+    keep MoR-deleted rows forever. The removed rows are the PRIOR
+    version's visible rows semi-joined against the DV keys; the scan is
+    bounded by a pushed key-range predicate from the DV's own bounds
+    (footer min/max skipping), so the cost tracks the delete's
+    selectivity, not the table."""
     versions = list_versions(table_path)
     if version not in versions:
         raise ValueError(f"version {version} not in {versions} at {table_path}")
     m = _read_manifest(table_path, version)
     # guard the files this read will actually open: the commit's own
-    # add+remove lists. A RETAINED version's remove-side files belonged
-    # to its predecessor and may still have been swept, so check the
-    # union against each marker's deleted list directly rather than via
-    # the live-set rule.
-    wanted = set(m.get("add") or []) | set(m.get("remove") or [])
+    # add+remove (+DV sidecar) lists. A RETAINED version's remove-side
+    # files belonged to its predecessor and may still have been swept,
+    # so check the union against each marker's deleted list directly
+    # rather than via the live-set rule.
+    wanted = (
+        set(m.get("add") or [])
+        | set(m.get("remove") or [])
+        | set(m.get("dv") or [])
+    )
     for marker in _vacuum_markers(table_path):
         deleted = marker.get("deleted")
         if deleted is not None:
@@ -1365,6 +1378,27 @@ def read_changes(
         return spark.read.option("mergeSchema", "true").parquet(
             *[_join(table_path, f) for f in files]
         )
+
+    if m.get("dv") and not (m.get("add") or m.get("remove")):
+        from pyspark.sql import functions as F
+
+        from dodo_spark.sources.mor import read_with_deletes
+
+        dv_key = m["dv_key"]
+        keys = _rd(m["dv"]).distinct()
+        bounds = keys.agg(
+            F.min(dv_key).alias("lo"), F.max(dv_key).alias("hi")
+        ).first()
+        idx = versions.index(version)
+        prior = read_with_deletes(spark, table_path, versions[idx - 1])
+        if bounds["lo"] is not None:
+            # scan-side range predicate: parquet footer min/max skips
+            # files/row-groups outside the DV's key bounds
+            prior = prior.filter(
+                F.col(dv_key).between(F.lit(bounds["lo"]), F.lit(bounds["hi"]))
+            )
+        removed = prior.join(F.broadcast(keys), dv_key, "semi")
+        return None, removed
 
     return _rd(m.get("add") or []), _rd(m.get("remove") or [])
 

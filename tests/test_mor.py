@@ -205,3 +205,37 @@ def test_mor_algebra_randomized_against_model(spark, tmp_path):
             for r in read_with_deletes(spark, path, v).collect()
         }
         assert got == want, f"version {v}"
+
+
+def test_read_changes_yields_mor_deletes_as_removed_rows(spark, table):
+    """A DV commit must feed the CDC change feed: read_changes yields
+    the masked rows as the REMOVED side (added None) — an incremental
+    consumer nets them out instead of keeping MoR-deleted rows forever.
+    A second DV only removes NEWLY masked rows (prior view applies
+    earlier DVs), and an aggregate maintained purely from read_changes
+    equals the per-version recompute."""
+    from dodo_spark.sources.versioned import read_changes, read_version
+
+    delete_where_mor(spark, table, 1, "k <= 2", "k")
+    added, removed = read_changes(spark, table, 1)
+    assert added is None
+    got = {(r["k"], r["val"]) for r in removed.collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
+
+    # overlapping second DV: k <= 4 re-matches only k in {3, 4}
+    delete_where_mor(spark, table, 2, "k <= 4", "k")
+    added2, removed2 = read_changes(spark, table, 2)
+    assert added2 is None
+    assert {r["k"] for r in removed2.collect()} == {3, 4}
+
+    # incremental consumer parity: fold every commit's delta and compare
+    # against the MoR view at each version
+    from dodo_spark.sources.versioned import list_versions as _lv
+
+    running = 0
+    for v in sorted(_lv(table)):
+        a, r = read_changes(spark, table, v)
+        running += (a.count() if a is not None else 0) - (
+            r.count() if r is not None else 0
+        )
+        assert running == read_with_deletes(spark, table, v).count(), v
