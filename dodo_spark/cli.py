@@ -495,10 +495,17 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         except ValueError as e:
             print(f'--expect must be a JSON object {{name: predicate}}: {e}')
             return 1
-        if args.action in {"delete", "compact"}:
+        if args.action in {"delete", "compact", "purge-tombstones"}:
             print("--expect applies to commit/append/merge (new rows), "
                   f"not {args.action}")
             return 1
+    if args.index_col and args.action not in {"commit", "append"}:
+        # silent-ignore would let an operator believe the index exists
+        print(f"--index-col applies to commit/append, not {args.action}")
+        return 1
+    if args.action == "compact" and args.cluster_by and args.zorder_by:
+        print("--cluster-by and --zorder-by are mutually exclusive")
+        return 1
     if args.action == "commit":
         df = load_table(spark, args.sf_dir, args.table)
         if args.index_col:

@@ -73,11 +73,14 @@ def apply_cdc_batch(
     semantics as the other ingest writers — a violating batch raises
     up front and nothing is committed. Returns {"files_rewritten",
     "rows_in_batch"}."""
+    # order matters: the replay check FIRST, so a re-delivered
+    # already-committed batch skips cheaply (and can never be wedged by
+    # expectations tightened after its commit), THEN the gate
+    versions = _check_commit_order(table_path, version)
     if expectations:
         from dodo_spark.sources.versioned import check_expectations
 
         check_expectations(changes, expectations)
-    versions = _check_commit_order(table_path, version)
     # copy-on-write rewriter: like delete_where/merge_upsert/compact,
     # reading live files RAW under an active MoR deletion vector would
     # resurrect DV-masked rows at a newer version — refuse up front
@@ -240,11 +243,16 @@ def purge_tombstones(
     ]
     touched: list[str] = []
     purged = 0
+    # null-safe doom predicate: a row with NULL deleted/seq must SURVIVE
+    # the rewrite (the negated filter would otherwise drop it silently)
+    doomed = F.coalesce(
+        F.col("deleted") & (F.col(seq_col) < F.lit(seq_horizon)),
+        F.lit(False),
+    )
     if candidates:
         from dodo_spark.sources.versioned import _canon_file_ref
 
         paths = {f: _join(table_path, f) for f in candidates}
-        doomed = F.col("deleted") & (F.col(seq_col) < F.lit(seq_horizon))
         hits = (
             spark.read.option("mergeSchema", "true")
             .parquet(*paths.values())
@@ -257,14 +265,22 @@ def purge_tombstones(
         touched = [f for f in candidates if _canon_file_ref(paths[f]) in by_file]
         purged = sum(by_file.values())
     add: list[str] = []
+    extra = None
     if touched:
         survivors = (
             spark.read.option("mergeSchema", "true")
             .parquet(*[_join(table_path, f) for f in touched])
-            .filter(~(F.col("deleted") & (F.col(seq_col) < F.lit(seq_horizon))))
+            .filter(~doomed)
         )
         add = _write_data_files(survivors, table_path, version)
-    _commit(table_path, version, add=add, remove=touched)
+        # a purge is a bulk rewrite: maintain any manifest bloom index
+        # for the rewritten files like compact_files does
+        from dodo_spark.sources.versioned import _bloom_rebuild_extra
+
+        extra = _bloom_rebuild_extra(
+            spark, table_path, versions, add, survivors.columns
+        )
+    _commit(table_path, version, add=add, remove=touched, extra=extra)
     return {"files_rewritten": len(touched), "tombstones_purged": int(purged)}
 
 

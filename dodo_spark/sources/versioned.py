@@ -433,7 +433,9 @@ def _s3_client():
     costs tens of ms — one client serves the whole process."""
     global _S3_CLIENT_CACHE
     if _S3_CLIENT_CACHE is not None:
-        return _S3_CLIENT_CACHE
+        # False = memoized construction FAILURE: don't re-pay the boto3
+        # model-load/credential-resolve attempt on every metadata op
+        return None if _S3_CLIENT_CACHE is False else _S3_CLIENT_CACHE
     if _S3_CLIENT_FACTORY is not None:
         _S3_CLIENT_CACHE = _S3_CLIENT_FACTORY()
         return _S3_CLIENT_CACHE
@@ -445,6 +447,7 @@ def _s3_client():
         # than crashing metadata IO that worked before boto3 appeared
         _S3_CLIENT_CACHE = boto3.client("s3")
     except Exception:
+        _S3_CLIENT_CACHE = False
         return None
     return _S3_CLIENT_CACHE
 
@@ -1014,34 +1017,50 @@ def compact_files(
     else:
         df = df.coalesce(max(1, target_files))
     add = _write_data_files(df, table_path, version)
-    # compaction-aware BLOOM INDEX maintenance: a rewrite invalidates the
-    # per-file bitmaps of every file it removes; without a rebuild the
-    # new files would fall back to scan-always (correct but unpruned).
-    # If any ancestor manifest carries a bloom_index whose column
-    # survives the rewrite, rebuild bitmaps for the NEW files on the
-    # same column in this commit — point lookups keep their pruning
-    # across OPTIMIZE/Z-order rewrites (Delta bloom-filter-index
-    # semantics: the index is table metadata, OPTIMIZE maintains it).
-    extra = None
+    extra = _bloom_rebuild_extra(spark, table_path, versions, add, df.columns)
+    _commit(
+        table_path, version, add=add, remove=prev_live,
+        commit_ts=commit_ts, extra=extra,
+    )
+    return {"files_before": len(prev_live), "files_after": len(add)}
+
+
+def _bloom_rebuild_extra(
+    spark: SparkSession,
+    table_path: str,
+    versions: list[int],
+    add: list[str],
+    columns: list[str],
+):
+    """Rewrite-time BLOOM INDEX maintenance, shared by every BULK
+    rewriter (compact_files, purge_tombstones): a rewrite invalidates
+    the per-file bitmaps of every file it removes; without a rebuild
+    the new files would fall back to scan-always (correct but
+    unpruned). If any ancestor manifest carries a bloom_index whose
+    column survives the rewrite, return a manifest ``extra`` with fresh
+    bitmaps for the NEW files — point lookups keep their pruning across
+    rewrites (Delta bloom-filter-index semantics: the index is table
+    metadata, maintenance rewrites maintain it). Returns None when the
+    table was never indexed, the column is gone, or nothing was
+    written. Deliberately NOT called from the per-micro-batch
+    apply_cdc_batch hot path: the index-discovery manifest scan per
+    batch would be a standing tax on unindexed tables; its rewritten
+    files stay scan-always until the next compaction/purge."""
     bi_meta = None
     for v in reversed(versions):  # newest-first: only the LATEST index
         bi = _read_manifest(table_path, v).get("bloom_index")
         if bi:
             bi_meta = {"col": bi["col"], "m_bits": bi["m_bits"], "k": bi["k"]}
             break
-    if bi_meta is not None and bi_meta["col"] in df.columns:
-        from dodo_spark.sources.bloom_index import bloom_words_for_files
+    if bi_meta is None or bi_meta["col"] not in columns or not add:
+        return None
+    from dodo_spark.sources.bloom_index import bloom_words_for_files
 
-        blooms = bloom_words_for_files(
-            spark, table_path, add, bi_meta["col"],
-            bi_meta["m_bits"], bi_meta["k"],
-        )
-        extra = {"bloom_index": {**bi_meta, "files": blooms}}
-    _commit(
-        table_path, version, add=add, remove=prev_live,
-        commit_ts=commit_ts, extra=extra,
+    blooms = bloom_words_for_files(
+        spark, table_path, add, bi_meta["col"],
+        bi_meta["m_bits"], bi_meta["k"],
     )
-    return {"files_before": len(prev_live), "files_after": len(add)}
+    return {"bloom_index": {**bi_meta, "files": blooms}}
 
 
 class ExpectationViolation(ValueError):

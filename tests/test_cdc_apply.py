@@ -291,3 +291,69 @@ def test_apply_expectations_fail_closed(spark, tmp_path):
         expectations={"positive_seq": "seq > 0"},
     )
     assert list_versions(path) == [0]
+
+
+def test_purge_is_null_safe_and_replay_skips_before_expectations(
+    spark, tmp_path
+):
+    """(1) Rows with NULL deleted/seq survive a purge rewrite (the
+    negated doom predicate must be null-safe, not NULL-dropping).
+    (2) A replayed already-committed batch skips on the version check
+    BEFORE expectations run — tightening expectations after a commit
+    can never wedge the stream on a durable batch."""
+    from dodo_spark.sources.cdc_apply import purge_tombstones
+    from dodo_spark.sources.versioned import read_version
+
+    path = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(1, 1.0, 10, False), (2, 0.0, 5, True), (3, 3.0, None, None)],
+        "user_id BIGINT, value DOUBLE, seq BIGINT, deleted BOOLEAN",
+    )
+    # bypass the latest-wins window (NULL seq) via a direct commit
+    from dodo_spark.sources.versioned import write_version
+
+    write_version(rows, path, 0)
+    out = purge_tombstones(spark, path, 1, seq_horizon=50)
+    assert out["tombstones_purged"] == 1
+    got = {r["user_id"] for r in read_version(spark, path).collect()}
+    assert got == {1, 3}  # the NULL row SURVIVED the rewrite
+
+    # replay-vs-expectations ordering
+    path2 = str(tmp_path / "t2")
+    b = _batch(spark, [(1, 1.0, 10, False)])
+    apply_cdc_batch(spark, path2, 0, b, "user_id", "seq")
+    import pytest
+
+    with pytest.raises(ValueError, match="already committed"):
+        # impossible expectation on a REPLAYED batch: the version check
+        # must win (the streaming writer swallows exactly this error)
+        apply_cdc_batch(
+            spark, path2, 0, b, "user_id", "seq",
+            expectations={"impossible": "seq < 0"},
+        )
+
+
+def test_purge_rebuilds_bloom_index(spark, tmp_path):
+    """purge_tombstones maintains a manifest bloom index for the files
+    it rewrites, like compact_files (shared _bloom_rebuild_extra)."""
+    from dodo_spark.sources.bloom_index import (
+        read_point_lookup,
+        write_version_bloom_indexed,
+    )
+    from dodo_spark.sources.cdc_apply import purge_tombstones
+    from dodo_spark.sources.versioned import _read_manifest
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i), 100 + i, i % 5 == 0) for i in range(100)],
+        "user_id BIGINT, value DOUBLE, seq BIGINT, deleted BOOLEAN",
+    )
+    write_version_bloom_indexed(df, path, 0, "user_id", n_files=4)
+    out = purge_tombstones(spark, path, 1, seq_horizon=150)
+    assert out["tombstones_purged"] == 10  # user_id % 5 == 0, seq < 150
+    bi = _read_manifest(path, 1).get("bloom_index")
+    assert bi and bi["col"] == "user_id"
+    assert set(bi["files"])  # rewritten files carry fresh bitmaps
+    rows, stats = read_point_lookup(spark, path, 7)
+    assert {r["user_id"] for r in rows.collect()} == {7}
+    assert stats["files_scanned"] <= stats["files_total"]

@@ -898,3 +898,29 @@ def test_cli_snapshot_indexed_commit_append_lookup(
     out = capsys.readouterr().out
     # both vintages' copies of nation 7, and the scan was pruned
     assert out.count("n_nationkey=7") == 2, out
+
+
+def test_cli_snapshot_guards_reject_misapplied_flags(
+    spark, sf_dir, tmp_path, capsys
+):
+    """--expect on purge-tombstones, --index-col outside commit/append,
+    and --cluster-by+--zorder-by together are usage errors (rc 1), not
+    silent ignores or tracebacks."""
+    table = str(tmp_path / "vt")
+    assert main(["snapshot", "commit", "--path", table, "--version", "0",
+                 "--sf-dir", sf_dir, "--table", "region"]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", "purge-tombstones", "--path", table,
+                 "--version", "1", "--seq-horizon", "5",
+                 "--expect", '{"x": "1=1"}']) == 1
+    assert "--expect applies to" in capsys.readouterr().out
+    assert main(["snapshot", "compact", "--path", table, "--version", "1",
+                 "--index-col", "r_regionkey"]) == 1
+    assert "--index-col applies to" in capsys.readouterr().out
+    assert main(["snapshot", "compact", "--path", table, "--version", "1",
+                 "--cluster-by", "r_regionkey",
+                 "--zorder-by", "r_regionkey,r_regionkey"]) == 1
+    assert "mutually exclusive" in capsys.readouterr().out
+    from dodo_spark.sources.versioned import list_versions
+
+    assert list_versions(table) == [0]  # nothing mutated the table
