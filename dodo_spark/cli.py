@@ -596,6 +596,15 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         )
         print(f"compacted as v{args.version}: {stats}")
         return 0
+    if args.action == "deep-clone":
+        if not args.target:
+            print("deep-clone requires --target <new table directory>")
+            return 1
+        from dodo_spark.sources.versioned import deep_clone
+
+        stats = deep_clone(args.path, args.target, version=args.version)
+        print(f"deep-cloned {args.path} -> {args.target}: {stats}")
+        return 0
     if args.action == "purge-tombstones":
         if args.seq_horizon is None:
             print("purge-tombstones requires --seq-horizon <int> (the "
@@ -1114,7 +1123,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=["commit", "append", "delete", "merge", "checkpoint",
                  "compact", "restore", "vacuum", "list", "history", "read",
-                 "lookup", "purge-tombstones"],
+                 "lookup", "purge-tombstones", "deep-clone"],
     )
     sn.add_argument("--path", required=True, help="versioned table directory")
     sn.add_argument("--version", type=int, default=None)
@@ -1144,6 +1153,8 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--index-col", default=None,
                     help="bloom-index the commit/append on this column "
                     "(point lookups via the lookup action)")
+    sn.add_argument("--target", default=None,
+                    help="destination table directory (deep-clone)")
     sn.add_argument("--expect", default=None,
                     help='JSON {name: sql_predicate} CHECK constraints '
                     "(commit/append; violating batches are rejected)")

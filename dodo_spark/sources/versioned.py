@@ -136,6 +136,12 @@ class _LocalFS:
         except FileNotFoundError:
             return False
 
+    def copy(self, src: str, dst: str) -> None:
+        import shutil
+
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+
     def list_names(self, dir_path: str) -> list[str]:
         try:
             return sorted(os.listdir(dir_path))
@@ -249,6 +255,14 @@ class _HadoopFS:
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._p(path)))
 
+    def copy(self, src: str, dst: str) -> None:
+        ok = self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs, self._p(src), self._fs, self._p(dst),
+            False, self._fs.getConf(),
+        )
+        if not ok:
+            raise IOError(f"copy failed: {src} -> {dst}")
+
     def delete(self, path: str) -> bool:
         return bool(self._fs.delete(self._p(path), False))
 
@@ -352,6 +366,16 @@ class _S3FS:
             if self._status(e) == 404:
                 return False
             raise
+
+    def copy(self, src: str, dst: str) -> None:
+        """Server-side object copy (S3 CopyObject): no byte round-trip
+        through the client — a deep clone of a large table moves zero
+        data through the driver."""
+        sb, sk = self._to_key(src)
+        db, dk = self._to_key(dst)
+        self._client.copy_object(
+            Bucket=db, Key=dk, CopySource={"Bucket": sb, "Key": sk}
+        )
 
     def delete(self, path: str) -> bool:
         """Unconditional DELETE (idempotent per S3): a HEAD-then-DELETE
@@ -2283,6 +2307,81 @@ def shallow_clone(
     return {"files_referenced": len(abs_refs), "version": 0}
 
 
+def deep_clone(
+    source_path: str, target_path: str, version: int | None = None
+) -> dict:
+    """DEEP CLONE (the Delta CLONE DEEP primitive, closing
+    shallow_clone's documented foot-gun): byte-copy the source
+    version's live files under the TARGET's own root and commit a
+    self-contained v0 manifest — the clone survives any later vacuum or
+    deletion of the source. The copy is a pure file-level operation
+    through the FS shim (shutil / Hadoop FileUtil.copy / S3 server-side
+    CopyObject — zero data through the driver on an object store), no
+    Spark job and no rewrite, so parquet footers (and therefore the
+    re-harvested manifest stats) are bit-identical to the source's.
+    Any manifest bloom-index entries covering the copied files carry
+    over (bitmaps depend only on file bytes). Same active-DV refusal as
+    shallow_clone — a flat v0 cannot represent merge-on-read deletes.
+    Returns {"files_copied", "version"}."""
+    versions = list_versions(source_path)
+    if not versions:
+        raise ValueError(f"no committed versions at {source_path}")
+    if version is None:
+        version = max(versions)
+    files = live_files(source_path, version)
+    _check_not_vacuumed(source_path, version, files, versions)
+    first_added: dict[str, int] = {}
+    dv_versions: list[int] = []
+    bloom_col = None
+    bloom_meta: dict = {}
+    bloom_entries: dict[str, str] = {}
+    for v in versions:
+        m = _read_manifest(source_path, v)
+        for f in m.get("add", []):
+            first_added.setdefault(f, v)
+        if m.get("dv") and v <= version:
+            dv_versions.append(v)
+        bi = m.get("bloom_index")
+        if bi and v <= version:
+            if bi["col"] != bloom_col:
+                bloom_entries = {}  # column changed: older entries moot
+            bloom_col = bi["col"]
+            bloom_meta = {"m_bits": bi["m_bits"], "k": bi["k"]}
+            bloom_entries.update(bi["files"])
+    if any(
+        first_added.get(f, version) < dv for f in files for dv in dv_versions
+    ):
+        raise ValueError(
+            f"version {version} at {source_path} has active deletion "
+            f"vectors (commits {dv_versions}); run purge_deletes first, "
+            f"then clone"
+        )
+    if list_versions(target_path):
+        raise ValueError(f"target {target_path} already has commits")
+    fs = _fs_for(target_path)
+    add: list[str] = []
+    carried_blooms: dict[str, str] = {}
+    for i, f in enumerate(sorted(files)):
+        base = f.rsplit("/", 1)[-1]
+        rel = f"v=0/deep-{i:05d}-{base}"
+        fs.copy(_join(source_path, f), _join(target_path, rel))
+        add.append(rel)
+        if bloom_col is not None and f in bloom_entries:
+            carried_blooms[rel] = bloom_entries[f]
+    extra = None
+    if bloom_col is not None and len(carried_blooms) == len(add):
+        # carry the index only when it covers EVERY copied file — a
+        # partial carry would be correct (scan-always fallback) but the
+        # all-or-nothing rule keeps the clone's index self-describing
+        extra = {
+            "bloom_index": {
+                "col": bloom_col, **bloom_meta, "files": carried_blooms,
+            }
+        }
+    _commit(target_path, 0, add=add, remove=[], extra=extra)
+    return {"files_copied": len(add), "version": 0}
+
+
 def add_external_files(
     table_path: str, version: int, files: list[str]
 ) -> dict:
@@ -2572,3 +2671,77 @@ def _register_time_travel_schema_evolution() -> None:
 
 
 _register_time_travel_schema_evolution()
+
+
+def _register_time_travel_deep_clone() -> None:
+    from pyspark.sql import functions as F
+
+    from dodo_spark.catalog import load_table
+    from dodo_spark.registry import register
+
+    @register(
+        "time_travel_deep_clone",
+        oracle="""
+        WITH src AS (
+          SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 900
+        )
+        SELECT 'clone_before' AS side, CAST(COUNT(*) AS BIGINT) AS rows_at,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total, TRUE AS survives_source_destruction
+        FROM src
+        UNION ALL
+        SELECT 'clone_after_source_destroyed', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+               TRUE
+        FROM src
+        ORDER BY side
+        """,
+        doc="DEEP CLONE (the Delta CLONE DEEP primitive, closing the "
+        "shallow clone's documented foot-gun): the source version's "
+        "live files are BYTE-COPIED under the clone's own root through "
+        "the FS shim (shutil / Hadoop FileUtil.copy / S3 server-side "
+        "CopyObject — zero data through the driver on an object store; "
+        "no Spark rewrite, so footers and manifest stats are "
+        "bit-identical). The key then VACUUMS the source down to a "
+        "later version and DELETES the source tree entirely; "
+        "survives_source_destruction pins that the clone's read "
+        "returns the identical aggregate afterwards — the exact "
+        "scenario that bricks a shallow clone. The oracle recomputes "
+        "both sides from the base table.",
+    )
+    def time_travel_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import shutil
+
+        from dodo_spark.operators.schema import scratch_dir
+
+        root = scratch_dir("time_travel_deep_clone")
+        src, dst = _join(root, "src"), _join(root, "dst")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        write_version(o.filter(F.col("o_orderkey") < 900), src, 0)
+        # a later source commit so vacuum(keep=1) drops v0's files
+        write_version(o.filter(F.col("o_orderkey") < 10), src, 1)
+        deep_clone(src, dst, version=0)
+
+        def agg(side: str) -> DataFrame:
+            return read_version(spark, dst, 0).agg(
+                F.lit(side).alias("side"),
+                F.count("*").cast("bigint").alias("rows_at"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+            )
+
+        before = agg("clone_before").localCheckpoint(eager=True)
+        vacuum(src, keep_versions=1)
+        shutil.rmtree(src)  # scratch dir: the test's own source tree
+        after = agg("clone_after_source_destroyed")
+        return (
+            before.unionByName(after)
+            .withColumn("survives_source_destruction", F.lit(True))
+            .orderBy("side")
+        )
+
+
+_register_time_travel_deep_clone()

@@ -85,6 +85,17 @@ class LocalMirrorS3Client:
                 f.write(data)
         return {"ETag": '"fake"'}
 
+    def copy_object(self, Bucket, Key, CopySource):
+        src = self._path(CopySource["Bucket"], CopySource["Key"])
+        dst = self._path(Bucket, Key)
+        if not os.path.isfile(src):
+            raise FakeClientError(404, "NoSuchKey")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        import shutil
+
+        shutil.copyfile(src, dst)
+        return {"CopyObjectResult": {"ETag": '"fake"'}}
+
     # -- read -----------------------------------------------------------
     def get_object(self, Bucket, Key):
         path = self._path(Bucket, Key)

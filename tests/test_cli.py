@@ -924,3 +924,22 @@ def test_cli_snapshot_guards_reject_misapplied_flags(
     from dodo_spark.sources.versioned import list_versions
 
     assert list_versions(table) == [0]  # nothing mutated the table
+
+
+def test_cli_snapshot_deep_clone(spark, sf_dir, tmp_path, capsys):
+    table = str(tmp_path / "src")
+    clone = str(tmp_path / "dst")
+    assert main(["snapshot", "commit", "--path", table, "--version", "0",
+                 "--sf-dir", sf_dir, "--table", "region"]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", "deep-clone", "--path", table]) == 1
+    assert "requires --target" in capsys.readouterr().out
+    assert main(["snapshot", "deep-clone", "--path", table,
+                 "--target", clone]) == 0
+    assert "deep-cloned" in capsys.readouterr().out
+    import shutil
+
+    shutil.rmtree(table)
+    assert main(["snapshot", "read", "--path", clone, "--version", "0",
+                 "--limit", "3"]) == 0
+    assert "r_regionkey" in capsys.readouterr().out

@@ -1573,3 +1573,104 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     write_version(df(1), path2, 1, commit_ts="2024-01-02 00:00:00.000000")
     stats = vacuum(path2, keep_versions=1, retain_after="2030-01-01 00:00:00")
     assert stats["versions_retained"] == [1]  # newest always survives
+
+
+def test_deep_clone_survives_source_vacuum(spark, tmp_path):
+    """DEEP CLONE's whole point: after the SOURCE is vacuumed (or
+    deleted outright), the clone still reads every row — unlike a
+    shallow clone, whose absolute refs the source vacuum can sweep."""
+    import shutil
+
+    from dodo_spark.sources.versioned import (
+        deep_clone,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k BIGINT, val DOUBLE"
+        ),
+        src,
+        0,
+    )
+    write_version(
+        spark.createDataFrame([(99, 9.9)], "k BIGINT, val DOUBLE"), src, 1
+    )
+    out = deep_clone(src, dst, version=0)
+    assert out["version"] == 0 and out["files_copied"] >= 1
+    want = {(i, float(i)) for i in range(50)}
+    got = {(r["k"], r["val"]) for r in read_version(spark, dst).collect()}
+    assert got == want
+
+    vacuum(src, keep_versions=1)  # drops v0's files at the source
+    shutil.rmtree(src)  # then the source disappears entirely
+    got = {(r["k"], r["val"]) for r in read_version(spark, dst).collect()}
+    assert got == want  # the clone is self-contained
+
+    # the clone is independently writable
+    from dodo_spark.sources.versioned import append_version
+
+    append_version(
+        spark.createDataFrame([(100, 1.0)], "k BIGINT, val DOUBLE"), dst, 1
+    )
+    assert read_version(spark, dst, 1).count() == 51
+
+
+def test_deep_clone_carries_bloom_index_and_refusals(spark, tmp_path):
+    """A deep clone of a bloom-indexed version carries the index
+    (bitmaps depend only on file bytes — the copy preserves them), so
+    point lookups prune on the clone; active DVs and non-empty targets
+    are refused."""
+    from dodo_spark.sources.bloom_index import (
+        read_point_lookup,
+        write_version_bloom_indexed,
+    )
+    from dodo_spark.sources.mor import delete_where_mor
+    from dodo_spark.sources.versioned import deep_clone, write_version
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(i, i % 20, float(i)) for i in range(400)],
+        "rid BIGINT, k BIGINT, val DOUBLE",
+    )
+    write_version_bloom_indexed(df, src, 0, "k", n_files=4)
+    deep_clone(src, dst)
+    rows, stats = read_point_lookup(spark, dst, 7)
+    assert {r["rid"] for r in rows.collect()} == {
+        i for i in range(400) if i % 20 == 7
+    }
+    assert stats["files_scanned"] <= 2  # pruning carried over
+
+    with pytest.raises(ValueError, match="already has commits"):
+        deep_clone(src, dst)
+
+    mor_src = str(tmp_path / "mor")
+    write_version(df, mor_src, 0)
+    delete_where_mor(spark, mor_src, 1, "k = 3", "rid")
+    with pytest.raises(ValueError, match="deletion"):
+        deep_clone(mor_src, str(tmp_path / "mor_clone"))
+
+
+def test_deep_clone_through_s3_shim(spark, tmp_path, s3_shim):
+    """The S3 path uses server-side CopyObject — the clone works and
+    reads back through the conditional-PUT backend."""
+    from dodo_spark.sources.versioned import (
+        deep_clone,
+        read_version,
+        write_version,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_version(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k BIGINT, val DOUBLE"),
+        src,
+        0,
+    )
+    deep_clone(src, dst)
+    assert {r["k"] for r in read_version(spark, dst).collect()} == {1, 2}

@@ -296,6 +296,8 @@ KEYS = [
     "time_travel_bloom_compact",
     # round-8: retention-gated CDC tombstone reclaim
     "cdc_purge_tombstones",
+    # round-8: self-contained byte-copy clone
+    "time_travel_deep_clone",
 ]
 
 
