@@ -119,33 +119,57 @@ def read_with_deletes(
     dvs = [(v, fs, k) for (v, fs, k) in _dv_entries(table_path, versions) if v <= version]
     if not dvs:
         return read_version(spark, table_path, version)
-    keys = {k for (_v, _f, k) in dvs}
-    if len(keys) > 1:
-        raise ValueError(f"mixed dv keys at {table_path}: {sorted(keys)}")
-    key = keys.pop()
-
     files = live_files(table_path, version)
     if not files:
         raise ValueError(f"version {version} at {table_path} has no live files")
     _check_not_vacuumed(table_path, version, files, versions)
-    first_added: dict[str, int] = {}
-    for v in versions:
-        for f in _read_manifest(table_path, v).get("add", []):
-            first_added.setdefault(f, v)
+    return apply_dvs_to_files(spark, table_path, files, version, versions)
 
-    # group live files by the SET of DVs that apply (files between two
-    # DV commits share a mask — one scan subplan per group, total I/O =
-    # the live set once)
-    groups: dict[tuple[int, ...], list[str]] = {}
-    for f in files:
-        gen = first_added.get(f, version)
-        applies = tuple(v for (v, _fs, _k) in dvs if v > gen)
-        groups.setdefault(applies, []).append(f)
+
+def apply_dvs_to_files(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    version: int,
+    versions: list[int] | None = None,
+) -> DataFrame:
+    """Scan an EXPLICIT file list with every DV committed at <= version
+    applied under the sequencing rule — the visible-rows primitive
+    shared by read_with_deletes (the live set) and read_changes (a
+    rewriting commit's removed files, which must be netted at their
+    PRIOR-version visibility or a purge after a MoR delete
+    double-subtracts the masked rows)."""
+    versions = versions if versions is not None else list_versions(table_path)
+    dvs = [
+        (v, fs, k)
+        for (v, fs, k) in _dv_entries(table_path, versions)
+        if v <= version
+    ]
 
     def _scan(paths: list[str]) -> DataFrame:
         return spark.read.option("mergeSchema", "true").parquet(
             *[_join(table_path, p) for p in paths]
         )
+
+    if not dvs:
+        return _scan(files)
+    keys = {k for (_v, _f, k) in dvs}
+    if len(keys) > 1:
+        raise ValueError(f"mixed dv keys at {table_path}: {sorted(keys)}")
+    key = keys.pop()
+    first_added: dict[str, int] = {}
+    for v in versions:
+        for f in _read_manifest(table_path, v).get("add", []):
+            first_added.setdefault(f, v)
+
+    # group files by the SET of DVs that apply (files between two
+    # DV commits share a mask — one scan subplan per group, total I/O =
+    # the file list once)
+    groups: dict[tuple[int, ...], list[str]] = {}
+    for f in files:
+        gen = first_added.get(f, version)
+        applies = tuple(v for (v, _fs, _k) in dvs if v > gen)
+        groups.setdefault(applies, []).append(f)
 
     out = None
     for applies, members in sorted(groups.items()):

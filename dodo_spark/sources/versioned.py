@@ -1443,7 +1443,25 @@ def read_changes(
         removed = prior.join(F.broadcast(keys), dv_key, "semi")
         return None, removed
 
-    return _rd(m.get("add") or []), _rd(m.get("remove") or [])
+    remove_files = m.get("remove") or []
+    removed_df = _rd(remove_files)
+    if remove_files:
+        # the remove side must be netted at its PRIOR-version
+        # visibility: if DVs were active on those files (a purge /
+        # rewrite after a MoR delete), a raw read would re-subtract the
+        # already-removed masked rows — fold-the-feed then undercounts
+        idx = versions.index(version)
+        if idx > 0:
+            from dodo_spark.sources.mor import _dv_entries, apply_dvs_to_files
+
+            prior_v = versions[idx - 1]
+            if any(
+                v <= prior_v for (v, _f, _k) in _dv_entries(table_path, versions)
+            ):
+                removed_df = apply_dvs_to_files(
+                    spark, table_path, remove_files, prior_v, versions
+                )
+    return _rd(m.get("add") or []), removed_df
 
 
 def _canon_ts(time_str: str) -> str:

@@ -239,3 +239,41 @@ def test_read_changes_yields_mor_deletes_as_removed_rows(spark, table):
             r.count() if r is not None else 0
         )
         assert running == read_with_deletes(spark, table, v).count(), v
+
+
+def test_change_feed_folds_exactly_through_dv_purge_compact(spark, tmp_path):
+    """Fold-the-feed invariant over the nastiest lakehouse chain: MoR
+    deletes, a purge (whose remove side must be netted at PRIOR-version
+    visibility — a raw read would double-subtract the masked rows),
+    appends, stacked DVs, a second purge, and a compaction. After every
+    commit, sum(added) - sum(removed) must equal the MoR view's count."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        compact_files,
+        list_versions,
+        read_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k BIGINT, val DOUBLE"
+    )
+    write_version(df, path, 0)
+    delete_where_mor(spark, path, 1, "k <= 1", "k")
+    purge_deletes(spark, path, 2)
+    append_version(
+        spark.createDataFrame([(10, 1.0)], "k BIGINT, val DOUBLE"), path, 3
+    )
+    delete_where_mor(spark, path, 4, "k = 5", "k")
+    delete_where_mor(spark, path, 5, "k = 10", "k")
+    purge_deletes(spark, path, 6)
+    compact_files(spark, path, 7, target_files=1)
+
+    running = 0
+    for v in sorted(list_versions(path)):
+        a, r = read_changes(spark, path, v)
+        running += (a.count() if a is not None else 0) - (
+            r.count() if r is not None else 0
+        )
+        assert running == read_with_deletes(spark, path, v).count(), v
