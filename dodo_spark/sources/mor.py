@@ -157,17 +157,19 @@ def apply_dvs_to_files(
     if len(keys) > 1:
         raise ValueError(f"mixed dv keys at {table_path}: {sorted(keys)}")
     key = keys.pop()
-    first_added: dict[str, int] = {}
-    for v in versions:
-        for f in _read_manifest(table_path, v).get("add", []):
-            first_added.setdefault(f, v)
+    from dodo_spark.sources.versioned import _file_generations
+
+    # generation = LATEST (re-)add <= version: a restore's re-add bumps
+    # the generation past older DVs (Iceberg sequence-number-on-re-add),
+    # so RESTORE truly undoes a MoR delete while older reads keep it
+    gens = _file_generations(table_path, versions, version)
 
     # group files by the SET of DVs that apply (files between two
     # DV commits share a mask — one scan subplan per group, total I/O =
     # the file list once)
     groups: dict[tuple[int, ...], list[str]] = {}
     for f in files:
-        gen = first_added.get(f, version)
+        gen = gens.get(f, version)
         applies = tuple(v for (v, _fs, _k) in dvs if v > gen)
         groups.setdefault(applies, []).append(f)
 

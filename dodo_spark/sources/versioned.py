@@ -824,22 +824,38 @@ def _check_no_active_dvs(table_path: str, versions: list[int], op: str) -> None:
     if not versions:
         return
     latest = max(versions)
-    first_added: dict[str, int] = {}
     dvs: list[int] = []
     for v in versions:
-        m = _read_manifest(table_path, v)
-        for f in m.get("add", []):
-            first_added.setdefault(f, v)
-        if m.get("dv"):
+        if _read_manifest(table_path, v).get("dv"):
             dvs.append(v)
     if not dvs:
         return
+    gens = _file_generations(table_path, versions, latest)
     live = live_files(table_path, latest)
-    if any(first_added.get(f, latest) < dv for f in live for dv in dvs):
+    if any(gens.get(f, latest) < dv for f in live for dv in dvs):
         raise ValueError(
             f"{op} on {table_path} would resurrect rows masked by active "
             f"deletion vectors (commits {dvs}); run purge_deletes first"
         )
+
+
+def _file_generations(
+    table_path: str, versions: list[int], upto: int
+) -> dict[str, int]:
+    """Per-file GENERATION at read version ``upto``: the LATEST version
+    <= upto whose manifest (re-)adds the file. A RE-ADD — RESTORE's
+    pure-metadata commit — assigns a NEW generation (the Iceberg
+    data-sequence-number-on-re-add rule), so deletion vectors OLDER
+    than the re-add no longer mask the file's rows: restoring to a
+    pre-delete version truly undoes a merge-on-read DELETE, while reads
+    of the intermediate versions still apply it."""
+    gen: dict[str, int] = {}
+    for v in versions:
+        if v > upto:
+            break
+        for f in _read_manifest(table_path, v).get("add", []):
+            gen[f] = v
+    return gen
 
 
 def delete_where(
@@ -2302,16 +2318,14 @@ def shallow_clone(
     # versions, which flattening destroys), so cloning a version with
     # ACTIVE DVs would silently resurrect every MoR-deleted row —
     # refuse and point at the purge path instead
-    first_added: dict[str, int] = {}
-    dv_versions: list[int] = []
-    for v in versions:
-        m = _read_manifest(source_path, v)
-        for f in m.get("add", []):
-            first_added.setdefault(f, v)
-        if m.get("dv") and v <= version:
-            dv_versions.append(v)
+    dv_versions: list[int] = [
+        v
+        for v in versions
+        if v <= version and _read_manifest(source_path, v).get("dv")
+    ]
+    gens = _file_generations(source_path, versions, version)
     if any(
-        first_added.get(f, version) < dv for f in files for dv in dv_versions
+        gens.get(f, version) < dv for f in files for dv in dv_versions
     ):
         raise ValueError(
             f"version {version} at {source_path} has active deletion "
@@ -2348,15 +2362,12 @@ def deep_clone(
         version = max(versions)
     files = live_files(source_path, version)
     _check_not_vacuumed(source_path, version, files, versions)
-    first_added: dict[str, int] = {}
     dv_versions: list[int] = []
     bloom_col = None
     bloom_meta: dict = {}
     bloom_entries: dict[str, str] = {}
     for v in versions:
         m = _read_manifest(source_path, v)
-        for f in m.get("add", []):
-            first_added.setdefault(f, v)
         if m.get("dv") and v <= version:
             dv_versions.append(v)
         bi = m.get("bloom_index")
@@ -2366,8 +2377,9 @@ def deep_clone(
             bloom_col = bi["col"]
             bloom_meta = {"m_bits": bi["m_bits"], "k": bi["k"]}
             bloom_entries.update(bi["files"])
+    gens = _file_generations(source_path, versions, version)
     if any(
-        first_added.get(f, version) < dv for f in files for dv in dv_versions
+        gens.get(f, version) < dv for f in files for dv in dv_versions
     ):
         raise ValueError(
             f"version {version} at {source_path} has active deletion "

@@ -277,3 +277,43 @@ def test_change_feed_folds_exactly_through_dv_purge_compact(spark, tmp_path):
             r.count() if r is not None else 0
         )
         assert running == read_with_deletes(spark, path, v).count(), v
+
+
+def test_restore_undoes_mor_delete_via_generation_bump(spark, tmp_path):
+    """RESTORE's contract ('an accidental DELETE is undone by one
+    manifest write') must hold for merge-on-read deletes too: the
+    restore commit RE-ADDS the files, which bumps their generation past
+    the DV (the Iceberg sequence-number-on-re-add rule), so the
+    restored view shows every masked row again — while reads of the
+    intermediate version still apply the delete. The change feed folds
+    exactly across the restore, and post-restore CoW rewrites are
+    allowed (the DV is inert, resurrection is impossible)."""
+    from dodo_spark.sources.versioned import (
+        delete_where,
+        list_versions,
+        read_changes,
+        restore_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k BIGINT, val DOUBLE"
+    )
+    write_version(df, path, 0)
+    delete_where_mor(spark, path, 1, "k <= 1", "k")
+    restore_version(path, 0, 2)
+    assert _keys(spark, path, 1) == {2, 3, 4, 5}  # intermediate keeps it
+    assert _keys(spark, path, 2) == {0, 1, 2, 3, 4, 5}  # restored
+
+    running = 0
+    for v in sorted(list_versions(path)):
+        a, r = read_changes(spark, path, v)
+        running += (a.count() if a is not None else 0) - (
+            r.count() if r is not None else 0
+        )
+        assert running == read_with_deletes(spark, path, v).count(), v
+
+    # the DV is inert after the restore: CoW rewrites are legal again
+    delete_where(spark, path, 3, "k = 5")
+    assert _keys(spark, path, 3) == {0, 1, 2, 3, 4}
