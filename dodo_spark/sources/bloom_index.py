@@ -258,6 +258,10 @@ def read_point_lookup(
     from dodo_spark.sources.versioned import live_files
 
     files = live_files(table_path, version)
+    if not files:
+        raise ValueError(
+            f"version {version} at {table_path} has no live files"
+        )
     # index entries live in the manifest of each file's ADDING commit
     idx: dict[str, tuple[dict, str, int, int]] = {}
     col = None

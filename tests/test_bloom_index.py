@@ -354,3 +354,16 @@ def test_bloom_lifecycle_randomized_against_model(spark, tmp_path):
             want = {r for r, k in model.items() if k == key}
             assert got == want, (v, op, key)
             assert stats["files_scanned"] <= stats["files_total"]
+
+
+def test_lookup_on_empty_live_set_raises_cleanly(spark, tmp_path):
+    from dodo_spark.sources.versioned import _commit
+
+    path = str(tmp_path / "empty")
+    # index commit, then a metadata-only commit removing everything
+    write_version_bloom_indexed(_df(spark, 10), path, 0, "k", n_files=1)
+    from dodo_spark.sources.versioned import live_files
+
+    _commit(path, 1, add=[], remove=live_files(path, 0))
+    with pytest.raises(ValueError, match="no live files"):
+        read_point_lookup(spark, path, 1)
