@@ -495,7 +495,10 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         except ValueError as e:
             print(f'--expect must be a JSON object {{name: predicate}}: {e}')
             return 1
-        if args.action in {"delete", "compact", "purge-tombstones"}:
+        # WHITELIST, not a reject-list: every newly added action must
+        # opt in or --expect is a clean usage error, never silently
+        # ignored (round-8 review: the reject-set missed deep-clone)
+        if args.action not in {"commit", "append", "merge"}:
             print("--expect applies to commit/append/merge (new rows), "
                   f"not {args.action}")
             return 1

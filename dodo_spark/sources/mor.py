@@ -116,9 +116,6 @@ def read_with_deletes(
         version = max(versions)
     if version not in versions:
         raise ValueError(f"version {version} not in {versions} at {table_path}")
-    dvs = [(v, fs, k) for (v, fs, k) in _dv_entries(table_path, versions) if v <= version]
-    if not dvs:
-        return read_version(spark, table_path, version)
     files = live_files(table_path, version)
     if not files:
         raise ValueError(f"version {version} at {table_path} has no live files")
@@ -140,11 +137,23 @@ def apply_dvs_to_files(
     PRIOR-version visibility or a purge after a MoR delete
     double-subtracts the masked rows)."""
     versions = versions if versions is not None else list_versions(table_path)
-    dvs = [
-        (v, fs, k)
-        for (v, fs, k) in _dv_entries(table_path, versions)
-        if v <= version
-    ]
+    # ONE manifest pass collects both the DV list and the per-file
+    # generations (latest re-add <= version, the Iceberg
+    # sequence-number-on-re-add rule — a restore's re-add bumps the
+    # generation past older DVs, so RESTORE truly undoes a MoR delete
+    # while older reads keep it). On an object store every manifest read
+    # is a GET; splitting this into _dv_entries + _file_generations paid
+    # it twice per read (round-8 review finding).
+    dvs: list[tuple[int, list[str], str]] = []
+    gens: dict[str, int] = {}
+    for v in versions:
+        if v > version:
+            break
+        m = _read_manifest(table_path, v)
+        for f in m.get("add", []):
+            gens[f] = v
+        if m.get("dv"):
+            dvs.append((v, m["dv"], m["dv_key"]))
 
     def _scan(paths: list[str]) -> DataFrame:
         return spark.read.option("mergeSchema", "true").parquet(
@@ -157,12 +166,6 @@ def apply_dvs_to_files(
     if len(keys) > 1:
         raise ValueError(f"mixed dv keys at {table_path}: {sorted(keys)}")
     key = keys.pop()
-    from dodo_spark.sources.versioned import _file_generations
-
-    # generation = LATEST (re-)add <= version: a restore's re-add bumps
-    # the generation past older DVs (Iceberg sequence-number-on-re-add),
-    # so RESTORE truly undoes a MoR delete while older reads keep it
-    gens = _file_generations(table_path, versions, version)
 
     # group files by the SET of DVs that apply (files between two
     # DV commits share a mask — one scan subplan per group, total I/O =

@@ -825,12 +825,15 @@ def _check_no_active_dvs(table_path: str, versions: list[int], op: str) -> None:
         return
     latest = max(versions)
     dvs: list[int] = []
-    for v in versions:
-        if _read_manifest(table_path, v).get("dv"):
+    gens: dict[str, int] = {}
+    for v in versions:  # one manifest pass: DV list + generations
+        m = _read_manifest(table_path, v)
+        for f in m.get("add", []):
+            gens[f] = v
+        if m.get("dv"):
             dvs.append(v)
     if not dvs:
         return
-    gens = _file_generations(table_path, versions, latest)
     live = live_files(table_path, latest)
     if any(gens.get(f, latest) < dv for f in live for dv in dvs):
         raise ValueError(
@@ -2060,7 +2063,18 @@ def restore_version(
     checks first — restoring a vacuumed version raises the clean 'was
     vacuumed' error). History keeps every intermediate version readable;
     an accidental DELETE/MERGE is undone by one manifest write at any
-    table size."""
+    table size.
+
+    Merge-on-read interaction: the re-add bumps every restored file's
+    GENERATION past older deletion vectors (see ``_file_generations``),
+    which is exactly right when ``restore_to`` PRECEDES the MoR delete
+    (the delete is undone). But when the restored-to state itself has
+    an ACTIVE DV, a flat re-add would silently RESURRECT the masked
+    rows — the restored view would not equal ``restore_to``'s. That
+    case is refused (same flattening rule as the clones); restore the
+    materialized view instead: ``read_with_deletes`` at ``restore_to``
+    + ``write_version`` (a data-copying restore), or ``purge_deletes``
+    going forward so later restore points are DV-free."""
     versions = _check_commit_order(table_path, as_version)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
@@ -2070,6 +2084,23 @@ def restore_version(
         )
     target_files = live_files(table_path, restore_to)
     _check_not_vacuumed(table_path, restore_to, target_files, versions)
+    dvs = [
+        v
+        for v in versions
+        if v <= restore_to and _read_manifest(table_path, v).get("dv")
+    ]
+    if dvs:
+        gens = _file_generations(table_path, versions, restore_to)
+        if any(
+            gens.get(f, restore_to) < dv for f in target_files for dv in dvs
+        ):
+            raise ValueError(
+                f"version {restore_to} at {table_path} has active deletion "
+                f"vectors (commits {dvs}); a pure-metadata restore would "
+                f"resurrect the masked rows — restore the materialized "
+                f"view (read_with_deletes + write_version) or "
+                f"purge_deletes first"
+            )
     prev_live = live_files(table_path, versions[-1])
     # add back exactly the restored set; remove what is live now. Files in
     # BOTH sets would be removed-then-re-added by the replay algebra
@@ -2292,6 +2323,42 @@ def _register_materialized_agg_refresh() -> None:
 _register_materialized_agg_refresh()
 
 
+def _clone_preflight(
+    source_path: str, target_path: str, version: int | None
+) -> tuple[list[int], int, list[str]]:
+    """Shared clone validation (shallow + deep): resolve the source
+    version, check it is unvacuumed, refuse ACTIVE deletion vectors (a
+    clone's flat v0 manifest cannot carry them — the sequencing rule
+    keys off per-file add versions, which flattening destroys, so the
+    clone would silently resurrect every MoR-deleted row; purge first),
+    and require an empty target. Returns (versions, version, files)."""
+    versions = list_versions(source_path)
+    if not versions:
+        raise ValueError(f"no committed versions at {source_path}")
+    if version is None:
+        version = max(versions)
+    files = live_files(source_path, version)
+    _check_not_vacuumed(source_path, version, files, versions)
+    dv_versions = [
+        v
+        for v in versions
+        if v <= version and _read_manifest(source_path, v).get("dv")
+    ]
+    if dv_versions:
+        gens = _file_generations(source_path, versions, version)
+        if any(
+            gens.get(f, version) < dv for f in files for dv in dv_versions
+        ):
+            raise ValueError(
+                f"version {version} at {source_path} has active deletion "
+                f"vectors (commits {dv_versions}); run purge_deletes "
+                f"first, then clone"
+            )
+    if list_versions(target_path):
+        raise ValueError(f"target {target_path} already has commits")
+    return versions, version, files
+
+
 def shallow_clone(
     source_path: str, target_path: str, version: int | None = None
 ) -> dict:
@@ -2306,34 +2373,9 @@ def shallow_clone(
     before vacuuming a cloned-from table. Returns {"files_referenced",
     "version"}. Absolute refs work because ``_join`` resolves an
     absolute member path as-is on every FS shim."""
-    versions = list_versions(source_path)
-    if not versions:
-        raise ValueError(f"no committed versions at {source_path}")
-    if version is None:
-        version = max(versions)
-    files = live_files(source_path, version)
-    _check_not_vacuumed(source_path, version, files, versions)
-    # a clone's flat v0 manifest cannot carry merge-on-read deletion
-    # vectors (the Iceberg sequencing rule keys off per-file add
-    # versions, which flattening destroys), so cloning a version with
-    # ACTIVE DVs would silently resurrect every MoR-deleted row —
-    # refuse and point at the purge path instead
-    dv_versions: list[int] = [
-        v
-        for v in versions
-        if v <= version and _read_manifest(source_path, v).get("dv")
-    ]
-    gens = _file_generations(source_path, versions, version)
-    if any(
-        gens.get(f, version) < dv for f in files for dv in dv_versions
-    ):
-        raise ValueError(
-            f"version {version} at {source_path} has active deletion "
-            f"vectors (commits {dv_versions}); run purge_deletes first, "
-            f"then clone"
-        )
-    if list_versions(target_path):
-        raise ValueError(f"target {target_path} already has commits")
+    versions, version, files = _clone_preflight(
+        source_path, target_path, version
+    )
     abs_refs = [_join(source_path, f) for f in files]
     _commit(target_path, 0, add=abs_refs, remove=[])
     return {"files_referenced": len(abs_refs), "version": 0}
@@ -2355,39 +2397,25 @@ def deep_clone(
     over (bitmaps depend only on file bytes). Same active-DV refusal as
     shallow_clone — a flat v0 cannot represent merge-on-read deletes.
     Returns {"files_copied", "version"}."""
-    versions = list_versions(source_path)
-    if not versions:
-        raise ValueError(f"no committed versions at {source_path}")
-    if version is None:
-        version = max(versions)
-    files = live_files(source_path, version)
-    _check_not_vacuumed(source_path, version, files, versions)
-    dv_versions: list[int] = []
-    bloom_col = None
-    bloom_meta: dict = {}
+    versions, version, files = _clone_preflight(
+        source_path, target_path, version
+    )
+    bloom_sig = None  # (col, m_bits, k): entries are only comparable
     bloom_entries: dict[str, str] = {}
     for v in versions:
-        m = _read_manifest(source_path, v)
-        if m.get("dv") and v <= version:
-            dv_versions.append(v)
-        bi = m.get("bloom_index")
-        if bi and v <= version:
-            if bi["col"] != bloom_col:
-                bloom_entries = {}  # column changed: older entries moot
-            bloom_col = bi["col"]
-            bloom_meta = {"m_bits": bi["m_bits"], "k": bi["k"]}
+        if v > version:
+            break
+        bi = _read_manifest(source_path, v).get("bloom_index")
+        if bi:
+            sig = (bi["col"], bi["m_bits"], bi["k"])
+            if sig != bloom_sig:
+                # ANY parameter change invalidates older entries: a
+                # bitmap built with different m_bits/k would be misread
+                # (wrong buffer size / wrong probe positions -> silent
+                # false negatives), not just a different column
+                bloom_entries = {}
+            bloom_sig = sig
             bloom_entries.update(bi["files"])
-    gens = _file_generations(source_path, versions, version)
-    if any(
-        gens.get(f, version) < dv for f in files for dv in dv_versions
-    ):
-        raise ValueError(
-            f"version {version} at {source_path} has active deletion "
-            f"vectors (commits {dv_versions}); run purge_deletes first, "
-            f"then clone"
-        )
-    if list_versions(target_path):
-        raise ValueError(f"target {target_path} already has commits")
     fs = _fs_for(target_path)
     add: list[str] = []
     carried_blooms: dict[str, str] = {}
@@ -2396,16 +2424,19 @@ def deep_clone(
         rel = f"v=0/deep-{i:05d}-{base}"
         fs.copy(_join(source_path, f), _join(target_path, rel))
         add.append(rel)
-        if bloom_col is not None and f in bloom_entries:
+        if bloom_sig is not None and f in bloom_entries:
             carried_blooms[rel] = bloom_entries[f]
     extra = None
-    if bloom_col is not None and len(carried_blooms) == len(add):
-        # carry the index only when it covers EVERY copied file — a
-        # partial carry would be correct (scan-always fallback) but the
-        # all-or-nothing rule keeps the clone's index self-describing
+    if carried_blooms:
+        # PARTIAL carry is fine: read_point_lookup's never-skip-blind
+        # rule scans files without entries, so the clone behaves exactly
+        # like the source (dropping the whole index would instead turn a
+        # working lookup into a hard 'no bloom index' error)
+        col, m_bits, k = bloom_sig
         extra = {
             "bloom_index": {
-                "col": bloom_col, **bloom_meta, "files": carried_blooms,
+                "col": col, "m_bits": m_bits, "k": k,
+                "files": carried_blooms,
             }
         }
     _commit(target_path, 0, add=add, remove=[], extra=extra)

@@ -317,3 +317,35 @@ def test_restore_undoes_mor_delete_via_generation_bump(spark, tmp_path):
     # the DV is inert after the restore: CoW rewrites are legal again
     delete_where(spark, path, 3, "k = 5")
     assert _keys(spark, path, 3) == {0, 1, 2, 3, 4}
+
+
+def test_restore_to_dv_active_version_is_refused(spark, tmp_path):
+    """Restoring to a version whose state has an ACTIVE deletion vector
+    would silently resurrect the masked rows (the re-add bumps their
+    generation past the DV) — refused with guidance, like the clones.
+    Restoring to the PRE-delete version stays legal (the undo case)."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        restore_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k BIGINT, val DOUBLE"
+    )
+    write_version(df, path, 0)
+    delete_where_mor(spark, path, 1, "k <= 1", "k")
+    append_version(
+        spark.createDataFrame([(9, 9.0)], "k BIGINT, val DOUBLE"), path, 2
+    )
+    # undo just the append, keep the delete: the restored-to state (v1)
+    # has an active DV -> pure-metadata restore must refuse
+    with pytest.raises(ValueError, match="active deletion"):
+        restore_version(path, 1, 3)
+    # the documented materialized-restore path reproduces v1 exactly
+    write_version(read_with_deletes(spark, path, 1), path, 3)
+    assert _keys(spark, path, 3) == {2, 3, 4, 5}
+    # restoring to the PRE-delete version is the undo case and is legal
+    restore_version(path, 0, 4)
+    assert _keys(spark, path, 4) == {0, 1, 2, 3, 4, 5}

@@ -1674,3 +1674,53 @@ def test_deep_clone_through_s3_shim(spark, tmp_path, s3_shim):
     )
     deep_clone(src, dst)
     assert {r["k"] for r in read_version(spark, dst).collect()} == {1, 2}
+
+
+def test_deep_clone_bloom_carry_partial_and_parameter_changes(spark, tmp_path):
+    """(a) Mixed bloom parameters across source commits: only entries
+    matching the LATEST (col, m_bits, k) carry — an old-parameter bitmap
+    would be misread (wrong buffer size / probe positions). (b) A source
+    with an indexed vintage plus a PLAIN append carries a PARTIAL index:
+    the clone's lookup works exactly like the source's (scan-always for
+    the unindexed file), never a hard 'no bloom index' error."""
+    from dodo_spark.sources.bloom_index import (
+        append_version_bloom_indexed,
+        read_point_lookup,
+        write_version_bloom_indexed,
+    )
+    from dodo_spark.sources.versioned import append_version, deep_clone
+
+    # (a) parameter change mid-history
+    src_a = str(tmp_path / "src_a")
+    df = spark.createDataFrame(
+        [(i, i % 10, 0.0) for i in range(100)],
+        "rid BIGINT, k BIGINT, val DOUBLE",
+    )
+    write_version_bloom_indexed(df, src_a, 0, "k", n_files=2, m_bits=1 << 14)
+    extra = spark.createDataFrame(
+        [(1000 + i, i % 10, 0.0) for i in range(50)],
+        "rid BIGINT, k BIGINT, val DOUBLE",
+    )
+    append_version_bloom_indexed(extra, src_a, 1, "k", m_bits=1 << 15)
+    dst_a = str(tmp_path / "dst_a")
+    deep_clone(src_a, dst_a)
+    rows, stats = read_point_lookup(spark, dst_a, 3)
+    want = {i for i in range(100) if i % 10 == 3} | {
+        1000 + i for i in range(50) if i % 10 == 3
+    }
+    assert {r["rid"] for r in rows.collect()} == want
+    # v0's 1<<14 entries were dropped (parameter mismatch) -> those
+    # files scan-always; v1's entries still prune
+    assert stats["files_scanned"] <= stats["files_total"]
+
+    # (b) indexed + plain vintages -> partial carry, lookup still works
+    src_b = str(tmp_path / "src_b")
+    write_version_bloom_indexed(df, src_b, 0, "k", n_files=2)
+    append_version(extra, src_b, 1)  # plain: no index entries
+    dst_b = str(tmp_path / "dst_b")
+    deep_clone(src_b, dst_b)
+    rows, stats = read_point_lookup(spark, dst_b, 3)
+    assert {r["rid"] for r in rows.collect()} == want
+    assert stats["files_scanned"] < stats["files_total"] or (
+        stats["files_total"] <= 2
+    )
