@@ -349,3 +349,94 @@ def test_restore_to_dv_active_version_is_refused(spark, tmp_path):
     # restoring to the PRE-delete version is the undo case and is legal
     restore_version(path, 0, 4)
     assert _keys(spark, path, 4) == {0, 1, 2, 3, 4, 5}
+
+
+def test_mor_algebra_randomized_against_model(spark, tmp_path):
+    """Model-based check of the MERGE-ON-READ algebra under the round-8
+    generation rule: a random sequence of appends, MoR deletes, purges,
+    compactions, and restores is mirrored by a pure-Python model of the
+    VISIBLE row set per version. After every commit, EVERY version's
+    read_with_deletes must equal its model snapshot, and the change
+    feed must fold to the model count — sequencing, generation bumps,
+    purge resets, and restore refusals all under one random walk."""
+    import random
+
+    from dodo_spark.sources.versioned import (
+        append_version,
+        compact_files,
+        list_versions,
+        read_changes,
+        restore_version,
+        write_version,
+    )
+
+    rng = random.Random(29)
+    path = str(tmp_path / "t")
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "k BIGINT, val DOUBLE"
+        ).coalesce(1)
+
+    model = {k: float(k) for k in range(8)}
+    write_version(df_of(model), path, 0)
+    snapshots = {0: dict(model)}
+    next_key = 100
+    v = 1
+    while v <= 10:
+        op = rng.choice(["append", "mor_delete", "purge", "compact", "restore"])
+        if op == "append":
+            new = {next_key + i: float(rng.randrange(100)) for i in range(3)}
+            next_key += 3
+            append_version(df_of(new), path, v)
+            model.update(new)
+        elif op == "mor_delete":
+            if not model:
+                continue
+            cut = rng.choice(sorted(model))
+            delete_where_mor(spark, path, v, f"k <= {cut}", "k")
+            model = {k: x for k, x in model.items() if k > cut}
+            if not model:  # keep the table non-empty for later reads
+                new = {next_key: 1.0}
+                next_key += 1
+                append_version(df_of(new), path, v + 1)
+                snapshots[v] = dict(model)
+                v += 1
+                model.update(new)
+        elif op == "purge":
+            purge_deletes(spark, path, v)
+        elif op == "compact":
+            try:
+                compact_files(spark, path, v, target_files=rng.choice([1, 2]))
+            except ValueError as e:
+                # compaction under an active DV is REFUSED (the CoW
+                # rewrite would resurrect masked rows) — correct outcome,
+                # version number not consumed
+                assert "active deletion" in str(e)
+                continue
+        else:  # restore to a random earlier version
+            target = rng.choice(sorted(snapshots))
+            try:
+                restore_version(path, target, v)
+                model = dict(snapshots[target])
+            except ValueError as e:
+                # restored-to state has an active DV: refusal is the
+                # CORRECT outcome; the version number was not consumed
+                assert "active deletion" in str(e)
+                continue
+        snapshots[v] = dict(model)
+        v += 1
+
+    running = 0
+    for ver in sorted(list_versions(path)):
+        want = snapshots[ver]
+        got = {
+            r["k"]: r["val"]
+            for r in read_with_deletes(spark, path, ver).collect()
+        }
+        assert got == want, f"version {ver}"
+        a, r = read_changes(spark, path, ver)
+        running += (a.count() if a is not None else 0) - (
+            r.count() if r is not None else 0
+        )
+        assert running == len(want), f"feed fold at version {ver}"
