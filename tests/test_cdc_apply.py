@@ -357,3 +357,57 @@ def test_purge_rebuilds_bloom_index(spark, tmp_path):
     rows, stats = read_point_lookup(spark, path, 7)
     assert {r["user_id"] for r in rows.collect()} == {7}
     assert stats["files_scanned"] <= stats["files_total"]
+
+
+def test_cdc_apply_randomized_against_model(spark, tmp_path):
+    """Model-based check of the CDC apply semantics: random batches of
+    out-of-order (key, seq, deleted) changes — with random batch
+    REPLAYS interleaved — must keep the stored state equal to the
+    global argmax-per-key model after every batch stream, and a purge
+    at a random horizon must drop exactly the sub-horizon tombstones.
+    (Authored after a 4-seed ad-hoc fuzz of the same walk.)"""
+    import random
+
+    from dodo_spark.sources.cdc_apply import purge_tombstones
+    from dodo_spark.sources.versioned import read_version
+
+    rng = random.Random(13)
+    path = str(tmp_path / "t")
+    seqs = list(range(1, 61))
+    rng.shuffle(seqs)
+    model: dict[int, tuple] = {}
+    v = 0
+    batches = []
+    while seqs:
+        n = min(len(seqs), rng.randrange(3, 9))
+        batch = []
+        for _ in range(n):
+            s = seqs.pop()
+            k = rng.randrange(8)
+            batch.append((k, float(s), s, rng.random() < 0.3))
+        batches.append(batch)
+        apply_cdc_batch(
+            spark, path, v, _batch(spark, batch), "user_id", "seq"
+        )
+        for k, val, s, d in batch:
+            if k not in model or model[k][1] < s:
+                model[k] = (val, s, d)
+        v += 1
+        if rng.random() < 0.3 and v >= 2:
+            b = rng.randrange(v - 1)
+            import pytest
+
+            with pytest.raises(ValueError, match="already committed"):
+                apply_cdc_batch(
+                    spark, path, b, _batch(spark, batches[b]),
+                    "user_id", "seq",
+                )
+    assert _state(spark, path) == model
+    hz = rng.randrange(10, 55)
+    purge_tombstones(spark, path, v, hz)
+    want = {k: t for k, t in model.items() if not (t[2] and t[1] < hz)}
+    got = {
+        r["user_id"]: (r["value"], r["seq"], r["deleted"])
+        for r in read_version(spark, path).collect()
+    }
+    assert got == want
