@@ -289,9 +289,13 @@ def read_point_lookup(
     if rendered is None:
         # the value does not cast into the column's type: no stored value
         # can equal it (and under ANSI the exact filter would throw) —
-        # an empty result with zero files scanned is the true answer
+        # an empty result with zero files scanned is the true answer.
+        # Merge across ALL live files so the empty frame carries columns
+        # added by later commits (a hit and a miss must expose the same
+        # schema); Filter(false) folds to an empty LocalRelation, so no
+        # data is read.
         empty = spark.read.option("mergeSchema", "true").parquet(
-            *[_join(table_path, f) for f in files[:1]]
+            *[_join(table_path, f) for f in files]
         )
         return (
             empty.filter(F.lit(False)),
@@ -320,8 +324,11 @@ def read_point_lookup(
             scan_files.append(f)
     stats = {"files_total": len(files), "files_scanned": len(scan_files)}
     if not scan_files:
+        # all files pruned: same all-live-files merge as the uncastable
+        # branch, so the miss schema matches the hit schema after
+        # additive evolution
         empty = spark.read.option("mergeSchema", "true").parquet(
-            *[_join(table_path, f) for f in files[:1]]
+            *[_join(table_path, f) for f in files]
         )
         return empty.filter(F.lit(False)), stats
     out = (

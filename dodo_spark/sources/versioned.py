@@ -470,8 +470,25 @@ def _s3_client():
         # transitive install) falls back to the Hadoop S3A path rather
         # than crashing metadata IO that worked before boto3 appeared
         _S3_CLIENT_CACHE = boto3.client("s3")
-    except Exception:
+    except Exception as e:
         _S3_CLIENT_CACHE = False
+        # one-time, on the transition only: operators should KNOW the
+        # table's commits just lost the conditional-PUT guarantee (the
+        # Hadoop S3A fallback is check-then-act). The failure is memoized,
+        # so without this the demotion would be silent for the process
+        # lifetime; set_s3_client_factory() re-arms construction.
+        import warnings
+
+        warnings.warn(
+            f"boto3 S3 client construction failed ({e!r}); s3:// commits "
+            f"fall back to the Hadoop S3A path, which replaces atomic "
+            f"conditional PUT with check-then-act put-if-absent. Call "
+            f"set_s3_client_factory(...) to install a working client "
+            f"(or set_s3_client_factory(None) after fixing credentials "
+            f"to retry boto3).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
     return _S3_CLIENT_CACHE
 
@@ -507,6 +524,19 @@ def _fs_for(table_path: str):
             )
         return _HadoopFS(spark, table_path)
     return _LocalFS()
+
+
+def _path_scheme(path: str) -> str:
+    """Coarse scheme family for same-store checks: ``"s3"`` for any
+    s3/s3a/s3n URI, the literal scheme for other URIs (``file``,
+    ``hdfs``, ...), ``"local"`` for plain paths. Matches ``_fs_for``'s
+    dispatch granularity — two paths in the same family resolve to a
+    shim that can copy between them."""
+    if path.startswith(("s3://", "s3a://", "s3n://")):
+        return "s3"
+    if "://" in path:
+        return path.split("://", 1)[0]
+    return "local"
 
 
 def _join(base: str, *names: str) -> str:
@@ -1166,11 +1196,19 @@ def vacuum(
 
     Retention set = the newest ``keep_versions`` UNION every version
     whose commit ts >= ``retain_after`` (the Delta ``RETAIN n HOURS``
-    form; pass a ``"YYYY-MM-DD HH:MM:SS[.ffffff]"`` string — commit
-    timestamps compare lexicographically in this format). The newest
-    version always survives regardless of its age."""
+    form; accepts the same renderings as AS-OF probes — bare date,
+    ``T``-separated ISO, reduced precision). The probe is canonicalized to
+    the manifests' 26-char ``YYYY-MM-DD HH:MM:SS.ffffff`` rendering before
+    the lexicographic compare: an ISO ``T`` separator sorts ABOVE every
+    space-separated commit stamp, so without canonicalization the time
+    retention set would be silently empty and files the caller meant to
+    keep would be deleted. Malformed input raises instead of
+    under-retaining. The newest version always survives regardless of
+    its age."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    if retain_after is not None:
+        retain_after = _canon_ts(retain_after)
     fs = _fs_for(table_path)
     versions = list_versions(table_path)
     if not versions:
@@ -2397,6 +2435,17 @@ def deep_clone(
     over (bitmaps depend only on file bytes). Same active-DV refusal as
     shallow_clone — a flat v0 cannot represent merge-on-read deletes.
     Returns {"files_copied", "version"}."""
+    src_scheme, tgt_scheme = _path_scheme(source_path), _path_scheme(target_path)
+    if src_scheme != tgt_scheme:
+        # one shim performs both ends of fs.copy; a plain-local source
+        # with an s3:// target (or vice versa) would otherwise die deep
+        # inside _s3_uri_to_key / shutil with a misleading traceback
+        raise ValueError(
+            f"deep_clone requires source and target on the same filesystem "
+            f"scheme; got {src_scheme!r} ({source_path}) vs {tgt_scheme!r} "
+            f"({target_path}). Copy across stores with a distcp-style job, "
+            f"then add_external_files / convert."
+        )
     versions, version, files = _clone_preflight(
         source_path, target_path, version
     )

@@ -367,3 +367,53 @@ def test_lookup_on_empty_live_set_raises_cleanly(spark, tmp_path):
     _commit(path, 1, add=[], remove=live_files(path, 0))
     with pytest.raises(ValueError, match="no live files"):
         read_point_lookup(spark, path, 1)
+
+
+def test_empty_result_schema_matches_hits_after_evolution(spark, tmp_path):
+    """After additive schema evolution, a MISS (all files pruned, or an
+    uncastable probe) must expose the same merged schema as a HIT — the
+    r8 advisor's finding was that the empty branches built the frame
+    from files[:1] only, so a downstream select of a newer column
+    worked for hits but raised for misses."""
+    from dodo_spark.sources.bloom_index import (
+        append_version_bloom_indexed,
+        read_point_lookup,
+        write_version_bloom_indexed,
+    )
+
+    path = str(tmp_path / "t")
+    write_version_bloom_indexed(
+        spark.createDataFrame(
+            [(i, i % 10, float(i)) for i in range(100)],
+            "rid BIGINT, k BIGINT, val DOUBLE",
+        ),
+        path,
+        0,
+        "k",
+        n_files=2,
+    )
+    # additive evolution: the appended vintage carries a NEW column
+    append_version_bloom_indexed(
+        spark.createDataFrame(
+            [(1000 + i, i % 10, 0.0, f"s{i}") for i in range(50)],
+            "rid BIGINT, k BIGINT, val DOUBLE, extra STRING",
+        ),
+        path,
+        1,
+        "k",
+    )
+
+    hit, _ = read_point_lookup(spark, path, 3)
+    assert "extra" in hit.columns
+
+    # all-files-pruned miss: same columns, select of the new column works
+    miss, stats = read_point_lookup(spark, path, 987654321)
+    assert stats["files_scanned"] <= stats["files_total"]
+    assert miss.columns == hit.columns
+    assert miss.select("extra").count() == 0
+
+    # uncastable probe (string on a BIGINT index column): same columns
+    uncast, stats = read_point_lookup(spark, path, "not-a-number")
+    assert stats["files_scanned"] == 0
+    assert uncast.columns == hit.columns
+    assert uncast.select("extra").count() == 0

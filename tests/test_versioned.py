@@ -1724,3 +1724,102 @@ def test_deep_clone_bloom_carry_partial_and_parameter_changes(spark, tmp_path):
     assert stats["files_scanned"] < stats["files_total"] or (
         stats["files_total"] <= 2
     )
+
+
+def test_vacuum_retain_after_canonicalizes(spark, tmp_path):
+    """retain_after accepts the same renderings as AS-OF probes. The
+    r8 advisor's finding: an ISO 'T'-separated probe compares ABOVE
+    every ' '-separated commit stamp lexicographically, so without
+    canonicalization the time retention set is silently empty and
+    files the caller meant to keep are deleted."""
+    from dodo_spark.sources.versioned import (
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    def df(k):
+        return spark.createDataFrame(
+            [(k, float(k))], "k BIGINT, val DOUBLE"
+        ).coalesce(1)
+
+    path = str(tmp_path / "t")
+    write_version(df(0), path, 0, commit_ts="2024-01-01 00:00:00.000000")
+    write_version(df(1), path, 1, commit_ts="2024-01-02 00:00:00.000000")
+    write_version(df(2), path, 2, commit_ts="2024-06-01 00:00:00.000000")
+    write_version(df(3), path, 3, commit_ts="2024-06-02 00:00:00.000000")
+
+    # ISO 'T' separator: must retain v2+v3 exactly like the ' ' form
+    stats = vacuum(path, keep_versions=1, retain_after="2024-06-01T00:00:00")
+    assert stats["versions_retained"] == [2, 3]
+    for v in (2, 3):
+        assert read_version(spark, path, v).count() >= 1
+
+    # bare date pads to midnight (inclusive of commits at that instant)
+    path2 = str(tmp_path / "t2")
+    write_version(df(0), path2, 0, commit_ts="2024-01-01 00:00:00.000000")
+    write_version(df(1), path2, 1, commit_ts="2024-06-01 00:00:00.000000")
+    write_version(df(2), path2, 2, commit_ts="2024-06-02 00:00:00.000000")
+    stats = vacuum(path2, keep_versions=1, retain_after="2024-06-01")
+    assert stats["versions_retained"] == [1, 2]
+
+    # malformed input raises instead of silently under-retaining
+    path3 = str(tmp_path / "t3")
+    write_version(df(0), path3, 0)
+    write_version(df(1), path3, 1)
+    with pytest.raises(ValueError, match="invalid AS OF timestamp"):
+        vacuum(path3, keep_versions=1, retain_after="yesterday-ish")
+    # nothing was deleted by the failed call
+    assert read_version(spark, path3, 0).count() == 1
+
+
+def test_deep_clone_cross_scheme_raises_clearly(spark, tmp_path):
+    """deep_clone resolves ONE shim for both ends of the copy, so a
+    cross-store clone must be refused up front with an actionable error
+    — not die inside _s3_uri_to_key / shutil with a misleading
+    traceback (r8 advisor finding)."""
+    from dodo_spark.sources.versioned import deep_clone, write_version
+
+    src = str(tmp_path / "src")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"), src, 0
+    )
+    with pytest.raises(ValueError, match="same filesystem scheme"):
+        deep_clone(src, "s3://bucket/dst")
+    with pytest.raises(ValueError, match="same filesystem scheme"):
+        deep_clone("file://" + src, src + "_dst")
+
+
+def test_s3_client_construction_failure_warns_once(monkeypatch):
+    """A transient boto3 construction failure demotes s3:// commits to
+    the weaker Hadoop put-if-absent for the process lifetime (memoized)
+    — operators must get a one-time RuntimeWarning saying the
+    conditional-PUT guarantee was lost (r8 advisor finding)."""
+    import sys
+    import warnings
+
+    from dodo_spark.sources import versioned
+
+    class _BrokenBoto3:
+        @staticmethod
+        def client(*a, **k):
+            raise RuntimeError("no region configured")
+
+    monkeypatch.setitem(sys.modules, "boto3", _BrokenBoto3())
+    monkeypatch.setattr(versioned, "_S3_CLIENT_FACTORY", None)
+    monkeypatch.setattr(versioned, "_S3_CLIENT_CACHE", None)
+
+    with pytest.warns(RuntimeWarning, match="conditional PUT"):
+        assert versioned._s3_client() is None
+    # memoized failure: the second call is silent (no warning spam)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert versioned._s3_client() is None
+    # set_s3_client_factory re-arms construction
+    sentinel = object()
+    versioned.set_s3_client_factory(lambda: sentinel)
+    try:
+        assert versioned._s3_client() is sentinel
+    finally:
+        versioned.set_s3_client_factory(None)
+        versioned._S3_CLIENT_CACHE = None
