@@ -473,7 +473,7 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
             print(f"v{h['version']}  {h['ts'] or '-'}")
         return 0
     write_actions = {"commit", "append", "delete", "merge", "compact",
-                     "restore", "purge-tombstones"}
+                     "restore", "purge-tombstones", "rename"}
     if args.action in write_actions:
         # validate BEFORE touching the table: a missing/negative --version
         # must be a usage error, never a half-written v=None/ directory
@@ -620,6 +620,17 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
             seq_col=args.seq_col,
         )
         print(f"purged as v{args.version}: {stats}")
+        return 0
+    if args.action == "rename":
+        if not args.rename_from or not args.rename_to:
+            print("rename requires --from <column> and --to <column>")
+            return 1
+        from dodo_spark.sources.versioned import rename_column
+
+        stats = rename_column(
+            spark, args.path, args.version, args.rename_from, args.rename_to
+        )
+        print(f"renamed as v{args.version} (metadata-only): {stats}")
         return 0
     if args.action == "delete":
         if not args.where:
@@ -1126,7 +1137,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=["commit", "append", "delete", "merge", "checkpoint",
                  "compact", "restore", "vacuum", "list", "history", "read",
-                 "lookup", "purge-tombstones", "deep-clone"],
+                 "lookup", "purge-tombstones", "deep-clone", "rename"],
     )
     sn.add_argument("--path", required=True, help="versioned table directory")
     sn.add_argument("--version", type=int, default=None)
@@ -1158,6 +1169,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "(point lookups via the lookup action)")
     sn.add_argument("--target", default=None,
                     help="destination table directory (deep-clone)")
+    sn.add_argument("--from", dest="rename_from", default=None,
+                    help="current column name (rename)")
+    sn.add_argument("--to", dest="rename_to", default=None,
+                    help="new column name (rename; metadata-only commit)")
     sn.add_argument("--expect", default=None,
                     help='JSON {name: sql_predicate} CHECK constraints '
                     "(commit/append; violating batches are rejected)")

@@ -41,6 +41,7 @@ from dodo_spark.sources.versioned import (
     _check_commit_order,
     _commit,
     _join,
+    _logical_read,
     _read_manifest,
     _write_data_files,
     list_versions,
@@ -294,9 +295,7 @@ def read_point_lookup(
         # added by later commits (a hit and a miss must expose the same
         # schema); Filter(false) folds to an empty LocalRelation, so no
         # data is read.
-        empty = spark.read.option("mergeSchema", "true").parquet(
-            *[_join(table_path, f) for f in files]
-        )
+        empty = _logical_read(spark, table_path, files, version)
         return (
             empty.filter(F.lit(False)),
             {"files_total": len(files), "files_scanned": 0},
@@ -327,14 +326,14 @@ def read_point_lookup(
         # all files pruned: same all-live-files merge as the uncastable
         # branch, so the miss schema matches the hit schema after
         # additive evolution
-        empty = spark.read.option("mergeSchema", "true").parquet(
-            *[_join(table_path, f) for f in files]
-        )
+        empty = _logical_read(spark, table_path, files, version)
         return empty.filter(F.lit(False)), stats
-    out = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[_join(table_path, f) for f in scan_files])
-        .filter(F.col(col) == F.lit(value))
+    # _logical_read: non-indexed columns renamed after a file was written
+    # resolve to their logical names (the INDEX column itself can never
+    # have been renamed — rename_column refuses while its index is live,
+    # so its physical name equals its logical name in every file)
+    out = _logical_read(spark, table_path, scan_files, version).filter(
+        F.col(col) == F.lit(value)
     )
     return out, stats
 

@@ -155,10 +155,15 @@ def apply_dvs_to_files(
         if m.get("dv"):
             dvs.append((v, m["dv"], m["dv_key"]))
 
+    from dodo_spark.sources.versioned import _logical_read
+
     def _scan(paths: list[str]) -> DataFrame:
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[_join(table_path, p) for p in paths]
-        )
+        # logical names at ``version``. DV sidecars (never in any "add"
+        # list) read raw, which is correct: rename_column refuses while
+        # a DV is active, so a live DV's key column was recorded under
+        # the CURRENT logical name; an inert historical DV is only read
+        # by time travel to versions before any later rename.
+        return _logical_read(spark, table_path, paths, version)
 
     if not dvs:
         return _scan(files)

@@ -625,13 +625,22 @@ def checkpoint_manifest(table_path: str, version: int | None = None) -> str:
     fs.put_if_absent_text(
         path,
         json.dumps(
-            {"version": version, "live": _replay_live(table_path, version, -1, [])}
+            {
+                "version": version,
+                "live": _replay_live(table_path, version, -1, []),
+                # cumulative rename chain <= version, so rename-aware reads
+                # of checkpointed tables replay only the commits AFTER the
+                # checkpoint (same O(delta) metadata cost as the live set)
+                "renames": [
+                    list(r) for r in _renames_upto(table_path, version)
+                ],
+            }
         ),
     )
     return path
 
 
-def _latest_checkpoint(table_path: str, version: int) -> tuple[int, list[str]] | None:
+def _latest_checkpoint_payload(table_path: str, version: int) -> dict | None:
     fs = _fs_for(table_path)
     cps = [
         v
@@ -640,9 +649,14 @@ def _latest_checkpoint(table_path: str, version: int) -> tuple[int, list[str]] |
     ]
     if not cps:
         return None
-    best = max(cps)
-    payload = json.loads(fs.read_text(_checkpoint_path(table_path, best)))
-    return best, list(payload["live"])
+    return json.loads(fs.read_text(_checkpoint_path(table_path, max(cps))))
+
+
+def _latest_checkpoint(table_path: str, version: int) -> tuple[int, list[str]] | None:
+    payload = _latest_checkpoint_payload(table_path, version)
+    if payload is None:
+        return None
+    return payload["version"], list(payload["live"])
 
 
 def _replay_live(
@@ -666,6 +680,108 @@ def live_files(table_path: str, version: int) -> list[str]:
         cp_version, base = cp
         return _replay_live(table_path, version, cp_version, base)
     return _replay_live(table_path, version, -1, [])
+
+
+# ---------------------------------------------------------------------------
+# column mapping (RENAME COLUMN as a metadata-only commit)
+# ---------------------------------------------------------------------------
+def _renames_upto(
+    table_path: str, version: int, fs=None
+) -> list[tuple[int, str, str]]:
+    """Cumulative rename chain at ``version``: ascending
+    ``[(rename_version, from, to)]`` from the committed manifests
+    <= version. Starts from the latest checkpoint's recorded chain when
+    one exists (legacy checkpoints without the field fall back to a full
+    manifest scan), so on a checkpointed table the metadata cost is
+    O(commits since checkpoint), same as ``live_files``."""
+    fs = fs or _fs_for(table_path)
+    out: list[tuple[int, str, str]] = []
+    after = -1
+    payload = _latest_checkpoint_payload(table_path, version)
+    if payload is not None and "renames" in payload:
+        out = [tuple(r) for r in payload["renames"]]
+        after = payload["version"]
+    for v in list_versions(table_path):
+        if v <= after or v > version:
+            continue
+        r = _read_manifest(table_path, v, fs).get("rename")
+        if r:
+            out.append((v, r["from"], r["to"]))
+    return out
+
+
+def _first_add_versions(
+    table_path: str, version: int, fs=None
+) -> dict[str, int]:
+    """Per-file FIRST add version <= ``version``. The rename chain keys
+    off this, not the latest re-add (``_file_generations``): a RESTORE's
+    re-add is pure metadata — the file's physical column names were
+    fixed at its ORIGINAL write, so renames committed between the
+    original add and the re-add still apply to it."""
+    fs = fs or _fs_for(table_path)
+    first: dict[str, int] = {}
+    for v in list_versions(table_path):
+        if v > version:
+            break
+        for f in _read_manifest(table_path, v, fs).get("add", []):
+            first.setdefault(f, v)
+    return first
+
+
+def _physical_name(
+    logical: str, add_version: int, renames: list[tuple[int, str, str]]
+) -> str:
+    """The column name a file FIRST-added at ``add_version`` physically
+    stores for logical column ``logical``: invert, newest-first, every
+    rename committed after the file was written."""
+    name = logical
+    for rv, frm, to in reversed(renames):
+        if rv > add_version and name == to:
+            name = frm
+    return name
+
+
+def _logical_read(
+    spark: SparkSession, table_path: str, files: list[str], version: int
+) -> DataFrame:
+    """Scan an explicit file list presenting the LOGICAL schema at
+    ``version`` — the single choke point every multi-file read in this
+    module (and mor.py / bloom_index.py) goes through. Without renames
+    this is exactly the old mergeSchema scan (fast path: one checkpoint
+    probe, zero extra manifest reads on checkpointed tables). With
+    renames, files written under an older name are grouped by the rename
+    chain that applies to them (renames committed AFTER the file's first
+    add), each group is renamed to logical names, and the groups union
+    by name — the Iceberg name-mapping / Delta column-mapping semantics
+    without rewriting a byte. Total I/O = the file list once, same as
+    the plain scan; the per-group rename is a zero-cost projection."""
+
+    def scan(paths: list[str]) -> DataFrame:
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[_join(table_path, f) for f in paths]
+        )
+
+    renames = _renames_upto(table_path, version)
+    if not renames:
+        return scan(files)
+    first_add = _first_add_versions(table_path, version)
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        addv = first_add.get(f, version)
+        chain = tuple(r for r in renames if r[0] > addv)
+        groups.setdefault(chain, []).append(f)
+    out = None
+    for chain, members in sorted(groups.items()):
+        part = scan(members)
+        for _rv, frm, to in chain:
+            if frm in part.columns:
+                part = part.withColumnRenamed(frm, to)
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
+    return out
 
 
 def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]:
@@ -918,10 +1034,12 @@ def delete_where(
     prev_live = live_files(table_path, versions[-1])
     paths = {f: _join(table_path, f) for f in prev_live}
     # one scan: per-file count of matching rows (bounded collect: one row
-    # per live file)
+    # per live file). _logical_read: the predicate binds LOGICAL names,
+    # so the delete reaches rows in files written under a pre-rename
+    # physical name; input_file_name() survives the per-vintage union.
     counts: dict[str, int] = {}
     for r in (
-        spark.read.option("mergeSchema", "true").parquet(*paths.values())
+        _logical_read(spark, table_path, prev_live, versions[-1])
         .filter(predicate)
         .groupBy(F.input_file_name().alias("f"))
         .agg(F.count("*").alias("n"))
@@ -932,11 +1050,11 @@ def delete_where(
     rows_deleted = sum(counts[_canon_file_ref(paths[f])] for f in touched)
     add: list[str] = []
     if touched:
-        survivors = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[paths[f] for f in touched])
-            .filter(f"NOT ({predicate})")
-        )
+        # the rewrite reads logical names, so the survivor files are
+        # physically re-keyed to the current logical schema
+        survivors = _logical_read(
+            spark, table_path, touched, versions[-1]
+        ).filter(f"NOT ({predicate})")
         add = _write_data_files(survivors, table_path, version)
     _commit(table_path, version, add=add, remove=touched, commit_ts=commit_ts)
     return {
@@ -982,19 +1100,32 @@ def merge_upsert(
     # Delta data-skipping primitive; files without stats stay candidates)
     bounds = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
     stats = file_stats(table_path, versions[-1])
+    renames = _renames_upto(table_path, versions[-1])
+    first_add = (
+        _first_add_versions(table_path, versions[-1]) if renames else {}
+    )
+
+    def _phys(f: str) -> str:
+        # footer stats are keyed by each file's PHYSICAL column name
+        return (
+            _physical_name(key, first_add.get(f, versions[-1]), renames)
+            if renames
+            else key
+        )
+
     candidates = [
         f
         for f in prev_live
-        if key not in stats.get(f, {})
+        if _phys(f) not in stats.get(f, {})
         or bounds["lo"] is None
         or not (
-            stats[f][key][0] > bounds["hi"] or stats[f][key][1] < bounds["lo"]
+            stats[f][_phys(f)][0] > bounds["hi"]
+            or stats[f][_phys(f)][1] < bounds["lo"]
         )
     ]
 
     probe_df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[paths[f] for f in candidates])
+        _logical_read(spark, table_path, candidates, versions[-1])
         if candidates
         else None
     )
@@ -1020,11 +1151,9 @@ def merge_upsert(
     rows_inserted = updates.count() - matched_update_rows
 
     if touched:
-        survivors = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[paths[f] for f in touched])
-            .join(keys_df, key, "anti")
-        )
+        survivors = _logical_read(
+            spark, table_path, touched, versions[-1]
+        ).join(keys_df, key, "anti")
         new_rows = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         new_rows = updates
@@ -1076,9 +1205,11 @@ def compact_files(
         raise ValueError(f"no committed versions at {table_path}")
     _check_no_active_dvs(table_path, versions, "compact_files")
     prev_live = live_files(table_path, versions[-1])
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[_join(table_path, f) for f in prev_live]
-    )
+    # logical names: a compaction after a rename physically re-keys
+    # every file to the current schema (the sanctioned way to retire a
+    # long rename chain — and to re-enable bloom indexing on a renamed
+    # column)
+    df = _logical_read(spark, table_path, prev_live, versions[-1])
     if cluster_by:
         df = df.repartitionByRange(
             max(1, target_files), *cluster_by
@@ -1362,10 +1493,9 @@ def read_version(
     # mergeSchema: ADDITIVE schema evolution — an append_version that
     # introduced new columns unions by name with older files (absent
     # columns read as NULL), the Delta/Iceberg add-column semantics.
-    # Renames/drops/retypes are rewrites, not evolution, here as there.
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[_join(table_path, f) for f in files]
-    )
+    # RENAMEs are metadata-only commits resolved per-file by the rename
+    # chain (_logical_read / rename_column); drops/retypes are rewrites.
+    return _logical_read(spark, table_path, files, version)
 def prune_files_by_stats(
     table_path: str, version: int, column: str, values
 ) -> tuple[list[str], list[str]]:
@@ -1374,12 +1504,22 @@ def prune_files_by_stats(
     — the generic data-skipping read primitive (same rule merge_upsert
     uses for its probe): a file is SKIPPED only when its recorded range
     provably contains none of ``values``; files without stats stay
-    candidates. Pure metadata — no file is opened."""
+    candidates. ``column`` is the LOGICAL name at ``version`` — footer
+    stats are recorded under each file's physical names, so the probe
+    maps through the rename chain per file (pre-rename files keep
+    pruning under the new name). Pure metadata — no file is opened."""
     vals = sorted(values)
     stats = file_stats(table_path, version)
+    renames = _renames_upto(table_path, version)
+    first_add = _first_add_versions(table_path, version) if renames else {}
     candidates, skipped = [], []
     for f in live_files(table_path, version):
-        rng = stats.get(f, {}).get(column)
+        phys = (
+            _physical_name(column, first_add.get(f, version), renames)
+            if renames
+            else column
+        )
+        rng = stats.get(f, {}).get(phys)
         if rng is None or any(rng[0] <= v <= rng[1] for v in vals):
             candidates.append(f)
         else:
@@ -1407,10 +1547,8 @@ def read_version_pruned(
             read_version(spark, table_path, version)
             .filter(F.lit(False))
         )
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[_join(table_path, f) for f in candidates])
-        .filter(F.col(column).isin(list(values)))
+    return _logical_read(spark, table_path, candidates, version).filter(
+        F.col(column).isin(list(values))
     )
 
 
@@ -1475,9 +1613,12 @@ def read_changes(
     def _rd(files: list[str]) -> DataFrame | None:
         if not files:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[_join(table_path, f) for f in files]
-        )
+        # logical names AS OF the consumed commit: a change feed row uses
+        # the column names the table had when the change committed (a
+        # remove-side file written pre-rename still surfaces the commit's
+        # names). A rename commit itself adds/removes nothing -> (None,
+        # None), semantically a no-op for row-level consumers.
+        return _logical_read(spark, table_path, files, version)
 
     if m.get("dv") and not (m.get("add") or m.get("remove")):
         from pyspark.sql import functions as F
@@ -2087,6 +2228,114 @@ def _register_time_travel_as_of() -> None:
 _register_time_travel_as_of()
 
 
+def rename_column(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    old: str,
+    new: str,
+    commit_ts: str | None = None,
+) -> dict:
+    """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit (the
+    Iceberg name-mapping / Delta column-mapping primitive): publish a
+    manifest with an empty add/remove list and a ``rename`` entry — zero
+    data files are read, written, or copied, so renaming a column on a
+    100 TB table costs one manifest write. Reads apply the chain
+    per-file (``_logical_read``): files written before the rename
+    resolve their old physical name to the new logical name; files
+    written after carry the new name natively; time travel to versions
+    BEFORE this commit still presents the old name. RESTORE restores
+    the live file set only — the rename chain is append-only table
+    metadata and stays at its latest state (document parity: Delta's
+    RESTORE also keeps the current table schema when column mapping is
+    enabled).
+
+    Refused (loudly, with the sanctioned path named) when it would
+    corrupt a structure keyed on the old PHYSICAL name:
+    - active merge-on-read deletion vectors (their key column binding
+      predates the rename) -> ``purge_deletes`` first;
+    - a live bloom index on the renamed column (bitmap entries bind the
+      indexed column's name at build time) -> ``compact_files`` first
+      (the rebuild re-keys the index), or re-index after the rename.
+
+    Returns {"version", "renamed", "data_files_written": 0}."""
+    versions = _check_commit_order(table_path, version)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    if not old or not new:
+        raise ValueError("rename_column: old and new must be non-empty")
+    if old == new:
+        raise ValueError(f"rename_column: old == new ({old!r})")
+    cols = read_version(spark, table_path).columns
+    if old not in cols:
+        raise ValueError(
+            f"rename_column: no column {old!r} at {table_path} "
+            f"(columns: {cols})"
+        )
+    # Spark resolves column names case-insensitively by default, so a
+    # rename differing only in case from an EXISTING column would make
+    # every read ambiguous
+    if any(c.lower() == new.lower() for c in cols if c != old):
+        raise ValueError(
+            f"rename_column: column {new!r} already exists at {table_path} "
+            f"(case-insensitive; columns: {cols})"
+        )
+    latest = versions[-1]
+    _check_no_active_dvs(table_path, versions, "rename_column")
+    renames = _renames_upto(table_path, latest)
+    live = set(live_files(table_path, latest))
+    for v in versions:
+        bi = _read_manifest(table_path, v).get("bloom_index")
+        if not bi:
+            continue
+        indexed_live = live & set(bi["files"])
+        if not indexed_live:
+            continue
+        # the entry binds the column name AS OF its commit; map it
+        # through renames committed after to compare against today's
+        logical_col = bi["col"]
+        for rv, frm, to in renames:
+            if rv > v and logical_col == frm:
+                logical_col = to
+        if logical_col == old:
+            raise ValueError(
+                f"rename_column: column {old!r} at {table_path} has a "
+                f"live bloom index (commit {v}); compact_files first "
+                f"(rebuilds the index under the new name) or re-index "
+                f"after the rename"
+            )
+    _commit(
+        table_path,
+        version,
+        add=[],
+        remove=[],
+        commit_ts=commit_ts,
+        extra={"rename": {"from": old, "to": new}},
+    )
+    return {
+        "version": version,
+        "renamed": {"from": old, "to": new},
+        "data_files_written": 0,
+    }
+
+
+def rename_history(
+    table_path: str, version: int | None = None
+) -> list[dict]:
+    """The committed rename chain at ``version`` (default latest):
+    ``[{"version", "from", "to"}]`` ascending — the DESCRIBE-style
+    inspection surface for the column mapping."""
+    versions = list_versions(table_path)
+    if not versions:
+        return []
+    if version is None:
+        version = max(versions)
+    return [
+        {"version": rv, "from": frm, "to": to}
+        for rv, frm, to in _renames_upto(table_path, version)
+    ]
+
+
 def restore_version(
     table_path: str,
     restore_to: int,
@@ -2369,13 +2618,32 @@ def _clone_preflight(
     clone's flat v0 manifest cannot carry them — the sequencing rule
     keys off per-file add versions, which flattening destroys, so the
     clone would silently resurrect every MoR-deleted row; purge first),
-    and require an empty target. Returns (versions, version, files)."""
+    refuse a rename chain (the clone's flat v0 has no rename manifests,
+    so the physically mixed column names would surface raw; compact
+    first — it re-keys every file to the logical schema), and require
+    an empty target. Returns (versions, version, files)."""
     versions = list_versions(source_path)
     if not versions:
         raise ValueError(f"no committed versions at {source_path}")
     if version is None:
         version = max(versions)
     files = live_files(source_path, version)
+    renames = _renames_upto(source_path, version)
+    if renames:
+        # refuse only when some live file actually NEEDS the chain (was
+        # first-added before a rename); after a compaction every live
+        # file is physically keyed to the logical schema and the flat
+        # clone is faithful
+        first_add = _first_add_versions(source_path, version)
+        if any(
+            rv > first_add.get(f, version) for f in files for rv, _o, _n in renames
+        ):
+            raise ValueError(
+                f"version {version} at {source_path} has live files "
+                f"written under pre-rename physical column names; a flat "
+                f"clone would surface them raw — run compact_files first "
+                f"(re-keys every file to the logical schema), then clone"
+            )
     _check_not_vacuumed(source_path, version, files, versions)
     dv_versions = [
         v
@@ -2730,16 +2998,23 @@ def _register_time_travel_schema_evolution() -> None:
                CAST(3 AS BIGINT) AS v1_n_cols
         FROM sim GROUP BY 1 ORDER BY 1
         """,
-        doc="ADDITIVE schema evolution through the versioned commit log "
-        "(the Delta/Iceberg add-column semantics read_version implements "
-        "via mergeSchema): v0 commits two columns, v1 APPENDS rows "
-        "carrying a third (o_orderpriority) without rewriting any v0 "
-        "file; reading v1 unions by name — pre-evolution rows surface "
+        doc="Schema evolution through the versioned commit log. ADDITIVE "
+        "leg (the Delta/Iceberg add-column semantics read_version "
+        "implements via mergeSchema): v0 commits two columns, v1 APPENDS "
+        "rows carrying a third (o_orderpriority) without rewriting any "
+        "v0 file; reading unions by name — pre-evolution rows surface "
         "NULL for the new column (grouped here as '<pre-evolution>') — "
         "while time travel to v0 still presents exactly the original "
         "2-column schema (v0_n_cols/v1_n_cols are measured from the "
-        "actual read schemas and pinned by the oracle). Renames/drops/"
-        "retypes are rewrites, not evolution, here as in Delta.",
+        "actual read schemas and pinned by the oracle). RENAME leg (the "
+        "Iceberg name-mapping / Delta column-mapping semantics "
+        "rename_column implements): v2 renames o_totalprice -> "
+        "total_price and v3 renames it back — both METADATA-ONLY "
+        "commits (zero data files; asserted in tests/test_versioned.py) "
+        "— and the whole aggregate is computed from the read AT v2, "
+        "whose total_price column is resolved per-file across both "
+        "physical vintages, so the value hash crossing the rename must "
+        "equal the never-renamed oracle. Drops/retypes remain rewrites.",
     )
     def time_travel_schema_evolution(
         spark: SparkSession, sf_dir: str
@@ -2759,18 +3034,23 @@ def _register_time_travel_schema_evolution() -> None:
             tbl,
             1,
         )
+        # metadata-only rename round-trip: v2 renames, v3 renames back
+        rename_column(spark, tbl, 2, "o_totalprice", "total_price")
+        rename_column(spark, tbl, 3, "total_price", "o_totalprice")
         v0_n_cols = len(read_version(spark, tbl, 0).columns)
-        cur = read_version(spark, tbl, 1)
-        v1_n_cols = len(cur.columns)
+        v1_n_cols = len(read_version(spark, tbl).columns)  # latest == v1's
+        # read AT the renamed version: files from BOTH physical vintages
+        # resolve to the logical name total_price
+        mid = read_version(spark, tbl, 2)
         return (
-            cur.groupBy(
+            mid.groupBy(
                 F.coalesce(
                     F.col("o_orderpriority"), F.lit("<pre-evolution>")
                 ).alias("prio")
             )
             .agg(
                 F.count("*").alias("n_rows"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                F.sum(F.col("total_price").cast("decimal(18,4)"))
                 .cast("double")
                 .alias("total"),
                 F.lit(v0_n_cols).cast("bigint").alias("v0_n_cols"),

@@ -943,3 +943,24 @@ def test_cli_snapshot_deep_clone(spark, sf_dir, tmp_path, capsys):
     assert main(["snapshot", "read", "--path", clone, "--version", "0",
                  "--limit", "3"]) == 0
     assert "r_regionkey" in capsys.readouterr().out
+
+
+def test_cli_snapshot_rename(spark, sf_dir, tmp_path, capsys):
+    table = str(tmp_path / "t")
+    assert main(["snapshot", "commit", "--path", table, "--version", "0",
+                 "--sf-dir", sf_dir, "--table", "region"]) == 0
+    capsys.readouterr()
+    # usage errors: missing --version, missing --from/--to
+    assert main(["snapshot", "rename", "--path", table,
+                 "--from", "r_name", "--to", "region_name"]) == 1
+    assert "requires --version" in capsys.readouterr().out
+    assert main(["snapshot", "rename", "--path", table, "--version", "1",
+                 "--from", "r_name"]) == 1
+    assert "requires --from" in capsys.readouterr().out
+    # metadata-only rename, then read presents the new name
+    assert main(["snapshot", "rename", "--path", table, "--version", "1",
+                 "--from", "r_name", "--to", "region_name"]) == 0
+    assert "metadata-only" in capsys.readouterr().out
+    assert main(["snapshot", "read", "--path", table, "--limit", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "region_name" in out and "r_name='" not in out

@@ -416,10 +416,13 @@ def test_commit_algebra_randomized_against_model(
     spark, tmp_path, backend, request
 ):
     """Model-based check of the whole commit algebra: a random sequence of
-    append / delete / merge / compact / checkpoint commits must keep EVERY
-    version's readable content equal to a plain-Python dict model replayed
-    to that version — file sharing, stats skipping, checkpoints and
-    compaction are invisible to readers. Parameterized over ALL THREE
+    append / delete / merge / compact / checkpoint / RENAME commits must
+    keep EVERY version's readable content equal to a plain-Python dict
+    model replayed to that version — file sharing, stats skipping,
+    checkpoints, compaction and the per-file rename chain are invisible
+    to readers (the value column cycles names, so appends land files
+    under different physical names and reads must resolve each vintage
+    to that version's logical name). Parameterized over ALL THREE
     filesystem shims: plain paths drive _LocalFS (os.* put-if-absent via
     hard link); file:// URIs drive _HadoopFS (the Hadoop FileSystem via
     spark._jvm — the same code path hdfs:// takes on a cluster); "s3"
@@ -436,6 +439,7 @@ def test_commit_algebra_randomized_against_model(
         compact_files,
         delete_where,
         merge_upsert,
+        rename_column,
         write_version,
     )
 
@@ -444,17 +448,23 @@ def test_commit_algebra_randomized_against_model(
     if backend == "hadoop":
         path = "file://" + path
 
+    colnames = ["val", "score", "weight"]
+    colname = colnames[0]
+
     def df_of(d):
         return spark.createDataFrame(
-            [(k, v) for k, v in sorted(d.items())], "k BIGINT, val DOUBLE"
+            [(k, v) for k, v in sorted(d.items())],
+            f"k BIGINT, {colname} DOUBLE",
         ).coalesce(1)
 
     model = {k: float(k * 10) for k in range(5)}
     write_version(df_of(model), path, 0)
-    snapshots = {0: dict(model)}
+    snapshots = {0: (colname, dict(model))}
     next_key = 100
-    for v in range(1, 13):
-        op = rng.choice(["append", "delete", "merge", "compact", "checkpoint"])
+    for v in range(1, 15):
+        op = rng.choice(
+            ["append", "delete", "merge", "compact", "checkpoint", "rename"]
+        )
         if op == "checkpoint":
             checkpoint_manifest(path)
             op = "compact" if rng.random() < 0.5 else "append"  # still commit v
@@ -477,12 +487,19 @@ def test_commit_algebra_randomized_against_model(
             next_key += 1
             merge_upsert(spark, path, v, df_of(upd), "k")
             model.update(upd)
+        elif op == "rename":
+            nxt = colnames[(colnames.index(colname) + 1) % len(colnames)]
+            out = rename_column(spark, path, v, colname, nxt)
+            assert out["data_files_written"] == 0
+            colname = nxt
         else:  # compact
             compact_files(spark, path, v, target_files=1)
-        snapshots[v] = dict(model)
+        snapshots[v] = (colname, dict(model))
 
-    for v, want in snapshots.items():
-        got = {r["k"]: r["val"] for r in read_version(spark, path, v).collect()}
+    for v, (name, want) in snapshots.items():
+        df = read_version(spark, path, v)
+        assert set(df.columns) == {"k", name}, f"version {v}"
+        got = {r["k"]: r[name] for r in df.collect()}
         assert got == want, f"version {v}"
 
 
@@ -1823,3 +1840,304 @@ def test_s3_client_construction_failure_warns_once(monkeypatch):
     finally:
         versioned.set_s3_client_factory(None)
         versioned._S3_CLIENT_CACHE = None
+
+
+# ---------------------------------------------------------------------------
+# RENAME COLUMN as metadata-only commits (column mapping)
+# ---------------------------------------------------------------------------
+def _data_file_count(path: str) -> int:
+    import glob as _glob
+    import os as _os
+
+    return sum(
+        1
+        for p in _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                            recursive=True)
+    )
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """RENAME COLUMN commits write ZERO data files (the round-8 verdict's
+    'done' criterion): the manifest has empty add/remove lists plus the
+    rename entry; reads before/after the rename present the right name
+    for the same rows."""
+    from dodo_spark.sources.versioned import (
+        _read_manifest,
+        read_version,
+        rename_column,
+        rename_history,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k BIGINT, val DOUBLE"
+        ),
+        tbl,
+        0,
+    )
+    before = _data_file_count(tbl)
+    out = rename_column(spark, tbl, 1, "val", "amount")
+    assert out == {
+        "version": 1,
+        "renamed": {"from": "val", "to": "amount"},
+        "data_files_written": 0,
+    }
+    assert _data_file_count(tbl) == before  # zero data files written
+    m = _read_manifest(tbl, 1)
+    assert m["add"] == [] and m["remove"] == []
+    assert m["rename"] == {"from": "val", "to": "amount"}
+
+    cur = read_version(spark, tbl)
+    assert cur.columns == ["k", "amount"]
+    assert cur.agg({"amount": "sum"}).first()[0] == float(sum(range(20)))
+    # time travel to the pre-rename version keeps the old name
+    assert read_version(spark, tbl, 0).columns == ["k", "val"]
+    assert rename_history(tbl) == [
+        {"version": 1, "from": "val", "to": "amount"}
+    ]
+
+
+def test_rename_chain_across_vintages_and_restore(spark, tmp_path):
+    """Files written under three different physical names for the same
+    logical column all resolve through the chain; a RESTORE's re-add
+    keeps the ORIGINAL physical schema (first-add rule), and the rename
+    chain — append-only table metadata — stays at its latest state."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        read_version,
+        rename_column,
+        restore_version,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 10.0)], "k BIGINT, a DOUBLE"), tbl, 0
+    )
+    rename_column(spark, tbl, 1, "a", "b")
+    append_version(
+        spark.createDataFrame([(2, 20.0)], "k BIGINT, b DOUBLE"), tbl, 2
+    )
+    rename_column(spark, tbl, 3, "b", "c")
+    append_version(
+        spark.createDataFrame([(3, 30.0)], "k BIGINT, c DOUBLE"), tbl, 4
+    )
+
+    cur = read_version(spark, tbl)
+    assert cur.columns == ["k", "c"]
+    assert {(r["k"], r["c"]) for r in cur.collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+    # intermediate logical schemas
+    assert read_version(spark, tbl, 0).columns == ["k", "a"]
+    assert set(read_version(spark, tbl, 2).columns) == {"k", "b"}
+    # restore to v0's file list: the re-added file still resolves a->b->c
+    restore_version(tbl, 0, 5)
+    restored = read_version(spark, tbl, 5)
+    assert restored.columns == ["k", "c"]
+    assert {(r["k"], r["c"]) for r in restored.collect()} == {(1, 10.0)}
+
+
+def test_rename_validation(spark, tmp_path):
+    from dodo_spark.sources.bloom_index import write_version_bloom_indexed
+    from dodo_spark.sources.mor import delete_where_mor
+    from dodo_spark.sources.versioned import (
+        rename_column,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"), tbl, 0
+    )
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(spark, tbl, 1, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, tbl, 1, "val", "K")  # case-insensitive clash
+    with pytest.raises(ValueError, match="old == new"):
+        rename_column(spark, tbl, 1, "val", "val")
+
+    # active merge-on-read DV: the DV's key binding predates the rename
+    mor = str(tmp_path / "mor")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k BIGINT, val DOUBLE"
+        ),
+        mor,
+        0,
+    )
+    delete_where_mor(spark, mor, 1, "k = 3", "k")
+    with pytest.raises(ValueError, match="purge_deletes first"):
+        rename_column(spark, mor, 2, "val", "amount")
+
+    # live bloom index on the renamed column
+    bl = str(tmp_path / "bl")
+    write_version_bloom_indexed(
+        spark.createDataFrame(
+            [(i, i % 5, 0.0) for i in range(50)],
+            "rid BIGINT, k BIGINT, val DOUBLE",
+        ),
+        bl,
+        0,
+        "k",
+        n_files=2,
+    )
+    with pytest.raises(ValueError, match="live bloom index"):
+        rename_column(spark, bl, 1, "k", "key")
+    # renaming a NON-indexed column on an indexed table is fine, and the
+    # point lookup presents the new logical name
+    rename_column(spark, bl, 1, "val", "amount")
+    from dodo_spark.sources.bloom_index import read_point_lookup
+
+    rows, _stats = read_point_lookup(spark, bl, 2)
+    assert "amount" in rows.columns and "val" not in rows.columns
+    assert rows.count() == 10
+
+
+def test_rewrites_across_renames(spark, tmp_path):
+    """delete_where / merge_upsert / compact_files bind predicates and
+    keys to LOGICAL names: rows in files written under the old physical
+    name are still hit, and rewritten files are re-keyed to the current
+    schema. Footer-stats skipping maps the logical probe to each file's
+    physical name, so pre-rename files keep pruning."""
+    from dodo_spark.sources.versioned import (
+        compact_files,
+        delete_where,
+        merge_upsert,
+        prune_files_by_stats,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "id BIGINT, val DOUBLE"
+        ).repartition(4, "id"),
+        tbl,
+        0,
+    )
+    rename_column(spark, tbl, 1, "id", "doc_id")
+
+    # stats pruning on the NEW name reaches the OLD physical stats
+    cands, skipped = prune_files_by_stats(tbl, 1, "doc_id", [0])
+    assert skipped, "pre-rename footer stats must still prune"
+
+    # delete on the new name hits rows in pre-rename files
+    out = delete_where(spark, tbl, 2, "doc_id < 10")
+    assert out["rows_deleted"] == 10
+    assert read_version(spark, tbl, 2).count() == 90
+
+    # upsert keyed on the new name
+    ups = spark.createDataFrame(
+        [(50, -1.0), (999, -2.0)], "doc_id BIGINT, val DOUBLE"
+    )
+    st = merge_upsert(spark, tbl, 3, ups, "doc_id")
+    assert st["rows_updated"] == 1 and st["rows_inserted"] == 1
+    cur = read_version(spark, tbl, 3)
+    assert cur.columns == ["doc_id", "val"]
+    assert cur.filter("doc_id = 50").first()["val"] == -1.0
+
+    # compaction re-keys every file physically to the logical schema
+    compact_files(spark, tbl, 4, target_files=1)
+    import pyarrow.parquet as pq
+    import glob as _glob
+    import os as _os
+
+    from dodo_spark.sources.versioned import live_files
+
+    (only_file,) = live_files(tbl, 4)
+    phys = pq.ParquetFile(_os.path.join(tbl, only_file)).schema_arrow.names
+    assert "doc_id" in phys and "id" not in phys
+    assert read_version(spark, tbl, 4).count() == 91
+
+
+def test_read_changes_and_checkpoint_across_renames(spark, tmp_path):
+    """A rename commit's change feed is (None, None); a post-rename
+    delete's remove side presents logical names; fold-the-feed still
+    balances; checkpoints carry the rename chain so reads after a
+    checkpoint replay only the newer manifests."""
+    from dodo_spark.sources.versioned import (
+        checkpoint_manifest,
+        delete_where,
+        read_changes,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "k BIGINT, v DOUBLE"
+        ),
+        tbl,
+        0,
+    )
+    rename_column(spark, tbl, 1, "v", "score")
+    assert read_changes(spark, tbl, 1) == (None, None)
+
+    delete_where(spark, tbl, 2, "score >= 20.0")
+    added, removed = read_changes(spark, tbl, 2)
+    assert "score" in removed.columns  # logical name on the remove side
+    # fold the feed: v0 adds 30, v2 nets -(10)
+    net = 30 + (added.count() if added is not None else 0) - removed.count()
+    assert net == read_version(spark, tbl, 2).count() == 20
+
+    checkpoint_manifest(tbl, 2)
+    rename_column(spark, tbl, 3, "score", "quality")
+    cur = read_version(spark, tbl, 3)
+    assert cur.columns == ["k", "quality"]
+    assert cur.count() == 20
+
+
+def test_clone_refuses_rename_chain(spark, tmp_path):
+    from dodo_spark.sources.versioned import (
+        compact_files,
+        deep_clone,
+        read_version,
+        rename_column,
+        shallow_clone,
+        write_version,
+    )
+
+    src = str(tmp_path / "src")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"), src, 0
+    )
+    rename_column(spark, src, 1, "val", "amount")
+    with pytest.raises(ValueError, match="compact_files first"):
+        deep_clone(src, str(tmp_path / "d1"))
+    with pytest.raises(ValueError, match="compact_files first"):
+        shallow_clone(src, str(tmp_path / "d2"))
+    # the sanctioned path: compact re-keys, then the clone works
+    compact_files(spark, src, 2, target_files=1)
+    deep_clone(src, str(tmp_path / "d3"))
+    assert read_version(spark, str(tmp_path / "d3")).columns == [
+        "k",
+        "amount",
+    ]
+
+
+def test_rename_through_s3_shim(spark, tmp_path, s3_shim):
+    """The rename commit is one conditional PUT; reads across it through
+    the _S3FS backend resolve the chain identically."""
+    from dodo_spark.sources.versioned import (
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k BIGINT, val DOUBLE"),
+        tbl,
+        0,
+    )
+    rename_column(spark, tbl, 1, "val", "amount")
+    cur = read_version(spark, tbl)
+    assert cur.columns == ["k", "amount"]
+    assert {r["amount"] for r in cur.collect()} == {1.0, 2.0}
