@@ -8,6 +8,15 @@ wall-clock runs — plan + execution + driver-side collect of the
 already-small result — so a one-off GC/compilation hiccup doesn't read as
 a regression at ~1 s granularity. A warmup query runs first so
 JVM/codegen startup isn't billed to the first key.
+
+CONTENTION DE-NOISING (round-8 verdict ask: the driver's shared box cost
+~19% vs the solo sidecar and manufactured phantom regressions): after the
+main pass, any key slower than CONTENTION_RATIO x its time in the newest
+committed BENCH_LOCAL_r*.json sidecar (same sf only) is RE-RUN once and
+the better median wins; keys still over the ratio are flagged in the
+payload's "contended" map with both numbers, and 1-min loadavg is
+recorded at start/end — so a contended run carries its own evidence
+instead of reading as a code regression.
 """
 
 from __future__ import annotations
@@ -181,11 +190,49 @@ HEADLINE = [
 ]
 
 
+CONTENTION_RATIO = 1.3
+
+
+def _reference_timings(sf: float) -> dict[str, float]:
+    """Per-key times from the NEWEST committed solo sidecar
+    (BENCH_LOCAL_r*.json) at the SAME scale factor, used as the
+    contention yardstick. Missing/mismatched sidecars -> {} (no
+    de-noising, plain measurement)."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for p in glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if data.get("sf") != sf:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, data)
+    if best is None:
+        return {}
+    return {k: float(v) for k, v in (best[1].get("queries") or {}).items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    def loadavg_1m() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    loadavg_start = loadavg_1m()
     spark = get_spark("dodo_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     all_queries = registry.queries()
@@ -194,11 +241,9 @@ def main() -> None:
     all_queries["agg_group"](spark, sf_dir).collect()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = all_queries.get(name)
-        if fn is None:
-            continue
+
+    def measure(name) -> float:
+        fn = all_queries[name]
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -206,7 +251,31 @@ def main() -> None:
             rows = df.collect()
             samples.append(time.perf_counter() - t0)
             del rows
-        timings[name] = round(statistics.median(samples), 4)
+        return round(statistics.median(samples), 4)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in all_queries:
+            timings[name] = measure(name)
+
+    # contention pass: keys slower than CONTENTION_RATIO x the committed
+    # solo sidecar re-run once (better median wins); still-slow keys are
+    # FLAGGED with both numbers so a noisy shared box reads as noise,
+    # not as a code regression
+    ref = _reference_timings(sf)
+    contended: dict[str, dict] = {}
+    for name, t in sorted(timings.items()):
+        r = ref.get(name)
+        if r is None or r <= 0 or t <= CONTENTION_RATIO * r:
+            continue
+        rerun = measure(name)
+        timings[name] = min(t, rerun)
+        if timings[name] > CONTENTION_RATIO * r:
+            contended[name] = {
+                "solo_sidecar": r,
+                "first_pass": t,
+                "rerun": rerun,
+            }
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -220,6 +289,9 @@ def main() -> None:
         "queries": dict(sorted(timings.items())),
         "sf": sf,
         "runs_per_query": runs,
+        "loadavg_1m": {"start": loadavg_start, "end": loadavg_1m()},
+        "contention_ratio": CONTENTION_RATIO,
+        "contended": contended,
     }
     print(json.dumps(payload))
     # full, never-truncated sidecar for cross-round regression tracking;

@@ -1,0 +1,54 @@
+"""bench.py's contention de-noising (round-8 verdict ask #5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def test_reference_timings_picks_newest_same_sf_sidecar(tmp_path, monkeypatch):
+    import bench
+
+    def sidecar(rnd, sf, queries):
+        with open(tmp_path / f"BENCH_LOCAL_r{rnd}.json", "w") as f:
+            json.dump({"sf": sf, "queries": queries}, f)
+
+    sidecar(3, 0.1, {"agg_group": 1.0})
+    sidecar(5, 0.1, {"agg_group": 2.0, "join_inner": 0.5})
+    sidecar(7, 0.01, {"agg_group": 9.0})  # wrong sf: never the yardstick
+    with open(tmp_path / "BENCH_LOCAL_rX.json", "w") as f:
+        f.write("not json")  # malformed names/content are skipped
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._reference_timings(0.1) == {
+        "agg_group": 2.0,
+        "join_inner": 0.5,
+    }
+    assert bench._reference_timings(0.01) == {"agg_group": 9.0}
+    assert bench._reference_timings(1.0) == {}  # no sidecar at that sf
+
+
+def test_contention_flagging_logic():
+    """The re-run/flag arithmetic bench.main applies: a key over
+    ratio x sidecar re-runs and keeps the better median; only keys
+    STILL over the ratio are flagged with both numbers."""
+    import bench
+
+    ref = {"a": 1.0, "b": 1.0, "c": 1.0}
+    timings = {"a": 1.1, "b": 2.0, "c": 2.0, "d": 5.0}  # d: no yardstick
+    reruns = {"b": 0.9, "c": 1.9}  # b recovers solo-speed, c stays slow
+    contended = {}
+    for name, t in sorted(timings.items()):
+        r = ref.get(name)
+        if r is None or r <= 0 or t <= bench.CONTENTION_RATIO * r:
+            continue
+        rerun = reruns[name]
+        timings[name] = min(t, rerun)
+        if timings[name] > bench.CONTENTION_RATIO * r:
+            contended[name] = {
+                "solo_sidecar": r, "first_pass": t, "rerun": rerun,
+            }
+    assert timings == {"a": 1.1, "b": 0.9, "c": 1.9, "d": 5.0}
+    assert contended == {
+        "c": {"solo_sidecar": 1.0, "first_pass": 2.0, "rerun": 1.9}
+    }
