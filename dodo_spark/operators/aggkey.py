@@ -122,12 +122,17 @@ def agg_key_merge(spark, sf_dir):
 
     table = parse_create_table(_AGG_DDL)
     li = load_table(spark, sf_dir, "lineitem")
+    # bround (half-even) matches the oracle's CAST(l_quantity AS BIGINT)
+    # — DuckDB's double->int cast rounds half-even while Spark's
+    # truncates, which diverges on fractional quantities (latent on
+    # integral testdata; caught by the sf1 generated corpus)
+    qty = F.bround(F.col("l_quantity")).cast("bigint")
     load = li.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("l_quantity").cast("bigint").alias("qty_sum"),
-        F.col("l_quantity").cast("bigint").alias("qty_max"),
-        F.col("l_quantity").cast("bigint").alias("qty_min"),
+        qty.alias("qty_sum"),
+        qty.alias("qty_max"),
+        qty.alias("qty_min"),
         F.col("l_orderkey").alias("latest_order"),
         F.array(F.col("l_orderkey") % 1000).alias("order_set"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("__seq"),

@@ -409,29 +409,39 @@ def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "analytics_small_quantity",
     oracle="""
-    WITH avg_qty AS (
-      SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg
+    WITH qty AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_sum,
+             CAST(COUNT(*) AS BIGINT) AS n
       FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS small_lines,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
-    FROM lineitem l JOIN avg_qty a ON a.l_partkey = l.l_partkey
-    WHERE l.l_quantity < a.half_avg
+    FROM lineitem l JOIN qty a ON a.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 2 * a.n < a.qty_sum
     """,
     doc="TPC-H Q17 shape: lineitems below half the part's average quantity. "
     "The per-part average is a fact-side pre-aggregation joined back on "
     "the same key — with bucketing both the aggregation and the join are "
-    "shuffle-free. AVG over small integer-valued doubles is exact in both "
-    "engines.",
+    "shuffle-free. The threshold predicate is EXACT on both engines: "
+    "qty < avg/2 is algebraically rewritten to qty*2*n < sum with the "
+    "sum accumulated in decimal, because a double AVG's accumulation "
+    "order differs between engines and flips boundary rows (caught by "
+    "the sf1 generated-corpus sweep: one row in 6M sat exactly on the "
+    "ulp-divergent threshold).",
 )
 def analytics_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
-        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_sum"),
+        F.count("*").alias("n"),
     )
     return (
-        li.join(avg_qty, avg_qty.ap == li.l_partkey)
-        .filter(F.col("l_quantity") < F.col("half_avg"))
+        li.join(qty, qty.ap == li.l_partkey)
+        .filter(
+            F.col("l_quantity").cast("decimal(18,4)") * 2 * F.col("n")
+            < F.col("qty_sum")
+        )
         .agg(
             F.count("*").alias("small_lines"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias(

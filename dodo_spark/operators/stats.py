@@ -234,7 +234,10 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("bigint")
+    # bround (half-even) matches DuckDB's double->BIGINT cast; a plain
+    # Spark cast TRUNCATES, which diverges on fractional quantities
+    # (latent on integral testdata; caught by the sf1 generated corpus)
+    q = F.bround(F.col("l_quantity")).cast("bigint")
     p = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     d = F.round(F.col("l_discount") * 100).cast("bigint")
     scaled = li.select(F.col("l_returnflag"), q.alias("q"), p.alias("p"), d.alias("d"))

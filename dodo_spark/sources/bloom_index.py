@@ -43,6 +43,7 @@ from dodo_spark.sources.versioned import (
     _join,
     _logical_read,
     _read_manifest,
+    _renames_upto,
     _write_data_files,
     list_versions,
 )
@@ -263,6 +264,21 @@ def read_point_lookup(
         raise ValueError(
             f"version {version} at {table_path} has no live files"
         )
+    # every entry binds its column name AS OF its manifest's commit; a
+    # later rename_column moved the column, so map each recorded name
+    # through the renames committed AFTER that manifest — exactly the
+    # rule _logical_read applies to the data files (bitmaps hash
+    # rendered VALUES, so they survive the rename unchanged). Without
+    # the mapping, probing a renamed-then-reused name could silently
+    # bind the filter to the WRONG column.
+    renames = _renames_upto(table_path, version)
+
+    def logical_of(name: str, at_version: int) -> str:
+        for rv, frm, to in renames:
+            if rv > at_version and name == frm:
+                name = to
+        return name
+
     # index entries live in the manifest of each file's ADDING commit
     idx: dict[str, tuple[dict, str, int, int]] = {}
     col = None
@@ -273,33 +289,45 @@ def read_point_lookup(
         bi = m.get("bloom_index")
         if not bi:
             continue
-        col = bi["col"]
+        col = logical_of(bi["col"], v)
         for rel, b64 in bi["files"].items():
-            idx[rel] = (b64, bi["col"], bi["m_bits"], bi["k"])
+            idx[rel] = (b64, logical_of(bi["col"], v), bi["m_bits"], bi["k"])
     if col is None:
         raise ValueError(f"no bloom index in any manifest at {table_path}")
 
-    # the probe must render through the INDEX COLUMN's type (one footer
-    # read; merged-footer fallback after additive schema evolution)
-    schema = spark.read.parquet(_join(table_path, files[0])).schema
-    if col not in schema.names:
-        schema = spark.read.option("mergeSchema", "true").parquet(
-            *[_join(table_path, f) for f in files]
-        ).schema
+    # the probe must render through the INDEX COLUMN's type. Fast path
+    # (no renames, column present in the newest-schema file): one footer
+    # read. Otherwise fall back to the LOGICAL merged schema — also
+    # reused to build schema-faithful empty frames on the miss paths, so
+    # the all-file footer merge is planned at most once per lookup.
+    logical_schema = None
+
+    def merged_schema():
+        nonlocal logical_schema
+        if logical_schema is None:
+            logical_schema = _logical_read(
+                spark, table_path, files, version, renames
+            ).schema
+        return logical_schema
+
+    if not renames:
+        schema = spark.read.parquet(_join(table_path, files[0])).schema
+        if col not in schema.names:
+            schema = merged_schema()
+    else:
+        schema = merged_schema()
     rendered = _spark_string_render(spark, value, schema[col].dataType)
+
+    def empty_frame():
+        # schema-faithful empty result (a hit and a miss must expose the
+        # same merged logical schema): an empty LocalRelation, no scan
+        return spark.createDataFrame([], merged_schema())
+
     if rendered is None:
         # the value does not cast into the column's type: no stored value
         # can equal it (and under ANSI the exact filter would throw) —
-        # an empty result with zero files scanned is the true answer.
-        # Merge across ALL live files so the empty frame carries columns
-        # added by later commits (a hit and a miss must expose the same
-        # schema); Filter(false) folds to an empty LocalRelation, so no
-        # data is read.
-        empty = _logical_read(spark, table_path, files, version)
-        return (
-            empty.filter(F.lit(False)),
-            {"files_total": len(files), "files_scanned": 0},
-        )
+        # an empty result with zero files scanned is the true answer
+        return empty_frame(), {"files_total": len(files), "files_scanned": 0}
     scan_files = []
     for f in files:
         entry = idx.get(f)
@@ -323,18 +351,12 @@ def read_point_lookup(
             scan_files.append(f)
     stats = {"files_total": len(files), "files_scanned": len(scan_files)}
     if not scan_files:
-        # all files pruned: same all-live-files merge as the uncastable
-        # branch, so the miss schema matches the hit schema after
-        # additive evolution
-        empty = _logical_read(spark, table_path, files, version)
-        return empty.filter(F.lit(False)), stats
-    # _logical_read: non-indexed columns renamed after a file was written
-    # resolve to their logical names (the INDEX column itself can never
-    # have been renamed — rename_column refuses while its index is live,
-    # so its physical name equals its logical name in every file)
-    out = _logical_read(spark, table_path, scan_files, version).filter(
-        F.col(col) == F.lit(value)
-    )
+        return empty_frame(), stats
+    # _logical_read: every vintage's physical names (the index column's
+    # included) resolve to the logical schema, matching the mapped filter
+    out = _logical_read(
+        spark, table_path, scan_files, version, renames
+    ).filter(F.col(col) == F.lit(value))
     return out, stats
 
 

@@ -97,7 +97,16 @@ def apply_cdc_batch(
     )
 
     touched: list[str] = []
+    renames: list = []
+    first_add: dict = {}
     if versions:
+        from dodo_spark.sources.versioned import (
+            _first_add_versions,
+            _logical_read,
+            _physical_name,
+            _renames_upto,
+        )
+
         prev_live = live_files(table_path, versions[-1])
         paths = {f: _join(table_path, f) for f in prev_live}
         keys_df = F.broadcast(incoming.select(key).distinct())
@@ -105,19 +114,35 @@ def apply_cdc_batch(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).first()
         stats = file_stats(table_path, versions[-1])
+        # rename-aware like merge_upsert: the batch's key is the LOGICAL
+        # name — stats are recorded per file under its PHYSICAL name, and
+        # the probe/rewrite reads must resolve old vintages to the
+        # logical schema or the semi-join key would be unresolvable
+        renames = _renames_upto(table_path, versions[-1])
+        first_add = (
+            _first_add_versions(table_path, versions[-1]) if renames else {}
+        )
+
+        def _phys(f: str) -> str:
+            return (
+                _physical_name(key, first_add.get(f, versions[-1]), renames)
+                if renames
+                else key
+            )
+
         candidates = [
             f
             for f in prev_live
-            if key not in stats.get(f, {})
+            if _phys(f) not in stats.get(f, {})
             or bounds["lo"] is None
             or not (
-                stats[f][key][0] > bounds["hi"]
-                or stats[f][key][1] < bounds["lo"]
+                stats[f][_phys(f)][0] > bounds["hi"]
+                or stats[f][_phys(f)][1] < bounds["lo"]
             )
         ]
         if candidates:
-            probe = spark.read.option("mergeSchema", "true").parquet(
-                *[paths[f] for f in candidates]
+            probe = _logical_read(
+                spark, table_path, candidates, versions[-1], renames, first_add
             )
             from dodo_spark.sources.versioned import _canon_file_ref
 
@@ -133,8 +158,10 @@ def apply_cdc_batch(
             ]
 
     if touched:
-        existing = spark.read.option("mergeSchema", "true").parquet(
-            *[_join(table_path, f) for f in touched]
+        from dodo_spark.sources.versioned import _logical_read
+
+        existing = _logical_read(
+            spark, table_path, touched, versions[-1], renames, first_add
         )
         # latest-wins across stored state and batch; on an (impossible
         # with unique seqs, but defensive) tie the STORED row wins, so
@@ -233,13 +260,32 @@ def purge_tombstones(
     from dodo_spark.sources.versioned import _check_no_active_dvs
 
     _check_no_active_dvs(table_path, versions, "purge_tombstones")
+    from dodo_spark.sources.versioned import (
+        _first_add_versions,
+        _logical_read,
+        _physical_name,
+        _renames_upto,
+    )
+
     prev_live = live_files(table_path, versions[-1])
     stats = file_stats(table_path, versions[-1])
+    # rename-aware: 'deleted'/seq_col bind logical names; stats are
+    # recorded under each file's physical names
+    renames = _renames_upto(table_path, versions[-1])
+    first_add = _first_add_versions(table_path, versions[-1]) if renames else {}
+
+    def _phys_seq(f: str) -> str:
+        return (
+            _physical_name(seq_col, first_add.get(f, versions[-1]), renames)
+            if renames
+            else seq_col
+        )
+
     candidates = [
         f
         for f in prev_live
-        if seq_col not in stats.get(f, {})
-        or stats[f][seq_col][0] < seq_horizon
+        if _phys_seq(f) not in stats.get(f, {})
+        or stats[f][_phys_seq(f)][0] < seq_horizon
     ]
     touched: list[str] = []
     purged = 0
@@ -254,8 +300,9 @@ def purge_tombstones(
 
         paths = {f: _join(table_path, f) for f in candidates}
         hits = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*paths.values())
+            _logical_read(
+                spark, table_path, candidates, versions[-1], renames, first_add
+            )
             .filter(doomed)
             .groupBy(F.input_file_name().alias("f"))
             .agg(F.count("*").alias("n"))
@@ -267,11 +314,9 @@ def purge_tombstones(
     add: list[str] = []
     extra = None
     if touched:
-        survivors = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[_join(table_path, f) for f in touched])
-            .filter(~doomed)
-        )
+        survivors = _logical_read(
+            spark, table_path, touched, versions[-1], renames, first_add
+        ).filter(~doomed)
         add = _write_data_files(survivors, table_path, version)
         # a purge is a bulk rewrite: maintain any manifest bloom index
         # for the rewritten files like compact_files does

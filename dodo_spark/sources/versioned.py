@@ -634,6 +634,12 @@ def checkpoint_manifest(table_path: str, version: int | None = None) -> str:
                 "renames": [
                     list(r) for r in _renames_upto(table_path, version)
                 ],
+                # FIRST-add version per file ever added <= version (the
+                # rename chain keys off it). Append-only by definition —
+                # a re-add never changes a file's first add — so later
+                # checkpoints extend it and readers resume the scan after
+                # the checkpoint.
+                "first_add": _first_add_versions(table_path, version),
             }
         ),
     )
@@ -717,12 +723,20 @@ def _first_add_versions(
     off this, not the latest re-add (``_file_generations``): a RESTORE's
     re-add is pure metadata — the file's physical column names were
     fixed at its ORIGINAL write, so renames committed between the
-    original add and the re-add still apply to it."""
+    original add and the re-add still apply to it. Resumes from the
+    latest checkpoint's recorded map when one exists (first-add is
+    append-only, so a checkpointed prefix is final), keeping the
+    metadata cost O(commits since checkpoint)."""
     fs = fs or _fs_for(table_path)
     first: dict[str, int] = {}
+    after = -1
+    payload = _latest_checkpoint_payload(table_path, version)
+    if payload is not None and "first_add" in payload:
+        first = {f: int(v) for f, v in payload["first_add"].items()}
+        after = payload["version"]
     for v in list_versions(table_path):
-        if v > version:
-            break
+        if v <= after or v > version:
+            continue
         for f in _read_manifest(table_path, v, fs).get("add", []):
             first.setdefault(f, v)
     return first
@@ -742,29 +756,39 @@ def _physical_name(
 
 
 def _logical_read(
-    spark: SparkSession, table_path: str, files: list[str], version: int
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    version: int,
+    renames: list[tuple[int, str, str]] | None = None,
+    first_add: dict[str, int] | None = None,
 ) -> DataFrame:
     """Scan an explicit file list presenting the LOGICAL schema at
     ``version`` — the single choke point every multi-file read in this
-    module (and mor.py / bloom_index.py) goes through. Without renames
-    this is exactly the old mergeSchema scan (fast path: one checkpoint
-    probe, zero extra manifest reads on checkpointed tables). With
-    renames, files written under an older name are grouped by the rename
-    chain that applies to them (renames committed AFTER the file's first
-    add), each group is renamed to logical names, and the groups union
-    by name — the Iceberg name-mapping / Delta column-mapping semantics
-    without rewriting a byte. Total I/O = the file list once, same as
-    the plain scan; the per-group rename is a zero-cost projection."""
+    module (and mor.py / bloom_index.py / cdc_apply.py) goes through.
+    Without renames this is exactly the old mergeSchema scan (fast
+    path: one checkpoint probe, zero extra manifest reads on
+    checkpointed tables). With renames, files written under an older
+    name are grouped by the rename chain that applies to them (renames
+    committed AFTER the file's first add), each group is renamed to
+    logical names, and the groups union by name — the Iceberg
+    name-mapping / Delta column-mapping semantics without rewriting a
+    byte. Total I/O = the file list once, same as the plain scan; the
+    per-group rename is a zero-cost projection. Callers that already
+    computed the chain / first-add map for their own bookkeeping pass
+    them in so one operation pays the metadata scan once."""
 
     def scan(paths: list[str]) -> DataFrame:
         return spark.read.option("mergeSchema", "true").parquet(
             *[_join(table_path, f) for f in paths]
         )
 
-    renames = _renames_upto(table_path, version)
+    if renames is None:
+        renames = _renames_upto(table_path, version)
     if not renames:
         return scan(files)
-    first_add = _first_add_versions(table_path, version)
+    if first_add is None:
+        first_add = _first_add_versions(table_path, version)
     groups: dict[tuple, list[str]] = {}
     for f in files:
         addv = first_add.get(f, version)
@@ -1033,13 +1057,17 @@ def delete_where(
     _check_no_active_dvs(table_path, versions, "delete_where")
     prev_live = live_files(table_path, versions[-1])
     paths = {f: _join(table_path, f) for f in prev_live}
+    renames = _renames_upto(table_path, versions[-1])
+    first_add = _first_add_versions(table_path, versions[-1]) if renames else {}
     # one scan: per-file count of matching rows (bounded collect: one row
     # per live file). _logical_read: the predicate binds LOGICAL names,
     # so the delete reaches rows in files written under a pre-rename
     # physical name; input_file_name() survives the per-vintage union.
     counts: dict[str, int] = {}
     for r in (
-        _logical_read(spark, table_path, prev_live, versions[-1])
+        _logical_read(
+            spark, table_path, prev_live, versions[-1], renames, first_add
+        )
         .filter(predicate)
         .groupBy(F.input_file_name().alias("f"))
         .agg(F.count("*").alias("n"))
@@ -1053,7 +1081,7 @@ def delete_where(
         # the rewrite reads logical names, so the survivor files are
         # physically re-keyed to the current logical schema
         survivors = _logical_read(
-            spark, table_path, touched, versions[-1]
+            spark, table_path, touched, versions[-1], renames, first_add
         ).filter(f"NOT ({predicate})")
         add = _write_data_files(survivors, table_path, version)
     _commit(table_path, version, add=add, remove=touched, commit_ts=commit_ts)
@@ -1125,7 +1153,9 @@ def merge_upsert(
     ]
 
     probe_df = (
-        _logical_read(spark, table_path, candidates, versions[-1])
+        _logical_read(
+            spark, table_path, candidates, versions[-1], renames, first_add
+        )
         if candidates
         else None
     )
@@ -1152,7 +1182,7 @@ def merge_upsert(
 
     if touched:
         survivors = _logical_read(
-            spark, table_path, touched, versions[-1]
+            spark, table_path, touched, versions[-1], renames, first_add
         ).join(keys_df, key, "anti")
         new_rows = survivors.unionByName(updates, allowMissingColumns=True)
     else:
@@ -1254,7 +1284,14 @@ def _bloom_rebuild_extra(
     for v in reversed(versions):  # newest-first: only the LATEST index
         bi = _read_manifest(table_path, v).get("bloom_index")
         if bi:
-            bi_meta = {"col": bi["col"], "m_bits": bi["m_bits"], "k": bi["k"]}
+            # the entry binds the column name AS OF its commit; a rename
+            # since then moved the column — rebuild under the LOGICAL
+            # name (bitmaps hash values, so the rename costs nothing)
+            col = bi["col"]
+            for rv, frm, to in _renames_upto(table_path, max(versions)):
+                if rv > v and col == frm:
+                    col = to
+            bi_meta = {"col": col, "m_bits": bi["m_bits"], "k": bi["k"]}
             break
     if bi_meta is None or bi_meta["col"] not in columns or not add:
         return None
@@ -2250,13 +2287,13 @@ def rename_column(
     RESTORE also keeps the current table schema when column mapping is
     enabled).
 
-    Refused (loudly, with the sanctioned path named) when it would
-    corrupt a structure keyed on the old PHYSICAL name:
-    - active merge-on-read deletion vectors (their key column binding
-      predates the rename) -> ``purge_deletes`` first;
-    - a live bloom index on the renamed column (bitmap entries bind the
-      indexed column's name at build time) -> ``compact_files`` first
-      (the rebuild re-keys the index), or re-index after the rename.
+    Refused (loudly, with the sanctioned path named) while any
+    merge-on-read deletion vector is active: the DV's key column binding
+    predates the rename -> ``purge_deletes`` first. Bloom indexes need
+    NO guard: bitmaps hash rendered VALUES, not names, so they survive a
+    rename of their column unchanged — ``read_point_lookup`` maps each
+    entry's recorded column name through the rename chain exactly like
+    the data files themselves.
 
     Returns {"version", "renamed", "data_files_written": 0}."""
     versions = _check_commit_order(table_path, version)
@@ -2280,30 +2317,7 @@ def rename_column(
             f"rename_column: column {new!r} already exists at {table_path} "
             f"(case-insensitive; columns: {cols})"
         )
-    latest = versions[-1]
     _check_no_active_dvs(table_path, versions, "rename_column")
-    renames = _renames_upto(table_path, latest)
-    live = set(live_files(table_path, latest))
-    for v in versions:
-        bi = _read_manifest(table_path, v).get("bloom_index")
-        if not bi:
-            continue
-        indexed_live = live & set(bi["files"])
-        if not indexed_live:
-            continue
-        # the entry binds the column name AS OF its commit; map it
-        # through renames committed after to compare against today's
-        logical_col = bi["col"]
-        for rv, frm, to in renames:
-            if rv > v and logical_col == frm:
-                logical_col = to
-        if logical_col == old:
-            raise ValueError(
-                f"rename_column: column {old!r} at {table_path} has a "
-                f"live bloom index (commit {v}); compact_files first "
-                f"(rebuilds the index under the new name) or re-index "
-                f"after the rename"
-            )
     _commit(
         table_path,
         version,

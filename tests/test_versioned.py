@@ -1972,7 +1972,9 @@ def test_rename_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="purge_deletes first"):
         rename_column(spark, mor, 2, "val", "amount")
 
-    # live bloom index on the renamed column
+    # bloom indexes survive renames of ANY column — bitmaps hash rendered
+    # VALUES, and the lookup maps each entry's recorded name through the
+    # chain exactly like the data files
     bl = str(tmp_path / "bl")
     write_version_bloom_indexed(
         spark.createDataFrame(
@@ -1984,16 +1986,19 @@ def test_rename_validation(spark, tmp_path):
         "k",
         n_files=2,
     )
-    with pytest.raises(ValueError, match="live bloom index"):
-        rename_column(spark, bl, 1, "k", "key")
-    # renaming a NON-indexed column on an indexed table is fine, and the
-    # point lookup presents the new logical name
     rename_column(spark, bl, 1, "val", "amount")
     from dodo_spark.sources.bloom_index import read_point_lookup
 
     rows, _stats = read_point_lookup(spark, bl, 2)
     assert "amount" in rows.columns and "val" not in rows.columns
     assert rows.count() == 10
+    # renaming the INDEX column itself: pruning and rows keep working,
+    # presented under the new logical name
+    rename_column(spark, bl, 2, "k", "bucket")
+    rows, stats = read_point_lookup(spark, bl, 2)
+    assert "bucket" in rows.columns and "k" not in rows.columns
+    assert rows.count() == 10
+    assert stats["files_scanned"] <= stats["files_total"]
 
 
 def test_rewrites_across_renames(spark, tmp_path):
@@ -2141,3 +2146,102 @@ def test_rename_through_s3_shim(spark, tmp_path, s3_shim):
     cur = read_version(spark, tbl)
     assert cur.columns == ["k", "amount"]
     assert {r["amount"] for r in cur.collect()} == {1.0, 2.0}
+
+
+def test_bloom_lookup_rename_then_reused_name(spark, tmp_path):
+    """The round-9 review's silent-wrong-rows scenario: index 'k', let
+    the index go inert via a full rewrite, rename k -> key, then append
+    a NEW unrelated column named 'k'. The lookup must bind to the
+    ORIGINAL (renamed) column — mapping every recorded entry name
+    through the chain — not to the impostor reusing the old name."""
+    from dodo_spark.sources.bloom_index import (
+        read_point_lookup,
+        write_version_bloom_indexed,
+    )
+    from dodo_spark.sources.versioned import (
+        append_version,
+        rename_column,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version_bloom_indexed(
+        spark.createDataFrame(
+            [(i, i % 10, 0.0) for i in range(100)],
+            "rid BIGINT, k BIGINT, val DOUBLE",
+        ),
+        tbl,
+        0,
+        "k",
+        n_files=2,
+    )
+    # full rewrite: the v0 index entries are now inert (files not live)
+    write_version(
+        spark.createDataFrame(
+            [(i, i % 10, 0.0) for i in range(110)],
+            "rid BIGINT, k BIGINT, val DOUBLE",
+        ),
+        tbl,
+        1,
+    )
+    rename_column(spark, tbl, 2, "k", "key")
+    # impostor column reusing the retired physical name
+    append_version(
+        spark.createDataFrame(
+            [(1000, 3, 0.0, 999)], "rid BIGINT, key BIGINT, val DOUBLE, k BIGINT"
+        ),
+        tbl,
+        3,
+    )
+    rows, stats = read_point_lookup(spark, tbl, 3)
+    got = {r["rid"] for r in rows.collect()}
+    assert got == {i for i in range(110) if i % 10 == 3} | {1000}
+    assert "key" in rows.columns  # the logical name of the indexed column
+
+
+def test_cdc_apply_and_purge_across_renames(spark, tmp_path):
+    """The round-9 review's highest finding: apply_cdc_batch after a
+    rename_column must keep working — the batch's key binds the LOGICAL
+    name, stats map to per-file physical names, and the rewrite
+    re-keys. purge_tombstones likewise."""
+    from dodo_spark.sources.cdc_apply import (
+        apply_cdc_batch,
+        purge_tombstones,
+        read_cdc_state,
+    )
+    from dodo_spark.sources.versioned import rename_column
+
+    tbl = str(tmp_path / "t")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id BIGINT, payload STRING, seq BIGINT, deleted BOOLEAN"
+        )
+
+    def batch_renamed(rows):
+        return spark.createDataFrame(
+            rows, "id BIGINT, payload STRING, seq BIGINT, deleted BOOLEAN"
+        )
+
+    apply_cdc_batch(
+        spark, tbl, 0,
+        batch([(i, f"v{i}", i, False) for i in range(10)]),
+        "doc_id", "seq",
+    )
+    rename_column(spark, tbl, 1, "doc_id", "id")
+    # post-rename batch keyed on the NEW logical name must upsert rows
+    # living in pre-rename files and tombstone one of them
+    apply_cdc_batch(
+        spark, tbl, 2,
+        batch_renamed([(3, "v3-new", 100, False), (4, None, 101, True)]),
+        "id", "seq",
+    )
+    state = {r["id"]: r["payload"] for r in read_cdc_state(spark, tbl).collect()}
+    assert state[3] == "v3-new" and 4 not in state and len(state) == 9
+
+    # rename the SEQ column too, then purge tombstones below the horizon
+    rename_column(spark, tbl, 3, "seq", "change_seq")
+    out = purge_tombstones(spark, tbl, 4, seq_horizon=200, seq_col="change_seq")
+    assert out["tombstones_purged"] == 1
+    state = {r["id"]: r["payload"] for r in read_cdc_state(spark, tbl).collect()}
+    assert state[3] == "v3-new" and len(state) == 9
