@@ -84,9 +84,13 @@ def apply_cdc_batch(
     # copy-on-write rewriter: like delete_where/merge_upsert/compact,
     # reading live files RAW under an active MoR deletion vector would
     # resurrect DV-masked rows at a newer version — refuse up front
-    from dodo_spark.sources.versioned import _check_no_active_dvs
+    from dodo_spark.sources.versioned import (
+        _check_no_active_dvs,
+        _check_retired_names,
+    )
 
     _check_no_active_dvs(table_path, versions, "apply_cdc_batch")
+    _check_retired_names(table_path, versions, changes.columns, "apply_cdc_batch")
 
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
     incoming = (

@@ -88,6 +88,14 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_PREFIX = "_manifest_"
 _CHECKPOINT_PREFIX = "_checkpoint_"
 _VACUUM_PREFIX = "_vacuum_"
+# presence hint published by rename_column BEFORE its manifest: lets every
+# reader decide "no renames at all" from the directory listing it already
+# fetched (zero extra reads on the 99% rename-free table) and scan ONLY
+# the hinted manifests otherwise. Publish-before-commit means a crashed
+# rename leaves a hint pointing at a missing/foreign manifest — a harmless
+# false positive the reader skips — never a committed rename without a
+# hint (which would silently drop the chain).
+_RENAME_HINT_PREFIX = "_rename_hint_"
 
 
 class CommitConflict(RuntimeError):
@@ -695,21 +703,29 @@ def _renames_upto(
     table_path: str, version: int, fs=None
 ) -> list[tuple[int, str, str]]:
     """Cumulative rename chain at ``version``: ascending
-    ``[(rename_version, from, to)]`` from the committed manifests
-    <= version. Starts from the latest checkpoint's recorded chain when
-    one exists (legacy checkpoints without the field fall back to a full
-    manifest scan), so on a checkpointed table the metadata cost is
-    O(commits since checkpoint), same as ``live_files``."""
+    ``[(rename_version, from, to)]``. Cost is deliberately asymmetric:
+    the hint files ``rename_column`` publishes before each rename
+    manifest make "no renames" a pure directory-listing fact (the
+    listing every caller's neighboring metadata op already fetches; ZERO
+    manifest reads — an appending stream never pays for a feature it
+    doesn't use), and with hints present only the HINTED manifests are
+    read — O(#renames), not O(#commits). A hint whose manifest is
+    missing (crashed rename) or carries no rename entry (the hinted
+    version was won by a different racing writer) is skipped."""
     fs = fs or _fs_for(table_path)
+    names = fs.list_names(table_path)
+    hinted = [
+        v
+        for v in _meta_versions(names, _RENAME_HINT_PREFIX)
+        if v <= version
+    ]
+    if not hinted:
+        return []
+    committed = set(_meta_versions(names, _MANIFEST_PREFIX))
     out: list[tuple[int, str, str]] = []
-    after = -1
-    payload = _latest_checkpoint_payload(table_path, version)
-    if payload is not None and "renames" in payload:
-        out = [tuple(r) for r in payload["renames"]]
-        after = payload["version"]
-    for v in list_versions(table_path):
-        if v <= after or v > version:
-            continue
+    for v in hinted:
+        if v not in committed:
+            continue  # crashed rename: hint published, manifest never won
         r = _read_manifest(table_path, v, fs).get("rename")
         if r:
             out.append((v, r["from"], r["to"]))
@@ -948,6 +964,41 @@ def _check_commit_order(table_path: str, version: int) -> list[int]:
     return versions
 
 
+def _check_retired_names(
+    table_path: str, versions: list[int], df_columns, op: str
+) -> None:
+    """Schema enforcement at the ONE point the rename design needs it: a
+    writer carrying a column name that a committed rename RETIRED would
+    silently resurrect the old name NEXT TO its renamed successor
+    (reads union by name — the table would grow both columns with
+    interleaved NULLs). Fail loudly naming the current logical name. A
+    name is retired iff chasing the chain forward from the rename that
+    consumed it ends at a DIFFERENT current name — a rename back makes
+    the original name live again. Pure metadata (the rename chain is
+    already checkpoint-accelerated); tables without renames pay one
+    checkpoint probe."""
+    if not versions:
+        return
+    renames = _renames_upto(table_path, versions[-1])
+    if not renames:
+        return
+    cols = set(df_columns)
+    for i, (rv, frm, to) in enumerate(renames):
+        if frm not in cols:
+            continue
+        cur = to
+        for _rv2, f2, t2 in renames[i + 1:]:
+            if f2 == cur:
+                cur = t2
+        if cur != frm:
+            raise ValueError(
+                f"{op}: column {frm!r} was renamed to {cur!r} at "
+                f"{table_path} (commit {rv}); write it as {cur!r} "
+                f"(reusing a retired name would resurrect it next to "
+                f"its successor)"
+            )
+
+
 def write_version(
     df: DataFrame,
     table_path: str,
@@ -960,6 +1011,7 @@ def write_version(
     file). Versions commit in increasing order; committed versions are
     immutable."""
     versions = _check_commit_order(table_path, version)
+    _check_retired_names(table_path, versions, df.columns, "write_version")
     check_expectations(df, expectations or {})
     prev_live = live_files(table_path, versions[-1]) if versions else []
     add = _write_data_files(df, table_path, version)
@@ -977,7 +1029,8 @@ def append_version(
     """Commit ``df`` as an APPEND: ``version`` sees all previously-live
     files PLUS ``df``'s new files — no prior file is read, rewritten, or
     copied (file-level commit, the Delta/Iceberg primitive)."""
-    _check_commit_order(table_path, version)
+    versions = _check_commit_order(table_path, version)
+    _check_retired_names(table_path, versions, df.columns, "append_version")
     check_expectations(df, expectations or {})
     add = _write_data_files(df, table_path, version)
     _commit(table_path, version, add=add, remove=[], commit_ts=commit_ts)
@@ -1117,6 +1170,7 @@ def merge_upsert(
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
     _check_no_active_dvs(table_path, versions, "merge_upsert")
+    _check_retired_names(table_path, versions, updates.columns, "merge_upsert")
     prev_live = live_files(table_path, versions[-1])
     paths = {f: _join(table_path, f) for f in prev_live}
     updates = updates.localCheckpoint(eager=True)  # one computation, 3 uses
@@ -2318,6 +2372,13 @@ def rename_column(
             f"(case-insensitive; columns: {cols})"
         )
     _check_no_active_dvs(table_path, versions, "rename_column")
+    # hint BEFORE manifest (see _RENAME_HINT_PREFIX): a crash between the
+    # two leaves a harmless false-positive hint; the reverse order could
+    # leave a committed rename invisible to the listing-based fast path
+    _fs_for(table_path).put_if_absent_text(
+        _join(table_path, f"{_RENAME_HINT_PREFIX}{version}.json"),
+        json.dumps({"version": version}),
+    )
     _commit(
         table_path,
         version,

@@ -2150,16 +2150,20 @@ def test_rename_through_s3_shim(spark, tmp_path, s3_shim):
 
 def test_bloom_lookup_rename_then_reused_name(spark, tmp_path):
     """The round-9 review's silent-wrong-rows scenario: index 'k', let
-    the index go inert via a full rewrite, rename k -> key, then append
-    a NEW unrelated column named 'k'. The lookup must bind to the
+    the index go inert via a full rewrite, rename k -> key, then smuggle
+    in a NEW unrelated column named 'k'. The lookup must bind to the
     ORIGINAL (renamed) column — mapping every recorded entry name
-    through the chain — not to the impostor reusing the old name."""
+    through the chain — not to the impostor reusing the old name. The
+    public DF writers now REFUSE retired names up front (see
+    test_writers_refuse_retired_names), so the impostor arrives the one
+    way it still can: add_external_files, which references foreign
+    parquet without reading it."""
     from dodo_spark.sources.bloom_index import (
         read_point_lookup,
         write_version_bloom_indexed,
     )
     from dodo_spark.sources.versioned import (
-        append_version,
+        add_external_files,
         rename_column,
         write_version,
     )
@@ -2185,18 +2189,61 @@ def test_bloom_lookup_rename_then_reused_name(spark, tmp_path):
         1,
     )
     rename_column(spark, tbl, 2, "k", "key")
-    # impostor column reusing the retired physical name
-    append_version(
-        spark.createDataFrame(
-            [(1000, 3, 0.0, 999)], "rid BIGINT, key BIGINT, val DOUBLE, k BIGINT"
-        ),
-        tbl,
-        3,
-    )
+    # impostor column reusing the retired physical name, via external ref
+    import glob as _glob
+
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame(
+        [(1000, 3, 0.0, 999)], "rid BIGINT, key BIGINT, val DOUBLE, k BIGINT"
+    ).coalesce(1).write.parquet(ext)
+    add_external_files(tbl, 3, sorted(_glob.glob(f"{ext}/*.parquet")))
     rows, stats = read_point_lookup(spark, tbl, 3)
     got = {r["rid"] for r in rows.collect()}
     assert got == {i for i in range(110) if i % 10 == 3} | {1000}
     assert "key" in rows.columns  # the logical name of the indexed column
+
+
+def test_writers_refuse_retired_names(spark, tmp_path):
+    """After a rename, a writer still carrying the OLD name would
+    silently resurrect it next to its successor (reads union by name) —
+    write_version/append_version/merge_upsert/apply_cdc_batch all
+    refuse with the current logical name; a rename BACK makes the
+    original name live again."""
+    from dodo_spark.sources.cdc_apply import apply_cdc_batch
+    from dodo_spark.sources.versioned import (
+        append_version,
+        merge_upsert,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    old = spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE")
+    write_version(old, tbl, 0)
+    rename_column(spark, tbl, 1, "val", "amount")
+    with pytest.raises(ValueError, match="renamed to 'amount'"):
+        append_version(old, tbl, 2)
+    with pytest.raises(ValueError, match="renamed to 'amount'"):
+        write_version(old, tbl, 2)
+    with pytest.raises(ValueError, match="renamed to 'amount'"):
+        merge_upsert(spark, tbl, 2, old, "k")
+    cdc = spark.createDataFrame(
+        [(1, 0.5, 1, False)], "k BIGINT, val DOUBLE, seq BIGINT, deleted BOOLEAN"
+    )
+    with pytest.raises(ValueError, match="renamed to 'amount'"):
+        apply_cdc_batch(spark, tbl, 2, cdc, "k", "seq")
+
+    # the new name writes fine; a rename back revives the original name
+    append_version(
+        spark.createDataFrame([(2, 2.0)], "k BIGINT, amount DOUBLE"), tbl, 2
+    )
+    rename_column(spark, tbl, 3, "amount", "val")
+    append_version(
+        spark.createDataFrame([(3, 3.0)], "k BIGINT, val DOUBLE"), tbl, 4
+    )  # 'val' is live again
+    assert read_version(spark, tbl).columns == ["k", "val"]
+    assert read_version(spark, tbl).count() == 3
 
 
 def test_cdc_apply_and_purge_across_renames(spark, tmp_path):
