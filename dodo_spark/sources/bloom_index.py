@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 from dodo_spark.operators.runtime_filter import BLOOM_K, BLOOM_M_BITS
 from dodo_spark.sources.versioned import (
     _check_commit_order,
+    _check_retired_names,
     _commit,
+    _first_add_versions,
     _join,
     _logical_read,
     _read_manifest,
@@ -130,6 +132,9 @@ def write_version_bloom_indexed(
     into ``n_files`` files, with a per-file bloom bitmap of the column
     stored in the manifest. Returns {"files", "indexed_col"}."""
     versions = _check_commit_order(table_path, version)
+    _check_retired_names(
+        table_path, versions, df.columns, "write_version_bloom_indexed"
+    )
     prev_live = []
     if versions:
         from dodo_spark.sources.versioned import live_files
@@ -181,6 +186,9 @@ def append_version_bloom_indexed(
             f"no committed versions at {table_path}; use "
             "write_version_bloom_indexed for the initial commit"
         )
+    _check_retired_names(
+        table_path, versions, df.columns, "append_version_bloom_indexed"
+    )
     add = _write_data_files(
         df.repartition(n_files, F.col(index_col)), table_path, version
     )
@@ -270,8 +278,10 @@ def read_point_lookup(
     # rule _logical_read applies to the data files (bitmaps hash
     # rendered VALUES, so they survive the rename unchanged). Without
     # the mapping, probing a renamed-then-reused name could silently
-    # bind the filter to the WRONG column.
+    # bind the filter to the WRONG column. Chain + first-add computed
+    # ONCE and threaded into every _logical_read below.
     renames = _renames_upto(table_path, version)
+    first_add = _first_add_versions(table_path, version) if renames else {}
 
     def logical_of(name: str, at_version: int) -> str:
         for rv, frm, to in renames:
@@ -306,7 +316,7 @@ def read_point_lookup(
         nonlocal logical_schema
         if logical_schema is None:
             logical_schema = _logical_read(
-                spark, table_path, files, version, renames
+                spark, table_path, files, version, renames, first_add
             ).schema
         return logical_schema
 
@@ -355,7 +365,7 @@ def read_point_lookup(
     # _logical_read: every vintage's physical names (the index column's
     # included) resolve to the logical schema, matching the mapped filter
     out = _logical_read(
-        spark, table_path, scan_files, version, renames
+        spark, table_path, scan_files, version, renames, first_add
     ).filter(F.col(col) == F.lit(value))
     return out, stats
 

@@ -87,10 +87,16 @@ def apply_cdc_batch(
     from dodo_spark.sources.versioned import (
         _check_no_active_dvs,
         _check_retired_names,
+        _renames_upto,
     )
 
     _check_no_active_dvs(table_path, versions, "apply_cdc_batch")
-    _check_retired_names(table_path, versions, changes.columns, "apply_cdc_batch")
+    renames: list = (
+        _renames_upto(table_path, versions[-1]) if versions else []
+    )
+    _check_retired_names(
+        table_path, versions, changes.columns, "apply_cdc_batch", renames
+    )
 
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
     incoming = (
@@ -101,14 +107,12 @@ def apply_cdc_batch(
     )
 
     touched: list[str] = []
-    renames: list = []
     first_add: dict = {}
     if versions:
         from dodo_spark.sources.versioned import (
             _first_add_versions,
             _logical_read,
             _physical_name,
-            _renames_upto,
         )
 
         prev_live = live_files(table_path, versions[-1])
@@ -122,7 +126,6 @@ def apply_cdc_batch(
         # name — stats are recorded per file under its PHYSICAL name, and
         # the probe/rewrite reads must resolve old vintages to the
         # logical schema or the semi-join key would be unresolvable
-        renames = _renames_upto(table_path, versions[-1])
         first_add = (
             _first_add_versions(table_path, versions[-1]) if renames else {}
         )

@@ -94,7 +94,10 @@ _VACUUM_PREFIX = "_vacuum_"
 # the hinted manifests otherwise. Publish-before-commit means a crashed
 # rename leaves a hint pointing at a missing/foreign manifest — a harmless
 # false positive the reader skips — never a committed rename without a
-# hint (which would silently drop the chain).
+# hint (which would silently drop the chain). The hint is PART OF the
+# rename commit protocol from the feature's first release (rename and
+# hint shipped together); a rename manifest without its hint is not a
+# supported on-disk state.
 _RENAME_HINT_PREFIX = "_rename_hint_"
 
 
@@ -636,17 +639,13 @@ def checkpoint_manifest(table_path: str, version: int | None = None) -> str:
             {
                 "version": version,
                 "live": _replay_live(table_path, version, -1, []),
-                # cumulative rename chain <= version, so rename-aware reads
-                # of checkpointed tables replay only the commits AFTER the
-                # checkpoint (same O(delta) metadata cost as the live set)
-                "renames": [
-                    list(r) for r in _renames_upto(table_path, version)
-                ],
                 # FIRST-add version per file ever added <= version (the
                 # rename chain keys off it). Append-only by definition —
                 # a re-add never changes a file's first add — so later
                 # checkpoints extend it and readers resume the scan after
-                # the checkpoint.
+                # the checkpoint. (The rename chain itself needs no
+                # checkpoint acceleration: _rename_hint_ markers make it
+                # O(#renames) from the directory listing alone.)
                 "first_add": _first_add_versions(table_path, version),
             }
         ),
@@ -965,38 +964,52 @@ def _check_commit_order(table_path: str, version: int) -> list[int]:
 
 
 def _check_retired_names(
-    table_path: str, versions: list[int], df_columns, op: str
+    table_path: str,
+    versions: list[int],
+    df_columns,
+    op: str,
+    renames: list[tuple[int, str, str]] | None = None,
 ) -> None:
     """Schema enforcement at the ONE point the rename design needs it: a
     writer carrying a column name that a committed rename RETIRED would
     silently resurrect the old name NEXT TO its renamed successor
     (reads union by name — the table would grow both columns with
-    interleaved NULLs). Fail loudly naming the current logical name. A
-    name is retired iff chasing the chain forward from the rename that
-    consumed it ends at a DIFFERENT current name — a rename back makes
-    the original name live again. Pure metadata (the rename chain is
-    already checkpoint-accelerated); tables without renames pay one
-    checkpoint probe."""
+    interleaved NULLs). Fail loudly naming the current logical
+    successor. Retirement follows the LAST chain event touching a name:
+    a rename consuming it kills it, any later rename TARGETING it (a
+    rename back, or an unrelated column renamed onto the freed name)
+    revives it — so only genuinely dead names are refused. Names
+    compare case-insensitively, matching Spark's default resolution
+    (a case variant would resurrect just as ambiguously). Pure
+    metadata; tables without renames pay one directory listing, and
+    callers that already fetched the chain pass it in."""
     if not versions:
         return
-    renames = _renames_upto(table_path, versions[-1])
+    if renames is None:
+        renames = _renames_upto(table_path, versions[-1])
     if not renames:
         return
-    cols = set(df_columns)
-    for i, (rv, frm, to) in enumerate(renames):
-        if frm not in cols:
+    dead: dict[str, tuple[int, str]] = {}  # lower(name) -> (rv, frm)
+    for rv, frm, to in renames:
+        dead[frm.lower()] = (rv, frm)
+        dead.pop(to.lower(), None)  # (re-)established as a target
+    for col in df_columns:
+        hit = dead.get(col.lower())
+        if hit is None:
             continue
-        cur = to
-        for _rv2, f2, t2 in renames[i + 1:]:
-            if f2 == cur:
+        rv, frm = hit
+        # current logical successor: chase forward from the last rename
+        # that consumed this name
+        cur = next(t for v, f, t in renames if v == rv and f == frm)
+        for rv2, f2, t2 in renames:
+            if rv2 > rv and f2 == cur:
                 cur = t2
-        if cur != frm:
-            raise ValueError(
-                f"{op}: column {frm!r} was renamed to {cur!r} at "
-                f"{table_path} (commit {rv}); write it as {cur!r} "
-                f"(reusing a retired name would resurrect it next to "
-                f"its successor)"
-            )
+        raise ValueError(
+            f"{op}: column {col!r} was renamed to {cur!r} at "
+            f"{table_path} (commit {rv}); write it as {cur!r} "
+            f"(reusing a retired name would resurrect it next to "
+            f"its successor)"
+        )
 
 
 def write_version(
@@ -1170,7 +1183,10 @@ def merge_upsert(
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
     _check_no_active_dvs(table_path, versions, "merge_upsert")
-    _check_retired_names(table_path, versions, updates.columns, "merge_upsert")
+    renames = _renames_upto(table_path, versions[-1])
+    _check_retired_names(
+        table_path, versions, updates.columns, "merge_upsert", renames
+    )
     prev_live = live_files(table_path, versions[-1])
     paths = {f: _join(table_path, f) for f in prev_live}
     updates = updates.localCheckpoint(eager=True)  # one computation, 3 uses
@@ -1182,7 +1198,6 @@ def merge_upsert(
     # Delta data-skipping primitive; files without stats stay candidates)
     bounds = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
     stats = file_stats(table_path, versions[-1])
-    renames = _renames_upto(table_path, versions[-1])
     first_add = (
         _first_add_versions(table_path, versions[-1]) if renames else {}
     )

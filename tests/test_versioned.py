@@ -2234,6 +2234,23 @@ def test_writers_refuse_retired_names(spark, tmp_path):
     with pytest.raises(ValueError, match="renamed to 'amount'"):
         apply_cdc_batch(spark, tbl, 2, cdc, "k", "seq")
 
+    # case variants resurrect just as ambiguously (Spark resolves names
+    # case-insensitively by default) — refused too
+    with pytest.raises(ValueError, match="renamed to 'amount'"):
+        append_version(
+            spark.createDataFrame([(9, 9.0)], "k BIGINT, VAL DOUBLE"), tbl, 2
+        )
+    # the bloom writers enforce the same rule
+    from dodo_spark.sources.bloom_index import (
+        append_version_bloom_indexed,
+        write_version_bloom_indexed,
+    )
+
+    with pytest.raises(ValueError, match="renamed to 'amount'"):
+        append_version_bloom_indexed(old, tbl, 2, "k")
+    with pytest.raises(ValueError, match="renamed to 'amount'"):
+        write_version_bloom_indexed(old, tbl, 2, "k")
+
     # the new name writes fine; a rename back revives the original name
     append_version(
         spark.createDataFrame([(2, 2.0)], "k BIGINT, amount DOUBLE"), tbl, 2
@@ -2244,6 +2261,46 @@ def test_writers_refuse_retired_names(spark, tmp_path):
     )  # 'val' is live again
     assert read_version(spark, tbl).columns == ["k", "val"]
     assert read_version(spark, tbl).count() == 3
+
+
+def test_retired_name_revived_by_unrelated_rename_is_writable(spark, tmp_path):
+    """The round-9 second-pass review's false-refusal scenario: rename
+    a->b, then rename c->a. The name 'a' is now a LIVE logical column
+    again (the ex-'c' data) — the retired-name guard must follow the
+    LAST chain event touching a name, not the first rename that
+    consumed it, or 'a' becomes permanently unwritable."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 1.0, 10.0)], "k BIGINT, a DOUBLE, c DOUBLE"),
+        tbl,
+        0,
+    )
+    rename_column(spark, tbl, 1, "a", "b")
+    rename_column(spark, tbl, 2, "c", "a")
+    # 'a' is live again (it now means the ex-'c' column): writable
+    append_version(
+        spark.createDataFrame(
+            [(2, 2.0, 20.0)], "k BIGINT, b DOUBLE, a DOUBLE"
+        ),
+        tbl,
+        3,
+    )
+    cur = read_version(spark, tbl)
+    assert set(cur.columns) == {"k", "b", "a"}
+    got = {(r["k"], r["b"], r["a"]) for r in cur.collect()}
+    assert got == {(1, 1.0, 10.0), (2, 2.0, 20.0)}
+    # 'c' is the genuinely dead name
+    with pytest.raises(ValueError, match="renamed to 'a'"):
+        append_version(
+            spark.createDataFrame([(3, 3.0)], "k BIGINT, c DOUBLE"), tbl, 4
+        )
 
 
 def test_cdc_apply_and_purge_across_renames(spark, tmp_path):
