@@ -2349,3 +2349,96 @@ def test_cdc_apply_and_purge_across_renames(spark, tmp_path):
     assert out["tombstones_purged"] == 1
     state = {r["id"]: r["payload"] for r in read_cdc_state(spark, tbl).collect()}
     assert state[3] == "v3-new" and len(state) == 9
+
+
+def test_rename_hint_crash_windows(spark, tmp_path):
+    """The hint protocol's two failure windows, per the publish-before-
+    commit contract: (a) a CRASHED rename leaves a hint whose manifest
+    never committed — readers must skip it; (b) a rename that LOSES the
+    version race to a non-rename writer leaves a hint pointing at a
+    foreign manifest with no rename entry — also skipped. Neither may
+    corrupt the chain or block reads/writes."""
+    import json as _json
+    import os as _os
+
+    from dodo_spark.sources.versioned import (
+        _RENAME_HINT_PREFIX,
+        append_version,
+        read_version,
+        rename_column,
+        rename_history,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"), tbl, 0
+    )
+    # (a) crashed rename: hint for v1 exists, manifest never committed
+    with open(_os.path.join(tbl, f"{_RENAME_HINT_PREFIX}1.json"), "w") as f:
+        f.write(_json.dumps({"version": 1}))
+    assert rename_history(tbl) == []
+    assert read_version(spark, tbl).columns == ["k", "val"]
+
+    # (b) the hinted version is then WON by a plain append (the racing
+    # rename lost): the hint points at a rename-free manifest
+    append_version(
+        spark.createDataFrame([(2, 2.0)], "k BIGINT, val DOUBLE"), tbl, 1
+    )
+    assert rename_history(tbl) == []
+    assert read_version(spark, tbl).count() == 2
+
+    # a real rename afterwards still works and is the only chain entry
+    rename_column(spark, tbl, 2, "val", "amount")
+    assert rename_history(tbl) == [
+        {"version": 2, "from": "val", "to": "amount"}
+    ]
+    assert read_version(spark, tbl).columns == ["k", "amount"]
+
+
+def test_retired_name_chain_logic_randomized():
+    """Property test of _check_retired_names' last-event-wins rule over
+    random rename chains: a name is refused iff the chain's final event
+    touching it (case-insensitive) CONSUMED it without a later rename
+    re-establishing it — checked against a straightforward replay of
+    the live logical name set."""
+    import random
+
+    import pytest as _pytest
+
+    from dodo_spark.sources.versioned import _check_retired_names
+
+    rng = random.Random(42)
+    pool = ["a", "b", "c", "d", "e"]
+    for _trial in range(300):
+        live = set(rng.sample(pool, 3))
+        renames = []
+        v = 1
+        for _ in range(rng.randrange(1, 7)):
+            if not live:
+                break
+            frm = rng.choice(sorted(live))
+            candidates = [n for n in pool + ["x", "y"] if n not in live]
+            if not candidates:
+                break
+            to = rng.choice(candidates)
+            renames.append((v, frm, to))
+            live.discard(frm)
+            live.add(to)
+            v += 1
+        if not renames:
+            continue
+        ever = {n for _v, f, t in renames for n in (f, t)}
+        for probe in sorted(ever | set(pool)):
+            should_refuse = probe in ever and probe not in live and any(
+                f == probe for _v, f, _t in renames
+            )
+            if should_refuse:
+                with _pytest.raises(ValueError, match="was renamed to"):
+                    _check_retired_names(
+                        "/nowhere", [0], [probe], "test", renames
+                    )
+            else:
+                _check_retired_names(
+                    "/nowhere", [0], [probe], "test", renames
+                )
