@@ -440,3 +440,43 @@ def test_mor_algebra_randomized_against_model(spark, tmp_path):
             r.count() if r is not None else 0
         )
         assert running == len(want), f"feed fold at version {ver}"
+
+
+def test_mor_delete_after_rename(spark, tmp_path):
+    """Merge-on-read DELETE on a renamed table: rename_column refuses
+    while a DV is ACTIVE, but the other order is fully supported — the
+    DV probe evaluates against the logical view, its key binds the
+    current logical name, masking applies across physical vintages, and
+    time travel before/after the rename shows each version's own names
+    and visibility."""
+    from dodo_spark.sources.versioned import (
+        append_version,
+        read_version,
+        rename_column,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k BIGINT, val DOUBLE"
+        ),
+        tbl,
+        0,
+    )
+    rename_column(spark, tbl, 1, "val", "amount")
+    append_version(
+        spark.createDataFrame([(10, 10.0)], "k BIGINT, amount DOUBLE"), tbl, 2
+    )
+    # MoR delete keyed on the LOGICAL name hits rows in BOTH vintages
+    out = delete_where_mor(spark, tbl, 3, "amount >= 8.0", "k")
+    assert out["keys_deleted"] == 3  # 8, 9 (pre-rename files) + 10
+
+    cur = read_with_deletes(spark, tbl)
+    assert set(cur.columns) == {"k", "amount"}
+    assert {r["k"] for r in cur.collect()} == set(range(8))
+    # time travel: pre-rename version has the old name and full content
+    v0 = read_version(spark, tbl, 0)
+    assert v0.columns == ["k", "val"] and v0.count() == 10
+    # pre-delete version still shows the masked rows
+    assert read_with_deletes(spark, tbl, 2).count() == 11
