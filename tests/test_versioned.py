@@ -2442,3 +2442,33 @@ def test_retired_name_chain_logic_randomized():
                 _check_retired_names(
                     "/nowhere", [0], [probe], "test", renames
                 )
+
+
+def test_checkpoint_first_add_survives_restore_readd(spark, tmp_path):
+    """A RESTORE re-adds a file AFTER a checkpoint: the rename chain must
+    still key off the file's ORIGINAL first-add version, which only the
+    checkpoint's recorded first_add map preserves on the resumed scan —
+    a map keyed off the re-add would skip the rename and surface the
+    stale physical name."""
+    from dodo_spark.sources.versioned import (
+        checkpoint_manifest,
+        read_version,
+        rename_column,
+        restore_version,
+        write_version,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, a DOUBLE"), tbl, 0
+    )
+    rename_column(spark, tbl, 1, "a", "b")
+    write_version(
+        spark.createDataFrame([(2, 2.0)], "k BIGINT, b DOUBLE"), tbl, 2
+    )
+    checkpoint_manifest(tbl)  # first_add recorded THROUGH v2
+    restore_version(tbl, 0, 3)  # re-adds v0's file after the checkpoint
+    restored = read_version(spark, tbl, 3)
+    # the re-added file physically stores 'a'; the v1 rename still applies
+    assert restored.columns == ["k", "b"]
+    assert {(r["k"], r["b"]) for r in restored.collect()} == {(1, 1.0)}
