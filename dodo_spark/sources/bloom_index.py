@@ -45,9 +45,11 @@ from dodo_spark.sources.versioned import (
     _join,
     _logical_read,
     _read_manifest,
-    _renames_upto,
+    _rename_triples,
+    _schema_events_upto,
     _write_data_files,
     list_versions,
+    logical_schema,
 )
 
 __all__ = [
@@ -280,8 +282,9 @@ def read_point_lookup(
     # the mapping, probing a renamed-then-reused name could silently
     # bind the filter to the WRONG column. Chain + first-add computed
     # ONCE and threaded into every _logical_read below.
-    renames = _renames_upto(table_path, version)
-    first_add = _first_add_versions(table_path, version) if renames else {}
+    events = _schema_events_upto(table_path, version)
+    renames = _rename_triples(events)
+    first_add = _first_add_versions(table_path, version) if events else {}
 
     def logical_of(name: str, at_version: int) -> str:
         for rv, frm, to in renames:
@@ -306,26 +309,32 @@ def read_point_lookup(
         raise ValueError(f"no bloom index in any manifest at {table_path}")
 
     # the probe must render through the INDEX COLUMN's type. Fast path
-    # (no renames, column present in the newest-schema file): one footer
-    # read. Otherwise fall back to the LOGICAL merged schema — also
-    # reused to build schema-faithful empty frames on the miss paths, so
-    # the all-file footer merge is planned at most once per lookup.
-    logical_schema = None
+    # (no schema events, column present in the newest-schema file): one
+    # footer read. Otherwise the LOGICAL merged schema — memoized per
+    # (table, version) in versioned.logical_schema, so the all-file
+    # footer merge is planned at most once per version, not per lookup
+    # (and miss-path empty frames on event-free tables no longer pay an
+    # O(live files) footer merge — round-9 advisor finding).
 
     def merged_schema():
-        nonlocal logical_schema
-        if logical_schema is None:
-            logical_schema = _logical_read(
-                spark, table_path, files, version, renames, first_add
-            ).schema
-        return logical_schema
+        return logical_schema(
+            spark, table_path, files, version, events, first_add
+        )
 
-    if not renames:
+    if not events:
         schema = spark.read.parquet(_join(table_path, files[0])).schema
         if col not in schema.names:
             schema = merged_schema()
     else:
         schema = merged_schema()
+    if col not in schema.names:
+        # the indexed column no longer exists at this version (dropped,
+        # and no later lineage re-added it): a point lookup on it has no
+        # answer — fail loudly rather than probe a ghost
+        raise ValueError(
+            f"bloom index column {col!r} was dropped at {table_path} "
+            f"(version {version}); re-index on a live column"
+        )
     rendered = _spark_string_render(spark, value, schema[col].dataType)
 
     def empty_frame():
@@ -365,7 +374,7 @@ def read_point_lookup(
     # _logical_read: every vintage's physical names (the index column's
     # included) resolve to the logical schema, matching the mapped filter
     out = _logical_read(
-        spark, table_path, scan_files, version, renames, first_add
+        spark, table_path, scan_files, version, events, first_add
     ).filter(F.col(col) == F.lit(value))
     return out, stats
 

@@ -87,15 +87,17 @@ def apply_cdc_batch(
     from dodo_spark.sources.versioned import (
         _check_no_active_dvs,
         _check_retired_names,
-        _renames_upto,
+        _rename_triples,
+        _schema_events_upto,
     )
 
     _check_no_active_dvs(table_path, versions, "apply_cdc_batch")
-    renames: list = (
-        _renames_upto(table_path, versions[-1]) if versions else []
+    events: list = (
+        _schema_events_upto(table_path, versions[-1]) if versions else []
     )
+    renames = _rename_triples(events)
     _check_retired_names(
-        table_path, versions, changes.columns, "apply_cdc_batch", renames
+        table_path, versions, changes.columns, "apply_cdc_batch", events
     )
 
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
@@ -127,7 +129,7 @@ def apply_cdc_batch(
         # the probe/rewrite reads must resolve old vintages to the
         # logical schema or the semi-join key would be unresolvable
         first_add = (
-            _first_add_versions(table_path, versions[-1]) if renames else {}
+            _first_add_versions(table_path, versions[-1]) if events else {}
         )
 
         def _phys(f: str) -> str:
@@ -149,7 +151,7 @@ def apply_cdc_batch(
         ]
         if candidates:
             probe = _logical_read(
-                spark, table_path, candidates, versions[-1], renames, first_add
+                spark, table_path, candidates, versions[-1], events, first_add
             )
             from dodo_spark.sources.versioned import _canon_file_ref
 
@@ -168,7 +170,7 @@ def apply_cdc_batch(
         from dodo_spark.sources.versioned import _logical_read
 
         existing = _logical_read(
-            spark, table_path, touched, versions[-1], renames, first_add
+            spark, table_path, touched, versions[-1], events, first_add
         )
         # latest-wins across stored state and batch; on an (impossible
         # with unique seqs, but defensive) tie the STORED row wins, so
@@ -271,15 +273,17 @@ def purge_tombstones(
         _first_add_versions,
         _logical_read,
         _physical_name,
-        _renames_upto,
+        _rename_triples,
+        _schema_events_upto,
     )
 
     prev_live = live_files(table_path, versions[-1])
     stats = file_stats(table_path, versions[-1])
     # rename-aware: 'deleted'/seq_col bind logical names; stats are
     # recorded under each file's physical names
-    renames = _renames_upto(table_path, versions[-1])
-    first_add = _first_add_versions(table_path, versions[-1]) if renames else {}
+    events = _schema_events_upto(table_path, versions[-1])
+    renames = _rename_triples(events)
+    first_add = _first_add_versions(table_path, versions[-1]) if events else {}
 
     def _phys_seq(f: str) -> str:
         return (
@@ -308,7 +312,7 @@ def purge_tombstones(
         paths = {f: _join(table_path, f) for f in candidates}
         hits = (
             _logical_read(
-                spark, table_path, candidates, versions[-1], renames, first_add
+                spark, table_path, candidates, versions[-1], events, first_add
             )
             .filter(doomed)
             .groupBy(F.input_file_name().alias("f"))
@@ -322,7 +326,7 @@ def purge_tombstones(
     extra = None
     if touched:
         survivors = _logical_read(
-            spark, table_path, touched, versions[-1], renames, first_add
+            spark, table_path, touched, versions[-1], events, first_add
         ).filter(~doomed)
         add = _write_data_files(survivors, table_path, version)
         # a purge is a bulk rewrite: maintain any manifest bloom index

@@ -155,15 +155,28 @@ def apply_dvs_to_files(
         if m.get("dv"):
             dvs.append((v, m["dv"], m["dv_key"]))
 
-    from dodo_spark.sources.versioned import _logical_read
+    from dodo_spark.sources.versioned import (
+        _first_add_versions,
+        _logical_read,
+        _schema_events_upto,
+    )
+
+    # event chain + first-add map computed ONCE and threaded into every
+    # scan below — without this, each generation's data scan AND each DV
+    # sidecar read re-listed the directory and re-replayed the manifests
+    # on schema-evolved tables (round-9 advisor finding)
+    events = _schema_events_upto(table_path, version)
+    first_add = _first_add_versions(table_path, version) if events else {}
 
     def _scan(paths: list[str]) -> DataFrame:
         # logical names at ``version``. DV sidecars (never in any "add"
-        # list) read raw, which is correct: rename_column refuses while
-        # a DV is active, so a live DV's key column was recorded under
-        # the CURRENT logical name; an inert historical DV is only read
-        # by time travel to versions before any later rename.
-        return _logical_read(spark, table_path, paths, version)
+        # list) read raw, which is correct: rename/drop/retype refuse
+        # while a DV is active, so a live DV's key column was recorded
+        # under the CURRENT logical name; an inert historical DV is only
+        # read by time travel to versions before any later schema event.
+        return _logical_read(
+            spark, table_path, paths, version, events, first_add
+        )
 
     if not dvs:
         return _scan(files)

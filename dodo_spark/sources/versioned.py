@@ -88,16 +88,19 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_PREFIX = "_manifest_"
 _CHECKPOINT_PREFIX = "_checkpoint_"
 _VACUUM_PREFIX = "_vacuum_"
-# presence hint published by rename_column BEFORE its manifest: lets every
-# reader decide "no renames at all" from the directory listing it already
-# fetched (zero extra reads on the 99% rename-free table) and scan ONLY
-# the hinted manifests otherwise. Publish-before-commit means a crashed
-# rename leaves a hint pointing at a missing/foreign manifest — a harmless
-# false positive the reader skips — never a committed rename without a
-# hint (which would silently drop the chain). The hint is PART OF the
-# rename commit protocol from the feature's first release (rename and
-# hint shipped together); a rename manifest without its hint is not a
-# supported on-disk state.
+# presence hint published by every METADATA-ONLY SCHEMA-CHANGE commit
+# (rename_column / drop_column / retype_column) BEFORE its manifest: lets
+# every reader decide "no schema events at all" from the directory listing
+# it already fetched (zero extra reads on the 99% event-free table) and
+# scan ONLY the hinted manifests otherwise. Publish-before-commit means a
+# crashed schema change leaves a hint pointing at a missing/foreign
+# manifest — a harmless false positive the reader skips — never a
+# committed event without a hint (which would silently drop the chain).
+# The hint is PART OF the commit protocol from each feature's first
+# release (event and hint shipped together); an event manifest without
+# its hint is not a supported on-disk state. The on-disk name keeps the
+# r9 "_rename_hint_" spelling for compatibility with tables written
+# before drop/retype existed.
 _RENAME_HINT_PREFIX = "_rename_hint_"
 
 
@@ -653,11 +656,15 @@ def checkpoint_manifest(table_path: str, version: int | None = None) -> str:
     return path
 
 
-def _latest_checkpoint_payload(table_path: str, version: int) -> dict | None:
-    fs = _fs_for(table_path)
+def _latest_checkpoint_payload(
+    table_path: str, version: int, fs=None, names: list[str] | None = None
+) -> dict | None:
+    fs = fs or _fs_for(table_path)
+    if names is None:
+        names = fs.list_names(table_path)
     cps = [
         v
-        for v in _meta_versions(fs.list_names(table_path), _CHECKPOINT_PREFIX)
+        for v in _meta_versions(names, _CHECKPOINT_PREFIX)
         if v <= version
     ]
     if not cps:
@@ -665,54 +672,93 @@ def _latest_checkpoint_payload(table_path: str, version: int) -> dict | None:
     return json.loads(fs.read_text(_checkpoint_path(table_path, max(cps))))
 
 
-def _latest_checkpoint(table_path: str, version: int) -> tuple[int, list[str]] | None:
-    payload = _latest_checkpoint_payload(table_path, version)
+def _latest_checkpoint(
+    table_path: str, version: int, fs=None, names: list[str] | None = None
+) -> tuple[int, list[str]] | None:
+    payload = _latest_checkpoint_payload(table_path, version, fs, names)
     if payload is None:
         return None
     return payload["version"], list(payload["live"])
 
 
 def _replay_live(
-    table_path: str, version: int, after: int, base: list[str]
+    table_path: str,
+    version: int,
+    after: int,
+    base: list[str],
+    fs=None,
+    names: list[str] | None = None,
 ) -> list[str]:
-    fs = _fs_for(table_path)
+    fs = fs or _fs_for(table_path)
+    if names is None:
+        names = fs.list_names(table_path)
     live = list(base)
-    for v in [x for x in list_versions(table_path) if after < x <= version]:
+    for v in [
+        x for x in _meta_versions(names, _MANIFEST_PREFIX) if after < x <= version
+    ]:
         m = _read_manifest(table_path, v, fs)
         removed = set(m.get("remove", []))
         live = [f for f in live if f not in removed] + list(m.get("add", []))
     return live
 
 
-def live_files(table_path: str, version: int) -> list[str]:
+def live_files(
+    table_path: str, version: int, fs=None, names: list[str] | None = None
+) -> list[str]:
     """The live file set AT ``version``: add/remove algebra replayed over
     the committed manifests <= version (relative paths, stable order),
-    starting from the latest checkpoint <= version when one exists."""
-    cp = _latest_checkpoint(table_path, version)
+    starting from the latest checkpoint <= version when one exists.
+    ``fs``/``names`` let a read path reuse one directory listing across
+    every metadata question it asks (the zero-extra-listing contract
+    pinned by tests/test_versioned.py's FS op-counter)."""
+    fs = fs or _fs_for(table_path)
+    if names is None:
+        names = fs.list_names(table_path)
+    cp = _latest_checkpoint(table_path, version, fs, names)
     if cp is not None:
         cp_version, base = cp
-        return _replay_live(table_path, version, cp_version, base)
-    return _replay_live(table_path, version, -1, [])
+        return _replay_live(table_path, version, cp_version, base, fs, names)
+    return _replay_live(table_path, version, -1, [], fs, names)
 
 
 # ---------------------------------------------------------------------------
 # column mapping (RENAME COLUMN as a metadata-only commit)
 # ---------------------------------------------------------------------------
 def _renames_upto(
-    table_path: str, version: int, fs=None
+    table_path: str, version: int, fs=None, names: list[str] | None = None
 ) -> list[tuple[int, str, str]]:
-    """Cumulative rename chain at ``version``: ascending
-    ``[(rename_version, from, to)]``. Cost is deliberately asymmetric:
-    the hint files ``rename_column`` publishes before each rename
-    manifest make "no renames" a pure directory-listing fact (the
-    listing every caller's neighboring metadata op already fetches; ZERO
-    manifest reads — an appending stream never pays for a feature it
-    doesn't use), and with hints present only the HINTED manifests are
-    read — O(#renames), not O(#commits). A hint whose manifest is
-    missing (crashed rename) or carries no rename entry (the hinted
+    """Rename-only convenience over ``_schema_events_upto`` (same hint
+    fast path; same cost) — the shape the pure name-mapping consumers
+    (``_physical_name``, stats-key probes, ``rename_history``) key off."""
+    return _rename_triples(_schema_events_upto(table_path, version, fs, names))
+
+
+def _rename_triples(
+    events: list[tuple[int, str, str, str | None]]
+) -> list[tuple[int, str, str]]:
+    """The rename-only view of a typed event chain."""
+    return [(v, a, b) for v, kind, a, b in events if kind == "rename"]
+
+
+def _schema_events_upto(
+    table_path: str, version: int, fs=None, names: list[str] | None = None
+) -> list[tuple[int, str, str, str | None]]:
+    """Cumulative SCHEMA-EVENT chain at ``version``: ascending
+    ``[(event_version, kind, a, b)]`` where kind is ``"rename"``
+    (a=from, b=to), ``"drop"`` (a=column, b=None) or ``"retype"``
+    (a=column, b=target type string). Cost is deliberately asymmetric:
+    the hint files every metadata-only schema commit publishes before
+    its manifest make "no events" a pure directory-listing fact (the
+    listing every caller's neighboring metadata op already fetches,
+    passable via ``names`` so a read path lists once; ZERO manifest
+    reads — an appending stream never pays for a feature it doesn't
+    use), and with hints present only the HINTED manifests are read —
+    O(#events), not O(#commits). A hint whose manifest is missing
+    (crashed schema change) or carries no event entry (the hinted
     version was won by a different racing writer) is skipped."""
     fs = fs or _fs_for(table_path)
-    names = fs.list_names(table_path)
+    if names is None:
+        names = fs.list_names(table_path)
     hinted = [
         v
         for v in _meta_versions(names, _RENAME_HINT_PREFIX)
@@ -721,18 +767,24 @@ def _renames_upto(
     if not hinted:
         return []
     committed = set(_meta_versions(names, _MANIFEST_PREFIX))
-    out: list[tuple[int, str, str]] = []
+    out: list[tuple[int, str, str, str | None]] = []
     for v in hinted:
         if v not in committed:
-            continue  # crashed rename: hint published, manifest never won
-        r = _read_manifest(table_path, v, fs).get("rename")
-        if r:
-            out.append((v, r["from"], r["to"]))
+            continue  # crashed schema change: hint published, manifest never won
+        m = _read_manifest(table_path, v, fs)
+        if m.get("rename"):
+            r = m["rename"]
+            out.append((v, "rename", r["from"], r["to"]))
+        if m.get("drop"):
+            out.append((v, "drop", m["drop"]["column"], None))
+        if m.get("retype"):
+            t = m["retype"]
+            out.append((v, "retype", t["column"], t["to"]))
     return out
 
 
 def _first_add_versions(
-    table_path: str, version: int, fs=None
+    table_path: str, version: int, fs=None, names: list[str] | None = None
 ) -> dict[str, int]:
     """Per-file FIRST add version <= ``version``. The rename chain keys
     off this, not the latest re-add (``_file_generations``): a RESTORE's
@@ -743,13 +795,15 @@ def _first_add_versions(
     append-only, so a checkpointed prefix is final), keeping the
     metadata cost O(commits since checkpoint)."""
     fs = fs or _fs_for(table_path)
+    if names is None:
+        names = fs.list_names(table_path)
     first: dict[str, int] = {}
     after = -1
-    payload = _latest_checkpoint_payload(table_path, version)
+    payload = _latest_checkpoint_payload(table_path, version, fs, names)
     if payload is not None and "first_add" in payload:
         first = {f: int(v) for f, v in payload["first_add"].items()}
         after = payload["version"]
-    for v in list_versions(table_path):
+    for v in _meta_versions(names, _MANIFEST_PREFIX):
         if v <= after or v > version:
             continue
         for f in _read_manifest(table_path, v, fs).get("add", []):
@@ -775,7 +829,7 @@ def _logical_read(
     table_path: str,
     files: list[str],
     version: int,
-    renames: list[tuple[int, str, str]] | None = None,
+    events: list[tuple[int, str, str, str | None]] | None = None,
     first_add: dict[str, int] | None = None,
 ) -> DataFrame:
     """Scan an explicit file list presenting the LOGICAL schema at
@@ -798,29 +852,94 @@ def _logical_read(
             *[_join(table_path, f) for f in paths]
         )
 
-    if renames is None:
-        renames = _renames_upto(table_path, version)
-    if not renames:
+    if events is None:
+        events = _schema_events_upto(table_path, version)
+    if not events:
         return scan(files)
+    from pyspark.sql import functions as F
+
     if first_add is None:
         first_add = _first_add_versions(table_path, version)
     groups: dict[tuple, list[str]] = {}
     for f in files:
         addv = first_add.get(f, version)
-        chain = tuple(r for r in renames if r[0] > addv)
+        chain = tuple(e for e in events if e[0] > addv)
         groups.setdefault(chain, []).append(f)
     out = None
     for chain, members in sorted(groups.items()):
         part = scan(members)
-        for _rv, frm, to in chain:
-            if frm in part.columns:
-                part = part.withColumnRenamed(frm, to)
+        # apply the group's event subsequence IN COMMIT ORDER: a rename
+        # moves the physical name forward, a drop kills the column's
+        # LINEAGE as named at that point (so a later re-added column of
+        # the same name in newer files is a different, visible lineage).
+        # Retypes are deferred to one post-union cast — the logical type
+        # at ``version`` applies to every row regardless of file vintage.
+        for _ev, kind, a, b in chain:
+            if kind == "rename" and a in part.columns:
+                part = part.withColumnRenamed(a, b)
+            elif kind == "drop" and a in part.columns:
+                part = part.drop(a)
         out = (
             part
             if out is None
             else out.unionByName(part, allowMissingColumns=True)
         )
+    # retype = one cast over the unioned frame: walk the FULL chain to
+    # find each pending cast's final logical name (later renames move
+    # it; a later drop cancels it — a re-added same-named column is a
+    # new lineage the old retype never touched)
+    pending: dict[str, str] = {}
+    for _ev, kind, a, b in events:
+        if kind == "retype":
+            pending[a] = b
+        elif kind == "rename" and a in pending:
+            pending[b] = pending.pop(a)
+        elif kind == "drop":
+            pending.pop(a, None)
+    for name, dtype in pending.items():
+        if name in out.columns:
+            out = out.withColumn(name, F.col(name).cast(dtype))
     return out
+
+
+# merged LOGICAL schema cache: a committed (table_path, version) pair is
+# immutable — its live set, event chain and therefore merged schema can
+# never change — so the expensive part (mergeSchema inference = one
+# parquet footer read PER LIVE FILE, driver-side) is paid at most once
+# per version instead of once per point lookup / empty-frame build
+# (round-9 advisor finding: negative lookups paid O(live files) footer
+# IO per call). Bounded LRU; invalidated on commit for the one case a
+# (path, version) pair CAN recur — a scratch table torn down and
+# re-created at the same path restarts at v0, and _commit purges every
+# cached version >= the newly committed one for that path.
+from collections import OrderedDict as _OrderedDict
+
+_SCHEMA_CACHE: "_OrderedDict[tuple[str, int], object]" = _OrderedDict()
+_SCHEMA_CACHE_MAX = 256
+
+
+def logical_schema(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    version: int,
+    events: list[tuple[int, str, str, str | None]] | None = None,
+    first_add: dict[str, int] | None = None,
+):
+    """The merged LOGICAL StructType at ``version`` (exactly
+    ``_logical_read(...).schema``), memoized per (table_path, version)."""
+    key = (table_path, version)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None:
+        _SCHEMA_CACHE.move_to_end(key)
+        return hit
+    schema = _logical_read(
+        spark, table_path, files, version, events, first_add
+    ).schema
+    _SCHEMA_CACHE[key] = schema
+    while len(_SCHEMA_CACHE) > _SCHEMA_CACHE_MAX:
+        _SCHEMA_CACHE.popitem(last=False)
+    return schema
 
 
 def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]:
@@ -862,10 +981,16 @@ def _footer_stats(abs_path: str) -> dict:
     for rg in range(f.metadata.num_row_groups):
         for ci in range(f.metadata.num_columns):
             col = f.metadata.row_group(rg).column(ci)
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError for types it
+                # cannot extract stats for (e.g. wide decimals) — such
+                # columns simply stay probe candidates
                 continue
-            lo, hi = st.min, st.max
             if isinstance(lo, bytes) or not isinstance(lo, (int, float, str)):
                 continue
             name = col.path_in_schema
@@ -946,6 +1071,13 @@ def _commit(
             f"version {version} at {table_path} was already committed by "
             f"another writer"
         )
+    # schema-cache hygiene: committed versions are immutable, but a torn-
+    # down table re-created at the same path restarts at v0 — purge any
+    # cached schema at or above the version just committed for this path
+    for k in [
+        k for k in _SCHEMA_CACHE if k[0] == table_path and k[1] >= version
+    ]:
+        del _SCHEMA_CACHE[k]
 
 
 def _check_commit_order(table_path: str, version: int) -> list[int]:
@@ -968,7 +1100,7 @@ def _check_retired_names(
     versions: list[int],
     df_columns,
     op: str,
-    renames: list[tuple[int, str, str]] | None = None,
+    events: list[tuple[int, str, str, str | None]] | None = None,
 ) -> None:
     """Schema enforcement at the ONE point the rename design needs it: a
     writer carrying a column name that a committed rename RETIRED would
@@ -976,34 +1108,41 @@ def _check_retired_names(
     (reads union by name — the table would grow both columns with
     interleaved NULLs). Fail loudly naming the current logical
     successor. Retirement follows the LAST chain event touching a name:
-    a rename consuming it kills it, any later rename TARGETING it (a
+    a rename consuming it kills it; any later rename TARGETING it (a
     rename back, or an unrelated column renamed onto the freed name)
-    revives it — so only genuinely dead names are refused. Names
-    compare case-insensitively, matching Spark's default resolution
-    (a case variant would resurrect just as ambiguously). Pure
-    metadata; tables without renames pay one directory listing, and
-    callers that already fetched the chain pass it in."""
+    revives it; and a DROP of its current successor revives it too —
+    with the successor gone there is nothing to resurrect next to, so a
+    writer reusing the name starts a clean new lineage (same rule as
+    re-adding a dropped column). Names compare case-insensitively,
+    matching Spark's default resolution (a case variant would resurrect
+    just as ambiguously). Pure metadata; tables without schema events
+    pay one directory listing, and callers that already fetched the
+    chain pass it in."""
     if not versions:
         return
-    if renames is None:
-        renames = _renames_upto(table_path, versions[-1])
-    if not renames:
+    if events is None:
+        events = _schema_events_upto(table_path, versions[-1])
+    if not any(kind == "rename" for _v, kind, _a, _b in events):
         return
-    dead: dict[str, tuple[int, str]] = {}  # lower(name) -> (rv, frm)
-    for rv, frm, to in renames:
-        dead[frm.lower()] = (rv, frm)
-        dead.pop(to.lower(), None)  # (re-)established as a target
+    # lower(frm) -> (rv, frm, current successor) maintained in commit
+    # order so each retired name tracks where its data lives NOW
+    dead: dict[str, tuple[int, str, str]] = {}
+    for v, kind, a, b in events:
+        if kind == "rename":
+            for key, (rv, frm, succ) in list(dead.items()):
+                if succ.lower() == a.lower():
+                    dead[key] = (rv, frm, b)
+            dead.pop(b.lower(), None)  # (re-)established as a target
+            dead[a.lower()] = (v, a, b)
+        elif kind == "drop":
+            for key, (_rv, _frm, succ) in list(dead.items()):
+                if succ.lower() == a.lower():
+                    del dead[key]
     for col in df_columns:
         hit = dead.get(col.lower())
         if hit is None:
             continue
-        rv, frm = hit
-        # current logical successor: chase forward from the last rename
-        # that consumed this name
-        cur = next(t for v, f, t in renames if v == rv and f == frm)
-        for rv2, f2, t2 in renames:
-            if rv2 > rv and f2 == cur:
-                cur = t2
+        rv, _frm, cur = hit
         raise ValueError(
             f"{op}: column {col!r} was renamed to {cur!r} at "
             f"{table_path} (commit {rv}); write it as {cur!r} "
@@ -1123,8 +1262,8 @@ def delete_where(
     _check_no_active_dvs(table_path, versions, "delete_where")
     prev_live = live_files(table_path, versions[-1])
     paths = {f: _join(table_path, f) for f in prev_live}
-    renames = _renames_upto(table_path, versions[-1])
-    first_add = _first_add_versions(table_path, versions[-1]) if renames else {}
+    events = _schema_events_upto(table_path, versions[-1])
+    first_add = _first_add_versions(table_path, versions[-1]) if events else {}
     # one scan: per-file count of matching rows (bounded collect: one row
     # per live file). _logical_read: the predicate binds LOGICAL names,
     # so the delete reaches rows in files written under a pre-rename
@@ -1132,7 +1271,7 @@ def delete_where(
     counts: dict[str, int] = {}
     for r in (
         _logical_read(
-            spark, table_path, prev_live, versions[-1], renames, first_add
+            spark, table_path, prev_live, versions[-1], events, first_add
         )
         .filter(predicate)
         .groupBy(F.input_file_name().alias("f"))
@@ -1147,7 +1286,7 @@ def delete_where(
         # the rewrite reads logical names, so the survivor files are
         # physically re-keyed to the current logical schema
         survivors = _logical_read(
-            spark, table_path, touched, versions[-1], renames, first_add
+            spark, table_path, touched, versions[-1], events, first_add
         ).filter(f"NOT ({predicate})")
         add = _write_data_files(survivors, table_path, version)
     _commit(table_path, version, add=add, remove=touched, commit_ts=commit_ts)
@@ -1183,9 +1322,10 @@ def merge_upsert(
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
     _check_no_active_dvs(table_path, versions, "merge_upsert")
-    renames = _renames_upto(table_path, versions[-1])
+    events = _schema_events_upto(table_path, versions[-1])
+    renames = _rename_triples(events)
     _check_retired_names(
-        table_path, versions, updates.columns, "merge_upsert", renames
+        table_path, versions, updates.columns, "merge_upsert", events
     )
     prev_live = live_files(table_path, versions[-1])
     paths = {f: _join(table_path, f) for f in prev_live}
@@ -1199,7 +1339,7 @@ def merge_upsert(
     bounds = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
     stats = file_stats(table_path, versions[-1])
     first_add = (
-        _first_add_versions(table_path, versions[-1]) if renames else {}
+        _first_add_versions(table_path, versions[-1]) if events else {}
     )
 
     def _phys(f: str) -> str:
@@ -1223,7 +1363,7 @@ def merge_upsert(
 
     probe_df = (
         _logical_read(
-            spark, table_path, candidates, versions[-1], renames, first_add
+            spark, table_path, candidates, versions[-1], events, first_add
         )
         if candidates
         else None
@@ -1251,7 +1391,7 @@ def merge_upsert(
 
     if touched:
         survivors = _logical_read(
-            spark, table_path, touched, versions[-1], renames, first_add
+            spark, table_path, touched, versions[-1], events, first_add
         ).join(keys_df, key, "anti")
         new_rows = survivors.unionByName(updates, allowMissingColumns=True)
     else:
@@ -1408,9 +1548,12 @@ def check_expectations(df: DataFrame, expectations: dict[str, str]) -> None:
         )
 
 
-def _vacuum_markers(table_path: str, fs=None) -> list[dict]:
+def _vacuum_markers(
+    table_path: str, fs=None, names: list[str] | None = None
+) -> list[dict]:
     fs = fs or _fs_for(table_path)
-    names = fs.list_names(table_path)
+    if names is None:
+        names = fs.list_names(table_path)
     out = []
     for n in _meta_versions(names, _VACUUM_PREFIX):
         out.append(
@@ -1541,7 +1684,12 @@ def _sweep_orphan_data_files(table_path: str, versions: list[int], fs) -> int:
 
 
 def _check_not_vacuumed(
-    table_path: str, version: int, files: list[str], versions: list[int]
+    table_path: str,
+    version: int,
+    files: list[str],
+    versions: list[int],
+    fs=None,
+    names: list[str] | None = None,
 ) -> None:
     """Vacuum guard: a version is unreadable iff its live set intersects
     the files some vacuum run actually DELETED (recorded in the marker) —
@@ -1551,7 +1699,7 @@ def _check_not_vacuumed(
     set coverage rule, restricted to versions the marker could have
     affected (nothing newer than its max retained version existed at
     vacuum time)."""
-    for marker in _vacuum_markers(table_path):
+    for marker in _vacuum_markers(table_path, fs, names):
         if version in marker["retained"]:
             continue
         deleted = marker.get("deleted")
@@ -1584,24 +1732,38 @@ def read_version(
     A version whose files were removed by ``vacuum`` raises a clean
     "was vacuumed" error (checked against the vacuum markers — pure
     metadata, no per-file existence probe) instead of a parquet
-    file-not-found deep in the scan."""
-    versions = list_versions(table_path)
+    file-not-found deep in the scan.
+
+    Metadata cost: ONE directory listing serves every question this read
+    asks (committed versions, checkpoint discovery, vacuum markers,
+    schema-event hints, first-add resume) — the zero-extra-listing
+    contract pinned by tests/test_versioned.py's FS op-counter. On an
+    event-free table the hint fast path adds ZERO reads on top of the
+    manifest replay."""
+    fs = _fs_for(table_path)
+    names = fs.list_names(table_path)
+    versions = _meta_versions(names, _MANIFEST_PREFIX)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
     if version is None:
         version = max(versions)
     if version not in versions:
         raise ValueError(f"version {version} not in {versions} at {table_path}")
-    files = live_files(table_path, version)
+    files = live_files(table_path, version, fs, names)
     if not files:
         raise ValueError(f"version {version} at {table_path} has no live files")
-    _check_not_vacuumed(table_path, version, files, versions)
+    _check_not_vacuumed(table_path, version, files, versions, fs, names)
     # mergeSchema: ADDITIVE schema evolution — an append_version that
     # introduced new columns unions by name with older files (absent
     # columns read as NULL), the Delta/Iceberg add-column semantics.
-    # RENAMEs are metadata-only commits resolved per-file by the rename
-    # chain (_logical_read / rename_column); drops/retypes are rewrites.
-    return _logical_read(spark, table_path, files, version)
+    # RENAME / DROP / RETYPE are metadata-only commits resolved per-file
+    # by the schema-event chain (_logical_read / rename_column /
+    # drop_column / retype_column).
+    events = _schema_events_upto(table_path, version, fs, names)
+    first_add = (
+        _first_add_versions(table_path, version, fs, names) if events else {}
+    )
+    return _logical_read(spark, table_path, files, version, events, first_add)
 def prune_files_by_stats(
     table_path: str, version: int, column: str, values
 ) -> tuple[list[str], list[str]]:
@@ -2387,26 +2549,201 @@ def rename_column(
             f"(case-insensitive; columns: {cols})"
         )
     _check_no_active_dvs(table_path, versions, "rename_column")
-    # hint BEFORE manifest (see _RENAME_HINT_PREFIX): a crash between the
-    # two leaves a harmless false-positive hint; the reverse order could
-    # leave a committed rename invisible to the listing-based fast path
-    _fs_for(table_path).put_if_absent_text(
-        _join(table_path, f"{_RENAME_HINT_PREFIX}{version}.json"),
-        json.dumps({"version": version}),
-    )
-    _commit(
-        table_path,
-        version,
-        add=[],
-        remove=[],
-        commit_ts=commit_ts,
-        extra={"rename": {"from": old, "to": new}},
+    _commit_schema_event(
+        table_path, version, {"rename": {"from": old, "to": new}}, commit_ts
     )
     return {
         "version": version,
         "renamed": {"from": old, "to": new},
         "data_files_written": 0,
     }
+
+
+def _commit_schema_event(
+    table_path: str, version: int, extra: dict, commit_ts: str | None
+) -> None:
+    """Shared tail of every metadata-only schema commit (rename/drop/
+    retype): publish the presence hint FIRST (see _RENAME_HINT_PREFIX —
+    a crash between the two leaves a harmless false-positive hint; the
+    reverse order could leave a committed event invisible to the
+    listing-based fast path), then put-if-absent the manifest."""
+    _fs_for(table_path).put_if_absent_text(
+        _join(table_path, f"{_RENAME_HINT_PREFIX}{version}.json"),
+        json.dumps({"version": version}),
+    )
+    _commit(
+        table_path, version, add=[], remove=[], commit_ts=commit_ts, extra=extra
+    )
+
+
+def drop_column(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    column: str,
+    commit_ts: str | None = None,
+) -> dict:
+    """ALTER TABLE ... DROP COLUMN as a METADATA-ONLY commit (the
+    Delta column-mapping ``DROP COLUMN`` / Iceberg ``drop_column``
+    semantics): publish a manifest with an empty add/remove list and a
+    ``drop`` entry — zero data files are read, written, or copied, so
+    dropping a column on a 100 TB table costs one manifest write
+    instead of a full-table rewrite. Reads apply the event per-file
+    (``_logical_read``): files written before the drop project the
+    column away at scan time; time travel to versions BEFORE this
+    commit still presents it. A LATER writer may re-introduce the same
+    name — that is a NEW column lineage (pre-drop files surface NULL
+    for it), exactly Delta's re-add-after-drop behavior; the old
+    values can never leak into the new lineage because the drop event
+    sits between the two vintages' first-add versions. The physical
+    bytes stay on disk until a compaction rewrites them (also the
+    Delta/Iceberg posture — ``compact_files`` re-keys every file to
+    the logical schema and retires the chain).
+
+    Refused while any merge-on-read deletion vector is active (the
+    DV's key binding predates the event — ``purge_deletes`` first),
+    and for the table's last remaining column.
+
+    Returns {"version", "dropped", "data_files_written": 0}."""
+    versions = _check_commit_order(table_path, version)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    if not column:
+        raise ValueError("drop_column: column must be non-empty")
+    cols = read_version(spark, table_path).columns
+    if column not in cols:
+        raise ValueError(
+            f"drop_column: no column {column!r} at {table_path} "
+            f"(columns: {cols})"
+        )
+    if len(cols) < 2:
+        raise ValueError(
+            f"drop_column: {column!r} is the last column at {table_path}"
+        )
+    _check_no_active_dvs(table_path, versions, "drop_column")
+    _commit_schema_event(
+        table_path, version, {"drop": {"column": column}}, commit_ts
+    )
+    return {"version": version, "dropped": column, "data_files_written": 0}
+
+
+_INT_WIDENING = ("tinyint", "smallint", "int", "bigint")
+_TYPE_ALIASES = {
+    "long": "bigint",
+    "integer": "int",
+    "short": "smallint",
+    "byte": "tinyint",
+}
+
+
+def _widening_ok(cur: str, to: str) -> bool:
+    """The Iceberg V2 / Delta type-widening whitelist: promotions where
+    every physical value converts EXACTLY, so a read-side cast is pure
+    metadata (integer up-casts, float->double, decimal precision growth
+    at the same scale). Anything else changes values or can fail and
+    must be a rewrite."""
+    if cur in _INT_WIDENING and to in _INT_WIDENING:
+        return _INT_WIDENING.index(to) > _INT_WIDENING.index(cur)
+    if cur == "float" and to == "double":
+        return True
+    if cur.startswith("decimal(") and to.startswith("decimal("):
+        import re
+
+        mc = re.fullmatch(r"decimal\((\d+),(\d+)\)", cur)
+        mt = re.fullmatch(r"decimal\((\d+),(\d+)\)", to)
+        return (
+            mc is not None
+            and mt is not None
+            and mc.group(2) == mt.group(2)
+            and int(mt.group(1)) > int(mc.group(1))
+        )
+    return False
+
+
+def retype_column(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    column: str,
+    new_type: str,
+    commit_ts: str | None = None,
+) -> dict:
+    """ALTER TABLE ... ALTER COLUMN TYPE as a METADATA-ONLY commit,
+    restricted to the Iceberg V2 / Delta type-WIDENING whitelist
+    (integer up-casts, float->double, decimal precision growth at the
+    same scale — promotions where every stored value converts exactly):
+    publish a manifest with a ``retype`` entry; zero data files are
+    touched. Reads apply ONE cast over the unioned logical frame
+    (``_logical_read``), so old files surface the new type while files
+    written after the event carry it natively (union-type coercion
+    makes the cast a no-op for them); time travel to versions BEFORE
+    this commit still presents the old type. Narrowing or cross-family
+    conversions are refused with the rewrite path named — a lossy cast
+    as metadata would silently corrupt values at read time.
+
+    Refused while any merge-on-read deletion vector is active
+    (``purge_deletes`` first).
+
+    Returns {"version", "retyped": {"column", "from", "to"},
+    "data_files_written": 0}."""
+    versions = _check_commit_order(table_path, version)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    schema = read_version(spark, table_path).schema
+    if column not in schema.names:
+        raise ValueError(
+            f"retype_column: no column {column!r} at {table_path} "
+            f"(columns: {list(schema.names)})"
+        )
+    cur = schema[column].dataType.simpleString()
+    to = new_type.strip().lower().replace(" ", "")
+    to = _TYPE_ALIASES.get(to, to)
+    if to == cur:
+        raise ValueError(
+            f"retype_column: {column!r} at {table_path} is already {cur}"
+        )
+    if not _widening_ok(cur, to):
+        raise ValueError(
+            f"retype_column: {cur} -> {to} is not a widening conversion; "
+            f"only exact-value promotions (int up-casts, float->double, "
+            f"decimal precision growth at the same scale) are metadata-"
+            f"only. Rewrite instead: read_version + cast + write_version "
+            f"(or compact_files after fixing the writers)."
+        )
+    _check_no_active_dvs(table_path, versions, "retype_column")
+    _commit_schema_event(
+        table_path,
+        version,
+        {"retype": {"column": column, "from": cur, "to": to}},
+        commit_ts,
+    )
+    return {
+        "version": version,
+        "retyped": {"column": column, "from": cur, "to": to},
+        "data_files_written": 0,
+    }
+
+
+def schema_history(
+    table_path: str, version: int | None = None
+) -> list[dict]:
+    """The committed schema-event chain at ``version`` (default latest):
+    ``[{"version", "kind", ...}]`` ascending — the DESCRIBE-style
+    inspection surface over renames, drops and retypes together."""
+    versions = list_versions(table_path)
+    if not versions:
+        return []
+    if version is None:
+        version = max(versions)
+    out = []
+    for v, kind, a, b in _schema_events_upto(table_path, version):
+        if kind == "rename":
+            out.append({"version": v, "kind": kind, "from": a, "to": b})
+        elif kind == "drop":
+            out.append({"version": v, "kind": kind, "column": a})
+        else:
+            out.append({"version": v, "kind": kind, "column": a, "to": b})
+    return out
 
 
 def rename_history(
@@ -2718,21 +3055,24 @@ def _clone_preflight(
     if version is None:
         version = max(versions)
     files = live_files(source_path, version)
-    renames = _renames_upto(source_path, version)
-    if renames:
+    events = _schema_events_upto(source_path, version)
+    if events:
         # refuse only when some live file actually NEEDS the chain (was
-        # first-added before a rename); after a compaction every live
-        # file is physically keyed to the logical schema and the flat
-        # clone is faithful
+        # first-added before a rename/drop/retype); after a compaction
+        # every live file is physically keyed to the logical schema and
+        # the flat clone is faithful
         first_add = _first_add_versions(source_path, version)
         if any(
-            rv > first_add.get(f, version) for f in files for rv, _o, _n in renames
+            ev > first_add.get(f, version)
+            for f in files
+            for ev, _k, _a, _b in events
         ):
             raise ValueError(
                 f"version {version} at {source_path} has live files "
-                f"written under pre-rename physical column names; a flat "
-                f"clone would surface them raw — run compact_files first "
-                f"(re-keys every file to the logical schema), then clone"
+                f"written under pre-schema-change physical columns "
+                f"(rename/drop/retype); a flat clone would surface them "
+                f"raw — run compact_files first (re-keys every file to "
+                f"the logical schema), then clone"
             )
     _check_not_vacuumed(source_path, version, files, versions)
     dv_versions = [

@@ -1,0 +1,421 @@
+"""DROP COLUMN / RETYPE COLUMN as metadata-only commits (round-10
+extension of the rename mapping): per-file event-chain semantics,
+time travel across the events, lineage isolation on re-added names,
+widening whitelist enforcement, and interplay with the rewriters,
+clones, CDC apply and the bloom index."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dodo_spark.sources.versioned import (
+    append_version,
+    compact_files,
+    delete_where,
+    drop_column,
+    list_versions,
+    merge_upsert,
+    read_version,
+    rename_column,
+    restore_version,
+    retype_column,
+    schema_history,
+    write_version,
+    _read_manifest,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(1, 10, "x"), (2, 20, "y")], "k BIGINT, a INT, b STRING"
+        ),
+        path,
+        0,
+    )
+    return path
+
+
+def _types(df) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in df.schema}
+
+
+# ---------------------------------------------------------------------------
+# drop_column
+# ---------------------------------------------------------------------------
+def test_drop_is_metadata_only(spark, table):
+    before = sorted(
+        f for f in os.listdir(os.path.join(table, "v=0")) if True
+    )
+    out = drop_column(spark, table, 1, "b")
+    assert out == {"version": 1, "dropped": "b", "data_files_written": 0}
+    m = _read_manifest(table, 1)
+    assert m["add"] == [] and m["remove"] == []
+    assert m["drop"] == {"column": "b"}
+    # zero data movement: v=0's physical tree is untouched, no v=1 tree
+    assert sorted(os.listdir(os.path.join(table, "v=0"))) == before
+    assert not os.path.exists(os.path.join(table, "v=1"))
+    assert read_version(spark, table).columns == ["k", "a"]
+
+
+def test_drop_time_travel(spark, table):
+    drop_column(spark, table, 1, "b")
+    assert read_version(spark, table, 0).columns == ["k", "a", "b"]
+    assert {r["b"] for r in read_version(spark, table, 0).collect()} == {
+        "x",
+        "y",
+    }
+
+
+def test_drop_then_readd_is_new_lineage(spark, table):
+    """Delta re-add-after-drop: the old values can NEVER surface under
+    the re-added name — pre-drop rows are NULL on the new lineage."""
+    drop_column(spark, table, 1, "b")
+    append_version(
+        spark.createDataFrame([(3, 30, "NEW")], "k BIGINT, a INT, b STRING"),
+        table,
+        2,
+    )
+    rows = {r["k"]: r["b"] for r in read_version(spark, table).collect()}
+    assert rows == {1: None, 2: None, 3: "NEW"}
+    # and time travel before the re-add still hides the column entirely
+    assert read_version(spark, table, 1).columns == ["k", "a"]
+
+
+def test_drop_validations(spark, table):
+    with pytest.raises(ValueError, match="no column"):
+        drop_column(spark, table, 1, "nope")
+    drop_column(spark, table, 1, "b")
+    drop_column(spark, table, 2, "a")
+    with pytest.raises(ValueError, match="last column"):
+        drop_column(spark, table, 3, "k")
+
+
+def test_drop_renamed_column(spark, table):
+    """rename a -> alpha, then drop alpha: pre-rename files' physical
+    'a' is consumed by the chain before the drop kills it."""
+    rename_column(spark, table, 1, "a", "alpha")
+    drop_column(spark, table, 2, "alpha")
+    assert read_version(spark, table).columns == ["k", "b"]
+    assert read_version(spark, table, 1).columns == ["k", "alpha", "b"]
+    assert read_version(spark, table, 0).columns == ["k", "a", "b"]
+
+
+def test_rename_onto_dropped_name(spark, table):
+    """drop b frees the name; rename a -> b is then legal and the old
+    physical b never leaks into the renamed lineage."""
+    drop_column(spark, table, 1, "b")
+    rename_column(spark, table, 2, "a", "b")
+    got = {r["k"]: r["b"] for r in read_version(spark, table).collect()}
+    assert got == {1: 10, 2: 20}  # a's values, never "x"/"y"
+
+
+def test_write_after_drop_of_rename_successor_is_clean(spark, table):
+    """rename a -> alpha retires 'a'; dropping alpha revives it — a new
+    writer may then reuse 'a' as a clean lineage."""
+    rename_column(spark, table, 1, "a", "alpha")
+    with pytest.raises(ValueError, match="was renamed to"):
+        append_version(
+            spark.createDataFrame(
+                [(9, 9, "z")], "k BIGINT, a INT, b STRING"
+            ),
+            table,
+            2,
+        )
+    drop_column(spark, table, 2, "alpha")
+    append_version(
+        spark.createDataFrame([(9, 99, "z")], "k BIGINT, a INT, b STRING"),
+        table,
+        3,
+    )
+    got = {r["k"]: r["a"] for r in read_version(spark, table).collect()}
+    assert got == {1: None, 2: None, 9: 99}  # old alpha values stay dead
+
+
+# ---------------------------------------------------------------------------
+# retype_column
+# ---------------------------------------------------------------------------
+def test_retype_is_metadata_only_and_time_travels(spark, table):
+    out = retype_column(spark, table, 1, "a", "bigint")
+    assert out["data_files_written"] == 0
+    m = _read_manifest(table, 1)
+    assert m["add"] == [] and m["remove"] == []
+    assert m["retype"] == {"column": "a", "from": "int", "to": "bigint"}
+    assert _types(read_version(spark, table))["a"] == "bigint"
+    assert _types(read_version(spark, table, 0))["a"] == "int"
+    assert {r["a"] for r in read_version(spark, table).collect()} == {10, 20}
+
+
+def test_retype_accepts_spark_type_aliases(spark, table):
+    retype_column(spark, table, 1, "a", "LONG")
+    assert _types(read_version(spark, table))["a"] == "bigint"
+
+
+def test_retype_union_with_native_new_files(spark, table):
+    """files appended AFTER the retype carry the wide type natively; the
+    read-side cast must be a no-op for them and the union exact."""
+    retype_column(spark, table, 1, "a", "bigint")
+    append_version(
+        spark.createDataFrame(
+            [(3, 2**40, "w")], "k BIGINT, a BIGINT, b STRING"
+        ),
+        table,
+        2,
+    )
+    got = {r["k"]: r["a"] for r in read_version(spark, table).collect()}
+    assert got == {1: 10, 2: 20, 3: 2**40}
+    assert _types(read_version(spark, table))["a"] == "bigint"
+
+
+def test_retype_refuses_non_widening(spark, table):
+    for bad in ("int", "smallint", "string", "double", "date"):
+        with pytest.raises(ValueError, match="widening|already"):
+            retype_column(spark, table, 1, "a", bad)
+    assert list_versions(table) == [0]  # nothing committed
+
+
+def test_retype_decimal_precision_growth(spark, tmp_path):
+    tbl = str(tmp_path / "d")
+    write_version(
+        spark.range(3).select(
+            "id", F.col("id").cast("decimal(10,2)").alias("amt")
+        ),
+        tbl,
+        0,
+    )
+    retype_column(spark, tbl, 1, "amt", "decimal(20,2)")
+    assert _types(read_version(spark, tbl))["amt"] == "decimal(20,2)"
+    with pytest.raises(ValueError, match="widening"):
+        retype_column(spark, tbl, 2, "amt", "decimal(20,4)")  # scale change
+
+
+def test_retype_then_rename_moves_the_cast(spark, table):
+    retype_column(spark, table, 1, "a", "bigint")
+    rename_column(spark, table, 2, "a", "alpha")
+    t = _types(read_version(spark, table))
+    assert t["alpha"] == "bigint" and "a" not in t
+
+
+def test_retype_then_drop_then_readd_uncasts(spark, table):
+    """a retype's pending cast dies with the column's lineage: a
+    re-added 'a' is a fresh column with its OWN (narrow) type."""
+    retype_column(spark, table, 1, "a", "bigint")
+    drop_column(spark, table, 2, "a")
+    append_version(
+        spark.createDataFrame([(4, 7, "q")], "k BIGINT, a INT, b STRING"),
+        table,
+        3,
+    )
+    assert _types(read_version(spark, table))["a"] == "int"
+
+
+# ---------------------------------------------------------------------------
+# schema_history + rewriter / clone / CDC interplay
+# ---------------------------------------------------------------------------
+def test_schema_history_all_kinds(spark, table):
+    rename_column(spark, table, 1, "a", "alpha")
+    retype_column(spark, table, 2, "alpha", "bigint")
+    drop_column(spark, table, 3, "b")
+    assert schema_history(table) == [
+        {"version": 1, "kind": "rename", "from": "a", "to": "alpha"},
+        {"version": 2, "kind": "retype", "column": "alpha", "to": "bigint"},
+        {"version": 3, "kind": "drop", "column": "b"},
+    ]
+    assert schema_history(table, 2) == [
+        {"version": 1, "kind": "rename", "from": "a", "to": "alpha"},
+        {"version": 2, "kind": "retype", "column": "alpha", "to": "bigint"},
+    ]
+
+
+def test_rewriters_materialize_logical_schema(spark, table):
+    """delete_where / merge_upsert / compact after drop+retype read the
+    LOGICAL view, so rewritten files are physically re-keyed."""
+    drop_column(spark, table, 1, "b")
+    retype_column(spark, table, 2, "a", "bigint")
+    delete_where(spark, table, 3, "k = 2")
+    got = {r["k"]: r["a"] for r in read_version(spark, table).collect()}
+    assert got == {1: 10}
+    merge_upsert(
+        spark,
+        table,
+        4,
+        spark.createDataFrame([(1, 111), (5, 50)], "k BIGINT, a BIGINT"),
+        "k",
+    )
+    got = {r["k"]: r["a"] for r in read_version(spark, table).collect()}
+    assert got == {1: 111, 5: 50}
+    compact_files(spark, table, 5, target_files=1)
+    out = read_version(spark, table)
+    assert _types(out)["a"] == "bigint"
+    assert {r["k"] for r in out.collect()} == {1, 5}
+    # after compaction the chain is retired for the live set: a clone works
+    from dodo_spark.sources.versioned import deep_clone
+
+    deep_clone(table, table + "_clone")
+    assert {r["k"] for r in read_version(spark, table + "_clone").collect()} == {
+        1,
+        5,
+    }
+
+
+def test_clone_refuses_drop_and_retype_chains(spark, table):
+    from dodo_spark.sources.versioned import deep_clone, shallow_clone
+
+    drop_column(spark, table, 1, "b")
+    with pytest.raises(ValueError, match="compact_files first"):
+        deep_clone(table, table + "_d")
+    with pytest.raises(ValueError, match="compact_files first"):
+        shallow_clone(table, table + "_s")
+
+
+def test_drop_retype_refused_with_active_dv(spark, table):
+    from dodo_spark.sources.mor import delete_where_mor, purge_deletes
+
+    delete_where_mor(spark, table, 1, "k = 1", "k")
+    with pytest.raises(ValueError, match="purge_deletes"):
+        drop_column(spark, table, 2, "b")
+    with pytest.raises(ValueError, match="purge_deletes"):
+        retype_column(spark, table, 2, "a", "bigint")
+    purge_deletes(spark, table, 2)
+    drop_column(spark, table, 3, "b")
+    assert read_version(spark, table).columns == ["k", "a"]
+
+
+def test_restore_across_drop_keeps_drop(spark, table):
+    """RESTORE restores the live FILE SET; the schema-event chain is
+    append-only table metadata and stays at its latest state (Delta
+    parity: RESTORE keeps the current schema under column mapping)."""
+    append_version(
+        spark.createDataFrame([(3, 30, "z")], "k BIGINT, a INT, b STRING"),
+        table,
+        1,
+    )
+    drop_column(spark, table, 2, "b")
+    restore_version(table, 0, 3)
+    out = read_version(spark, table, 3)
+    assert out.columns == ["k", "a"]  # drop still applies
+    assert {r["k"] for r in out.collect()} == {1, 2}  # v0's files only
+
+
+def test_cdc_apply_on_dropped_retyped_table(spark, table):
+    from dodo_spark.sources.cdc_apply import apply_cdc_batch
+
+    drop_column(spark, table, 1, "b")
+    retype_column(spark, table, 2, "a", "bigint")
+    apply_cdc_batch(
+        spark,
+        table,
+        3,
+        spark.createDataFrame(
+            [(2, 222, 10), (7, 70, 10)], "k BIGINT, a BIGINT, seq BIGINT"
+        ),
+        key="k",
+        seq_col="seq",
+    )
+    got = {r["k"]: r["a"] for r in read_version(spark, table).collect()}
+    assert got == {1: 10, 2: 222, 7: 70}
+
+
+# ---------------------------------------------------------------------------
+# hint-protocol crash windows (shared with rename) + bloom interplay
+# ---------------------------------------------------------------------------
+def test_drop_retype_hint_crash_windows(spark, table):
+    """Same publish-before-commit contract as rename: a hint whose
+    manifest never committed (crashed drop/retype) or points at a
+    foreign manifest (lost race) is skipped harmlessly."""
+    from dodo_spark.sources.versioned import _RENAME_HINT_PREFIX
+
+    with open(
+        os.path.join(table, f"{_RENAME_HINT_PREFIX}1.json"), "w"
+    ) as f:
+        f.write(json.dumps({"version": 1}))
+    assert schema_history(table) == []
+    assert read_version(spark, table).columns == ["k", "a", "b"]
+    # the hinted version is won by a plain append: still no event
+    append_version(
+        spark.createDataFrame([(3, 30, "z")], "k BIGINT, a INT, b STRING"),
+        table,
+        1,
+    )
+    assert schema_history(table) == []
+    # real events afterwards work
+    drop_column(spark, table, 2, "b")
+    retype_column(spark, table, 3, "a", "bigint")
+    assert [e["kind"] for e in schema_history(table)] == ["drop", "retype"]
+
+
+def test_bloom_lookup_after_indexed_column_dropped(spark, tmp_path):
+    from dodo_spark.sources.bloom_index import (
+        read_point_lookup,
+        write_version_bloom_indexed,
+    )
+
+    tbl = str(tmp_path / "b")
+    write_version_bloom_indexed(
+        spark.createDataFrame(
+            [(i, i % 5, 1.0) for i in range(50)],
+            "rid BIGINT, key BIGINT, val DOUBLE",
+        ),
+        tbl,
+        0,
+        "key",
+        n_files=2,
+    )
+    drop_column(spark, tbl, 1, "key")
+    with pytest.raises(ValueError, match="dropped"):
+        read_point_lookup(spark, tbl, 3)
+
+
+def test_bloom_lookup_survives_retype_of_indexed_column(spark, tmp_path):
+    """bitmaps hash rendered VALUES; integral renderings are identical
+    across the widening, so lookups keep pruning after a retype."""
+    from dodo_spark.sources.bloom_index import (
+        read_point_lookup,
+        write_version_bloom_indexed,
+    )
+
+    tbl = str(tmp_path / "b")
+    write_version_bloom_indexed(
+        spark.createDataFrame(
+            [(i, i % 10, 1.0) for i in range(100)],
+            "rid BIGINT, key INT, val DOUBLE",
+        ),
+        tbl,
+        0,
+        "key",
+        n_files=4,
+    )
+    retype_column(spark, tbl, 1, "key", "bigint")
+    rows, stats = read_point_lookup(spark, tbl, 3)
+    assert rows.count() == 10
+    assert stats["files_scanned"] < stats["files_total"]
+
+
+def test_checkpoint_first_add_survives_restore_across_drop(spark, tmp_path):
+    """The drop twin of the rename/restore/checkpoint interaction: a
+    restore's re-add after a checkpoint must key the drop off the
+    file's ORIGINAL first-add, so the resurrected file still hides the
+    dropped column."""
+    from dodo_spark.sources.versioned import checkpoint_manifest
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 10, "x")], "k BIGINT, a INT, b STRING"),
+        tbl,
+        0,
+    )
+    drop_column(spark, tbl, 1, "b")
+    write_version(
+        spark.createDataFrame([(2, 20)], "k BIGINT, a INT"), tbl, 2
+    )
+    checkpoint_manifest(tbl)
+    restore_version(tbl, 0, 3)
+    out = read_version(spark, tbl, 3)
+    assert out.columns == ["k", "a"]
+    assert {(r["k"], r["a"]) for r in out.collect()} == {(1, 10)}

@@ -2412,35 +2412,63 @@ def test_retired_name_chain_logic_randomized():
     pool = ["a", "b", "c", "d", "e"]
     for _trial in range(300):
         live = set(rng.sample(pool, 3))
-        renames = []
+        events = []
         v = 1
-        for _ in range(rng.randrange(1, 7)):
+        for _ in range(rng.randrange(1, 8)):
             if not live:
                 break
-            frm = rng.choice(sorted(live))
-            candidates = [n for n in pool + ["x", "y"] if n not in live]
-            if not candidates:
-                break
-            to = rng.choice(candidates)
-            renames.append((v, frm, to))
-            live.discard(frm)
-            live.add(to)
+            # mostly renames, with occasional drops mixed into the chain
+            # (a drop of a retired name's successor REVIVES the name)
+            if rng.random() < 0.25 and len(live) > 1:
+                col = rng.choice(sorted(live))
+                events.append((v, "drop", col, None))
+                live.discard(col)
+            else:
+                frm = rng.choice(sorted(live))
+                candidates = [n for n in pool + ["x", "y"] if n not in live]
+                if not candidates:
+                    break
+                to = rng.choice(candidates)
+                events.append((v, "rename", frm, to))
+                live.discard(frm)
+                live.add(to)
             v += 1
-        if not renames:
+        if not any(k == "rename" for _v, k, _a, _b in events):
             continue
-        ever = {n for _v, f, t in renames for n in (f, t)}
+        ever = {
+            n
+            for _v, k, a, b in events
+            for n in ((a, b) if k == "rename" else (a,))
+        }
+        # oracle replay: a probe is refused iff following its LAST
+        # consuming rename forward lands on a successor that is STILL
+        # live (dropping the successor, or renaming it back/onward to a
+        # live name, changes the answer accordingly)
         for probe in sorted(ever | set(pool)):
-            should_refuse = probe in ever and probe not in live and any(
-                f == probe for _v, f, _t in renames
-            )
+            consumed_at = None
+            succ = None
+            for ev, k, a, b in events:
+                if k == "rename" and a == probe:
+                    consumed_at, succ = ev, b
+                elif k == "rename" and b == probe:
+                    consumed_at, succ = None, None  # re-established
+                elif k == "drop" and a == probe:
+                    consumed_at, succ = None, None  # dropped = free name
+                elif consumed_at is not None:
+                    # chase the successor through later events
+                    if k == "rename" and a == succ:
+                        succ = b
+                    elif k == "drop" and a == succ:
+                        consumed_at, succ = None, None
+            should_refuse = consumed_at is not None
             if should_refuse:
                 with _pytest.raises(ValueError, match="was renamed to"):
                     _check_retired_names(
-                        "/nowhere", [0], [probe], "test", renames
+                        "/nowhere", [0], [probe], "test", events
                     )
             else:
                 _check_retired_names(
-                    "/nowhere", [0], [probe], "test", renames
+                    "/nowhere", [0], [probe], "test", events
                 )
 
 
