@@ -2816,6 +2816,9 @@ def restore_version(
                 f"purge_deletes first"
             )
     prev_live = live_files(table_path, versions[-1])
+    _check_restore_rename_collisions(
+        table_path, versions, target_files, restore_to
+    )
     # add back exactly the restored set; remove what is live now. Files in
     # BOTH sets would be removed-then-re-added by the replay algebra
     # (remove applies before add within one manifest), so they stay live.
@@ -2832,6 +2835,79 @@ def restore_version(
         "files_readded": len(target_files),
         "data_files_written": 0,
     }
+
+
+def _check_restore_rename_collisions(
+    table_path: str,
+    versions: list[int],
+    target_files: list[str],
+    restore_to: int,
+) -> None:
+    """Name-based column mapping's one restore hazard (round-9 advisor
+    finding): ``rename_column`` validates its target against the LIVE
+    columns at rename time, so a file that was DEAD then may physically
+    contain the rename's target name — restoring such a file would
+    surface its old values under the renamed column's logical name
+    (silent wrong attribution; with both old names present, a duplicate
+    column). Refuse the pure-metadata restore for exactly those files:
+    resurrected files first-added BEFORE a rename but NOT LIVE when it
+    committed, whose physical columns (manifest footer stats + a local
+    parquet-footer probe, best effort) collide case-insensitively with
+    the rename target. Typical restores pay nothing: files live at the
+    rename were validated by it, so the risky set is empty and no
+    footer is touched."""
+    events = _schema_events_upto(table_path, versions[-1])
+    renames = _rename_triples(events)
+    if not renames:
+        return
+    first_add = _first_add_versions(table_path, versions[-1])
+    fs = _fs_for(table_path)
+    live_cache: dict[int, set[str]] = {}
+    stats_cache: dict[int, dict] = {}
+    for rv, _frm, to in renames:
+        if rv <= 0:
+            continue
+        if rv not in live_cache:
+            # live set at the rename's PREDECESSOR commit — the state
+            # whose columns the rename's validation actually saw
+            prev = max((v for v in versions if v < rv), default=None)
+            live_cache[rv] = (
+                set(live_files(table_path, prev)) if prev is not None else set()
+            )
+        risky = [
+            f
+            for f in target_files
+            if first_add.get(f, restore_to) < rv and f not in live_cache[rv]
+        ]
+        for f in risky:
+            av = first_add.get(f, restore_to)
+            if av not in stats_cache:
+                stats_cache[av] = _read_manifest(table_path, av, fs).get(
+                    "stats", {}
+                )
+            phys = {c.lower() for c in stats_cache[av].get(f, {})}
+            lp = _local_path(_join(table_path, f))
+            if lp is not None:
+                try:
+                    import pyarrow.parquet as pq
+
+                    phys.update(
+                        n.split(".")[0].lower()
+                        for n in pq.ParquetFile(lp).schema_arrow.names
+                    )
+                except Exception:
+                    pass
+            if to.lower() in phys:
+                raise ValueError(
+                    f"restore would resurrect file {f!r} (first added at "
+                    f"version {first_add.get(f, restore_to)}, dead when "
+                    f"rename commit {rv} targeted {to!r}) whose physical "
+                    f"columns include {to!r} — its old values would "
+                    f"surface under the renamed column. Restore the "
+                    f"materialized view instead (read_version at "
+                    f"{restore_to} + write_version), or compact_files "
+                    f"first."
+                )
 
 
 def _register_time_travel_restore() -> None:

@@ -419,3 +419,140 @@ def test_checkpoint_first_add_survives_restore_across_drop(spark, tmp_path):
     out = read_version(spark, tbl, 3)
     assert out.columns == ["k", "a"]
     assert {(r["k"], r["a"]) for r in out.collect()} == {(1, 10)}
+
+
+# ---------------------------------------------------------------------------
+# metadata-cost contract: the hint fast path adds ZERO FS ops
+# ---------------------------------------------------------------------------
+class _CountingFS:
+    """Pass-through FS shim proxy recording per-op call counts."""
+
+    def __init__(self, inner):
+        from collections import Counter
+
+        self._inner = inner
+        self.counts = Counter()
+
+    def reset(self):
+        self.counts.clear()
+
+    def __getattr__(self, name):
+        fn = getattr(self._inner, name)
+        if not callable(fn):
+            return fn
+
+        def wrapped(*a, **kw):
+            self.counts[name] += 1
+            return fn(*a, **kw)
+
+        return wrapped
+
+
+@pytest.fixture()
+def counting_fs():
+    from dodo_spark.sources import versioned as V
+    from dodo_spark.sources.versioned import _LocalFS
+
+    fs = _CountingFS(_LocalFS())
+    prev = V._FS_OVERRIDE
+    V._FS_OVERRIDE = lambda p: fs if "://" not in p else None
+    try:
+        yield fs
+    finally:
+        V._FS_OVERRIDE = prev
+
+
+def test_read_version_event_free_zero_extra_ops(spark, tmp_path, counting_fs):
+    """Pins the hint contract's headline claim (versioned.py:91): on an
+    EVENT-FREE table, read_version pays exactly ONE directory listing
+    and one manifest read per commit — the schema-event machinery adds
+    ZERO FS operations (the r8 cost baseline), and every metadata
+    question (versions, checkpoint, vacuum markers, hints, first-add)
+    is answered from that single listing."""
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"), tbl, 0
+    )
+    append_version(
+        spark.createDataFrame([(2, 2.0)], "k BIGINT, val DOUBLE"), tbl, 1
+    )
+    append_version(
+        spark.createDataFrame([(3, 3.0)], "k BIGINT, val DOUBLE"), tbl, 2
+    )
+    counting_fs.reset()
+    read_version(spark, tbl)
+    assert counting_fs.counts["list_names"] == 1
+    assert counting_fs.counts["read_text"] == 3  # one per manifest, no more
+    assert counting_fs.counts["exists"] == 0
+
+
+def test_read_version_event_table_ops_bounded(spark, tmp_path, counting_fs):
+    """On a table WITH schema events the extra metadata cost is bounded
+    by the hints plus the first-add scan over commits since the latest
+    checkpoint — never extra directory listings, never O(commits)
+    beyond the replay itself."""
+    from dodo_spark.sources.versioned import checkpoint_manifest
+
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"), tbl, 0
+    )
+    rename_column(spark, tbl, 1, "val", "amount")
+    append_version(
+        spark.createDataFrame([(2, 2.0)], "k BIGINT, amount DOUBLE"), tbl, 2
+    )
+    counting_fs.reset()
+    read_version(spark, tbl)
+    # one listing; replay reads 3 manifests; the hint re-reads the one
+    # hinted manifest; first-add re-scans the 3 manifests (no checkpoint)
+    assert counting_fs.counts["list_names"] == 1
+    assert counting_fs.counts["read_text"] == 3 + 1 + 3
+
+    # a checkpoint collapses both the replay and the first-add scan
+    checkpoint_manifest(tbl)
+    counting_fs.reset()
+    read_version(spark, tbl)
+    assert counting_fs.counts["list_names"] == 1
+    # checkpoint payload read twice (live replay + first-add resume),
+    # hinted manifest once: O(hints + commits since checkpoint), with
+    # zero commits since the checkpoint
+    assert counting_fs.counts["read_text"] == 3
+
+
+def test_restore_refuses_rename_target_collision(spark, tmp_path):
+    """Round-9 advisor scenario: an overwrite retires physical column X
+    (only DEAD files still contain it), another column is renamed onto
+    the freed name X, then a restore across the rename resurrects the
+    dead files — their original X values would surface under the
+    renamed column's logical name (and next to its physical twin).
+    The pure-metadata restore must refuse, naming the sanctioned
+    materialized-restore path."""
+    tbl = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(1, "old-x", 10.0)], "k BIGINT, x STRING, y DOUBLE"
+        ),
+        tbl,
+        0,
+    )
+    # full overwrite WITHOUT x: physical x lives only in v0's dead file
+    write_version(
+        spark.createDataFrame([(2, 20.0)], "k BIGINT, y DOUBLE"), tbl, 1
+    )
+    rename_column(spark, tbl, 2, "y", "x")  # legal: x not live
+    with pytest.raises(ValueError, match="physical columns include"):
+        restore_version(tbl, 0, 3)
+    # the benign restore (file was LIVE when the rename committed) is
+    # untouched: rename k->kk validated against v0's own live file
+    tbl2 = str(tmp_path / "t2")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k BIGINT, v DOUBLE"), tbl2, 0
+    )
+    rename_column(spark, tbl2, 1, "v", "vv")
+    write_version(
+        spark.createDataFrame([(9, 9.0)], "k BIGINT, vv DOUBLE"), tbl2, 2
+    )
+    restore_version(tbl2, 0, 3)
+    out = read_version(spark, tbl2, 3)
+    assert out.columns == ["k", "vv"]
+    assert {(r["k"], r["vv"]) for r in out.collect()} == {(1, 1.0)}

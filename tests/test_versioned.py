@@ -2351,49 +2351,94 @@ def test_cdc_apply_and_purge_across_renames(spark, tmp_path):
     assert state[3] == "v3-new" and len(state) == 9
 
 
-def test_rename_hint_crash_windows(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["local", "hadoop", "s3"])
+def test_rename_hint_crash_windows(spark, tmp_path, backend, request):
     """The hint protocol's two failure windows, per the publish-before-
-    commit contract: (a) a CRASHED rename leaves a hint whose manifest
-    never committed — readers must skip it; (b) a rename that LOSES the
-    version race to a non-rename writer leaves a hint pointing at a
-    foreign manifest with no rename entry — also skipped. Neither may
-    corrupt the chain or block reads/writes."""
+    commit contract: (a) a CRASHED schema change leaves a hint whose
+    manifest never committed — readers must skip it; (b) a schema change
+    that LOSES the version race to a non-schema writer leaves a hint
+    pointing at a foreign manifest with no event entry — also skipped.
+    Neither may corrupt the chain or block reads/writes. Parameterized
+    over ALL THREE filesystem shims — S3's weaker put-if-absent fallback
+    is exactly where a half-published hint is likeliest (r9 verdict
+    ask), so the windows run through _S3FS's conditional PUT too."""
     import json as _json
-    import os as _os
+
+    if backend == "s3":
+        request.getfixturevalue("s3_shim")
 
     from dodo_spark.sources.versioned import (
         _RENAME_HINT_PREFIX,
+        _fs_for,
+        _join,
         append_version,
+        drop_column,
         read_version,
         rename_column,
         rename_history,
+        retype_column,
+        schema_history,
         write_version,
     )
 
     tbl = str(tmp_path / "t")
+    if backend == "hadoop":
+        tbl = "file://" + tbl
     write_version(
-        spark.createDataFrame([(1, 1.0)], "k BIGINT, val DOUBLE"), tbl, 0
+        spark.createDataFrame([(1, 1, 1.0)], "k BIGINT, n INT, val DOUBLE"),
+        tbl,
+        0,
     )
-    # (a) crashed rename: hint for v1 exists, manifest never committed
-    with open(_os.path.join(tbl, f"{_RENAME_HINT_PREFIX}1.json"), "w") as f:
-        f.write(_json.dumps({"version": 1}))
+    # (a) crashed schema change: hint for v1 exists through THIS shim,
+    # manifest never committed
+    fs = _fs_for(tbl)
+    assert fs.put_if_absent_text(
+        _join(tbl, f"{_RENAME_HINT_PREFIX}1.json"),
+        _json.dumps({"version": 1}),
+    )
     assert rename_history(tbl) == []
-    assert read_version(spark, tbl).columns == ["k", "val"]
+    assert schema_history(tbl) == []
+    assert read_version(spark, tbl).columns == ["k", "n", "val"]
 
     # (b) the hinted version is then WON by a plain append (the racing
-    # rename lost): the hint points at a rename-free manifest
+    # schema change lost): the hint points at an event-free manifest
     append_version(
-        spark.createDataFrame([(2, 2.0)], "k BIGINT, val DOUBLE"), tbl, 1
+        spark.createDataFrame([(2, 2, 2.0)], "k BIGINT, n INT, val DOUBLE"),
+        tbl,
+        1,
     )
-    assert rename_history(tbl) == []
+    assert schema_history(tbl) == []
     assert read_version(spark, tbl).count() == 2
 
-    # a real rename afterwards still works and is the only chain entry
+    # real events afterwards still work and are the only chain entries —
+    # one of each kind, all through the same shim
     rename_column(spark, tbl, 2, "val", "amount")
+    drop_column(spark, tbl, 3, "amount")
+    retype_column(spark, tbl, 4, "n", "bigint")
     assert rename_history(tbl) == [
         {"version": 2, "from": "val", "to": "amount"}
     ]
-    assert read_version(spark, tbl).columns == ["k", "amount"]
+    assert schema_history(tbl) == [
+        {"version": 2, "kind": "rename", "from": "val", "to": "amount"},
+        {"version": 3, "kind": "drop", "column": "amount"},
+        {"version": 4, "kind": "retype", "column": "n", "to": "bigint"},
+    ]
+    out = read_version(spark, tbl)
+    assert out.columns == ["k", "n"]
+    assert {f.dataType.simpleString() for f in out.schema if f.name == "n"} == {
+        "bigint"
+    }
+    # a crashed-then-lost hint for a FUTURE version plus a real read:
+    # foreign-manifest skipping keeps working after real events exist
+    assert fs.put_if_absent_text(
+        _join(tbl, f"{_RENAME_HINT_PREFIX}5.json"),
+        _json.dumps({"version": 5}),
+    )
+    append_version(
+        spark.createDataFrame([(3, 3)], "k BIGINT, n BIGINT"), tbl, 5
+    )
+    assert len(schema_history(tbl)) == 3
+    assert read_version(spark, tbl).count() == 3
 
 
 def test_retired_name_chain_logic_randomized():
