@@ -397,3 +397,86 @@ def replay_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "return_rows_hash",
         (F.col("err").isNotNull()).alias("failed"),
     )
+
+
+def replay_schedule(decoded: DataFrame, speed: float) -> DataFrame:
+    """The reference's pacing schedule AS DATA (src/replay.go:220-240):
+    per client ordered by (ts, query_id), each statement's pre-sleep is
+    ``(ts - prev_ts - prev_duration) / speed`` — and the FIRST statement
+    of every client measures from the corpus-global minTs with zero
+    prior duration (``prevTs = c.minTs``, :221). Negative gaps (the
+    previous statement overran its slot) sleep 0. Returns (client,
+    query_id, gap_ms BIGINT, sleep_ms DOUBLE). Pure plan — one window
+    over the decoded corpus plus a 1-row global-min broadcast; nothing
+    executes or sleeps, so the schedule itself is oracle-checkable."""
+    from pyspark.sql import Window
+
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("client").orderBy("ts_ms", "query_id")
+    base = decoded.select("client", "query_id", "duration_ms", ts_ms.alias("ts_ms"))
+    min_ts = base.agg(F.min("ts_ms").alias("min_ts_ms"))
+    sched = (
+        base.withColumn("prev_ts", F.lag("ts_ms").over(w))
+        .withColumn("prev_dur", F.lag("duration_ms").over(w))
+        .crossJoin(F.broadcast(min_ts))
+        .select(
+            "client",
+            "query_id",
+            F.coalesce(
+                F.col("ts_ms") - F.col("prev_ts") - F.col("prev_dur"),
+                F.col("ts_ms") - F.col("min_ts_ms"),
+            )
+            .cast("bigint")
+            .alias("gap_ms"),
+        )
+    )
+    # exact-int / power-of-two-speed division is bit-identical across
+    # engines (IEEE-correct rounding over exact inputs)
+    return sched.withColumn(
+        "sleep_ms",
+        F.greatest(F.lit(0.0), F.col("gap_ms").cast("double") / F.lit(speed)),
+    )
+
+
+@register(
+    "replay_speed",
+    oracle=f"""
+    WITH enc AS ({_ENC_SQL}),
+    dec AS (
+      SELECT json_extract_string(m, '$.client') AS client,
+             json_extract_string(m, '$.queryId') AS query_id,
+             CAST(json_extract_string(m, '$.durationMs') AS BIGINT)
+               AS duration_ms,
+             epoch_ms(CAST(json_extract_string(m, '$.ts') AS TIMESTAMP))
+               AS ts_ms
+      FROM (
+        SELECT regexp_extract(replay_sql, '^/\\*dodo(\\{{.*?\\}})\\*/', 1) AS m
+        FROM enc
+      )
+    ),
+    sched AS (
+      SELECT client, query_id,
+             COALESCE(
+               ts_ms - LAG(ts_ms) OVER w - LAG(duration_ms) OVER w,
+               ts_ms - (SELECT MIN(ts_ms) FROM dec)
+             ) AS gap_ms
+      FROM dec
+      WINDOW w AS (PARTITION BY client ORDER BY ts_ms, query_id)
+    )
+    SELECT client, query_id, CAST(gap_ms AS BIGINT) AS gap_ms,
+           GREATEST(0.0, CAST(gap_ms AS DOUBLE) / 8.0) AS sleep_ms
+    FROM sched ORDER BY client, query_id
+    """,
+    doc="B11 pacing semantics, oracle-pinned as data: the reference's "
+    "inter-statement sleep schedule (ts2-ts1-dur1)/speed with the "
+    "per-client first statement measured from the corpus-global minTs "
+    "(src/replay.go:220-240) — computed as one window over the decoded "
+    "corpus at speed 8 and hash-matched row-for-row against the SQL "
+    "twin. Negative gaps clamp to sleep 0 (the previous statement "
+    "overran its slot). The runtime sleeper (replay_statements) is "
+    "wall-clock and covered rows-only by replay_execute; this key pins "
+    "the FORMULA exactly.",
+)
+def replay_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = decode_replay_sqls(_encoded_df(spark, sf_dir))
+    return replay_schedule(dec, speed=8.0).orderBy("client", "query_id")

@@ -3500,27 +3500,38 @@ def _register_time_travel_schema_evolution() -> None:
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                  AS total,
-               CAST(2 AS BIGINT) AS v0_n_cols,
-               CAST(3 AS BIGINT) AS v1_n_cols
+               CAST(3 AS BIGINT) AS v0_n_cols,
+               CAST(4 AS BIGINT) AS v1_n_cols,
+               'bigint' AS v4_ship_type,
+               (SELECT CAST(SUM(o_orderkey % 5) AS BIGINT) FROM orders
+                WHERE o_orderkey < 1500) AS ship_sum,
+               CAST(3 AS BIGINT) AS v5_n_cols,
+               TRUE AS drop_retype_metadata_only
         FROM sim GROUP BY 1 ORDER BY 1
         """,
-        doc="Schema evolution through the versioned commit log. ADDITIVE "
-        "leg (the Delta/Iceberg add-column semantics read_version "
-        "implements via mergeSchema): v0 commits two columns, v1 APPENDS "
-        "rows carrying a third (o_orderpriority) without rewriting any "
-        "v0 file; reading unions by name — pre-evolution rows surface "
-        "NULL for the new column (grouped here as '<pre-evolution>') — "
-        "while time travel to v0 still presents exactly the original "
-        "2-column schema (v0_n_cols/v1_n_cols are measured from the "
-        "actual read schemas and pinned by the oracle). RENAME leg (the "
-        "Iceberg name-mapping / Delta column-mapping semantics "
-        "rename_column implements): v2 renames o_totalprice -> "
-        "total_price and v3 renames it back — both METADATA-ONLY "
-        "commits (zero data files; asserted in tests/test_versioned.py) "
-        "— and the whole aggregate is computed from the read AT v2, "
-        "whose total_price column is resolved per-file across both "
-        "physical vintages, so the value hash crossing the rename must "
-        "equal the never-renamed oracle. Drops/retypes remain rewrites.",
+        doc="Schema evolution through the versioned commit log — all four "
+        "legs metadata-only. ADDITIVE leg (the Delta/Iceberg add-column "
+        "semantics read_version implements via mergeSchema): v0 commits "
+        "three columns, v1 APPENDS rows carrying a fourth "
+        "(o_orderpriority) without rewriting any v0 file; reading unions "
+        "by name — pre-evolution rows surface NULL for the new column "
+        "(grouped here as '<pre-evolution>') — while time travel to v0 "
+        "still presents exactly the original schema (v0_n_cols/"
+        "v1_n_cols measured from the actual read schemas, oracle-"
+        "pinned). RENAME leg (Iceberg name-mapping / Delta column-"
+        "mapping): v2 renames o_totalprice -> total_price and v3 "
+        "renames it back — the whole aggregate is computed from the "
+        "read AT v2, whose total_price column is resolved per-file "
+        "across both physical vintages, so the value hash crossing the "
+        "rename must equal the never-renamed oracle. RETYPE leg: v4 "
+        "widens ship_pri int -> bigint as a read-side cast "
+        "(retype_column; v4_ship_type measures the read schema and "
+        "ship_sum the values THROUGH the widening). DROP leg: v5 drops "
+        "ship_pri (drop_column; v5_n_cols measures the shrunk schema). "
+        "drop_retype_metadata_only pins from the manifests that v2..v5 "
+        "added and removed ZERO data files — at 100 TB each of these "
+        "four schema changes costs one manifest write, not a table "
+        "rewrite.",
     )
     def time_travel_schema_evolution(
         spark: SparkSession, sf_dir: str
@@ -3528,14 +3539,20 @@ def _register_time_travel_schema_evolution() -> None:
         from dodo_spark.operators.schema import scratch_dir
 
         tbl = _join(scratch_dir("time_travel_schema_evolution"), "tbl")
-        o = load_table(spark, sf_dir, "orders")
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "ship_pri", (F.col("o_orderkey") % 5).cast("int")
+        )
         k = F.col("o_orderkey")
         write_version(
-            o.filter(k < 1000).select("o_orderkey", "o_totalprice"), tbl, 0
+            o.filter(k < 1000).select(
+                "o_orderkey", "o_totalprice", "ship_pri"
+            ),
+            tbl,
+            0,
         )
         append_version(
             o.filter((k >= 1000) & (k < 1500)).select(
-                "o_orderkey", "o_totalprice", "o_orderpriority"
+                "o_orderkey", "o_totalprice", "ship_pri", "o_orderpriority"
             ),
             tbl,
             1,
@@ -3543,8 +3560,22 @@ def _register_time_travel_schema_evolution() -> None:
         # metadata-only rename round-trip: v2 renames, v3 renames back
         rename_column(spark, tbl, 2, "o_totalprice", "total_price")
         rename_column(spark, tbl, 3, "total_price", "o_totalprice")
+        # metadata-only widen + drop
+        retype_column(spark, tbl, 4, "ship_pri", "bigint")
+        drop_column(spark, tbl, 5, "ship_pri")
         v0_n_cols = len(read_version(spark, tbl, 0).columns)
-        v1_n_cols = len(read_version(spark, tbl).columns)  # latest == v1's
+        v1_n_cols = len(read_version(spark, tbl, 1).columns)
+        at4 = read_version(spark, tbl, 4)
+        v4_ship_type = at4.schema["ship_pri"].dataType.simpleString()
+        ship_sum = at4.agg(
+            F.sum("ship_pri").cast("bigint").alias("s")
+        ).first()["s"]
+        v5_n_cols = len(read_version(spark, tbl, 5).columns)
+        metadata_only = all(
+            not _read_manifest(tbl, v).get("add")
+            and not _read_manifest(tbl, v).get("remove")
+            for v in (2, 3, 4, 5)
+        )
         # read AT the renamed version: files from BOTH physical vintages
         # resolve to the logical name total_price
         mid = read_version(spark, tbl, 2)
@@ -3561,6 +3592,10 @@ def _register_time_travel_schema_evolution() -> None:
                 .alias("total"),
                 F.lit(v0_n_cols).cast("bigint").alias("v0_n_cols"),
                 F.lit(v1_n_cols).cast("bigint").alias("v1_n_cols"),
+                F.lit(v4_ship_type).alias("v4_ship_type"),
+                F.lit(ship_sum).cast("bigint").alias("ship_sum"),
+                F.lit(v5_n_cols).cast("bigint").alias("v5_n_cols"),
+                F.lit(metadata_only).alias("drop_retype_metadata_only"),
             )
             .orderBy("prio")
         )
