@@ -17,6 +17,13 @@ the better median wins; keys still over the ratio are flagged in the
 payload's "contended" map with both numbers, and 1-min loadavg is
 recorded at start/end — so a contended run carries its own evidence
 instead of reading as a code regression.
+
+Round-9 advisor hardening: EVERY re-run key records (first_pass, rerun,
+solo_sidecar) in the payload's "reruns" map — not only still-contended
+ones — so the min() de-noising is auditable cross-round and cannot
+silently ratchet the sidecar baseline downward; and the ratio is 1.15
+(the round-8 "Done" criterion), so any key >15% over the solo sidecar
+either recovers on the re-run or carries a flag.
 """
 
 from __future__ import annotations
@@ -190,7 +197,7 @@ HEADLINE = [
 ]
 
 
-CONTENTION_RATIO = 1.3
+CONTENTION_RATIO = 1.15
 
 
 def _reference_timings(sf: float) -> dict[str, float]:
@@ -264,18 +271,19 @@ def main() -> None:
     # not as a code regression
     ref = _reference_timings(sf)
     contended: dict[str, dict] = {}
+    reruns: dict[str, dict] = {}
     for name, t in sorted(timings.items()):
         r = ref.get(name)
         if r is None or r <= 0 or t <= CONTENTION_RATIO * r:
             continue
         rerun = measure(name)
         timings[name] = min(t, rerun)
+        # audit trail for EVERY re-run (round-9 advisor): the min() that
+        # wins is visible next to both raw passes, so cross-round readers
+        # can see exactly when de-noising picked the faster number
+        reruns[name] = {"solo_sidecar": r, "first_pass": t, "rerun": rerun}
         if timings[name] > CONTENTION_RATIO * r:
-            contended[name] = {
-                "solo_sidecar": r,
-                "first_pass": t,
-                "rerun": rerun,
-            }
+            contended[name] = reruns[name]
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -292,6 +300,7 @@ def main() -> None:
         "loadavg_1m": {"start": loadavg_start, "end": loadavg_1m()},
         "contention_ratio": CONTENTION_RATIO,
         "contended": contended,
+        "reruns": reruns,
     }
     print(json.dumps(payload))
     # full, never-truncated sidecar for cross-round regression tracking;

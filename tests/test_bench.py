@@ -30,25 +30,34 @@ def test_reference_timings_picks_newest_same_sf_sidecar(tmp_path, monkeypatch):
 
 def test_contention_flagging_logic():
     """The re-run/flag arithmetic bench.main applies: a key over
-    ratio x sidecar re-runs and keeps the better median; only keys
-    STILL over the ratio are flagged with both numbers."""
+    ratio x sidecar re-runs and keeps the better median; EVERY re-run
+    key lands in the reruns audit map (round-9 advisor — the min() that
+    wins must be auditable cross-round), and keys STILL over the ratio
+    are additionally flagged as contended."""
     import bench
+
+    assert bench.CONTENTION_RATIO == 1.15  # the round-8 "Done" criterion
 
     ref = {"a": 1.0, "b": 1.0, "c": 1.0}
     timings = {"a": 1.1, "b": 2.0, "c": 2.0, "d": 5.0}  # d: no yardstick
-    reruns = {"b": 0.9, "c": 1.9}  # b recovers solo-speed, c stays slow
+    rerun_times = {"b": 0.9, "c": 1.9}  # b recovers solo-speed, c stays slow
     contended = {}
+    reruns = {}
     for name, t in sorted(timings.items()):
         r = ref.get(name)
         if r is None or r <= 0 or t <= bench.CONTENTION_RATIO * r:
             continue
-        rerun = reruns[name]
+        rerun = rerun_times[name]
         timings[name] = min(t, rerun)
+        reruns[name] = {"solo_sidecar": r, "first_pass": t, "rerun": rerun}
         if timings[name] > bench.CONTENTION_RATIO * r:
-            contended[name] = {
-                "solo_sidecar": r, "first_pass": t, "rerun": rerun,
-            }
+            contended[name] = reruns[name]
     assert timings == {"a": 1.1, "b": 0.9, "c": 1.9, "d": 5.0}
+    # b's masking min() is auditable even though it is no longer flagged
+    assert reruns == {
+        "b": {"solo_sidecar": 1.0, "first_pass": 2.0, "rerun": 0.9},
+        "c": {"solo_sidecar": 1.0, "first_pass": 2.0, "rerun": 1.9},
+    }
     assert contended == {
         "c": {"solo_sidecar": 1.0, "first_pass": 2.0, "rerun": 1.9}
     }
