@@ -556,3 +556,157 @@ def test_restore_refuses_rename_target_collision(spark, tmp_path):
     out = read_version(spark, tbl2, 3)
     assert out.columns == ["k", "vv"]
     assert {(r["k"], r["vv"]) for r in out.collect()} == {(1, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# model-based interleaving fuzz
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [11, 47, 2026])
+def test_schema_event_interleaving_fuzz(spark, tmp_path, seed):
+    """Seeded random walk of appends, overwrites, renames, drops and
+    widening retypes mirrored in a pure-Python LOGICAL model; after the
+    walk, read_version at EVERY committed version must match the
+    model's snapshot of that version — column names, logical types AND
+    values (re-added-name lineages surface NULL on pre-drop rows, a
+    retype's pending cast follows renames and dies with the lineage).
+    The single-op semantics are each pinned by a dedicated test above;
+    this proves the CHAIN composes under arbitrary interleaving."""
+    import copy
+    import random
+
+    rng = random.Random(seed)
+    tbl = str(tmp_path / f"fuzz{seed}")
+
+    # model state: ordered logical schema {name: spark type} + rows as
+    # dicts keyed by logical name (a missing key reads as NULL)
+    schema: dict[str, str] = {"k": "bigint", "a": "int", "s": "string"}
+    rows: list[dict] = []
+    retired: dict[str, str] = {}  # rename source -> successor
+    free_names: set[str] = set()  # dropped / revived: legal to reuse
+    next_k = [0]
+    next_col = [0]
+
+    def make_rows(n: int, cols: dict[str, str]) -> list[dict]:
+        out = []
+        for _ in range(n):
+            r: dict = {}
+            for name, t in cols.items():
+                if name == "k":
+                    next_k[0] += 1
+                    r[name] = next_k[0]
+                elif t in ("int", "bigint"):
+                    r[name] = rng.randint(-99, 99)
+                elif t in ("float", "double"):
+                    # exactly float32-representable: survives any
+                    # float->double widening bit-for-bit
+                    r[name] = rng.randint(-99, 99) + 0.5
+                else:
+                    r[name] = rng.choice(["ax", "by", "cz", "dw"])
+            out.append(r)
+        return out
+
+    def spark_df(batch: list[dict], cols: dict[str, str]):
+        ddl = ", ".join(f"{n} {t.upper()}" for n, t in cols.items())
+        data = [tuple(r[c] for c in cols) for r in batch]
+        return spark.createDataFrame(data, ddl)
+
+    def commit_rows(version: int, overwrite: bool) -> None:
+        cols = dict(schema)
+        # sometimes append a SUBSET (additive evolution in reverse:
+        # older readers union by name, missing columns surface NULL)
+        droppable = [c for c in cols if c != "k"]
+        if not overwrite and len(droppable) > 1 and rng.random() < 0.3:
+            cols.pop(rng.choice(droppable))
+        batch = make_rows(rng.randint(2, 5), cols)
+        df = spark_df(batch, cols)
+        if overwrite:
+            write_version(df, tbl, version)
+            rows.clear()
+        else:
+            append_version(df, tbl, version)
+        rows.extend(copy.deepcopy(batch))
+
+    # v0: initial full write
+    commit_rows(0, overwrite=True)
+    snapshots = [(0, dict(schema), copy.deepcopy(rows))]
+
+    _WIDEN = {"int": "bigint", "float": "double"}
+    for version in range(1, 13):
+        ops = ["append", "append", "overwrite", "rename", "drop", "readd"]
+        if any(t in _WIDEN for t in schema.values()):
+            ops.append("retype")
+        op = rng.choice(ops)
+        mutable = [c for c in schema if c != "k"]
+        if op == "rename":
+            frm = rng.choice(mutable) if mutable else None
+            to = f"c{next_col[0]}"
+            next_col[0] += 1
+            if frm is None:
+                op = "append"
+            else:
+                rename_column(spark, tbl, version, frm, to)
+                schema[to] = schema.pop(frm)
+                # preserve logical column ORDER under rename like the
+                # chain does? order is name-keyed; reads expose the
+                # scan order — compare as a MAPPING, not a sequence
+                for r in rows:
+                    if frm in r:
+                        r[to] = r.pop(frm)
+                retired[frm] = to
+        elif op == "drop" and len(mutable) >= 2:
+            col = rng.choice(mutable)
+            drop_column(spark, tbl, version, col)
+            schema.pop(col)
+            for r in rows:
+                r.pop(col, None)
+            free_names.add(col)
+            # dropping a rename successor revives its source name
+            for f, t in list(retired.items()):
+                if t == col:
+                    free_names.add(f)
+                    del retired[f]
+        elif op == "readd":
+            # a NEW column lineage: reuse a dropped/revived name when
+            # one exists (the lineage-isolation case — old physical
+            # values must never surface), else a fresh name; appended
+            # rows carry it, every pre-existing row reads NULL
+            if free_names and rng.random() < 0.7:
+                name = rng.choice(sorted(free_names))
+                free_names.discard(name)
+            else:
+                name = f"n{next_col[0]}"
+                next_col[0] += 1
+            t = rng.choice(["int", "float", "string"])
+            cols = dict(schema)
+            cols[name] = t
+            batch = make_rows(rng.randint(2, 4), cols)
+            append_version(spark_df(batch, cols), tbl, version)
+            rows.extend(copy.deepcopy(batch))
+            schema[name] = t
+        elif op == "retype":
+            cands = [c for c, t in schema.items() if t in _WIDEN and c != "k"]
+            if not cands:
+                op = "append"
+            else:
+                col = rng.choice(cands)
+                to = _WIDEN[schema[col]]
+                retype_column(spark, tbl, version, col, to)
+                schema[col] = to
+                if to == "bigint":
+                    pass  # int values are already python ints
+        if op in ("append", "overwrite") or (
+            op == "drop" and len(mutable) < 2
+        ):
+            commit_rows(version, overwrite=op == "overwrite")
+        snapshots.append((version, dict(schema), copy.deepcopy(rows)))
+
+    assert list_versions(tbl) == [s[0] for s in snapshots]
+    for version, snap_schema, snap_rows in snapshots:
+        df = read_version(spark, tbl, version)
+        assert _types(df) == snap_schema, f"v{version} schema"
+        from collections import Counter
+
+        names = sorted(snap_schema)
+        got = Counter(tuple(r[n] for n in names) for r in df.collect())
+        want = Counter(tuple(r.get(n) for n in names) for r in snap_rows)
+        assert got == want, f"v{version} values"
