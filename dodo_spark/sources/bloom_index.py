@@ -71,6 +71,7 @@ def bloom_words_for_files(
     index_col: str,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    schema=None,
 ) -> dict[str, str]:
     """One metadata pass computing the per-file bloom bitmap of
     ``index_col`` over already-written ``rel_files`` (relative to
@@ -78,13 +79,20 @@ def bloom_words_for_files(
     compaction-time index REBUILD (compact_files). Returns
     {rel_file: base64 words}; files whose rows are all-NULL on the
     column get an all-zeros bitmap (probe never matches — correct,
-    since the column's lookup filter can't match NULL either)."""
+    since the column's lookup filter can't match NULL either).
+    Callers that just WROTE the files pass their ``schema`` to skip
+    the read-back footer-inference job (the files are this commit's
+    own output — the schema is known exactly)."""
     from dodo_spark.operators.runtime_filter import _h1_h2, _positions
     from dodo_spark.sources.versioned import _canon_file_ref
 
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("mergeSchema", "true")
     read_back = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[_join(table_path, f) for f in rel_files])
+        reader.parquet(*[_join(table_path, f) for f in rel_files])
         .select(
             F.input_file_name().alias("f"),
             F.col(index_col).alias("k"),
@@ -146,7 +154,8 @@ def write_version_bloom_indexed(
         df.repartition(n_files, F.col(index_col)), table_path, version
     )
     blooms = bloom_words_for_files(
-        df.sparkSession, table_path, add, index_col, m_bits, BLOOM_K
+        df.sparkSession, table_path, add, index_col, m_bits, BLOOM_K,
+        schema=df.schema,
     )
     _commit(
         table_path,
@@ -195,7 +204,8 @@ def append_version_bloom_indexed(
         df.repartition(n_files, F.col(index_col)), table_path, version
     )
     blooms = bloom_words_for_files(
-        df.sparkSession, table_path, add, index_col, m_bits, BLOOM_K
+        df.sparkSession, table_path, add, index_col, m_bits, BLOOM_K,
+        schema=df.schema,
     )
     _commit(
         table_path,
@@ -322,7 +332,18 @@ def read_point_lookup(
         )
 
     if not events:
-        schema = spark.read.parquet(_join(table_path, files[0])).schema
+        # memoized in versioned's commit-purged schema cache under a
+        # 3-tuple key (the purge matches on (path, version) prefix), so
+        # repeated lookups at one version pay the single footer read once
+        from dodo_spark.sources.versioned import _SCHEMA_CACHE
+
+        ck = (table_path, version, "bloom_probe_fast")
+        schema = _SCHEMA_CACHE.get(ck)
+        if schema is None:
+            schema = spark.read.parquet(_join(table_path, files[0])).schema
+            _SCHEMA_CACHE[ck] = schema
+            while len(_SCHEMA_CACHE) > 256:
+                _SCHEMA_CACHE.popitem(last=False)
         if col not in schema.names:
             schema = merged_schema()
     else:
@@ -339,8 +360,16 @@ def read_point_lookup(
 
     def empty_frame():
         # schema-faithful empty result (a hit and a miss must expose the
-        # same merged logical schema): an empty LocalRelation, no scan
-        return spark.createDataFrame([], merged_schema())
+        # same merged logical schema), built over range(0) so Catalyst
+        # folds it to an empty LocalRelation — createDataFrame([], ...)
+        # would parallelize an empty RDD and every downstream action
+        # would pay a full job's scheduling overhead (~0.4 s measured)
+        return spark.range(0).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged_schema().fields
+            ]
+        )
 
     if rendered is None:
         # the value does not cast into the column's type: no stored value

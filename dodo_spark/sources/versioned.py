@@ -1460,7 +1460,7 @@ def compact_files(
     else:
         df = df.coalesce(max(1, target_files))
     add = _write_data_files(df, table_path, version)
-    extra = _bloom_rebuild_extra(spark, table_path, versions, add, df.columns)
+    extra = _bloom_rebuild_extra(spark, table_path, versions, add, df.schema)
     _commit(
         table_path, version, add=add, remove=prev_live,
         commit_ts=commit_ts, extra=extra,
@@ -1473,7 +1473,7 @@ def _bloom_rebuild_extra(
     table_path: str,
     versions: list[int],
     add: list[str],
-    columns: list[str],
+    schema,
 ):
     """Rewrite-time BLOOM INDEX maintenance, shared by every BULK
     rewriter (compact_files, purge_tombstones): a rewrite invalidates
@@ -1502,13 +1502,15 @@ def _bloom_rebuild_extra(
                     col = to
             bi_meta = {"col": col, "m_bits": bi["m_bits"], "k": bi["k"]}
             break
-    if bi_meta is None or bi_meta["col"] not in columns or not add:
+    if bi_meta is None or bi_meta["col"] not in schema.names or not add:
         return None
     from dodo_spark.sources.bloom_index import bloom_words_for_files
 
+    # the rewriter just wrote these files from ``df`` — its schema is the
+    # files' schema exactly, so the read-back skips footer inference
     blooms = bloom_words_for_files(
         spark, table_path, add, bi_meta["col"],
-        bi_meta["m_bits"], bi_meta["k"],
+        bi_meta["m_bits"], bi_meta["k"], schema=schema,
     )
     return {"bloom_index": {**bi_meta, "files": blooms}}
 
