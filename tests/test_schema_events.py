@@ -710,3 +710,145 @@ def test_schema_event_interleaving_fuzz(spark, tmp_path, seed):
         got = Counter(tuple(r[n] for n in names) for r in df.collect())
         want = Counter(tuple(r.get(n) for n in names) for r in snap_rows)
         assert got == want, f"v{version} values"
+
+
+@pytest.mark.parametrize("seed", [7, 303])
+def test_schema_event_restore_compact_fuzz(spark, tmp_path, seed):
+    """Fuzz v2: the walk additionally RESTOREs to random earlier
+    versions and COMPACTs. A restore resurrects the target's FILE SET
+    under the CURRENT event chain, so its logical view is the target
+    snapshot with every event committed since replayed on top (renames
+    move columns, drops kill them, retypes re-type them) — exactly the
+    per-file composition rule, modeled here by replaying the event log
+    over the target's model snapshot. Restores the collision preflight
+    refuses (resurrected physical names colliding with later rename
+    targets) are skipped — the guard raising IS the contract there.
+    Compaction materializes the logical schema and must be a read-level
+    no-op at the version it commits."""
+    import copy
+    import random
+
+    rng = random.Random(seed)
+    tbl = str(tmp_path / f"fz2{seed}")
+
+    schema: dict[str, str] = {"k": "bigint", "a": "int", "b": "double", "s": "string"}
+    rows: list[dict] = []
+    event_log: list[tuple[int, str, str, str | None]] = []
+    next_k = [0]
+    next_col = [0]
+
+    def make_rows(n: int, cols: dict[str, str]) -> list[dict]:
+        out = []
+        for _ in range(n):
+            r: dict = {}
+            for name, t in cols.items():
+                if name == "k":
+                    next_k[0] += 1
+                    r[name] = next_k[0]
+                elif t in ("int", "bigint"):
+                    r[name] = rng.randint(-99, 99)
+                elif t in ("float", "double"):
+                    r[name] = rng.randint(-99, 99) + 0.5
+                else:
+                    r[name] = rng.choice(["ax", "by", "cz"])
+            out.append(r)
+        return out
+
+    def spark_df(batch: list[dict], cols: dict[str, str]):
+        ddl = ", ".join(f"{n} {t.upper()}" for n, t in cols.items())
+        return spark.createDataFrame([tuple(r[c] for c in cols) for r in batch], ddl)
+
+    def replay(snap_schema: dict, snap_rows: list[dict], after: int):
+        """Apply every logged event committed AFTER ``after`` to a
+        model snapshot — the logical view a restore of that snapshot
+        presents under the current chain."""
+        sch = dict(snap_schema)
+        rws = [dict(r) for r in snap_rows]
+        for v, kind, a, b in event_log:
+            if v <= after:
+                continue
+            if kind == "rename" and a in sch:
+                sch[b] = sch.pop(a)
+                for r in rws:
+                    if a in r:
+                        r[b] = r.pop(a)
+            elif kind == "drop" and a in sch:
+                sch.pop(a)
+                for r in rws:
+                    r.pop(a, None)
+            elif kind == "retype" and a in sch:
+                sch[a] = b
+        return sch, rws
+
+    commit_rows_init = make_rows(4, schema)
+    write_version(spark_df(commit_rows_init, schema), tbl, 0)
+    rows.extend(copy.deepcopy(commit_rows_init))
+    snapshots = [(0, dict(schema), copy.deepcopy(rows))]
+
+    _WIDEN = {"int": "bigint", "float": "double"}
+    version = 0
+    restores_done = 0
+    while version < 14:
+        version += 1
+        op = rng.choice(
+            ["append", "append", "rename", "drop", "retype", "restore", "compact"]
+        )
+        mutable = [c for c in schema if c != "k"]
+        if op == "rename" and mutable:
+            frm = rng.choice(mutable)
+            to = f"c{next_col[0]}"
+            next_col[0] += 1
+            rename_column(spark, tbl, version, frm, to)
+            schema[to] = schema.pop(frm)
+            for r in rows:
+                if frm in r:
+                    r[to] = r.pop(frm)
+            event_log.append((version, "rename", frm, to))
+        elif op == "drop" and len(mutable) >= 2:
+            col = rng.choice(mutable)
+            drop_column(spark, tbl, version, col)
+            schema.pop(col)
+            for r in rows:
+                r.pop(col, None)
+            event_log.append((version, "drop", col, None))
+        elif op == "retype" and any(
+            t in _WIDEN for c, t in schema.items() if c != "k"
+        ):
+            col = rng.choice(
+                [c for c, t in schema.items() if t in _WIDEN and c != "k"]
+            )
+            to = _WIDEN[schema[col]]
+            retype_column(spark, tbl, version, col, to)
+            schema[col] = to
+            event_log.append((version, "retype", col, to))
+        elif op == "restore" and len(snapshots) > 1:
+            tv = rng.choice([s[0] for s in snapshots[:-1]])
+            try:
+                restore_version(tbl, tv, version)
+            except ValueError:
+                version -= 1  # refused: nothing committed, re-roll
+                continue
+            tgt = next(s for s in snapshots if s[0] == tv)
+            new_schema, new_rows = replay(tgt[1], tgt[2], after=tv)
+            schema.clear()
+            schema.update(new_schema)
+            rows[:] = new_rows
+            restores_done += 1
+        elif op == "compact":
+            compact_files(spark, tbl, version, target_files=2)
+        else:
+            batch = make_rows(rng.randint(2, 4), schema)
+            append_version(spark_df(batch, schema), tbl, version)
+            rows.extend(copy.deepcopy(batch))
+        snapshots.append((version, dict(schema), copy.deepcopy(rows)))
+
+    from collections import Counter
+
+    assert list_versions(tbl) == [s[0] for s in snapshots]
+    for v, snap_schema, snap_rows in snapshots:
+        df = read_version(spark, tbl, v)
+        assert _types(df) == snap_schema, f"v{v} schema"
+        names = sorted(snap_schema)
+        got = Counter(tuple(r[n] for n in names) for r in df.collect())
+        want = Counter(tuple(r.get(n) for n in names) for r in snap_rows)
+        assert got == want, f"v{v} values (restores_done={restores_done})"
