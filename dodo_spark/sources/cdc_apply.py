@@ -334,7 +334,7 @@ def purge_tombstones(
         from dodo_spark.sources.versioned import _bloom_rebuild_extra
 
         extra = _bloom_rebuild_extra(
-            spark, table_path, versions, add, survivors.columns
+            spark, table_path, versions, add, survivors.schema
         )
     _commit(table_path, version, add=add, remove=touched, extra=extra)
     return {"files_rewritten": len(touched), "tombstones_purged": int(purged)}

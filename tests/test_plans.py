@@ -173,6 +173,10 @@ BNLJ_ALLOWED = {
     # 1-row node-count broadcast into each PageRank iteration (the
     # teleport term (1-d)/N)
     "graph_pagerank",
+    # 1-row corpus-global minTs broadcast onto the decoded statements
+    # (each client's first statement is scheduled from the corpus start —
+    # src/replay.go:220-240's minTs rule)
+    "replay_speed",
     # 1-row x 1-row group-moment broadcast join (the two-sample combine)
     "stats_ttest",
     # 1-row cross-split-pair-count broadcast (the no_leakage contract)
