@@ -942,6 +942,61 @@ def logical_schema(
     return schema
 
 
+def _logical_schema_at(spark: SparkSession, table_path: str):
+    """Logical StructType at the LATEST version, via the memoized
+    ``logical_schema`` — the validation probe for the metadata-only
+    schema ops (rename/drop/retype). On a cache hit this is zero I/O;
+    on a miss it costs the same one footer pass ``read_version`` pays.
+    Together with the event-derived pre-population in
+    ``_commit_schema_event``, a CHAIN of metadata ops on a 100 TB table
+    pays the footer pass once, not once per ALTER."""
+    versions = list_versions(table_path)
+    if not versions:
+        raise ValueError(f"no committed versions at {table_path}")
+    version = versions[-1]
+    files = live_files(table_path, version)
+    if not files:
+        raise ValueError(
+            f"version {version} at {table_path} has no live files"
+        )
+    events = _schema_events_upto(table_path, version)
+    first_add = _first_add_versions(table_path, version) if events else {}
+    return logical_schema(
+        spark, table_path, files, version, events, first_add
+    )
+
+
+def _apply_event_to_schema(schema, extra: dict):
+    """Derive the post-event logical StructType from the pre-event one —
+    the exact transform ``_logical_read`` applies (rename preserves
+    position, drop removes, retype re-types in place), used to
+    pre-populate the schema cache for the version a metadata-only
+    commit just created."""
+    from pyspark.sql import types as T
+
+    fields = list(schema.fields)
+    if "rename" in extra:
+        frm, to = extra["rename"]["from"], extra["rename"]["to"]
+        fields = [
+            T.StructField(to, f.dataType, f.nullable, f.metadata)
+            if f.name == frm
+            else f
+            for f in fields
+        ]
+    if "drop" in extra:
+        fields = [f for f in fields if f.name != extra["drop"]["column"]]
+    if "retype" in extra:
+        col, to = extra["retype"]["column"], extra["retype"]["to"]
+        dt = T._parse_datatype_string(to)
+        fields = [
+            T.StructField(f.name, dt, f.nullable, f.metadata)
+            if f.name == col
+            else f
+            for f in fields
+        ]
+    return T.StructType(fields)
+
+
 def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]:
     """Write ``df``'s parquet files under a UNIQUE per-attempt staging dir
     ``v=<version>/w-<uuid>/`` and return their table-relative paths. Only
@@ -2536,7 +2591,8 @@ def rename_column(
         raise ValueError("rename_column: old and new must be non-empty")
     if old == new:
         raise ValueError(f"rename_column: old == new ({old!r})")
-    cols = read_version(spark, table_path).columns
+    schema = _logical_schema_at(spark, table_path)
+    cols = list(schema.names)
     if old not in cols:
         raise ValueError(
             f"rename_column: no column {old!r} at {table_path} "
@@ -2552,7 +2608,11 @@ def rename_column(
         )
     _check_no_active_dvs(table_path, versions, "rename_column")
     _commit_schema_event(
-        table_path, version, {"rename": {"from": old, "to": new}}, commit_ts
+        table_path,
+        version,
+        {"rename": {"from": old, "to": new}},
+        commit_ts,
+        pre_schema=schema,
     )
     return {
         "version": version,
@@ -2562,13 +2622,21 @@ def rename_column(
 
 
 def _commit_schema_event(
-    table_path: str, version: int, extra: dict, commit_ts: str | None
+    table_path: str,
+    version: int,
+    extra: dict,
+    commit_ts: str | None,
+    pre_schema=None,
 ) -> None:
     """Shared tail of every metadata-only schema commit (rename/drop/
     retype): publish the presence hint FIRST (see _RENAME_HINT_PREFIX —
     a crash between the two leaves a harmless false-positive hint; the
     reverse order could leave a committed event invisible to the
-    listing-based fast path), then put-if-absent the manifest."""
+    listing-based fast path), then put-if-absent the manifest. When the
+    caller passes the validated pre-event ``pre_schema``, the schema
+    cache is pre-populated for the NEW version by applying the event to
+    it (the commit's purge runs first inside ``_commit``), so a chain
+    of ALTERs never re-pays the footer pass the first validation paid."""
     _fs_for(table_path).put_if_absent_text(
         _join(table_path, f"{_RENAME_HINT_PREFIX}{version}.json"),
         json.dumps({"version": version}),
@@ -2576,6 +2644,10 @@ def _commit_schema_event(
     _commit(
         table_path, version, add=[], remove=[], commit_ts=commit_ts, extra=extra
     )
+    if pre_schema is not None:
+        _SCHEMA_CACHE[(table_path, version)] = _apply_event_to_schema(
+            pre_schema, extra
+        )
 
 
 def drop_column(
@@ -2612,7 +2684,8 @@ def drop_column(
         raise ValueError(f"no committed versions at {table_path}")
     if not column:
         raise ValueError("drop_column: column must be non-empty")
-    cols = read_version(spark, table_path).columns
+    schema = _logical_schema_at(spark, table_path)
+    cols = list(schema.names)
     if column not in cols:
         raise ValueError(
             f"drop_column: no column {column!r} at {table_path} "
@@ -2624,7 +2697,11 @@ def drop_column(
         )
     _check_no_active_dvs(table_path, versions, "drop_column")
     _commit_schema_event(
-        table_path, version, {"drop": {"column": column}}, commit_ts
+        table_path,
+        version,
+        {"drop": {"column": column}},
+        commit_ts,
+        pre_schema=schema,
     )
     return {"version": version, "dropped": column, "data_files_written": 0}
 
@@ -2691,7 +2768,7 @@ def retype_column(
     versions = _check_commit_order(table_path, version)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
-    schema = read_version(spark, table_path).schema
+    schema = _logical_schema_at(spark, table_path)
     if column not in schema.names:
         raise ValueError(
             f"retype_column: no column {column!r} at {table_path} "
@@ -2718,6 +2795,7 @@ def retype_column(
         version,
         {"retype": {"column": column, "from": cur, "to": to}},
         commit_ts,
+        pre_schema=schema,
     )
     return {
         "version": version,

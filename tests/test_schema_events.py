@@ -852,3 +852,57 @@ def test_schema_event_restore_compact_fuzz(spark, tmp_path, seed):
         got = Counter(tuple(r[n] for n in names) for r in df.collect())
         want = Counter(tuple(r.get(n) for n in names) for r in snap_rows)
         assert got == want, f"v{v} values (restores_done={restores_done})"
+
+
+def test_metadata_op_chain_pays_one_schema_pass(spark, tmp_path, monkeypatch):
+    """A CHAIN of metadata-only ALTERs must pay the footer/plan pass of
+    schema validation ONCE: each commit pre-populates the schema cache
+    for the version it creates by applying its event to the validated
+    pre-event schema (_apply_event_to_schema), so the next op's
+    validation is a cache hit. Also pins that the derived schema is
+    EXACTLY what a cold _logical_read computes (names, types, order,
+    nullability) — the pre-population can never drift from the read
+    path."""
+    import dodo_spark.sources.versioned as V
+
+    tbl = str(tmp_path / "chain")
+    write_version(
+        spark.createDataFrame(
+            [(1, 10, 1.5, "x")], "k BIGINT, a INT, f FLOAT, s STRING"
+        ),
+        tbl,
+        0,
+    )
+
+    calls = {"n": 0}
+    real = V._logical_read
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(V, "_logical_read", counting)
+    V._SCHEMA_CACHE.clear()
+
+    rename_column(spark, tbl, 1, "a", "alpha")
+    retype_column(spark, tbl, 2, "alpha", "bigint")
+    drop_column(spark, tbl, 3, "s")
+    retype_column(spark, tbl, 4, "f", "double")
+    rename_column(spark, tbl, 5, "f", "g")
+    assert calls["n"] == 1, (
+        f"metadata-op chain built {calls['n']} schema plans; the first "
+        "validation's pass should be the only one"
+    )
+
+    # derived (cached) schema == cold recompute, field for field
+    derived = V._SCHEMA_CACHE[(tbl, 5)]
+    monkeypatch.setattr(V, "_logical_read", real)
+    V._SCHEMA_CACHE.clear()
+    cold = read_version(spark, tbl, 5).schema
+    assert derived == cold
+    assert [f.name for f in derived.fields] == ["k", "alpha", "g"]
+    assert _types(read_version(spark, tbl)) == {
+        "k": "bigint",
+        "alpha": "bigint",
+        "g": "double",
+    }
