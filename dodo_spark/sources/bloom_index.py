@@ -335,15 +335,18 @@ def read_point_lookup(
         # memoized in versioned's commit-purged schema cache under a
         # 3-tuple key (the purge matches on (path, version) prefix), so
         # repeated lookups at one version pay the single footer read once
-        from dodo_spark.sources.versioned import _SCHEMA_CACHE
+        from dodo_spark.sources.versioned import (
+            _SCHEMA_CACHE,
+            _schema_cache_put,
+        )
 
         ck = (table_path, version, "bloom_probe_fast")
         schema = _SCHEMA_CACHE.get(ck)
-        if schema is None:
+        if schema is not None:
+            _SCHEMA_CACHE.move_to_end(ck)
+        else:
             schema = spark.read.parquet(_join(table_path, files[0])).schema
-            _SCHEMA_CACHE[ck] = schema
-            while len(_SCHEMA_CACHE) > 256:
-                _SCHEMA_CACHE.popitem(last=False)
+            _schema_cache_put(ck, schema)
         if col not in schema.names:
             schema = merged_schema()
     else:

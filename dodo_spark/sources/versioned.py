@@ -650,6 +650,13 @@ def checkpoint_manifest(table_path: str, version: int | None = None) -> str:
                 # checkpoint acceleration: _rename_hint_ markers make it
                 # O(#renames) from the directory listing alone.)
                 "first_add": _first_add_versions(table_path, version),
+                # resolved SCHEMA-EVENT chain <= version. Events are an
+                # immutable fact of the committed manifests, so baking
+                # them in lets _schema_events_upto resume here and read
+                # only hinted manifests AFTER the checkpoint — a 100 TB
+                # table with years of schema drift pays O(1), not
+                # O(total events), per read once checkpointed.
+                "events": _schema_events_upto(table_path, version),
             }
         ),
     )
@@ -755,7 +762,14 @@ def _schema_events_upto(
     use), and with hints present only the HINTED manifests are read —
     O(#events), not O(#commits). A hint whose manifest is missing
     (crashed schema change) or carries no event entry (the hinted
-    version was won by a different racing writer) is skipped."""
+    version was won by a different racing writer) is skipped.
+
+    When a checkpoint <= ``version`` records an ``events`` list (every
+    checkpoint since round 11 does), the chain RESUMES from it: only
+    hinted manifests after the checkpoint are read, so a long-drifted
+    table pays O(events since checkpoint), flat in total chain length.
+    Pre-r11 checkpoints without the field fall back to reading every
+    hinted manifest."""
     fs = fs or _fs_for(table_path)
     if names is None:
         names = fs.list_names(table_path)
@@ -766,8 +780,20 @@ def _schema_events_upto(
     ]
     if not hinted:
         return []
-    committed = set(_meta_versions(names, _MANIFEST_PREFIX))
     out: list[tuple[int, str, str, str | None]] = []
+    after = -1
+    payload = _latest_checkpoint_payload(table_path, version, fs, names)
+    if payload is not None and "events" in payload:
+        out = [
+            (int(v), kind, a, b)
+            for v, kind, a, b in payload["events"]
+            if int(v) <= version
+        ]
+        after = payload["version"]
+        hinted = [v for v in hinted if v > after]
+        if not hinted:
+            return out
+    committed = set(_meta_versions(names, _MANIFEST_PREFIX))
     for v in hinted:
         if v not in committed:
             continue  # crashed schema change: hint published, manifest never won
@@ -918,6 +944,16 @@ _SCHEMA_CACHE: "_OrderedDict[tuple[str, int], object]" = _OrderedDict()
 _SCHEMA_CACHE_MAX = 256
 
 
+def _schema_cache_put(key: tuple, schema) -> None:
+    """Single insertion point for ``_SCHEMA_CACHE`` so EVERY insert pays
+    the same LRU trim — a long chain of metadata-only ALTERs pre-populates
+    one entry per commit and must not grow the cache unboundedly between
+    ordinary lookups."""
+    _SCHEMA_CACHE[key] = schema
+    while len(_SCHEMA_CACHE) > _SCHEMA_CACHE_MAX:
+        _SCHEMA_CACHE.popitem(last=False)
+
+
 def logical_schema(
     spark: SparkSession,
     table_path: str,
@@ -936,9 +972,7 @@ def logical_schema(
     schema = _logical_read(
         spark, table_path, files, version, events, first_add
     ).schema
-    _SCHEMA_CACHE[key] = schema
-    while len(_SCHEMA_CACHE) > _SCHEMA_CACHE_MAX:
-        _SCHEMA_CACHE.popitem(last=False)
+    _schema_cache_put(key, schema)
     return schema
 
 
@@ -949,7 +983,14 @@ def _logical_schema_at(spark: SparkSession, table_path: str):
     on a miss it costs the same one footer pass ``read_version`` pays.
     Together with the event-derived pre-population in
     ``_commit_schema_event``, a CHAIN of metadata ops on a 100 TB table
-    pays the footer pass once, not once per ALTER."""
+    pays the footer pass once, not once per ALTER.
+
+    Cache scope caveat (same as ``_SCHEMA_CACHE`` itself): the
+    commit-time purge only covers IN-PROCESS re-creation of a table at
+    the same path. If ANOTHER process tears down and re-creates the
+    table at this path, a DDL in this process can validate against the
+    old table's stale cached schema — acceptable under the repo's
+    documented single-writer-per-process cache scope."""
     versions = list_versions(table_path)
     if not versions:
         raise ValueError(f"no committed versions at {table_path}")
@@ -971,7 +1012,14 @@ def _apply_event_to_schema(schema, extra: dict):
     the exact transform ``_logical_read`` applies (rename preserves
     position, drop removes, retype re-types in place), used to
     pre-populate the schema cache for the version a metadata-only
-    commit just created."""
+    commit just created.
+
+    Every derived field is normalized to ``nullable=True`` with empty
+    metadata — exactly what the real read path (parquet ``mergeSchema``
+    + ``unionByName`` + ``withColumn``/``alias``, which drops metadata
+    and is force-nullable for some casts) always produces — so a
+    non-nullable or metadata-bearing field entering the chain can never
+    make the pre-populated entry disagree with ``_logical_read``."""
     from pyspark.sql import types as T
 
     fields = list(schema.fields)
@@ -994,7 +1042,9 @@ def _apply_event_to_schema(schema, extra: dict):
             else f
             for f in fields
         ]
-    return T.StructType(fields)
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True, None) for f in fields]
+    )
 
 
 def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]:
@@ -2645,8 +2695,8 @@ def _commit_schema_event(
         table_path, version, add=[], remove=[], commit_ts=commit_ts, extra=extra
     )
     if pre_schema is not None:
-        _SCHEMA_CACHE[(table_path, version)] = _apply_event_to_schema(
-            pre_schema, extra
+        _schema_cache_put(
+            (table_path, version), _apply_event_to_schema(pre_schema, extra)
         )
 
 

@@ -508,14 +508,15 @@ def test_read_version_event_table_ops_bounded(spark, tmp_path, counting_fs):
     assert counting_fs.counts["list_names"] == 1
     assert counting_fs.counts["read_text"] == 3 + 1 + 3
 
-    # a checkpoint collapses both the replay and the first-add scan
+    # a checkpoint collapses the replay, the first-add scan AND (since
+    # r11, via the payload's baked-in event chain) the hint re-reads
     checkpoint_manifest(tbl)
     counting_fs.reset()
     read_version(spark, tbl)
     assert counting_fs.counts["list_names"] == 1
-    # checkpoint payload read twice (live replay + first-add resume),
-    # hinted manifest once: O(hints + commits since checkpoint), with
-    # zero commits since the checkpoint
+    # checkpoint payload read three times (live replay + first-add
+    # resume + event-chain resume), ZERO hinted manifests: O(hints +
+    # commits since checkpoint) with both terms zero
     assert counting_fs.counts["read_text"] == 3
 
 
@@ -906,3 +907,134 @@ def test_metadata_op_chain_pays_one_schema_pass(spark, tmp_path, monkeypatch):
         "alpha": "bigint",
         "g": "double",
     }
+
+
+# ---------------------------------------------------------------------------
+# long-drift chains: the 100 TB table with years of schema churn
+# ---------------------------------------------------------------------------
+def _build_drifted_table(spark, path: str, n_events: int) -> None:
+    """One data commit, then ``n_events`` metadata-only renames toggling
+    a single column — the years-of-drift shape: the event chain is long,
+    the data is not."""
+    write_version(
+        spark.createDataFrame([(1, 10, 1.0)], "k BIGINT, a INT, v DOUBLE"),
+        path,
+        0,
+    )
+    names = ["a", "a2"]
+    for i in range(n_events):
+        rename_column(spark, path, i + 1, names[i % 2], names[(i + 1) % 2])
+
+
+def test_hundred_event_chain_bounded_and_checkpoint_collapses(
+    spark, tmp_path, counting_fs
+):
+    """Round-11 ask #4: counter-asserted metadata cost at chain length
+    100. Pre-checkpoint a read pays exactly O(hints + commits) — the
+    replay (N+1 manifests), the hinted-manifest event reads (N), and
+    the first-add scan (N+1): 3N+2 text reads off ONE listing. A
+    checkpoint then collapses ALL THREE terms (its payload bakes in the
+    live set, the first-add map and — since r11 — the resolved event
+    chain), so the post-checkpoint read cost is a CONSTANT independent
+    of chain length: identical FS op counts at N=10 and N=100."""
+    import time
+
+    from dodo_spark.sources.versioned import checkpoint_manifest
+
+    costs: dict[int, tuple[dict, float]] = {}
+    for n_events in (10, 100):
+        tbl = str(tmp_path / f"drift{n_events}")
+        _build_drifted_table(spark, tbl, n_events)
+
+        counting_fs.reset()
+        df = read_version(spark, tbl)
+        assert counting_fs.counts["list_names"] == 1
+        assert counting_fs.counts["read_text"] == 3 * n_events + 2
+        assert counting_fs.counts["exists"] == 0
+        # even-length toggle chain ends back on the original name
+        assert [f.name for f in df.schema] == ["k", "a", "v"]
+
+        checkpoint_manifest(tbl)
+        t0 = time.perf_counter()
+        counting_fs.reset()
+        df = read_version(spark, tbl)
+        secs = time.perf_counter() - t0
+        assert [f.name for f in df.schema] == ["k", "a", "v"]
+        assert df.count() == 1
+        costs[n_events] = (dict(counting_fs.counts), secs)
+
+    ops10, t10 = costs[10]
+    ops100, t100 = costs[100]
+    # post-checkpoint metadata cost is FLAT in chain length: one listing,
+    # three checkpoint-payload reads, zero hinted-manifest reads — the
+    # same counts at N=10 and N=100
+    assert ops100 == ops10
+    assert ops100["list_names"] == 1
+    assert ops100["read_text"] == 3
+    # and wall time is flat too (generous bound: planning noise only)
+    assert t100 <= 3 * t10 + 1.0, (n_events, t10, t100)
+
+
+def test_checkpoint_mid_chain_resumes_event_replay(spark, tmp_path, counting_fs):
+    """A checkpoint taken MID-chain bounds later reads to O(events since
+    the checkpoint): only hinted manifests after it are read, the prefix
+    comes from the payload. Also pins that further ALTERs after the
+    checkpoint keep exact event semantics (rename lineage intact)."""
+    from dodo_spark.sources.versioned import checkpoint_manifest
+
+    tbl = str(tmp_path / "mid")
+    _build_drifted_table(spark, tbl, 6)
+    checkpoint_manifest(tbl)  # at version 6, chain baked in
+    rename_column(spark, tbl, 7, "a", "a2")
+    rename_column(spark, tbl, 8, "a2", "a")
+
+    counting_fs.reset()
+    df = read_version(spark, tbl)
+    assert counting_fs.counts["list_names"] == 1
+    # replay: payload + manifests 7,8 (=3); events: payload + hinted 7,8
+    # (=3); first-add: payload + manifests 7,8 (=3)
+    assert counting_fs.counts["read_text"] == 9
+    assert [f.name for f in df.schema] == ["k", "a", "v"]
+
+    # time travel BEHIND the checkpoint still resolves the exact prefix
+    assert [f.name for f in read_version(spark, tbl, 3).schema] == [
+        "k",
+        "a2",
+        "v",
+    ]
+
+    # a second checkpoint extends the first incrementally
+    checkpoint_manifest(tbl)
+    counting_fs.reset()
+    read_version(spark, tbl)
+    assert counting_fs.counts["read_text"] == 3
+
+
+def test_pre_r11_checkpoint_without_events_field_still_reads(
+    spark, tmp_path, counting_fs
+):
+    """Backward compat: a checkpoint payload WITHOUT the r11 ``events``
+    field (written by an older build) falls back to reading every hinted
+    manifest — correct results, pre-r11 cost."""
+    from dodo_spark.sources.versioned import (
+        _checkpoint_path,
+        checkpoint_manifest,
+    )
+
+    tbl = str(tmp_path / "old")
+    _build_drifted_table(spark, tbl, 4)
+    cp = checkpoint_manifest(tbl)
+    assert cp == _checkpoint_path(tbl, 4)
+    with open(cp) as f:
+        payload = json.load(f)
+    assert len(payload["events"]) == 4
+    del payload["events"]
+    with open(cp, "w") as f:
+        json.dump(payload, f)
+
+    counting_fs.reset()
+    df = read_version(spark, tbl)
+    assert [f.name for f in df.schema] == ["k", "a", "v"]
+    # events fall back to payload-check + 4 hinted manifests; replay and
+    # first-add still resume from the payload
+    assert counting_fs.counts["read_text"] == 3 + 4
