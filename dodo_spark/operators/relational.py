@@ -1001,6 +1001,75 @@ def text_match_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATCH_PHRASE bigram: chosen for non-trivial corpus frequency (≈10% of
+# docs at every SF — the generator's token distribution is SF-invariant)
+PHRASE_TERMS = ("table", "hash")
+
+
+@register(
+    "text_match_phrase",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id, lang, unnest(toks) AS token,
+             generate_subscripts(toks, 1) AS pos
+      FROM l
+    ), hit AS (
+      SELECT a.doc_id, a.lang, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.token = '{PHRASE_TERMS[0]}' AND b.token = '{PHRASE_TERMS[1]}'
+      GROUP BY a.doc_id, a.lang
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS phrase_docs,
+           CAST(SUM(occ) AS BIGINT) AS phrase_hits
+    FROM hit GROUP BY lang
+    """,
+    doc="A27 completion: MATCH_PHRASE (ref DorisParser.g4:1513 "
+    "MATCH_PHRASE) — the adjacent-position inverted-index semantic. "
+    "Tokens posexplode to POSITIONAL postings (token, doc, pos); the "
+    "phrase-term predicate filters the postings SCAN-SIDE (only the two "
+    "terms' postings ever shuffle, exactly an inverted-index posting "
+    "fetch), then ONE groupBy(doc) intersects the first term's "
+    "shifted position set with the second's (array_intersect on "
+    "collect_set — positions are unique, so the intersection size IS "
+    "the exact adjacent-occurrence count; no positional self-join, no "
+    "second exchange). The oracle checks position-adjacency exactly "
+    "via a DuckDB positional self-join (0- vs 1-based positions cancel "
+    "in the +1 shift). At 100 TB the postings materialize bucketed by "
+    "token and the term filter becomes bucket pruning; per-doc position "
+    "sets are bounded by document length, never corpus size.",
+)
+def text_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w1, w2 = PHRASE_TERMS
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "token"),
+    )
+    occ = F.size(
+        F.array_intersect(
+            F.transform(
+                F.collect_set(F.when(F.col("token") == w1, F.col("pos"))),
+                lambda x: x + 1,
+            ),
+            F.collect_set(F.when(F.col("token") == w2, F.col("pos"))),
+        )
+    ).alias("occ")
+    per_doc = (
+        toks.filter(F.col("token").isin(w1, w2))
+        .groupBy("doc_id", "lang")
+        .agg(occ)
+        .filter(F.col("occ") > 0)
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("phrase_docs"),
+        F.sum("occ").cast("bigint").alias("phrase_hits"),
+    )
+
+
 RANK_TOP_K = 20
 _RANK_TERMS_SQL = ", ".join(f"'{t}'" for t in MATCH_TERMS)
 # exact BIGINT product of the per-term dfs (absent term -> 1): PRODUCT()

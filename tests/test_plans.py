@@ -256,6 +256,27 @@ def test_text_match_tokens_filters_postings_before_any_exchange(plans):
     assert len(set(ids["Exchange"])) == 2, ids["Exchange"]
 
 
+def test_text_match_phrase_single_posting_exchange(plans):
+    """MATCH_PHRASE must keep the no-self-join shape: the phrase-term
+    Filter sits between Generate and the first Exchange (only the two
+    terms' positional postings shuffle), there is NO join operator at
+    all (adjacency resolves via per-doc position-set intersection inside
+    one aggregate), and the key pays exactly the two aggregate
+    exchanges."""
+    import re
+
+    plan = plans("text_match_phrase")
+    assert "Join" not in plan, plan
+    ids = {}
+    for m in re.finditer(r"^\s*(?:[+\-:*\s]*)\((\d+)\)\s+(\w+)", plan, re.M):
+        ids.setdefault(m.group(2), []).append(int(m.group(1)))
+    gen = min(ids["Generate"])
+    tok_filter = min(i for i in ids["Filter"] if i > gen)
+    first_exchange = min(ids["Exchange"])
+    assert gen < tok_filter < first_exchange, (gen, tok_filter, first_exchange)
+    assert len(set(ids["Exchange"])) == 2, ids["Exchange"]
+
+
 @pytest.mark.parametrize("name", ["agg_group", "agg_distinct", "dedup_exact"])
 def test_two_phase_aggregation(plans, name):
     """Partial (map-side) + final HashAggregate — the combine must happen

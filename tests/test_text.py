@@ -315,3 +315,43 @@ def test_ngram_lm_counts_known_fixture(spark, tmp_path):
         _fixture_oracle(d, registry.oracle_sql()["text_ngram_lm_counts"]),
         "lm_counts_fixture",
     )
+
+
+def test_match_phrase_exact_adjacency(spark, tmp_path):
+    """MATCH_PHRASE semantics on crafted docs: adjacency required (both
+    terms present but separated ≠ match; reversed order ≠ match),
+    multiple occurrences counted exactly, case-insensitive, and the
+    per-lang rollup splits docs/hits correctly. Cross-checked against
+    the registered DuckDB oracle on the same fixture."""
+    from dodo_spark.operators.relational import text_match_phrase
+    from tests.parity import assert_parity
+
+    rows = [
+        (1, "a table hash b", "en", "s", 14),          # one hit
+        (2, "table hash x table hash", "en", "s", 23), # two hits, one doc
+        (3, "table x hash", "en", "s", 12),            # separated: no
+        (4, "hash table", "en", "s", 10),              # reversed: no
+        (5, "TABLE HASH", "de", "s", 10),              # case-folded hit
+        (6, "nothing here", "fr", "s", 12),            # neither term
+    ]
+    d = _docs_fixture(spark, tmp_path, rows)
+    got = {
+        r["lang"]: (r["phrase_docs"], r["phrase_hits"])
+        for r in text_match_phrase(spark, d).collect()
+    }
+    assert got == {"en": (2, 3), "de": (1, 1)}
+
+    from dodo_spark.registry import REGISTRY
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_parity(
+        text_match_phrase(spark, d),
+        con.sql(REGISTRY["text_match_phrase"].oracle).df(),
+        "text_match_phrase@fixture",
+    )
