@@ -194,6 +194,8 @@ HEADLINE = [
     "cdc_purge_tombstones",
     # round-8: self-contained byte-copy clone
     "time_travel_deep_clone",
+    # round-11: exact MATCH_PHRASE (positional posting intersection)
+    "text_match_phrase",
 ]
 
 
