@@ -16,7 +16,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["scaled_vec", "dot_long", "cosine", "SCALE", "sql_scaled_vec", "sql_cosine"]
+__all__ = [
+    "scaled_vec",
+    "dot_long",
+    "cosine",
+    "norm2_long",
+    "cosine_pre",
+    "SCALE",
+    "sql_scaled_vec",
+    "sql_cosine",
+]
 
 SCALE = 1_000_000
 
@@ -41,6 +50,26 @@ def cosine(a: Column, b: Column) -> Column:
     na = dot_long(a, a).cast("double")
     nb = dot_long(b, b).cast("double")
     return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def norm2_long(v: Column) -> Column:
+    """Exact integer squared norm of a scaled vector — precompute this
+    per VECTOR (one scan-side projection) before any pairwise join so the
+    join evaluates one array aggregate per pair instead of three."""
+    return dot_long(v, v)
+
+
+def cosine_pre(a: Column, b: Column, na2: Column, nb2: Column) -> Column:
+    """``cosine`` with the squared norms precomputed via ``norm2_long``.
+
+    Bit-identical to ``cosine``: the norms are exact integers (< 2^53),
+    so casting the precomputed BIGINT to double yields the same value
+    the inline ``dot_long(a, a).cast("double")`` produces, and the final
+    double op sequence (dot / (sqrt * sqrt)) is unchanged. In an n²
+    (or q×n) join this removes the two per-pair norm aggregates — the
+    per-pair cost drops from three 64-element array reductions to one."""
+    dot = dot_long(a, b).cast("double")
+    return dot / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double")))
 
 
 def sql_scaled_vec(expr: str, scale: int = SCALE) -> str:

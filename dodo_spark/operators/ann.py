@@ -44,6 +44,8 @@ from dodo_spark.operators.similarity import (
     _plane_components,
     _pq_encode,
     cosine,
+    cosine_pre,
+    norm2_long,
     scaled_vec,
     train_centroids_kmeans,
     train_pq_codebooks,
@@ -72,9 +74,14 @@ def _corpus_and_queries(spark: SparkSession, sf_dir: str, n_queries: int):
     from dodo_spark.operators.similarity import _emb
 
     emb = _emb(spark, sf_dir)
-    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+    # squared norms once per vector, not per scored pair (cosine_pre)
+    v = emb.select(
+        "vec_id", scaled_vec("embedding").alias("sv")
+    ).withColumn("n2", norm2_long(F.col("sv")))
     q = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("sv").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("n2").alias("qn2"),
     )
     return v, q
 
@@ -87,7 +94,9 @@ def _brute(spark, sf_dir, k, n_queries):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("sv")).alias("s"),
+            cosine_pre(
+                F.col("qv"), F.col("sv"), F.col("qn2"), F.col("n2")
+            ).alias("s"),
         )
     )
     return _rank_topk(scored, "s", k, descending=True)
@@ -113,6 +122,7 @@ def _lsh(spark, sf_dir, k, n_queries):
         F.col("vec_id").alias("query_id"),
         F.col("sv").alias("qv"),
         F.col("bucket").alias("qb"),
+        F.col("n2").alias("qn2"),
     )
     scored = (
         F.broadcast(q)
@@ -120,7 +130,9 @@ def _lsh(spark, sf_dir, k, n_queries):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("sv")).alias("s"),
+            cosine_pre(
+                F.col("qv"), F.col("sv"), F.col("qn2"), F.col("n2")
+            ).alias("s"),
         )
     )
     return _rank_topk(scored, "s", k, descending=True)
@@ -137,7 +149,9 @@ def _ivf(spark, sf_dir, k, n_queries, trained: bool):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("sv")).alias("s"),
+            cosine_pre(
+                F.col("qv"), F.col("sv"), F.col("qn2"), F.col("n2")
+            ).alias("s"),
         )
     )
     return _rank_topk(cand, "s", k, descending=True)

@@ -33,7 +33,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dodo_spark.catalog import load_table
-from dodo_spark.functions.vectors import cosine, scaled_vec, sql_cosine, sql_scaled_vec
+from dodo_spark.functions.vectors import (
+    cosine,
+    cosine_pre,
+    norm2_long,
+    scaled_vec,
+    sql_cosine,
+    sql_scaled_vec,
+)
 from dodo_spark.registry import register
 
 # --- shingling / minhash parameters (shared by Spark plan and oracle) -----
@@ -567,9 +574,15 @@ def dedup_embedding(
             "use similarity_lsh / similarity_ivf for the bucketed scale path"
         )
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
+    # squared norms once per VECTOR (scan-side), not per PAIR: the n²
+    # join then evaluates one array reduction per pair instead of three
+    # (bit-identical — see cosine_pre)
+    v = v.withColumn("n2", norm2_long(F.col("sv")))
     a = v.alias("a")
     b = v.alias("b")
-    sim = cosine(F.col("a.sv"), F.col("b.sv"))
+    sim = cosine_pre(
+        F.col("a.sv"), F.col("b.sv"), F.col("a.n2"), F.col("b.n2")
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -1375,7 +1388,9 @@ def _register_dedup_semantic_cells() -> None:
         "directly.",
     )
     def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-        cells = _semdedup_cells(spark, sf_dir)
+        cells = _semdedup_cells(spark, sf_dir).withColumn(
+            "n2", norm2_long(F.col("sv"))
+        )
         a, b = cells.alias("a"), cells.alias("b")
         pairs = (
             a.join(
@@ -1386,7 +1401,12 @@ def _register_dedup_semantic_cells() -> None:
             .select(
                 F.col("a.cell").alias("cell"),
                 F.col("b.vec_id").alias("drop_id"),
-                cosine(F.col("a.sv"), F.col("b.sv")).alias("cs"),
+                cosine_pre(
+                    F.col("a.sv"),
+                    F.col("b.sv"),
+                    F.col("a.n2"),
+                    F.col("b.n2"),
+                ).alias("cs"),
             )
             .filter(F.col("cs") >= SEMDEDUP_THRESHOLD)
         )

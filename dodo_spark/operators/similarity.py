@@ -25,7 +25,9 @@ from pyspark.sql.window import Window
 from dodo_spark.catalog import load_table
 from dodo_spark.functions.vectors import (
     cosine,
+    cosine_pre,
     dot_long,
+    norm2_long,
     scaled_vec,
     sql_cosine,
     sql_scaled_vec,
@@ -71,15 +73,25 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
-    q = (
-        v.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("sv").alias("qv"))
+    # squared norms once per vector (scan-side), not per scored pair
+    v = emb.select(
+        "vec_id", scaled_vec("embedding").alias("sv")
+    ).withColumn("n2", norm2_long(F.col("sv")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("n2").alias("qn2"),
     )
     scored = (
         F.broadcast(q)
         .join(v, v.vec_id != q.query_id)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qv"), F.col("sv")).alias("cos_sim"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_pre(
+                F.col("qv"), F.col("sv"), F.col("qn2"), F.col("n2")
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -154,9 +166,14 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (dot > 0).cast("bigint") * (1 << j)
 
     bucket = sum([bucket_bit(j) for j in range(N_PLANES)], start=F.lit(0).cast("bigint"))
-    bucketed = v.withColumn("bucket", bucket)
+    bucketed = v.withColumn("bucket", bucket).withColumn(
+        "n2", norm2_long(F.col("sv"))
+    )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("sv").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("bucket").alias("qb"),
+        F.col("n2").alias("qn2"),
     )
     scored = (
         F.broadcast(q)
@@ -164,7 +181,9 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("sv")).alias("cos_sim"),
+            cosine_pre(
+                F.col("qv"), F.col("sv"), F.col("qn2"), F.col("n2")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -342,16 +361,23 @@ def _ivf_index(spark: SparkSession, sf_dir: str, centroids=None):
         .drop("cents")
     )
     cells = v2.select(
-        "vec_id", "sv", (-F.array_max("scored").getField("negcid")).alias("cell")
+        "vec_id",
+        "sv",
+        (-F.array_max("scored").getField("negcid")).alias("cell"),
+        norm2_long(F.col("sv")).alias("n2"),
     )
     probes = (
         v2.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("sv").alias("qv"),
+            norm2_long(F.col("sv")).alias("qn2"),
             F.explode(F.slice(F.reverse(F.array_sort("scored")), 1, N_PROBE)).alias("p"),
         )
-        .select("query_id", "qv", (-F.col("p").getField("negcid")).alias("pcell"))
+        .select(
+            "query_id", "qv", "qn2",
+            (-F.col("p").getField("negcid")).alias("pcell"),
+        )
     )
     return cells, probes
 
@@ -363,7 +389,9 @@ def _ivf_topk(cells: DataFrame, probes: DataFrame) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("sv")).alias("cos_sim"),
+            cosine_pre(
+                F.col("qv"), F.col("sv"), F.col("qn2"), F.col("n2")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -502,16 +530,21 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # IVF answer set and the exact brute-force reference, both in-plan
     ivf = _ivf_topk(cells, probes).select("query_id", "neighbor_id")
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("sv").alias("qv")
+    vn = v.withColumn("n2", norm2_long(F.col("sv")))
+    q = vn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("n2").alias("qn2"),
     )
     exact_scored = (
         F.broadcast(q)
-        .join(v, v.vec_id != q.query_id)
+        .join(vn, vn.vec_id != q.query_id)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("sv")).alias("cos_sim"),
+            cosine_pre(
+                F.col("qv"), F.col("sv"), F.col("qn2"), F.col("n2")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
