@@ -203,17 +203,23 @@ CONTENTION_RATIO = 1.15
 
 
 def _reference_timings(sf: float) -> dict[str, float]:
-    """Per-key times from the NEWEST committed solo sidecar
+    """Per-key BEST (min) across ALL committed solo sidecars
     (BENCH_LOCAL_r*.json) at the SAME scale factor, used as the
-    contention yardstick. Missing/mismatched sidecars -> {} (no
-    de-noising, plain measurement)."""
+    contention yardstick. Min-across-rounds, not newest-round: the
+    round-12 bisect showed the newest-sidecar yardstick RATCHETS — one
+    contended round records a slow number, the next round compares
+    against that slower baseline, never re-runs, and the slow level
+    persists as a phantom regression (join_partition_pruned et al.,
+    r9->r11). Comparing against the historical best means a key that was
+    ever faster on this box keeps earning a re-run until it recovers or
+    flags — one bounded extra median per slow key. Missing/mismatched
+    sidecars -> {} (no de-noising, plain measurement)."""
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, dict] | None = None
+    best: dict[str, float] = {}
     for p in glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", p)
-        if not m:
+        if not re.search(r"_r(\d+)\.json$", p):
             continue
         try:
             with open(p) as f:
@@ -222,12 +228,11 @@ def _reference_timings(sf: float) -> dict[str, float]:
             continue
         if data.get("sf") != sf:
             continue
-        rnd = int(m.group(1))
-        if best is None or rnd > best[0]:
-            best = (rnd, data)
-    if best is None:
-        return {}
-    return {k: float(v) for k, v in (best[1].get("queries") or {}).items()}
+        for k, v in (data.get("queries") or {}).items():
+            v = float(v)
+            if v > 0 and (k not in best or v < best[k]):
+                best[k] = v
+    return best
 
 
 def main() -> None:
@@ -287,9 +292,36 @@ def main() -> None:
         if timings[name] > CONTENTION_RATIO * r:
             contended[name] = reruns[name]
 
+    def git_head() -> str:
+        """Git sha of the measured tree (+dirty marker), so a committed
+        sidecar proves WHICH code it timed — the r11 sidecar predated two
+        late-pass optimizations and nothing in the artifact said so."""
+        import subprocess
+
+        try:
+            root = os.path.dirname(os.path.abspath(__file__))
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=root, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            status = subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                cwd=root, capture_output=True, text=True, timeout=10,
+            ).stdout
+            # the driver appends to PROGRESS.jsonl continuously; it is
+            # not measured code, so it doesn't make the sha "dirty"
+            dirty = [
+                ln for ln in status.splitlines()
+                if ln.strip() and not ln.endswith("PROGRESS.jsonl")
+            ]
+            return sha + ("+dirty" if dirty else "") if sha else "unknown"
+        except Exception:  # noqa: BLE001 — metadata is best-effort
+            return "unknown"
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "headline_queries_total_wall",
+        "git_head": git_head(),
         "value": total,
         "unit": "sec",
         # SORTED key order: the driver's record of this line truncates

@@ -345,14 +345,17 @@ def _word_ngrams(col: str = "text", n: int = NGRAM_N) -> Column:
     gram position, ~3x faster at sf0.1 and byte-identical output
     (equality fuzzed across the corpus and short-doc edge cases). The
     greatest(...,0) clamp makes slices empty below n tokens, so the
-    short-doc result is the same empty array the old when() produced."""
+    short-doc result is the same empty array the old when() produced;
+    NULL text also stays an empty array (greatest() skips the NULL size,
+    but slice/zip_with would propagate NULL — the coalesce pins the
+    documented contract for null input too)."""
     toks = _ws_tokens(col)
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     parts = [F.slice(toks, j + 1, m) for j in range(n)]
     out = parts[0]
     for p in parts[1:]:
         out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return out
+    return F.coalesce(out, F.array().cast("array<string>"))
 
 
 _SQL_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"

@@ -336,15 +336,13 @@ def read_point_lookup(
         # 3-tuple key (the purge matches on (path, version) prefix), so
         # repeated lookups at one version pay the single footer read once
         from dodo_spark.sources.versioned import (
-            _SCHEMA_CACHE,
+            _schema_cache_get,
             _schema_cache_put,
         )
 
         ck = (table_path, version, "bloom_probe_fast")
-        schema = _SCHEMA_CACHE.get(ck)
-        if schema is not None:
-            _SCHEMA_CACHE.move_to_end(ck)
-        else:
+        schema = _schema_cache_get(ck)
+        if schema is None:
             schema = spark.read.parquet(_join(table_path, files[0])).schema
             _schema_cache_put(ck, schema)
         if col not in schema.names:

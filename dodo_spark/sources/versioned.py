@@ -954,6 +954,17 @@ def _schema_cache_put(key: tuple, schema) -> None:
         _SCHEMA_CACHE.popitem(last=False)
 
 
+def _schema_cache_get(key: tuple):
+    """Single lookup point for ``_SCHEMA_CACHE``: every hit is an LRU
+    touch (move_to_end), so all lookup sites — the main logical-schema
+    read path here and the bloom point-lookup fast path — share one
+    eviction discipline instead of drifting FIFO/LRU independently."""
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None:
+        _SCHEMA_CACHE.move_to_end(key)
+    return hit
+
+
 def logical_schema(
     spark: SparkSession,
     table_path: str,
@@ -965,9 +976,8 @@ def logical_schema(
     """The merged LOGICAL StructType at ``version`` (exactly
     ``_logical_read(...).schema``), memoized per (table_path, version)."""
     key = (table_path, version)
-    hit = _SCHEMA_CACHE.get(key)
+    hit = _schema_cache_get(key)
     if hit is not None:
-        _SCHEMA_CACHE.move_to_end(key)
         return hit
     schema = _logical_read(
         spark, table_path, files, version, events, first_add

@@ -129,8 +129,11 @@ def assert_parity(
     but once a sum needs >15-16 significant digits the final
     decimal->double CAST differs by 1 ulp between Spark (correctly-rounded
     BigDecimal) and DuckDB (scaled-integer division). Driver-gate
-    magnitudes never reach that; sf1+ rehearsals do."""
-    sp = spark_df.toPandas()
+    magnitudes never reach that; sf1+ rehearsals do.
+
+    ``spark_df`` may be a pre-collected pandas frame (the scale rehearsal
+    times the Spark materialization separately from the compare)."""
+    sp = spark_df.toPandas() if hasattr(spark_df, "toPandas") else spark_df
     assert len(sp) == len(oracle_df), (
         f"{name}: row count {len(sp)} (spark) != {len(oracle_df)} (oracle)"
     )

@@ -6,7 +6,11 @@ import json
 import os
 
 
-def test_reference_timings_picks_newest_same_sf_sidecar(tmp_path, monkeypatch):
+def test_reference_timings_takes_per_key_min_across_sidecars(tmp_path, monkeypatch):
+    """Round-12: the yardstick is the per-key BEST across ALL same-sf
+    sidecars, not the newest round — the newest-sidecar rule let one
+    contended round ratchet the baseline downward permanently (the r9->r11
+    join_partition_pruned phantom regression; PLAN_AUDIT round-12 note)."""
     import bench
 
     def sidecar(rnd, sf, queries):
@@ -14,15 +18,17 @@ def test_reference_timings_picks_newest_same_sf_sidecar(tmp_path, monkeypatch):
             json.dump({"sf": sf, "queries": queries}, f)
 
     sidecar(3, 0.1, {"agg_group": 1.0})
+    # a later, slower round must NOT replace the r3 best for agg_group
     sidecar(5, 0.1, {"agg_group": 2.0, "join_inner": 0.5})
     sidecar(7, 0.01, {"agg_group": 9.0})  # wrong sf: never the yardstick
+    sidecar(8, 0.1, {"join_inner": 0.4, "zeroed": 0.0})  # 0s are skipped
     with open(tmp_path / "BENCH_LOCAL_rX.json", "w") as f:
         f.write("not json")  # malformed names/content are skipped
 
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     assert bench._reference_timings(0.1) == {
-        "agg_group": 2.0,
-        "join_inner": 0.5,
+        "agg_group": 1.0,
+        "join_inner": 0.4,
     }
     assert bench._reference_timings(0.01) == {"agg_group": 9.0}
     assert bench._reference_timings(1.0) == {}  # no sidecar at that sf

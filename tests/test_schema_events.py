@@ -937,11 +937,9 @@ def test_hundred_event_chain_bounded_and_checkpoint_collapses(
     live set, the first-add map and — since r11 — the resolved event
     chain), so the post-checkpoint read cost is a CONSTANT independent
     of chain length: identical FS op counts at N=10 and N=100."""
-    import time
-
     from dodo_spark.sources.versioned import checkpoint_manifest
 
-    costs: dict[int, tuple[dict, float]] = {}
+    costs: dict[int, dict] = {}
     for n_events in (10, 100):
         tbl = str(tmp_path / f"drift{n_events}")
         _build_drifted_table(spark, tbl, n_events)
@@ -955,24 +953,23 @@ def test_hundred_event_chain_bounded_and_checkpoint_collapses(
         assert [f.name for f in df.schema] == ["k", "a", "v"]
 
         checkpoint_manifest(tbl)
-        t0 = time.perf_counter()
         counting_fs.reset()
         df = read_version(spark, tbl)
-        secs = time.perf_counter() - t0
         assert [f.name for f in df.schema] == ["k", "a", "v"]
         assert df.count() == 1
-        costs[n_events] = (dict(counting_fs.counts), secs)
+        costs[n_events] = dict(counting_fs.counts)
 
-    ops10, t10 = costs[10]
-    ops100, t100 = costs[100]
+    ops10 = costs[10]
+    ops100 = costs[100]
     # post-checkpoint metadata cost is FLAT in chain length: one listing,
     # three checkpoint-payload reads, zero hinted-manifest reads — the
     # same counts at N=10 and N=100
     assert ops100 == ops10
     assert ops100["list_names"] == 1
     assert ops100["read_text"] == 3
-    # and wall time is flat too (generous bound: planning noise only)
-    assert t100 <= 3 * t10 + 1.0, (n_events, t10, t100)
+    # flatness is proven by the FS op-count equality above; no wall-clock
+    # assertion — both reads are sub-second, so a GC pause or loaded CI
+    # box dwarfs the signal and any timing bound just flakes (r11 advisor)
 
 
 def test_checkpoint_mid_chain_resumes_event_replay(spark, tmp_path, counting_fs):

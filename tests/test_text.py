@@ -355,3 +355,24 @@ def test_match_phrase_exact_adjacency(spark, tmp_path):
         con.sql(REGISTRY["text_match_phrase"].oracle).df(),
         "text_match_phrase@fixture",
     )
+
+
+def test_word_ngrams_null_and_short_text_yield_empty_array(spark):
+    """r11 advisor: the zip_with-folded n-gram build must keep the
+    documented contract for NULL text — an EMPTY array, not NULL (the
+    greatest() clamp skips a NULL size but slice/zip_with propagate NULL
+    without the coalesce). Short docs (< n tokens) stay empty too."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.operators.text import NGRAM_N, _word_ngrams
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "one two"), (3, "a b c d e f")],
+        "doc_id BIGINT, text STRING",
+    ).select("doc_id", _word_ngrams("text").alias("grams"))
+    got = {r["doc_id"]: r["grams"] for r in df.collect()}
+    assert got[0] == []  # NULL text -> empty array, not NULL
+    assert got[1] == []
+    assert got[2] == []  # fewer than NGRAM_N tokens
+    assert len(got[3]) == 6 - NGRAM_N + 1
+    assert got[3][0] == "a b c d e"

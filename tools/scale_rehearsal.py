@@ -355,16 +355,45 @@ def duckdb_con_glob(sf_dir: str):
 # their hash evidence comes from the sf0.1 sweep + the driver gate. Keys
 # whose oracle exceeds --oracle-timeout at run time join this list in the
 # artifact with reason "oracle timeout".
+#
+# Round-12: similarity_ivf_pruned LEFT this list — the r11 norm-precompute
+# rewrite of the shared cosine kernel dropped its DuckDB oracle to ~1.4s at
+# sf1 (measured), so it now runs FULL hash parity like any other key; the
+# old "O(n_docs x n_vecs)" reason described the pre-optimization kernel.
 ORACLE_BOUND = {
     "dedup_near": "banded-LSH oracle quadratic-ish in band population",
     "dedup_simhash_stats": "3-band pigeonhole oracle joins explode at 50k docs",
     "corpus_clean": "winnow-fingerprint oracle is per-char list_reduce over 50k docs",
-    "similarity_ivf_pruned": "brute-force cosine oracle is O(n_docs x n_vecs)",
     "dedup_simhash_pairs": "pair-LIST output mass: the generated corpus's "
-    "duplicate density yields ~1e8 pairs at sf1, so the parity harness's "
-    "two-sided collect (not the banded plan) is the bound; the _stats/"
-    "_capped forms hash-verify the same join at sf1",
+    "duplicate density yields ~1e8 pairs at sf1, so a two-sided pair "
+    "collect (not the banded plan) is the harness bound; since round 12 "
+    "the parity runs ENGINE-SIDE as (count, commutative result_hash) "
+    "aggregates on both engines — full-corpus hash evidence with no "
+    "pair-list materialization (mode=hash_agg)",
 }
+
+# Round-11 verdict ask #4: keys whose OUTPUT MASS (not oracle cost) is the
+# parity-harness bound compare engine-side aggregates instead of the
+# materialized output: both engines reduce the full result to
+# (row count, order-insensitive B12 result_hash over the named columns) —
+# functions/hashing.py's shared md5 kernel, exact at any row count — so a
+# single missing/extra/altered row flips the hash while the harness moves
+# two 1-row frames. Columns are listed explicitly: the digest is computed
+# over them in this order on BOTH sides.
+AGG_PARITY = {"dedup_simhash_pairs": ("doc_a", "doc_b", "hamming")}
+
+
+def agg_parity_sql(base_sql: str, cols: tuple[str, ...]) -> str:
+    """DuckDB twin of the Spark-side (count, result_hash) reduction."""
+    from dodo_spark.functions.hashing import sql_result_hash, sql_row_md5
+
+    return f"""
+    WITH __out AS ({base_sql}),
+         __hs AS (SELECT {sql_row_md5(list(cols))} AS h FROM __out)
+    SELECT CAST((SELECT COUNT(*) FROM __out) AS BIGINT) AS n_rows,
+           {sql_result_hash("h")} AS agg_hash
+    FROM __hs
+    """
 
 # Round-9 verdict ask #5 (rate raised to 1/3 by round-10 ask #5): for the
 # three keys where only ORACLE JOIN COST (not output mass) is the sf1
@@ -373,9 +402,9 @@ ORACLE_BOUND = {
 # read, so cross-engine sample agreement is by construction. The full
 # corpus keeps its rows-only check; the sampled evidence is attached as a
 # ``sampled`` sub-record on the key's row so a sampled-leg failure never
-# erases the full-corpus evidence. dedup_simhash_pairs (output mass) and
-# similarity_ivf_pruned (O(n·q) brute oracle even sampled on the query
-# side) stay excluded.
+# erases the full-corpus evidence. dedup_simhash_pairs gets full-corpus
+# hash evidence via AGG_PARITY instead (output mass, not oracle cost, is
+# its bound); similarity_ivf_pruned runs plain full parity since round 12.
 SAMPLED_PARITY = {"dedup_near", "dedup_simhash_stats", "corpus_clean"}
 SAMPLE_PREDICATE = "crc32(cast(doc_id as string)) % 3 = 0"
 
@@ -437,10 +466,33 @@ def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> i
         try:
             with open(out_path) as f:
                 prev = json.load(f)
-            state["keys"] = {
-                k: v for k, v in prev.get("keys", {}).items() if v.get("ok")
-            }
-            state["exclusions"].update(prev.get("exclusions", {}))
+            # prev exclusions: keep only entries still excluded BY DESIGN or
+            # recorded as runtime oracle timeouts — a key promoted out of
+            # ORACLE_BOUND since the artifact was written (e.g.
+            # similarity_ivf_pruned in r12) must not re-import its stale
+            # exclusion and silently run rows-only again
+            for k, v in prev.get("exclusions", {}).items():
+                if k in ORACLE_BOUND or str(v).startswith("oracle timeout"):
+                    state["exclusions"].setdefault(k, v)
+
+            def _want_mode(k: str) -> str:
+                if k in AGG_PARITY:
+                    return "hash_agg"
+                return "rows" if k in state["exclusions"] else "hash"
+
+            for k, v in prev.get("keys", {}).items():
+                if v.get("mode") == "hash_sampled":
+                    # pre-r11 overwrite-format row: its truthy ok would skip
+                    # the full-corpus leg the old format never ran — migrate
+                    # into the sampled sub-record shape and leave the key
+                    # itself unproven so the full leg reruns (r11 advisor)
+                    sub = {kk: v[kk] for kk in ("ok", "secs", "error") if kk in v}
+                    sub.setdefault("sample", "(pre-r11 artifact; predicate unrecorded)")
+                    state["keys"][k] = {"sampled": sub}
+                elif v.get("ok"):
+                    if v.get("mode") in ("hash", "rows", "hash_agg") and v["mode"] != _want_mode(k):
+                        continue  # evidence tier changed since: re-run
+                    state["keys"][k] = v
         except (OSError, ValueError):
             pass
 
@@ -476,6 +528,11 @@ def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> i
             "total": len(qs),
             "done": len(keys),
             "hash_green": sum(1 for v in keys.values() if v.get("ok") and v["mode"] == "hash"),
+            # full-corpus engine-side (count, result_hash) parity — hash-tier
+            # evidence for output-mass-bound keys (r11 verdict ask #4)
+            "hash_agg_green": sum(
+                1 for v in keys.values() if v.get("ok") and v["mode"] == "hash_agg"
+            ),
             "hash_sampled_green": sum(
                 1
                 for v in keys.values()
@@ -502,6 +559,10 @@ def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> i
             json.dump(state, f, indent=1, sort_keys=True)
         os.replace(tmp, out_path)
 
+    from pyspark.sql import functions as F
+
+    from dodo_spark.functions.hashing import result_hash
+
     con_box = {"con": duckdb_con_glob(d)}
     for name in sorted(qs):
         if state["keys"].get(name, {}).get("ok"):
@@ -510,36 +571,83 @@ def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> i
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         # the mode the attempt RUNS in, fixed up front so a thrown
-        # exception is attributed to the right tier in the artifact
-        mode = "rows" if name in state["exclusions"] else "hash"
+        # exception is attributed to the right tier in the artifact.
+        # Per-leg wall time is recorded SEPARATELY (r11 verdict ask #6):
+        # spark_s (Spark plan + materialization), oracle_s (DuckDB twin),
+        # compare_s (normalize + value diff) — a heavy row whose cost is
+        # the parity compare no longer reads as a Spark plan problem.
+        if name in AGG_PARITY:
+            mode = "hash_agg"
+        else:
+            mode = "rows" if name in state["exclusions"] else "hash"
         row: dict = {}
+        legs: dict = {}
         try:
             if mode == "rows":
+                ts = time.perf_counter()
                 n = qs[name](spark, d).count()
+                legs["spark_s"] = round(time.perf_counter() - ts, 1)
                 row = {"mode": "rows", "ok": n > 0, "rows": n}
+            elif mode == "hash_agg":
+                cols = AGG_PARITY[name]
+                to = time.perf_counter()
+                odf = oracle_with_timeout(
+                    con_box, agg_parity_sql(oracles[name], cols)
+                )
+                legs["oracle_s"] = round(time.perf_counter() - to, 1)
+                assert odf is not None, "aggregate oracle timed out"
+                ts = time.perf_counter()
+                sp = (
+                    qs[name](spark, d)
+                    .agg(
+                        F.count("*").cast("bigint").alias("n_rows"),
+                        result_hash(*cols).alias("agg_hash"),
+                    )
+                    .toPandas()
+                )
+                legs["spark_s"] = round(time.perf_counter() - ts, 1)
+                tc = time.perf_counter()
+                assert_parity(sp, odf, f"{name}@sf1-agg")
+                legs["compare_s"] = round(time.perf_counter() - tc, 1)
+                row = {"mode": "hash_agg", "ok": True,
+                       "rows": int(sp["n_rows"].iloc[0]),
+                       "agg_hash": int(sp["agg_hash"].iloc[0]),
+                       "agg_cols": list(cols)}
             else:
+                to = time.perf_counter()
                 odf = oracle_with_timeout(con_box, oracles[name])
+                legs["oracle_s"] = round(time.perf_counter() - to, 1)
                 if odf is None:
                     state["exclusions"][name] = (
                         f"oracle timeout (> {oracle_timeout:.0f}s at sf1)"
                     )
                     mode = "rows"
+                    ts = time.perf_counter()
                     n = qs[name](spark, d).count()
+                    legs["spark_s"] = round(time.perf_counter() - ts, 1)
                     row = {"mode": "rows", "ok": n > 0, "rows": n,
                            "note": "oracle timed out; see exclusions"}
                 else:
+                    ts = time.perf_counter()
+                    sp = qs[name](spark, d).toPandas()
+                    legs["spark_s"] = round(time.perf_counter() - ts, 1)
+                    tc = time.perf_counter()
                     # 1e-13 ~= a few ulps at 17 significant digits: covers
                     # the final decimal->double cast divergence at sf1 sums
-                    assert_parity(qs[name](spark, d), odf, f"{name}@sf1",
-                                  float_rtol=1e-13)
+                    assert_parity(sp, odf, f"{name}@sf1", float_rtol=1e-13)
+                    legs["compare_s"] = round(time.perf_counter() - tc, 1)
                     row = {"mode": "hash", "ok": True}
         except Exception as e:  # noqa: BLE001 — the artifact records it
             row = {"mode": mode, "ok": False, "error": str(e)[:500]}
         row["secs"] = round(time.perf_counter() - t0, 1)
+        row.update(legs)
         state["keys"][name] = row
         flush()
         print(f"sweep[{row['mode']}] {name}: "
-              f"{'OK' if row['ok'] else 'FAIL'} {row['secs']}s", flush=True)
+              f"{'OK' if row['ok'] else 'FAIL'} {row['secs']}s "
+              f"(spark {legs.get('spark_s', '—')} / oracle "
+              f"{legs.get('oracle_s', '—')} / compare "
+              f"{legs.get('compare_s', '—')})", flush=True)
     con_box["con"].close()
 
     # sampled-parity leg (round-9 ask #5, rate 1/3 since round 10):
@@ -563,13 +671,17 @@ def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> i
         for name in todo:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
+            legs = {}
             try:
-                assert_parity(
-                    qs[name](spark, sampled_dir),
-                    run_oracle(scon, oracles[name]),
-                    f"{name}@sf1-sampled",
-                    float_rtol=1e-13,
-                )
+                to = time.perf_counter()
+                odf = run_oracle(scon, oracles[name])
+                legs["oracle_s"] = round(time.perf_counter() - to, 1)
+                ts = time.perf_counter()
+                sp = qs[name](spark, sampled_dir).toPandas()
+                legs["spark_s"] = round(time.perf_counter() - ts, 1)
+                tc = time.perf_counter()
+                assert_parity(sp, odf, f"{name}@sf1-sampled", float_rtol=1e-13)
+                legs["compare_s"] = round(time.perf_counter() - tc, 1)
                 sub = {"ok": True, "sample": SAMPLE_PREDICATE}
                 state["exclusions"][name] = (
                     state["exclusions"].get(name, "")
@@ -581,6 +693,7 @@ def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> i
                 sub = {"ok": False, "sample": SAMPLE_PREDICATE,
                        "error": str(e)[:500]}
             sub["secs"] = round(time.perf_counter() - t0, 1)
+            sub.update(legs)
             state["keys"].setdefault(name, {})["sampled"] = sub
             flush()
             print(f"sweep[hash_sampled] {name}: "
@@ -638,8 +751,7 @@ def main() -> None:
     # band population — hours at 50k docs while the Spark side takes
     # seconds), so those keys get a non-empty row sanity check there and
     # their hash evidence comes from gen0.1 + the driver gate
-    heavy_oracle = {"dedup_near", "dedup_simhash_stats", "corpus_clean",
-                    "similarity_ivf_pruned"}
+    heavy_oracle = {"dedup_near", "dedup_simhash_stats", "corpus_clean"}
     for label, d in ({} if args.skip_parity else dirs).items():
         con = duckdb_con_glob(d)
         for name in keys:
