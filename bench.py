@@ -196,6 +196,9 @@ HEADLINE = [
     "time_travel_deep_clone",
     # round-11: exact MATCH_PHRASE (positional posting intersection)
     "text_match_phrase",
+    # round-12: headline slot for the zip_with-folded n-gram kernel (the
+    # r11 late-pass optimization), so its win is tracked by the sidecar
+    "text_repetition",
 ]
 
 
