@@ -87,3 +87,54 @@ def test_bench_and_rehearsal_key_lists_are_registered():
     assert not missing, f"unregistered keys referenced: {missing}"
     assert len(set(headline)) == len(headline)  # no duplicates
     assert len(set(rehearsal)) == len(rehearsal)
+
+
+def test_scale_rehearsal_resume_migrates_old_artifacts():
+    """r11 advisor + r12 tier changes: resuming an sf1 sweep from an older
+    artifact must (a) migrate pre-r11 overwrite-format sampled rows into
+    the sampled sub-record WITHOUT carrying their truthy ok (the full-
+    corpus leg never ran under the old format), (b) drop stale exclusions
+    for keys promoted out of ORACLE_BOUND while keeping by-design and
+    runtime-timeout entries, and (c) re-queue green rows whose evidence
+    tier no longer matches current rules (e.g. a rows-only row for a key
+    that now runs hash_agg)."""
+    from tools.scale_rehearsal import ORACLE_BOUND, merge_resume_state
+
+    prev = {
+        "exclusions": {
+            "similarity_ivf_pruned": "brute-force cosine oracle is O(n_docs x n_vecs)",
+            "dedup_near": "(old reason text)",
+            "some_slow_key": "oracle timeout (> 300s at sf1)",
+        },
+        "keys": {
+            # pre-r11 overwrite-format sampled row: ok must NOT survive
+            "corpus_clean": {"mode": "hash_sampled", "ok": True, "secs": 9.0},
+            # rows-only row for the key that now runs hash_agg: re-queues
+            "dedup_simhash_pairs": {"mode": "rows", "ok": True, "rows": 123},
+            # rows-only row for the key promoted to full hash: re-queues
+            "similarity_ivf_pruned": {"mode": "rows", "ok": True, "rows": 50},
+            # ordinary green hash row: carried forward
+            "agg_group": {"mode": "hash", "ok": True, "secs": 1.0},
+            # failed row: never carried forward
+            "join_inner": {"mode": "hash", "ok": False, "error": "x"},
+        },
+    }
+    state = {"keys": {}, "exclusions": dict(ORACLE_BOUND)}
+    merge_resume_state(state, prev)
+
+    # (a) migrated: no top-level ok, sampled sub-record present sans
+    # current-predicate match (so the sampled leg reruns too)
+    cc = state["keys"]["corpus_clean"]
+    assert "ok" not in cc and cc["sampled"]["ok"] is True
+    assert "unrecorded" in cc["sampled"]["sample"]
+    # (b) stale exclusion dropped, by-design + timeout kept
+    assert "similarity_ivf_pruned" not in state["exclusions"]
+    assert "dedup_near" in state["exclusions"]
+    assert state["exclusions"]["some_slow_key"].startswith("oracle timeout")
+    # the CURRENT reason text wins over the old artifact's
+    assert state["exclusions"]["dedup_near"] != "(old reason text)"
+    # (c) tier-changed rows re-queue; matching rows carry forward
+    assert "dedup_simhash_pairs" not in state["keys"]
+    assert "similarity_ivf_pruned" not in state["keys"]
+    assert state["keys"]["agg_group"]["ok"] is True
+    assert "join_inner" not in state["keys"]

@@ -441,6 +441,45 @@ def build_sampled_corpus(spark, workdir: str, src_dir: str) -> str:
     return out
 
 
+def merge_resume_state(state: dict, prev: dict) -> None:
+    """Fold a prior artifact into a fresh sweep ``state`` so a resumed run
+    re-does only what the prior run did not prove under CURRENT rules.
+
+    - prev exclusions: keep only entries still excluded BY DESIGN or
+      recorded as runtime oracle timeouts — a key promoted out of
+      ORACLE_BOUND since the artifact was written (similarity_ivf_pruned
+      in r12) must not re-import its stale exclusion and silently run
+      rows-only again.
+    - pre-r11 overwrite-format rows (``mode == "hash_sampled"``): their
+      truthy ok would skip the full-corpus leg the old format never ran —
+      migrate into the sampled sub-record shape and leave the key itself
+      unproven so the full leg reruns (r11 advisor).
+    - green rows whose recorded evidence TIER no longer matches what the
+      key would run under today's rules (rows vs hash vs hash_agg)
+      re-queue instead of carrying stale-tier evidence forward."""
+
+    for k, v in prev.get("exclusions", {}).items():
+        if k in ORACLE_BOUND or str(v).startswith("oracle timeout"):
+            state["exclusions"].setdefault(k, v)
+
+    def _want_mode(k: str) -> str:
+        if k in AGG_PARITY:
+            return "hash_agg"
+        return "rows" if k in state["exclusions"] else "hash"
+
+    for k, v in prev.get("keys", {}).items():
+        if not isinstance(v, dict):
+            continue
+        if v.get("mode") == "hash_sampled":
+            sub = {kk: v[kk] for kk in ("ok", "secs", "error") if kk in v}
+            sub.setdefault("sample", "(pre-r11 artifact; predicate unrecorded)")
+            state["keys"][k] = {"sampled": sub}
+        elif v.get("ok"):
+            if v.get("mode") in ("hash", "rows", "hash_agg") and v["mode"] != _want_mode(k):
+                continue  # evidence tier changed since: re-run
+            state["keys"][k] = v
+
+
 def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> int:
     """Round-9 verdict ask #2: hash parity for the WHOLE registry at the
     generated sf1 corpus, with a NAMED exclusion list where the oracle
@@ -466,35 +505,9 @@ def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> i
         try:
             with open(out_path) as f:
                 prev = json.load(f)
-            # prev exclusions: keep only entries still excluded BY DESIGN or
-            # recorded as runtime oracle timeouts — a key promoted out of
-            # ORACLE_BOUND since the artifact was written (e.g.
-            # similarity_ivf_pruned in r12) must not re-import its stale
-            # exclusion and silently run rows-only again
-            for k, v in prev.get("exclusions", {}).items():
-                if k in ORACLE_BOUND or str(v).startswith("oracle timeout"):
-                    state["exclusions"].setdefault(k, v)
-
-            def _want_mode(k: str) -> str:
-                if k in AGG_PARITY:
-                    return "hash_agg"
-                return "rows" if k in state["exclusions"] else "hash"
-
-            for k, v in prev.get("keys", {}).items():
-                if v.get("mode") == "hash_sampled":
-                    # pre-r11 overwrite-format row: its truthy ok would skip
-                    # the full-corpus leg the old format never ran — migrate
-                    # into the sampled sub-record shape and leave the key
-                    # itself unproven so the full leg reruns (r11 advisor)
-                    sub = {kk: v[kk] for kk in ("ok", "secs", "error") if kk in v}
-                    sub.setdefault("sample", "(pre-r11 artifact; predicate unrecorded)")
-                    state["keys"][k] = {"sampled": sub}
-                elif v.get("ok"):
-                    if v.get("mode") in ("hash", "rows", "hash_agg") and v["mode"] != _want_mode(k):
-                        continue  # evidence tier changed since: re-run
-                    state["keys"][k] = v
         except (OSError, ValueError):
-            pass
+            prev = {}
+        merge_resume_state(state, prev)
 
     def oracle_with_timeout(con_box, sql):
         box: dict = {}
