@@ -455,3 +455,56 @@ def test_agg_parity_kernel_matches_and_detects_mutations(spark, sf_dir, oracle_c
         .collect()[0]
     )
     assert int(drow["n_rows"]) == base_n - 1
+
+
+def test_result_hash_cross_engine_fuzz(spark):
+    """Property-fuzz the B12 result_hash kernel that the sf1 hash_agg
+    parity (and the bloom/simhash oracle twins) rest on: for random row
+    multisets of the supported domain (ints + strings + NULLs — the
+    agg-parity columns are integral), the Spark commutative aggregate and
+    the DuckDB sql_result_hash twin agree exactly, and the hash is
+    permutation-invariant but flips on a single dropped row."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from dodo_spark.functions.hashing import result_hash, sql_result_hash, sql_row_md5
+
+    cell = st.one_of(
+        st.none(),
+        st.integers(min_value=-(2**40), max_value=2**40),
+    )
+    txt = st.one_of(st.none(), st.text(alphabet="ab\tc\x01N∅", max_size=6))
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(rows=st.lists(st.tuples(cell, txt), min_size=1, max_size=25))
+    def prop(rows):
+        df = spark.createDataFrame(rows, "a BIGINT, b STRING")
+        got = df.agg(result_hash("a", "b")).collect()[0]["result_hash"]
+
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["a", "b"]).astype({"a": "Int64"}))
+        sql = (
+            f"WITH hs AS (SELECT {sql_row_md5(['a', 'b'])} AS h FROM t) "
+            f"SELECT {sql_result_hash('h')} AS rh FROM hs"
+        )
+        want = con.sql(sql).fetchone()[0]
+        con.close()
+        assert got == want
+
+        # permutation invariance: reversing row order leaves the hash fixed
+        rev = spark.createDataFrame(list(reversed(rows)), "a BIGINT, b STRING")
+        assert rev.agg(result_hash("a", "b")).collect()[0]["result_hash"] == got
+
+        # dropping one row flips it (unless the dropped row's md5 summand
+        # is 0 mod 2^48 — probability ~2^-48, ignored)
+        if len(rows) > 1:
+            dropped = spark.createDataFrame(rows[1:], "a BIGINT, b STRING")
+            assert (
+                dropped.agg(result_hash("a", "b")).collect()[0]["result_hash"]
+                != got
+            )
+
+    prop()
