@@ -376,3 +376,46 @@ def test_word_ngrams_null_and_short_text_yield_empty_array(spark):
     assert got[2] == []  # fewer than NGRAM_N tokens
     assert len(got[3]) == 6 - NGRAM_N + 1
     assert got[3][0] == "a b c d e"
+
+
+def test_word_ngrams_fold_equals_naive_form_fuzz(spark):
+    """Pins the r11 'byte-identical' claim with a committed fuzz: the
+    zip_with-folded n-gram build must equal the naive per-position
+    transform(sequence) form on random whitespace-noisy docs (multiple
+    spaces, tabs, unicode tokens, 0..n+4 token counts)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dodo_spark.operators.text import NGRAM_N, _word_ngrams, _ws_tokens
+
+    rng = random.Random(20260816)
+    words = ["fox", "汉字", "a", "B9", "dog", "étoile", "x"]
+    seps = [" ", "  ", "\t", " \t "]
+
+    def doc():
+        n = rng.randrange(0, NGRAM_N + 5)
+        return rng.choice(seps).join(rng.choice(words) for _ in range(n))
+
+    rows = [(i, doc()) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    toks = _ws_tokens("text")
+    naive = F.when(
+        F.size(toks) >= NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    mism = (
+        df.select(
+            "doc_id",
+            _word_ngrams("text").alias("fold"),
+            naive.alias("naive"),
+        )
+        .filter(F.col("fold") != F.col("naive"))
+        .collect()
+    )
+    assert not mism, mism[:3]
