@@ -199,6 +199,8 @@ HEADLINE = [
     # round-12: headline slot for the zip_with-folded n-gram kernel (the
     # r11 late-pass optimization), so its win is tracked by the sidecar
     "text_repetition",
+    # round-12: BPE merge application (vocabulary-granularity encode)
+    "text_bpe_encode",
 ]
 
 

@@ -1442,6 +1442,143 @@ def _ws_tokens_lower() -> Column:
 
 
 # --------------------------------------------------------------------------
+# BPE merge APPLICATION (the inference side of text_bpe_pairs' training
+# side): encode the corpus under a fixed ordered merge list
+# --------------------------------------------------------------------------
+# a fixed, ordered merge table (common-English bigrams, then two
+# second-round merges over first-round outputs) — constants so the DuckDB
+# twin is a static literal; a trained table plugs into the same chain
+BPE_MERGES = [
+    ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("o", "n"), ("r", "e"),
+    ("th", "e"), ("an", "d"),
+]
+# every token is WRAPPED \x1e…\x1f (record/unit separators — absent from
+# whitespace tokens), not merely separator-joined. Wrapping is what makes
+# plain string replace() exactly equal a BPE merge pass: the pattern
+# \x1e a \x1f \x1e b \x1f can only align on WHOLE tokens (a separator-only
+# scheme would merge (th, e) into the unrelated sequence [th][er], whose
+# second token merely STARTS with "e"), and because each match ends at one
+# token's closer while the next token carries its own opener, consecutive
+# matches share no characters — a run like [a][a][a][a] under merge (a, a)
+# becomes [aa][aa], the leftmost-non-overlapping result BPE specifies.
+_BPE_OPEN = "\x1e"
+_BPE_CLOSE = "\x1f"
+
+
+def _bpe_token_count(word: Column) -> Column:
+    """Exact BPE token count of one word under BPE_MERGES.
+
+    The word becomes a wrapped-token sequence \\x1ec\\x1f per char; each
+    merge (a, b) in order is one leftmost-non-overlapping ``replace`` of
+    the wrapped pair with the wrapped merged token — the same greedy pass
+    a BPE encoder applies per learned merge, identical semantics in
+    Spark and DuckDB (probed cross-engine). Token count = count of
+    closers. Everything is whole-stage-codegen string ops: no UDF, no
+    shuffle."""
+    s = F.array_join(
+        F.transform(
+            F.split(word, ""),
+            lambda c: F.concat(F.lit(_BPE_OPEN), c, F.lit(_BPE_CLOSE)),
+        ),
+        "",
+    )
+    for a, b in BPE_MERGES:
+        s = F.call_function(
+            "replace",
+            s,
+            F.lit(_BPE_OPEN + a + _BPE_CLOSE + _BPE_OPEN + b + _BPE_CLOSE),
+            F.lit(_BPE_OPEN + a + b + _BPE_CLOSE),
+        )
+    stripped = F.call_function("replace", s, F.lit(_BPE_CLOSE), F.lit(""))
+    return F.length(s) - F.length(stripped)
+
+
+def _bpe_oracle() -> str:
+    s = ("array_to_string(list_transform(string_split(w, ''),"
+         " c -> chr(30) || c || chr(31)), '')")
+    for a, b in BPE_MERGES:
+        pat = f"chr(30) || '{a}' || chr(31) || chr(30) || '{b}' || chr(31)"
+        rep = f"chr(30) || '{a}{b}' || chr(31)"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+    WITH words AS (
+      SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> x != '')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY 1, 2
+    ), dict AS (
+      SELECT DISTINCT w FROM wc
+    ), enc AS (
+      SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+             CAST(length(m) - length(replace(m, chr(31), '')) AS BIGINT)
+               AS n_tokens
+      FROM (SELECT w, {s} AS m FROM dict)
+    )
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(cnt * n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * (n_chars - n_tokens)) AS BIGINT) AS merges_fired,
+           CAST(SUM(cnt * n_tokens) AS DOUBLE) / SUM(cnt) AS tokens_per_word
+    FROM wc JOIN enc USING (w)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_oracle(),
+    doc="BPE merge APPLICATION — the inference side of text_bpe_pairs' "
+    "training side: encode the whole corpus under a fixed ordered merge "
+    "list and report per-language token statistics (words, chars, "
+    "tokens, merges fired, tokens/word). Scale shape is the classic "
+    "dictionary trick: the merge-replace chain runs once per (lang, "
+    "word) VOCABULARY row (~1e7 rows at 100 TB — the per-language "
+    "dictionary), never on the ~1e11-row word-instance stream, which "
+    "only feeds the count aggregation (map-side partial, one shuffle "
+    "bounded by vocabulary size). Each merge is one leftmost-"
+    "non-overlapping replace() over a unit-separated char sequence — "
+    "identical semantics in Spark and DuckDB (cross-engine probed), "
+    "pure codegen string ops, no UDF, ONE corpus scan (a separate "
+    "distinct-word frame would double-scan: Catalyst rewrites the "
+    "distinct into a second scan branch rather than reusing the count "
+    "exchange).",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select("lang", F.explode(_ws_tokens_lower()).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # encode on the post-aggregation vocabulary rows: the replace chain
+    # runs |per-lang vocab| times, not once per word instance
+    enc = wc.select(
+        "lang",
+        "cnt",
+        F.length("w").cast("bigint").alias("n_chars"),
+        _bpe_token_count(F.col("w")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_chars")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_tokens")).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * (F.col("n_chars") - F.col("n_tokens")))
+            .cast("bigint")
+            .alias("merges_fired"),
+            (
+                F.sum(F.col("cnt") * F.col("n_tokens")).cast("double")
+                / F.sum("cnt")
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # importance resampling — execute a target mixture by deterministic
 # per-doc downsampling
 # --------------------------------------------------------------------------

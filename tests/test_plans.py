@@ -429,3 +429,18 @@ def test_registry_plans_lint_error_free(plans, name):
         and not (f["code"] == "GLOBAL_WINDOW" and name in GLOBAL_WINDOW_ALLOWED)
     ]
     assert not errors, (name, errors)
+
+
+def test_bpe_encode_single_scan_no_udf(plans):
+    """text_bpe_encode's dictionary-trick claim: ONE corpus scan (the
+    merge-replace chain runs on post-aggregation vocabulary rows, so
+    Catalyst must not clone a second scan branch), pure codegen string
+    ops (no Python boundary), and no join operator at all."""
+    import re
+
+    plan = plans("text_bpe_encode")
+    # count scan NODES (the formatted plan prints each node once in the
+    # tree and once in the detail section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "Join"):
+        assert marker not in plan, (marker, plan)

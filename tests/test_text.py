@@ -419,3 +419,38 @@ def test_word_ngrams_fold_equals_naive_form_fuzz(spark):
         .collect()
     )
     assert not mism, mism[:3]
+
+
+def test_bpe_token_count_hand_computed(spark):
+    """Exact BPE semantics of the wrapped-token merge-replace kernel,
+    against hand-applied merges. The wrapped representation is what the
+    cases pin: 'ther' must NOT fire the (th, e) merge across the [er]
+    token boundary (a separator-only scheme would, because 'er' merely
+    starts with 'e'); 'aaaa' shows boundary sentinels don't break
+    adjacent runs; 'rere' pins merge-ORDER sensitivity ((e, r) fires
+    before (r, e), so the result is [r][er][e], not [re][re])."""
+    from pyspark.sql import functions as F
+
+    from dodo_spark.operators.text import _bpe_token_count
+
+    cases = [
+        ("the", 1),    # (t,h) then (th,e)
+        ("and", 1),    # (a,n) then (an,d)
+        ("fox", 3),    # no merge fires
+        ("thin", 2),   # [th][in]
+        ("onion", 3),  # [on][i][on] — (i,n) never adjacent
+        ("ther", 2),   # [th][er]; (th,e) must NOT cross into [er]
+        ("aaaa", 4),   # no (a,a) merge; runs stay singles
+        ("inin", 2),   # [in][in] — consecutive matches share no chars
+        ("rere", 3),   # [r][er][e] — (e,r) precedes (r,e)
+        ("a", 1),
+        ("er", 1),
+        ("汉字", 2),   # multibyte chars split per CHARACTER
+    ]
+    df = spark.createDataFrame([(w,) for w, _ in cases], "w STRING")
+    got = {
+        r["w"]: r["n"]
+        for r in df.select("w", _bpe_token_count(F.col("w")).alias("n")).collect()
+    }
+    bad = [(w, want, got[w]) for w, want in cases if got[w] != want]
+    assert not bad, bad
