@@ -1474,7 +1474,13 @@ def _bpe_token_count(word: Column) -> Column:
     a BPE encoder applies per learned merge, identical semantics in
     Spark and DuckDB (probed cross-engine). Token count = count of
     closers. Everything is whole-stage-codegen string ops: no UDF, no
-    shuffle."""
+    shuffle.
+
+    Domain: whitespace tokens (the caller's tokenizer filters empties;
+    the \\x1e/\\x1f sentinels are record/unit separator control chars
+    that whitespace splitting can never emit inside a token — a corpus
+    that embedded raw control chars in words would need a pre-clean
+    pass, same as any tokenizer)."""
     s = F.array_join(
         F.transform(
             F.split(word, ""),
