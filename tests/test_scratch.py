@@ -103,7 +103,8 @@ def test_scale_rehearsal_resume_migrates_old_artifacts():
     prev = {
         "exclusions": {
             "similarity_ivf_pruned": "brute-force cosine oracle is O(n_docs x n_vecs)",
-            "dedup_near": "(old reason text)",
+            "dedup_near": "banded-LSH oracle quadratic-ish in band population",
+            "dedup_simhash_pairs": "(old reason text)",
             "some_slow_key": "oracle timeout (> 300s at sf1)",
         },
         "keys": {
@@ -111,8 +112,9 @@ def test_scale_rehearsal_resume_migrates_old_artifacts():
             "corpus_clean": {"mode": "hash_sampled", "ok": True, "secs": 9.0},
             # rows-only row for the key that now runs hash_agg: re-queues
             "dedup_simhash_pairs": {"mode": "rows", "ok": True, "rows": 123},
-            # rows-only row for the key promoted to full hash: re-queues
+            # rows-only rows for keys promoted to full hash: re-queue
             "similarity_ivf_pruned": {"mode": "rows", "ok": True, "rows": 50},
+            "dedup_near": {"mode": "rows", "ok": True, "rows": 70},
             # ordinary green hash row: carried forward
             "agg_group": {"mode": "hash", "ok": True, "secs": 1.0},
             # failed row: never carried forward
@@ -127,14 +129,16 @@ def test_scale_rehearsal_resume_migrates_old_artifacts():
     cc = state["keys"]["corpus_clean"]
     assert "ok" not in cc and cc["sampled"]["ok"] is True
     assert "unrecorded" in cc["sampled"]["sample"]
-    # (b) stale exclusion dropped, by-design + timeout kept
+    # (b) stale exclusions dropped (both r12 promotions), by-design +
+    # runtime-timeout entries kept
     assert "similarity_ivf_pruned" not in state["exclusions"]
-    assert "dedup_near" in state["exclusions"]
+    assert "dedup_near" not in state["exclusions"]
     assert state["exclusions"]["some_slow_key"].startswith("oracle timeout")
     # the CURRENT reason text wins over the old artifact's
-    assert state["exclusions"]["dedup_near"] != "(old reason text)"
+    assert state["exclusions"]["dedup_simhash_pairs"] != "(old reason text)"
     # (c) tier-changed rows re-queue; matching rows carry forward
     assert "dedup_simhash_pairs" not in state["keys"]
     assert "similarity_ivf_pruned" not in state["keys"]
+    assert "dedup_near" not in state["keys"]
     assert state["keys"]["agg_group"]["ok"] is True
     assert "join_inner" not in state["keys"]

@@ -348,22 +348,21 @@ def duckdb_con_glob(sf_dir: str):
     return con
 
 
-# Keys whose ORACLE (not the Spark plan) is the sf1 bound: the DuckDB twin
-# is a deliberately naive baseline — quadratic-ish banded/brute SQL that
-# takes hours at 50k docs / 20k vectors while the Spark side takes seconds.
-# In the full-registry sweep these run a non-empty rows sanity check at sf1;
+# Keys whose ORACLE (not the Spark plan) is the sf1 bound. In the
+# full-registry sweep these run a non-empty rows sanity check at sf1;
 # their hash evidence comes from the sf0.1 sweep + the driver gate. Keys
 # whose oracle exceeds --oracle-timeout at run time join this list in the
 # artifact with reason "oracle timeout".
 #
-# Round-12: similarity_ivf_pruned LEFT this list — the r11 norm-precompute
-# rewrite of the shared cosine kernel dropped its DuckDB oracle to ~1.4s at
-# sf1 (measured), so it now runs FULL hash parity like any other key; the
-# old "O(n_docs x n_vecs)" reason described the pre-optimization kernel.
+# Round-12 emptied the oracle-cost tier entirely by MEASURING each listed
+# oracle on the generated sf1 corpus instead of trusting the round-4/5-era
+# reasons: similarity_ivf_pruned (~1.4s), dedup_near (~1.1s), corpus_clean
+# (~1.4s) and dedup_simhash_stats (~5.5s) all run far under the timeout on
+# current oracle forms (the shared-kernel rewrites of rounds 5-11 also
+# rewrote the DuckDB twins), so all four now run FULL sf1 hash parity.
+# The one remaining entry is output-mass-bound, not oracle-bound, and is
+# verified via the engine-side aggregate instead.
 ORACLE_BOUND = {
-    "dedup_near": "banded-LSH oracle quadratic-ish in band population",
-    "dedup_simhash_stats": "3-band pigeonhole oracle joins explode at 50k docs",
-    "corpus_clean": "winnow-fingerprint oracle is per-char list_reduce over 50k docs",
     "dedup_simhash_pairs": "pair-LIST output mass: the generated corpus's "
     "duplicate density yields ~1e8 pairs at sf1, so a two-sided pair "
     "collect (not the banded plan) is the harness bound; since round 12 "
@@ -395,17 +394,21 @@ def agg_parity_sql(base_sql: str, cols: tuple[str, ...]) -> str:
     FROM __hs
     """
 
-# Round-9 verdict ask #5 (rate raised to 1/3 by round-10 ask #5): for the
-# three keys where only ORACLE JOIN COST (not output mass) is the sf1
-# bound, hash-verify on a deterministic 1/3 crc32(doc_id) sample of the
-# sf1 documents corpus — one materialized parquet sample that BOTH engines
+# Round-9 verdict ask #5 (rate raised to 1/3 by round-10 ask #5): keys
+# where only ORACLE JOIN COST (not output mass) is the sf1 bound
+# hash-verify on a deterministic 1/3 crc32(doc_id) sample of the sf1
+# documents corpus — one materialized parquet sample that BOTH engines
 # read, so cross-engine sample agreement is by construction. The full
 # corpus keeps its rows-only check; the sampled evidence is attached as a
 # ``sampled`` sub-record on the key's row so a sampled-leg failure never
-# erases the full-corpus evidence. dedup_simhash_pairs gets full-corpus
-# hash evidence via AGG_PARITY instead (output mass, not oracle cost, is
-# its bound); similarity_ivf_pruned runs plain full parity since round 12.
-SAMPLED_PARITY = {"dedup_near", "dedup_simhash_stats", "corpus_clean"}
+# erases the full-corpus evidence.
+#
+# EMPTY since round 12: the three keys that used this tier (dedup_near,
+# dedup_simhash_stats, corpus_clean) measured far under the oracle
+# timeout on current oracle forms and were promoted to full sf1 parity.
+# The mechanism stays wired so a future oracle-cost-bound key re-enters
+# by adding its name here.
+SAMPLED_PARITY: set[str] = set()
 SAMPLE_PREDICATE = "crc32(cast(doc_id as string)) % 3 = 0"
 
 
@@ -759,12 +762,11 @@ def main() -> None:
         dirs[label] = generate(workdir, scale, label)
         print(f"generated {label} in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    # correctness first: full parity at gen0.1; at gen1 the dedup-family
-    # ORACLES are the bottleneck (banded LSH in pure SQL is quadratic-ish in
-    # band population — hours at 50k docs while the Spark side takes
-    # seconds), so those keys get a non-empty row sanity check there and
-    # their hash evidence comes from gen0.1 + the driver gate
-    heavy_oracle = {"dedup_near", "dedup_simhash_stats", "corpus_clean"}
+    # correctness first: full parity at gen0.1 AND gen1 — the dedup-family
+    # oracles measured seconds (not the feared hours) on current oracle
+    # forms at sf1, so no key is skipped here since round 12; a future
+    # oracle-cost-bound key re-enters by adding its name
+    heavy_oracle: set[str] = set()
     for label, d in ({} if args.skip_parity else dirs).items():
         con = duckdb_con_glob(d)
         for name in keys:
