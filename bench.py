@@ -206,6 +206,39 @@ HEADLINE = [
 
 CONTENTION_RATIO = 1.15
 
+# Per-key yardstick baseline reset (round-12 advisor): the min-across-all-
+# sidecars baseline never ages out, so a kernel INTENTIONALLY rewritten to
+# be slower (a correctness fix or a trade-off) would exceed the stale
+# historical best forever — one wasted re-run + a misleading "contended"
+# flag every round. When that happens, map the key to the first sidecar
+# round whose number reflects the NEW kernel; older sidecars are ignored
+# for that key. Empty today — no key has ever been deliberately slowed.
+BASELINE_RESET: dict[str, int] = {}
+
+
+def _sidecar_query_seconds(v) -> float:
+    """One query entry from a committed sidecar -> comparable seconds.
+
+    WRITTEN form (this file, stable since r8): ``queries`` values are flat
+    floats (median of runs, post-de-noising). Two HISTORIC dict forms also
+    exist in committed artifacts and in the driver-recorded stdout tails:
+    the ``reruns``/``contended`` maps' ``{first_pass, rerun, solo_sidecar}``
+    records. If a ``queries`` value ever arrives as such a dict (a format
+    merge, or a reader pointed at the wrong map), the comparable number is
+    min(first_pass, rerun) — what the measured code actually ran on that
+    box; ``solo_sidecar`` is another round's yardstick, never a
+    measurement of that artifact's code. Returns -1.0 for junk."""
+    if isinstance(v, dict):
+        passes = [
+            float(v[k]) for k in ("first_pass", "rerun")
+            if isinstance(v.get(k), (int, float))
+        ]
+        return min(passes) if passes else -1.0
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return -1.0
+
 
 def _reference_timings(sf: float) -> dict[str, float]:
     """Per-key BEST (min) across ALL committed solo sidecars
@@ -224,8 +257,10 @@ def _reference_timings(sf: float) -> dict[str, float]:
     root = os.path.dirname(os.path.abspath(__file__))
     best: dict[str, float] = {}
     for p in glob.glob(os.path.join(root, "BENCH_LOCAL_r*.json")):
-        if not re.search(r"_r(\d+)\.json$", p):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
             continue
+        rnd = int(m.group(1))
         try:
             with open(p) as f:
                 data = json.load(f)
@@ -234,9 +269,11 @@ def _reference_timings(sf: float) -> dict[str, float]:
         if data.get("sf") != sf:
             continue
         for k, v in (data.get("queries") or {}).items():
-            v = float(v)
-            if v > 0 and (k not in best or v < best[k]):
-                best[k] = v
+            if rnd < BASELINE_RESET.get(k, 0):
+                continue  # kernel deliberately changed; pre-reset is stale
+            s = _sidecar_query_seconds(v)
+            if s > 0 and (k not in best or s < best[k]):
+                best[k] = s
     return best
 
 

@@ -158,7 +158,15 @@ def extract_statements(records: DataFrame, record_col: str = "record") -> DataFr
     replaced by ``.millis`` (reference src/auditlog.go:260); stmt is trimmed.
     """
     pat = "(?s)" + STMT_RE  # DOTALL: stmt spans reassembled newlines
-    c = F.col(record_col)
+    # hostile-input normalization (round-13): the two splice sentinel chars
+    # below cannot appear in a WELL-FORMED record (the log format is
+    # '|'-delimited printable text), but a record that did carry them (log
+    # corruption, an adversarial statement) would silently SHEAR the group
+    # split — wrong query_id, truncated stmt. Strip them up front so hostile
+    # input degrades to a documented normalization (NUL/US removed, all
+    # other bytes and fields intact; tests/test_hostile_inputs.py) instead
+    # of wrong fields. One linear regex pass, whole-stage codegen.
+    c = F.regexp_replace(F.col(record_col), "[\x00\x1f]", "")
     matched = c.rlike(pat)
     # trailing sentinel isolates the unmatched tail (the pattern is
     # head-anchored, not tail-anchored) into one extra split element
@@ -284,13 +292,19 @@ SQL_UNESCAPE_TOKEN_SQL = r"'[^']*'|\"[^\"]*\"|/\*[\s\S]*?\*/|--[^\\\n]*|\\.|[\s\
 def sql_unescape_duckdb(expr: str) -> str:
     """DuckDB twin of unescape_stmt (single quotes doubled for the SQL
     string literal; see SQL_UNESCAPE_TOKEN_SQL for the RE2 newline
-    treatment)."""
+    treatment).
+
+    Empty-statement edge (found by tests/test_hostile_inputs.py): DuckDB's
+    ``array_to_string([], '')`` returns NULL where Spark's ``array_join``
+    returns '' — the COALESCE restores '' for empty NON-NULL input while
+    the CASE keeps NULL-in -> NULL-out, matching Spark on both edges."""
     pat = SQL_UNESCAPE_TOKEN_SQL.replace("'", "''")
-    return (
+    inner = (
         f"array_to_string(list_transform(regexp_extract_all({expr}, '{pat}'), "
         "t -> CASE WHEN t = '\\n' THEN chr(10) WHEN t = '\\t' THEN chr(9) "
         "WHEN t = '\\r' THEN chr(13) ELSE t END), '')"
     )
+    return f"coalesce({inner}, CASE WHEN {expr} IS NULL THEN NULL ELSE '' END)"
 
 
 # --------------------------------------------------------------------------

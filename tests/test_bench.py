@@ -67,3 +67,49 @@ def test_contention_flagging_logic():
     assert contended == {
         "c": {"solo_sidecar": 1.0, "first_pass": 2.0, "rerun": 1.9}
     }
+
+
+def test_sidecar_query_seconds_reads_both_historic_forms():
+    """Round-13 format unification: committed sidecars carry flat floats in
+    "queries" (the written form), while the reruns/contended maps — and any
+    driver tail that recorded them — use {first_pass, rerun, solo_sidecar}
+    dicts. The yardstick reader must accept BOTH: for a dict the comparable
+    number is min(first_pass, rerun) — what the measured code actually ran;
+    solo_sidecar is ANOTHER round's yardstick, never this artifact's
+    measurement. Junk returns -1.0 (skipped by the >0 gate)."""
+    import bench
+
+    assert bench._sidecar_query_seconds(1.25) == 1.25
+    assert bench._sidecar_query_seconds("2.5") == 2.5
+    assert bench._sidecar_query_seconds(
+        {"first_pass": 2.0, "rerun": 1.5, "solo_sidecar": 0.1}
+    ) == 1.5
+    assert bench._sidecar_query_seconds({"first_pass": 2.0}) == 2.0
+    assert bench._sidecar_query_seconds({"solo_sidecar": 0.9}) == -1.0
+    assert bench._sidecar_query_seconds(None) == -1.0
+    assert bench._sidecar_query_seconds("junk") == -1.0
+
+
+def test_reference_timings_dict_form_and_baseline_reset(tmp_path, monkeypatch):
+    """A dict-valued queries entry no longer crashes (pre-r13: float(dict)
+    raised) and contributes min(first_pass, rerun); and BASELINE_RESET
+    ages out pre-reset sidecar rounds for a key whose kernel was
+    deliberately slowed (round-12 advisor: the min-across-rounds yardstick
+    otherwise never forgets old-code minima)."""
+    import json
+
+    import bench
+
+    def sidecar(rnd, queries):
+        with open(tmp_path / f"BENCH_LOCAL_r{rnd}.json", "w") as f:
+            json.dump({"sf": 0.1, "queries": queries}, f)
+
+    sidecar(3, {"k": 0.5, "d": {"first_pass": 1.0, "rerun": 0.8,
+                                "solo_sidecar": 0.1}})
+    sidecar(5, {"k": 2.0, "d": 0.9})
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+
+    assert bench._reference_timings(0.1) == {"k": 0.5, "d": 0.8}
+    # kernel of "k" deliberately rewritten between r3 and r5: drop r3's best
+    monkeypatch.setattr(bench, "BASELINE_RESET", {"k": 5})
+    assert bench._reference_timings(0.1) == {"k": 2.0, "d": 0.8}

@@ -47,9 +47,13 @@ def test_registry_contract():
     from dodo_spark import registry
 
     qs, os_ = registry.queries(), registry.oracle_sql()
-    # agg_ndv_approx regained a full oracle in round 3 (within_bound check);
-    # the only rows-only key left is the trained-centroid IVF, whose
-    # data-dependent centroids cannot be a static SQL literal
+    # agg_ndv_approx regained a full oracle in round 3 (within_bound check).
+    # similarity_ivf_kmeans HAS an oracle today — a CONTRACT row (its
+    # trained centroids cannot be a static SQL literal, so the oracle
+    # hash-checks assignment totality / recall lift / cell balance instead
+    # of the top-k output). The whitelist entry documents that THIS key,
+    # and only this key, may drop to rows-only if that contract oracle is
+    # ever removed; every other key must keep an output-shaped twin.
     NO_ORACLE_OK = {"similarity_ivf_kmeans"}
     missing = set(qs) - set(os_) - NO_ORACLE_OK
     assert not missing, f"keys without oracle: {sorted(missing)}"
@@ -455,6 +459,7 @@ def test_agg_parity_kernel_matches_and_detects_mutations(spark, sf_dir, oracle_c
         .collect()[0]
     )
     assert int(drow["n_rows"]) == base_n - 1
+    assert int(drow["agg_hash"]) != base_hash
 
 
 def test_result_hash_cross_engine_fuzz(spark):

@@ -611,24 +611,38 @@ def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> i
                     con_box, agg_parity_sql(oracles[name], cols)
                 )
                 legs["oracle_s"] = round(time.perf_counter() - to, 1)
-                assert odf is not None, "aggregate oracle timed out"
-                ts = time.perf_counter()
-                sp = (
-                    qs[name](spark, d)
-                    .agg(
-                        F.count("*").cast("bigint").alias("n_rows"),
-                        result_hash(*cols).alias("agg_hash"),
+                if odf is None:
+                    # degrade like the hash tier (r12 advisor): one slow
+                    # DuckDB run records a timeout exclusion + rows
+                    # evidence, not a hard failure with no fallback
+                    state["exclusions"][name] = (
+                        f"oracle timeout (> {oracle_timeout:.0f}s at sf1,"
+                        " agg twin)"
                     )
-                    .toPandas()
-                )
-                legs["spark_s"] = round(time.perf_counter() - ts, 1)
-                tc = time.perf_counter()
-                assert_parity(sp, odf, f"{name}@sf1-agg")
-                legs["compare_s"] = round(time.perf_counter() - tc, 1)
-                row = {"mode": "hash_agg", "ok": True,
-                       "rows": int(sp["n_rows"].iloc[0]),
-                       "agg_hash": int(sp["agg_hash"].iloc[0]),
-                       "agg_cols": list(cols)}
+                    mode = "rows"
+                    ts = time.perf_counter()
+                    n = qs[name](spark, d).count()
+                    legs["spark_s"] = round(time.perf_counter() - ts, 1)
+                    row = {"mode": "rows", "ok": n > 0, "rows": n,
+                           "note": "agg oracle timed out; see exclusions"}
+                else:
+                    ts = time.perf_counter()
+                    sp = (
+                        qs[name](spark, d)
+                        .agg(
+                            F.count("*").cast("bigint").alias("n_rows"),
+                            result_hash(*cols).alias("agg_hash"),
+                        )
+                        .toPandas()
+                    )
+                    legs["spark_s"] = round(time.perf_counter() - ts, 1)
+                    tc = time.perf_counter()
+                    assert_parity(sp, odf, f"{name}@sf1-agg")
+                    legs["compare_s"] = round(time.perf_counter() - tc, 1)
+                    row = {"mode": "hash_agg", "ok": True,
+                           "rows": int(sp["n_rows"].iloc[0]),
+                           "agg_hash": int(sp["agg_hash"].iloc[0]),
+                           "agg_cols": list(cols)}
             else:
                 to = time.perf_counter()
                 odf = oracle_with_timeout(con_box, oracles[name])
@@ -657,6 +671,11 @@ def full_registry_sweep(workdir: str, out_path: str, oracle_timeout: float) -> i
             row = {"mode": mode, "ok": False, "error": str(e)[:500]}
         row["secs"] = round(time.perf_counter() - t0, 1)
         row.update(legs)
+        # a resumed run may have migrated a pre-r11 sampled sub-record onto
+        # this key (merge_resume_state); merge, don't discard it (r12 advisor)
+        prior = state["keys"].get(name)
+        if isinstance(prior, dict) and "sampled" in prior and "sampled" not in row:
+            row["sampled"] = prior["sampled"]
         state["keys"][name] = row
         flush()
         print(f"sweep[{row['mode']}] {name}: "
