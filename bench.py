@@ -212,8 +212,17 @@ CONTENTION_RATIO = 1.15
 # historical best forever — one wasted re-run + a misleading "contended"
 # flag every round. When that happens, map the key to the first sidecar
 # round whose number reflects the NEW kernel; older sidecars are ignored
-# for that key. Empty today — no key has ever been deliberately slowed.
-BASELINE_RESET: dict[str, int] = {}
+# for that key.
+#
+# r13: the audit-log extractor gained a hostile-input pre-clean (NUL/US
+# strip before the group splice — sources/auditlog.py extract_statements),
+# a deliberate ~10-20% cost on the two keys that scan the log corpus; the
+# cheapest correct form was chosen by interleaved A/B (see the kernel
+# comment). Pre-r13 sidecar minima time the UNHARDENED kernel.
+BASELINE_RESET: dict[str, int] = {
+    "auditlog_extract": 13,
+    "query_filter_dedup": 13,
+}
 
 
 def _sidecar_query_seconds(v) -> float:

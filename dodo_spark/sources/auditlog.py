@@ -164,8 +164,15 @@ def extract_statements(records: DataFrame, record_col: str = "record") -> DataFr
     # corruption, an adversarial statement) would silently SHEAR the group
     # split — wrong query_id, truncated stmt. Strip them up front so hostile
     # input degrades to a documented normalization (NUL/US removed, all
-    # other bytes and fields intact; tests/test_hostile_inputs.py) instead
-    # of wrong fields. One linear regex pass, whole-stage codegen.
+    # other bytes and fields intact; tests/test_hostile_inputs.py).
+    # Form chosen by interleaved A/B at sf0.1 (the expression runs TWICE —
+    # once in the rlike filter, once in the splice projection; predicates
+    # are exempt from codegen CSE): regexp_replace char-class ~4.4s/key,
+    # translate ~5.0-5.9s (Spark's per-codepoint map loses to Java's
+    # compiled 2-char class), contains-guarded when() ~6.0-6.4s (the guard
+    # duplicates into every consumer). Unguarded regexp costs ~10-20% over
+    # no strip on clean data — the price of never shearing on hostile data;
+    # bench.py BASELINE_RESET pins r13 as these keys' yardstick epoch.
     c = F.regexp_replace(F.col(record_col), "[\x00\x1f]", "")
     matched = c.rlike(pat)
     # trailing sentinel isolates the unmatched tail (the pattern is
