@@ -382,3 +382,87 @@ def test_text_surface_10mib_single_line_document(spark, tmp_path):
     assert got[1]["chars"] == len(big)
     assert got[1]["ws_tokens"] == 3
     assert got[2]["ws_tokens"] == 4
+
+
+# --------------------------------------------------------------------------
+# surface 6: multimodal header parser on hostile binary payloads
+# --------------------------------------------------------------------------
+class TestMediaHeaderHostile:
+    """parse_media_header struct-unpacks untrusted binary. Its contract on
+    hostile bytes: NEVER raise (a poison payload must not kill a 100 TB
+    scan), always return (fmt in the known set, int-or-None fields). A
+    truncated magic (e.g. a PNG cut before IHDR) is classified "unknown"
+    rather than half-parsed — documented fail-closed behavior."""
+
+    FMTS = {"png", "wav", "jpeg", "gif", "unknown"}
+
+    def _check(self, payload: bytes):
+        from dodo_spark.multimodal import parse_media_header
+
+        fmt, w, h, sr = parse_media_header(payload)
+        assert fmt in self.FMTS
+        for v in (w, h, sr):
+            assert v is None or (isinstance(v, int) and v >= 0)
+        return fmt, w, h, sr
+
+    def test_truncated_magics_fail_closed(self):
+        cases = {
+            b"": "unknown",
+            b"\x89PNG\r\n\x1a\n": "unknown",          # magic, no IHDR
+            b"\x89PNG\r\n\x1a\n" + b"\x00" * 10: "unknown",  # cut mid-IHDR
+            b"RIFF1234WAVE": "unknown",                # no fmt chunk
+            b"GIF89a": "unknown",                      # no screen size
+            b"\xff\xd8": "jpeg",                       # bare SOI: fmt known,
+        }                                              # dims honestly None
+        for payload, want in cases.items():
+            fmt, w, h, sr = self._check(payload)
+            assert fmt == want, (payload, fmt)
+            if payload == b"\xff\xd8":
+                assert (w, h, sr) == (None, None, None)
+
+    def test_jpeg_hostile_segment_lengths_terminate(self):
+        # zero-length segment still advances (i += 2 + seg_len with
+        # seg_len>=0 moves past the marker pair); a seg_len pointing past
+        # the end exits the scan bound; 0xFF fill bytes are tolerated
+        for tail in (b"\xff\xfe\x00\x00" * 50,          # seg_len=0 chain
+                     b"\xff\xfe\xff\xff" + b"A" * 20,   # overshoot length
+                     b"\xff" * 64,                      # fill-byte run
+                     b"\xff\xc0\x00\x05\x08\x00"):      # SOF cut mid-dims
+            self._check(b"\xff\xd8" + tail)
+
+    def test_fuzz_arbitrary_bytes_never_raise(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=128))
+        def fuzz(payload):
+            self._check(payload)
+
+        fuzz()
+
+    def test_fuzz_corrupted_real_headers(self):
+        """Flip bytes inside WELL-FORMED headers — the adversarial middle
+        ground between valid files and random noise."""
+        import struct
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 640, 480) + b"\x08\x02" + b"\x00" * 7
+        wav = b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt " + struct.pack("<IHHI", 16, 1, 1, 44100) + b"\x00" * 8
+        jpg = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 4
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.sampled_from([png, wav, jpg, gif]),
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=255),
+        )
+        def fuzz(base, pos, val):
+            if pos < len(base):
+                base = base[:pos] + bytes([val]) + base[pos + 1:]
+            self._check(base)
+
+        fuzz()
