@@ -10,6 +10,17 @@ pass over the data), PERMISSIVE mode, and a ``_corrupt_record`` column
 so malformed lines are COUNTED AND QUARANTINED instead of killing the
 job or silently vanishing. Every real crawl dump contains torn lines;
 an ingest that cannot account for them under-reports corpus loss.
+
+Hostile-input behavior (pinned by tests/test_hostile_inputs.py
+TestJsonlHostile): a document whose JSON contains a literal ``_corrupt``
+field parses clean (the injected field is ignored, never mistaken for
+the parser's quarantine marker); duplicate keys take last-wins; ``{}``
+is a valid all-null clean row (PERMISSIVE missing-field contract —
+downstream gates filter doc_id IS NOT NULL); array-wrapped/bare-scalar
+lines quarantine whole; invalid UTF-8 degrades to U+FFFD replacement
+chars (the reference tolerates mixed encodings, src/misc.go:116-130);
+NUL/control chars, quotes and raw newlines in payloads survive the
+write->read round trip byte-for-byte via to_json escaping.
 """
 
 from __future__ import annotations

@@ -466,3 +466,112 @@ class TestMediaHeaderHostile:
             self._check(base)
 
         fuzz()
+
+
+# --------------------------------------------------------------------------
+# surface 7: JSONL corpus ingest — hostile lines and hostile payloads
+# --------------------------------------------------------------------------
+class TestJsonlHostile:
+    """The JSONL reader (sources/jsonl.py) parses untrusted crawl-dump
+    lines with an explicit schema + PERMISSIVE _corrupt capture. Pinned
+    here (each probed against live JacksonParser semantics):
+
+    - a document whose JSON genuinely CONTAINS a ``_corrupt`` field parses
+      clean — the injected field is ignored, never mistaken for the
+      parser's own corrupt marker, never mis-quarantines the row;
+    - duplicate keys: last occurrence wins (Jackson stream order), row
+      stays clean;
+    - ``{}`` is VALID JSON: an all-null clean row (missing fields -> null
+      is the PERMISSIVE contract), not a quarantined line — downstream
+      gates filter on doc_id IS NOT NULL (the streaming path does);
+    - array-wrapped and bare-scalar lines quarantine whole;
+    - hostile PAYLOADS (NUL, control chars, quotes, newlines, emoji,
+      lone-surrogate-free unicode) survive the write->read round trip
+      byte-for-byte — to_json escapes keep one doc per line.
+    """
+
+    def _read(self, spark, tmp_path, lines: list[str]):
+        from dodo_spark.sources.jsonl import read_jsonl_corpus
+
+        p = tmp_path / "hostile.jsonl"
+        p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+        return read_jsonl_corpus(spark, str(tmp_path)).collect()
+
+    def test_corrupt_field_injection_is_ignored(self, spark, tmp_path):
+        rows = self._read(spark, tmp_path, [
+            '{"doc_id": 1, "text": "x", "lang": "en", "source": "w",'
+            ' "n_chars": 1, "_corrupt": "injected marker"}',
+        ])
+        [r] = rows
+        assert r["doc_id"] == 1 and r["text"] == "x"
+        assert r["_corrupt"] is None  # injection cannot fake a quarantine
+
+    def test_duplicate_keys_last_wins_and_stays_clean(self, spark, tmp_path):
+        rows = self._read(spark, tmp_path, [
+            '{"doc_id": 3, "doc_id": 4, "text": "dup", "lang": "en",'
+            ' "source": "w", "n_chars": 3}',
+        ])
+        [r] = rows
+        assert r["doc_id"] == 4 and r["_corrupt"] is None
+
+    def test_empty_object_is_allnull_clean_row(self, spark, tmp_path):
+        rows = self._read(spark, tmp_path, ["{}"])
+        [r] = rows
+        assert r["_corrupt"] is None
+        assert all(r[c] is None for c in ("doc_id", "text", "lang"))
+
+    def test_structural_garbage_quarantines_whole_line(self, spark, tmp_path):
+        lines = [
+            '[{"doc_id": 8, "text": "array-wrapped"}]',
+            "null",
+            '"just a string"',
+            "{unquoted: keys}",
+        ]
+        rows = self._read(spark, tmp_path, lines)
+        assert sorted(r["_corrupt"] for r in rows) == sorted(lines)
+        assert all(r["doc_id"] is None for r in rows)
+
+    def test_invalid_utf8_degrades_to_replacement_chars(self, spark, tmp_path):
+        # raw 0xFF 0xFE inside the text field: spark.read.text decodes with
+        # U+FFFD replacement (the reference tolerates mixed encodings,
+        # src/misc.go:116-130); the row parses CLEAN, nothing is dropped
+        p = tmp_path / "bad.jsonl"
+        p.write_bytes(
+            b'{"doc_id": 9, "text": "bad \xff\xfe bytes", "lang": "en",'
+            b' "source": "w", "n_chars": 4}\n'
+        )
+        from dodo_spark.sources.jsonl import read_jsonl_corpus
+
+        [r] = read_jsonl_corpus(spark, str(tmp_path)).collect()
+        assert r["doc_id"] == 9 and r["_corrupt"] is None
+        assert r["text"] == "bad �� bytes"
+
+    def test_hostile_payload_round_trip_byte_exact(self, spark, tmp_path):
+        from dodo_spark.sources.jsonl import (
+            read_jsonl_corpus,
+            write_jsonl_corpus,
+        )
+
+        texts = [
+            "nul \x00 us \x1f bel \x07 inside",
+            'quotes " and \\ backslashes \\" mixed',
+            "raw\nnewline and\ttab and\r\ncrlf",
+            "emoji \U0001f600 combining é rtl שלום",
+            "{\"looks\": \"like json\"}",
+            "x" * (1024 * 1024),  # 1 MiB single token
+        ]
+        rows = [(i, t, "en", "w", len(t)) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+            " n_chars BIGINT",
+        )
+        out = str(tmp_path / "rt")
+        write_jsonl_corpus(df, out)
+        got = {
+            r["doc_id"]: r for r in read_jsonl_corpus(spark, out).collect()
+        }
+        assert len(got) == len(texts)  # raw \n never tears a line
+        for i, t in enumerate(texts):
+            assert got[i]["text"] == t, f"doc {i} mutated in round trip"
+            assert got[i]["_corrupt"] is None
