@@ -65,6 +65,11 @@ def main() -> None:
             "loadavg_1m": round(os.getloadavg()[0], 2),
         }
         for key in KEYS:
+            # one untimed warm pass first: these kernels run 1-20s, where
+            # JVM/codegen/page-cache cold-start would otherwise dominate
+            # the sf1 leg and fake a "faster at 3x data" curve (the first
+            # run of this tool did exactly that)
+            qs[key](spark, d).count()
             t0 = time.perf_counter()
             n = int(qs[key](spark, d).count())
             row[key] = {"rows": n, "spark_s": round(time.perf_counter() - t0, 1)}
