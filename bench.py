@@ -389,10 +389,15 @@ def main() -> None:
     }
     print(json.dumps(payload))
     # full, never-truncated sidecar for cross-round regression tracking;
-    # committed per-round as BENCH_LOCAL_r{N}.json
+    # committed per-round as BENCH_LOCAL_r{N}.json. Non-default scales
+    # write an sf-suffixed scratch name: a verify-scale run (sf0.01 CLI
+    # check) at the default name CLOBBERED the round-13 try-2 solo
+    # sidecar before it was committed — the tracked sf0.1 artifact must
+    # never share a filename with throwaway scales.
     try:
+        name = "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf}.json"
         out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            os.path.dirname(os.path.abspath(__file__)), name
         )
         with open(out, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
