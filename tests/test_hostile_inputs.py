@@ -575,3 +575,64 @@ class TestJsonlHostile:
         for i, t in enumerate(texts):
             assert got[i]["text"] == t, f"doc {i} mutated in round trip"
             assert got[i]["_corrupt"] is None
+
+
+# --------------------------------------------------------------------------
+# surface 8: CSV emit dialect (C13) on hostile values
+# --------------------------------------------------------------------------
+class TestCsvDialectHostile:
+    """The gendata CSV emitter writes the reference dialect ('☆' separator,
+    '\\N' nulls — src/gendata.go:16-19). Hostile values exercise the
+    quoting boundary; pinned behavior on a same-dialect Spark read-back:
+
+    - a value CONTAINING the '☆' separator, embedded quotes, or raw
+      newlines is quoted/escaped by the writer and survives byte-exact
+      (newlines need the multiLine read option — one quoted record, the
+      line is never torn);
+    - two DOCUMENTED LOSSY edges inherent to the dialect itself, not the
+      writer: a string value that IS the literal '\\N' marker emits
+      indistinguishably from NULL, and a bare empty string reads back as
+      NULL (Doris stream load has the same ambiguity — '\\N' IS the null
+      word, and an unquoted empty field carries no empty-vs-null bit).
+    """
+
+    def _round_trip(self, spark, tmp_path, vals):
+        from dodo_spark.gendata.plan import CSV_NULL, CSV_SEP, GendataPlan
+
+        d = str(tmp_path / "csv")
+        df = spark.createDataFrame(vals, "id BIGINT, v STRING")
+        GendataPlan.write_csv(df, d)
+        back = (
+            spark.read.option("sep", CSV_SEP)
+            .option("nullValue", CSV_NULL)
+            .option("emptyValue", "")
+            .option("multiLine", "true")
+            .schema("id BIGINT, v STRING")
+            .csv(d)
+        )
+        return {r["id"]: r["v"] for r in back.collect()}
+
+    def test_separator_quote_newline_survive_byte_exact(self, spark, tmp_path):
+        from dodo_spark.gendata.plan import CSV_SEP
+
+        vals = [
+            (1, "with" + CSV_SEP + "sep"),
+            (2, 'has "quote" inside'),
+            (3, "line1\nline2"),
+            (4, CSV_SEP * 5),
+            (5, '"' + CSV_SEP + '\n' + '"'),
+        ]
+        got = self._round_trip(spark, tmp_path, vals)
+        for i, v in vals:
+            assert got[i] == v, f"id {i} mutated: {got[i]!r} != {v!r}"
+
+    def test_null_word_and_empty_are_documented_lossy(self, spark, tmp_path):
+        from dodo_spark.gendata.plan import CSV_NULL
+
+        got = self._round_trip(
+            spark, tmp_path, [(1, CSV_NULL), (2, None), (3, "")]
+        )
+        # the literal '\N' string, real NULL, and '' all read back NULL —
+        # the dialect has no way to spell them apart; callers that must
+        # preserve such values route through parquet, not the CSV emit
+        assert got == {1: None, 2: None, 3: None}
