@@ -636,3 +636,74 @@ class TestCsvDialectHostile:
         # the dialect has no way to spell them apart; callers that must
         # preserve such values route through parquet, not the CSV emit
         assert got == {1: None, 2: None, 3: None}
+
+
+# --------------------------------------------------------------------------
+# surface 9: replay meta-comment decoder (B7) on hostile replay files
+# --------------------------------------------------------------------------
+class TestReplayDecodeHostile:
+    """decode_replay_sqls parses ``/*dodo{json}*/ stmt`` lines from an
+    untrusted replay file (reference meta-comment format,
+    src/replay.go:427-442). Pinned hostile behavior:
+
+    - a line with NO meta comment is FILTERED, never mis-parsed;
+    - malformed meta JSON (including a meta sheared early by a ``}*/``
+      sequence inside a string value — the non-greedy brace match ends at
+      the first ``}*/``) degrades to NULL meta fields + intact stmt,
+      never to silently WRONG field values;
+    - a stmt that itself contains a ``/*dodo{...}*/`` sequence keeps it
+      verbatim in the stmt (the head anchor binds the FIRST meta only);
+    - non-numeric durationMs coalesces to 0 (the schema cast nulls it).
+    """
+
+    def _decode(self, spark, lines):
+        from dodo_spark.plans.replay import decode_replay_sqls
+
+        df = spark.createDataFrame([(s,) for s in lines], "replay_sql STRING")
+        return decode_replay_sqls(df).collect()
+
+    def test_no_meta_is_filtered_not_misparsed(self, spark):
+        rows = self._decode(spark, [
+            "SELECT bare_statement",
+            "/*dodo not-even-braces*/ SELECT x",
+            "",
+        ])
+        assert rows == []
+
+    def test_malformed_meta_json_nulls_fields_keeps_stmt(self, spark):
+        rows = self._decode(spark, [
+            "/*dodo{not json at all}*/ SELECT a FROM t",
+        ])
+        [r] = rows
+        assert r["stmt"] == "SELECT a FROM t"
+        assert r["client"] is None and r["ts"] is None
+        assert r["duration_ms"] == 0  # coalesced, never NULL
+
+    def test_meta_sheared_by_brace_star_slash_in_string(self, spark):
+        # '}*/' INSIDE a JSON string value ends the non-greedy meta match
+        # early: the extracted "json" is truncated garbage -> all-NULL
+        # fields; the tail (the rest of the would-be meta + stmt) lands in
+        # stmt verbatim. Documented degradation: nothing is silently wrong.
+        hostile = '/*dodo{"ts":"2024-01-01","client":"evil}*/ SELECT tail'
+        [r] = self._decode(spark, [hostile])
+        assert r["client"] is None and r["ts"] is None
+        assert r["duration_ms"] == 0
+        assert r["stmt"] == "SELECT tail"
+
+    def test_nested_meta_in_stmt_survives_verbatim(self, spark):
+        line = (
+            '/*dodo{"ts":"2024-01-01 00:00:00.000","client":"c1",'
+            '"user":"u","db":"d","queryId":"q1","durationMs":5}*/ '
+            "SELECT '/*dodo{\"client\":\"fake\"}*/' AS payload"
+        )
+        [r] = self._decode(spark, [line])
+        assert r["client"] == "c1" and r["query_id"] == "q1"
+        assert r["stmt"] == "SELECT '/*dodo{\"client\":\"fake\"}*/' AS payload"
+
+    def test_nonnumeric_duration_coalesces_to_zero(self, spark):
+        line = (
+            '/*dodo{"ts":"t","client":"c","user":"u","db":"d",'
+            '"queryId":"q","durationMs":"not-a-number"}*/ SELECT 1'
+        )
+        [r] = self._decode(spark, [line])
+        assert r["duration_ms"] == 0 and r["client"] == "c"
