@@ -440,9 +440,20 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matching the oracle's empty generate_series.",
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the zip_with n-gram fold is a heavy per-doc kernel: spread the scan
+    # so a single-split local input doesn't serialize it on one task
+    # (r13 profile: 1.6s in ONE job on 32 cores); no-op at warehouse
+    # scale where file splits provide the parallelism
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     grams = _word_ngrams()
-    g = docs.select("doc_id", grams.alias("g")).filter(F.size("g") > 0)
+    # explode(array(...)) barrier: pins the n-gram fold ABOVE the spread
+    # exchange (a bare filter on size(g) would be pushed below it, back
+    # onto the single scan task) and evaluates it ONCE (the filter used
+    # to recompute the whole chain — predicates are exempt from codegen
+    # subexpression elimination, and the lambda chain runs interpreted)
+    g = docs.select(
+        "doc_id", F.explode(F.array(grams)).alias("g")
+    ).filter(F.size("g") > 0)
     total = F.size("g").cast("bigint")
     distinct = F.size(F.array_distinct("g")).cast("bigint")
     return g.select(

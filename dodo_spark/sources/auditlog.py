@@ -174,25 +174,38 @@ def extract_statements(records: DataFrame, record_col: str = "record") -> DataFr
     # no strip on clean data — the price of never shearing on hostile data;
     # bench.py BASELINE_RESET pins r13 as these keys' yardstick epoch.
     c = F.regexp_replace(F.col(record_col), "[\x00\x1f]", "")
-    matched = c.rlike(pat)
+    # barrier #1 (round-13 optimization): a one-element explode pins the
+    # pre-clean AND the rlike match predicate ABOVE any upstream exchange.
+    # Without it, Catalyst pushes the match filter (which embeds the full
+    # regex over the raw line) below a spread/repartition down to the
+    # scan, serializing the match pass on the source's split count — the
+    # r13 profile showed the whole extraction running in ONE task on a
+    # single-split local input. The barrier also evaluates the hostile-
+    # input pre-clean ONCE (it used to run twice: once in the rlike
+    # predicate, once in the splice projection — predicates are exempt
+    # from codegen subexpression elimination; see the r13 A/B note above).
+    cleaned = records.select(F.explode(F.array(c)).alias("__c"))
+    matched = F.col("__c").rlike(pat)
     # trailing sentinel isolates the unmatched tail (the pattern is
     # head-anchored, not tail-anchored) into one extra split element
     spliced = F.regexp_replace(
-        c, pat, _SPLICE.join(f"${i + 1}" for i in range(len(_GROUPS))) + _SPLICE
+        F.col("__c"),
+        pat,
+        _SPLICE.join(f"${i + 1}" for i in range(len(_GROUPS))) + _SPLICE,
     )
-    # one-element explode = a Generate barrier: downstream filters CANNOT
-    # be pushed below it, so the regexp_replace+split chain runs ONCE per
-    # row. Without the barrier, Catalyst substitutes the chain into every
-    # predicate that references a parsed column, and short-circuit filter
-    # conditions are exempt from codegen subexpression elimination —
-    # measured ~6x the regex cost on a filter chain (real money on a
-    # 100 TB log dump). Only the expensive array goes through the barrier
-    # (GenerateExec does no CSE); the per-field element_at reads above it
-    # are cheap even when filters duplicate them.
+    # barrier #2: downstream filters CANNOT be pushed below the explode,
+    # so the regexp_replace+split chain runs ONCE per row. Without the
+    # barrier, Catalyst substitutes the chain into every predicate that
+    # references a parsed column, and short-circuit filter conditions are
+    # exempt from codegen subexpression elimination — measured ~6x the
+    # regex cost on a filter chain (real money on a 100 TB log dump).
+    # Only the expensive array goes through the barrier (GenerateExec
+    # does no CSE); the per-field element_at reads above it are cheap
+    # even when filters duplicate them.
     g = F.explode(F.array(F.split(spliced, _SPLICE, -1)))
     cols = {name: F.element_at(F.col("__g"), i + 1) for i, name in enumerate(_GROUPS)}
     return (
-        records.filter(matched)
+        cleaned.filter(matched)
         .select(g.alias("__g"))
         .select(
             F.regexp_replace(cols["ts"], ",", ".").alias("ts"),
@@ -358,9 +371,28 @@ _SYNTH_LINE = (
 )
 
 
-def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Doris-audit-log-format lines derived from events."""
+def _synth_lines(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """Deterministic Doris-audit-log-format lines derived from events.
+
+    ``spread=True`` round-robins the EVENTS scan (the 5 narrow source
+    columns, before the ~300-byte line is synthesized — shuffle the
+    proxy, not the payload) up to core count when the source provides
+    fewer splits: the sf parquet inputs are single-file single-row-group,
+    so without it the whole regex-extraction pipeline downstream runs in
+    ONE task (r13 profile: auditlog_extract 3.1s in a single job on 32
+    cores). No-op at warehouse scale where file splits provide the
+    parallelism (spread_scan short-circuits on partition count).
+    ``replay_encode`` deliberately does NOT spread: its ROW_NUMBER
+    tie-break inherits the scan order, which must match the oracle's."""
     ev = load_table(spark, sf_dir, "events")
+    if spread:
+        from dodo_spark.operators.text import spread_scan
+
+        ev = spread_scan(
+            ev.select("ts", "event_id", "user_id", "event_type", "value")
+        )
     stmt = (
         F.when(F.col("event_type") == "signup", F.lit("SHOW backends"))
         .when(F.col("event_type") == "purchase", F.lit("SELECT * FROM t WHERE c = 'x' ..."))
@@ -417,7 +449,7 @@ def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Doris-format lines.",
 )
 def auditlog_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = _synth_lines(spark, sf_dir)
+    lines = _synth_lines(spark, sf_dir, spread=True)
     return extract_statements(lines, "line")
 
 
@@ -451,7 +483,7 @@ def auditlog_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Dedup keeps MIN(ts) per query_id so the survivor is deterministic.",
 )
 def query_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rec = extract_statements(_synth_lines(spark, sf_dir), "line")
+    rec = extract_statements(_synth_lines(spark, sf_dir, spread=True), "line")
     kept = filter_statements(rec, states=["OK"], min_duration_ms=3)
     deduped = kept.groupBy("query_id").agg(F.min("ts").alias("ts"))
     return deduped.agg(
