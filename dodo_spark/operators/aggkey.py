@@ -132,6 +132,12 @@ def agg_key_merge(spark, sf_dir):
     from dodo_spark.ddl import parse_create_table
 
     table = parse_create_table(_AGG_DDL)
+    # a spread_scan here was tried and REVERTED (r13 interleaved noop
+    # A/B at sf0.1: 0.64 -> 0.91 s min): column pruning pushes the load
+    # projection — including the per-row bitmap array construction —
+    # below the round-robin exchange, so the shuffle carries the array
+    # column and its serial write costs more than the serial partial
+    # aggregate it replaced.
     li = load_table(spark, sf_dir, "lineitem")
     # bround (half-even) matches the oracle's CAST(l_quantity AS BIGINT)
     # — DuckDB's double->int cast rounds half-even while Spark's

@@ -1637,8 +1637,11 @@ def _register_dedup_span_windows() -> None:
 
         docs = spread_scan(load_table(spark, sf_dir, "documents"))
         toks = F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != "")
+        # explode(array(...)) barrier: keeps the tokenize chain above the
+        # spread exchange and single-evaluated (a bare size predicate is
+        # pushed below the repartition onto the single scan task)
         win = (
-            docs.select("doc_id", toks.alias("t"))
+            docs.select("doc_id", F.explode(F.array(toks)).alias("t"))
             .filter(F.size("t") >= W)
             .select(
                 "doc_id",

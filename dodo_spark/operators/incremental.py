@@ -146,6 +146,15 @@ def _register_materialized_join_refresh() -> None:
 
         # initial view state from v0 ⋈ v0
         nation = (F.col("c_nationkey")).cast("bigint").alias("nation")
+        # per-refresh state is one row per nation (bounded, tiny): an
+        # EAGER localCheckpoint materializes it once per step and
+        # truncates lineage — the incremental-maintenance property (each
+        # refresh reads materialized state + the commit's own delta,
+        # never recomputing) is preserved, without the parquet
+        # write + committer + read-back round-trip the old
+        # state-as-scratch-parquet form paid per step (r13: ~0.3s/step
+        # of pure commit overhead on a 25-row frame; the VERSIONED
+        # commits, which are the demonstration, are untouched)
         state = signed_join_delta(
             read_version(spark, o_tbl, 0).withColumnRenamed(
                 "o_custkey", "c_custkey"
@@ -155,21 +164,11 @@ def _register_materialized_join_refresh() -> None:
             "nation",
             "o_totalprice",
             1,
-        )
-        state_path = _join(root, "state_0")
-        state.coalesce(1).write.mode("overwrite").parquet(state_path)
+        ).localCheckpoint()
 
         def refresh(deltas: list[DataFrame], step: str) -> None:
-            nonlocal state_path
-            new_state = merge_view_state(
-                spark.read.parquet(state_path), deltas, "nation"
-            )
-            new_path = _join(root, f"state_{step}")
-            # the state is one row per nation (bounded, tiny): persist as
-            # ONE file — a shuffle-partition fan-out write pays committer
-            # overhead per empty file for nothing
-            new_state.coalesce(1).write.mode("overwrite").parquet(new_path)
-            state_path = new_path
+            nonlocal state
+            state = merge_view_state(state, deltas, "nation").localCheckpoint()
 
         # per refresh cycle the OTHER table's current version is read
         # once and shared by the +1/−1 deltas; measured at sf0.1, an
@@ -238,7 +237,7 @@ def _register_materialized_join_refresh() -> None:
         refresh(deltas, "o2")
 
         return (
-            spark.read.parquet(state_path)
+            state
             .select(
                 "nation",
                 F.col("cnt").alias("orders_cnt"),

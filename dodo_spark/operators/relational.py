@@ -326,7 +326,15 @@ def hinted_join(
     "carries only |groups| rows per partition.",
 )
 def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from dodo_spark.operators.text import spread_scan
+
+    # spread: the 8-way decimal partial aggregate is the heavy per-row
+    # work and would otherwise run on the source's split count (ONE task
+    # on the single-row-group local inputs — r13 profile; the shipdate
+    # predicate still pushes through the exchange into the scan).
+    # Interleaved noop A/B at sf0.1: 1.61 -> 0.95 s median. No-op at
+    # warehouse scale (spread_scan short-circuits on partition count).
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -405,7 +413,11 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A10: CUBE (ref DorisParser.g4:1247).",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from dodo_spark.operators.text import spread_scan
+
+    # spread: CUBE's 4x Expand + partial aggregate is the heavy per-row
+    # work; parallelize it past the source's split count (see agg_group)
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),

@@ -240,6 +240,13 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.bround(F.col("l_quantity")).cast("bigint")
     p = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     d = F.round(F.col("l_discount") * 100).cast("bigint")
+    # spread: the 9-way exact-decimal sum-of-products partial aggregate
+    # is the heavy per-row work — parallelize it past the source's split
+    # count (ONE task on single-row-group local inputs; no-op at scale).
+    # Order-safe: every accumulator is integer/decimal by design.
+    from dodo_spark.operators.text import spread_scan
+
+    li = spread_scan(li)
     scaled = li.select(F.col("l_returnflag"), q.alias("q"), p.alias("p"), d.alias("d"))
 
     def dsum38(c):

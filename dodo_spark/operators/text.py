@@ -1295,9 +1295,22 @@ def text_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))
         ),
     )
-    occ = (
-        docs.filter(F.size(ws) >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    # when-guard instead of a filter: `size(ws) >= 2` as a PREDICATE embeds
+    # the whole word-split chain and Catalyst pushes it below the spread
+    # exchange onto the single scan task (and predicates are exempt from
+    # codegen CSE, so the chain evaluated twice). The guard lives inside
+    # the Generate input, runs once per row post-spread, and explode of
+    # the empty array drops short docs exactly like the filter did.
+    guarded = F.when(F.size(ws) >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )
+    # hash-partition the occurrence stream on the bigram key ONCE: the df
+    # aggregate and the posting join-back both want hash(bigram), so the
+    # two consumers share this single exchange via ReuseExchange and the
+    # corpus scan + split + explode evaluate once, not once per branch
+    # (guide §2.4: operations keyed the same way share one exchange).
+    occ = docs.select("doc_id", F.explode(guarded).alias("bigram")).repartition(
+        "bigram"
     )
     df_tab = occ.groupBy("bigram").agg(F.countDistinct("doc_id").alias("df"))
     per = (
@@ -1893,7 +1906,12 @@ LM_TOP_K = 15
 )
 def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(_ws_tokens_lower().alias("t")).filter(F.size("t") >= 2)
+    # explode(array(...)) barrier: without it the size predicate embeds
+    # the whole tokenize chain and is pushed below the spread exchange
+    # onto the single scan task, evaluating the chain twice (r13 profile)
+    toks = docs.select(
+        F.explode(F.array(_ws_tokens_lower())).alias("t")
+    ).filter(F.size("t") >= 2)
     big = toks.select(
         F.explode(
             F.expr(
@@ -2054,8 +2072,10 @@ _KN_P = (
 )
 def text_lm_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    # explode(array(...)) barrier: keeps the tokenize chain above the
+    # spread exchange and single-evaluated (see text_ngram_lm_counts)
     toks = docs.select(
-        "doc_id", _ws_tokens_lower().alias("t")
+        "doc_id", F.explode(F.array(_ws_tokens_lower())).alias("t")
     ).filter(F.size("t") >= 2)
     big = toks.select(
         "doc_id",
