@@ -122,10 +122,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration joins here, so it paid an extra full shuffle for nothing
     # (3.5→4.5 s warm at sf0.1). On a cluster the same intent is
     # expressed by bucketing the edge list on src (writers.write_bucketed).
-    contrib_base = edges.join(deg, "src").localCheckpoint(eager=False)
+    # broadcast the PER-NODE side (deg here, ranks in the iteration):
+    # without the hint the planner broadcast the checkpointed EDGE side
+    # (unknown LogicalRDD stats), shipping the ~10x-bigger contribution
+    # base once per iteration (guide §3.1: broadcast the side that
+    # fits). Node tables are |V|-sized vs the |E|-sized edge list; at
+    # the extreme scale where even |V| outgrows a broadcast, the
+    # documented posture is the bucketed co-partitioned layout below.
+    contrib_base = edges.join(F.broadcast(deg), "src").localCheckpoint(
+        eager=False
+    )
     for _ in range(PR_ITERS):
         ranks = (
-            contrib_base.join(ranks, ranks.node == F.col("src"))
+            contrib_base.join(F.broadcast(ranks), ranks.node == F.col("src"))
             .select(
                 F.col("dst"),
                 F.expr("pr div outdeg").alias("contrib"),

@@ -3207,12 +3207,19 @@ def _register_materialized_agg_refresh() -> None:
                 .alias("total"),
             )
 
-        state_path = None
+        # per-version keyed state is bounded (one row per touched
+        # custkey): an EAGER localCheckpoint materializes each refresh
+        # step and truncates lineage — same incremental-maintenance
+        # property as the old state-as-scratch-parquet form without the
+        # per-step parquet write + committer + read-back round-trip
+        # (r13; the VERSIONED commits, the demonstration, are untouched;
+        # operators/incremental.py made the same change)
+        state = None
         for v in sorted(list_versions(tbl)):
             added, removed = read_changes(spark, tbl, v)
             parts = []
-            if state_path is not None:
-                parts.append(spark.read.parquet(state_path))
+            if state is not None:
+                parts.append(state)
             if added is not None:
                 parts.append(delta(added, 1))
             if removed is not None:
@@ -3227,9 +3234,8 @@ def _register_materialized_agg_refresh() -> None:
                     F.sum("total").cast("decimal(38,4)").alias("total"),
                 )
                 .filter(F.col("cnt") > 0)
+                .localCheckpoint()
             )
-            state_path = _join(root, f"state_v{v}")
-            state.write.mode("overwrite").parquet(state_path)
 
         m1, m2, m3 = (_read_manifest(tbl, v) for v in (1, 2, 3))
         bounded = (
@@ -3238,7 +3244,7 @@ def _register_materialized_agg_refresh() -> None:
             and set(m3.get("remove") or []) <= set(m2.get("add") or [])
         )
         return (
-            spark.read.parquet(state_path)
+            state
             .groupBy((F.col("o_custkey") % 25).cast("bigint").alias("bucket"))
             .agg(
                 F.count("*").alias("n_keys"),

@@ -91,6 +91,16 @@ def write_bucketed(
     """
     spark = df.sparkSession
     drop_managed_table(spark, table_name)
+    # repartition on the bucket key BEFORE the bucketed write (r13):
+    # Spark's writer otherwise emits up to ``buckets`` files from EVERY
+    # input task (input_partitions x buckets small files at warehouse
+    # scale — guide §6), and on a single-split local input the whole
+    # sort+write ran in ONE task (r13 trace: 1.9-2.5s serial for the
+    # lineitem layout). repartition(buckets, key) uses the same
+    # murmur3-pmod placement as the bucket-id function, so each task
+    # holds exactly one bucket -> one file per bucket, written in
+    # parallel.
+    df = df.repartition(buckets, *[F.col(c) for c in bucket_cols])
     w = df.write.mode("overwrite").format(fmt).bucketBy(buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
