@@ -977,7 +977,11 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
     books = train_pq_codebooks(v)
-    enc = _pq_encode(v, books)
+    # the argmin encode (m x k x sub distance evals per row) feeds BOTH
+    # the ADC scoring and the audit aggregate: checkpoint so it computes
+    # once instead of once per consumer (r13; same idiom as pagerank's
+    # contribution base)
+    enc = _pq_encode(v, books).localCheckpoint(eager=False)
 
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("sv").alias("qv")
