@@ -171,8 +171,13 @@ def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expand, one shuffle on orderkey that bucketing removes entirely.",
 )
 def analytics_order_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dodo_spark.operators.text import spread_scan
+
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: the 4-way exact-decimal per-order partial aggregate is the
+    # heavy per-row work and ran on the source's single local split (see
+    # agg_group); no-op at warehouse scale
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     per_order = li.groupBy("l_orderkey").agg(
         F.count("*").alias("li_cnt"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("gross_p"),

@@ -1398,8 +1398,14 @@ def _register_dedup_semantic_cells() -> None:
         "directly.",
     )
     def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-        cells = _semdedup_cells(spark, sf_dir).withColumn(
-            "n2", norm2_long(F.col("sv"))
+        # checkpoint: the cell-assignment kernel feeds three consumers
+        # (both pair-join sides and the per-cell sizes) — compute it
+        # once instead of once per subtree (same idiom as the minhash
+        # signature frame)
+        cells = (
+            _semdedup_cells(spark, sf_dir)
+            .withColumn("n2", norm2_long(F.col("sv")))
+            .localCheckpoint(eager=False)
         )
         a, b = cells.alias("a"), cells.alias("b")
         pairs = (

@@ -214,7 +214,16 @@ def _register_bloom_prune() -> None:
             .distinct()
         )
         bitmap = bloom_bitmap(dim, "dk", m, k)
-        fact = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        # spread: the k-probe bloom flag + 7-way exact aggregate is the
+        # heavy per-row work and ran on the source's single local split
+        # (one task — r13 profile); the broadcast join stays map-side
+        # post-spread and every accumulator is exact, so the result is
+        # partitioning-independent. No-op at warehouse scale.
+        from dodo_spark.operators.text import spread_scan
+
+        fact = spread_scan(lineitem).select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
         flagged = with_bloom_flag(fact, "l_orderkey", bitmap, m, k)
         j = flagged.join(
             F.broadcast(dim.withColumn("__in", F.lit(True))),
