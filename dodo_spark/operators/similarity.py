@@ -414,16 +414,46 @@ def _ivf_topk(cells: DataFrame, probes: DataFrame) -> DataFrame:
 def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dodo_spark.operators.schema import scratch_dir
 
+    from dodo_spark.sources.versioned import _SMALL_COMMIT_ROWS, scan_rows_bound
+
+    emb_bound = scan_rows_bound(_emb(spark, sf_dir).select("vec_id"))
     cells, probes = _ivf_index(spark, sf_dir)
+    # the tiny probe frame (N_QUERIES x N_PROBE rows) feeds TWO consumers
+    # (the probed-cell list and the top-k join): collect it once and
+    # re-inject as a local relation, so the query-side scoring kernel
+    # runs once instead of once per consumer (values are the collected
+    # ones verbatim — no recompute, no arithmetic drift)
+    probes_rows = probes.collect()
+    probes = spark.createDataFrame(probes_rows, probes.schema)
     path = scratch_dir("ivf_cells")
-    # cluster by the partition column before the partitioned write: one
-    # file per cell instead of (input partitions x cells) shards — the
-    # standard layout discipline at any scale, and what keeps the probed
-    # read to N_PROBE file opens
-    cells.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
+    if emb_bound is not None and emb_bound <= _SMALL_COMMIT_ROWS:
+        # small-index fast path (r14): one Arrow collect + a driver-side
+        # hive-partitioned write — still one file per cell directory, so
+        # the probed read opens N_PROBE files exactly as before, without
+        # the distributed shuffle+write job's ~0.4s scheduling/committer
+        # floor on an index this size. Over the budget (warehouse scale)
+        # the distributed layout write below runs unchanged.
+        import pyarrow.dataset as pads
+
+        pads.write_dataset(
+            cells.toArrow(),
+            path,
+            format="parquet",
+            partitioning=["cell"],
+            partitioning_flavor="hive",
+            existing_data_behavior="overwrite_or_ignore",
+        )
+    else:
+        # cluster by the partition column before the partitioned write:
+        # one file per cell instead of (input partitions x cells) shards —
+        # the standard layout discipline at any scale, and what keeps the
+        # probed read to N_PROBE file opens
+        cells.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
     stored = spark.read.parquet(path)
-    # tiny collect: N_QUERIES x N_PROBE cell ids — the query's probe list
-    probe_cells = [r["pcell"] for r in probes.select("pcell").distinct().collect()]
+    # N_QUERIES x N_PROBE cell ids — from the already-collected probe rows
+    probe_cells = sorted({r["pcell"] for r in probes_rows})
     pruned = stored.filter(F.col("cell").isin(probe_cells))
     return _ivf_topk(pruned, probes)
 
@@ -459,7 +489,17 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_version,
     )
 
+    from dodo_spark.sources.versioned import scan_rows_bound
+
+    # small-commit bound from the PRE-checkpoint scan (the checkpoint
+    # hides it from the automatic plan walk): both index slices are
+    # projections/filters of the corpus, so corpus footer rows bound them
+    emb_bound = scan_rows_bound(_emb(spark, sf_dir).select("vec_id"))
     cells, probes = _ivf_index(spark, sf_dir)
+    # collect the tiny probe frame once for its two consumers (see
+    # similarity_ivf_pruned) — collected values re-injected verbatim
+    probes_rows = probes.collect()
+    probes = spark.createDataFrame(probes_rows, probes.schema)
     # one scoring pass, three consumers (base write, delta write, audit)
     cells = cells.localCheckpoint(eager=True)
     # deterministic 80/20 split: every 5th vector is the "new ingest" batch
@@ -469,15 +509,16 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = scratch_dir("ivf_append")
     # cell-sorted writes give each file a tight [min,max] cell range ->
     # manifest footer stats can actually skip (layout discipline, content
-    # is layout-independent)
-    write_version(base.sort("cell"), table, 0)
+    # is layout-independent — the small-commit driver write emits ONE
+    # sorted file whose range spans the index, coarser skipping but the
+    # identical rows; read_version_pruned applies the residual row filter
+    # either way)
+    write_version(base.sort("cell"), table, 0, rows_bound=emb_bound)
     v0_live = set(live_files(table, 0))
-    append_version(delta.sort("cell"), table, 1)
+    append_version(delta.sort("cell"), table, 1, rows_bound=emb_bound)
     no_rewrite = v0_live <= set(live_files(table, 1))
 
-    probe_cells = sorted(
-        r["pcell"] for r in probes.select("pcell").distinct().collect()
-    )
+    probe_cells = sorted({r["pcell"] for r in probes_rows})
     pruned = read_version_pruned(spark, table, 1, "cell", probe_cells)
     # skipping soundness: the skipped read covers exactly what the full
     # read covers (bounded audit at test scale; a warehouse would sample)

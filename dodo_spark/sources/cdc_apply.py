@@ -110,6 +110,7 @@ def apply_cdc_batch(
 
     touched: list[str] = []
     first_add: dict = {}
+    n_incoming: int | None = None
     if versions:
         from dodo_spark.sources.versioned import (
             _first_add_versions,
@@ -120,9 +121,14 @@ def apply_cdc_batch(
         prev_live = live_files(table_path, versions[-1])
         paths = {f: _join(table_path, f) for f in prev_live}
         keys_df = F.broadcast(incoming.select(key).distinct())
+        # one job: key bounds for footer-stats skipping + the batch row
+        # count (needed for the return AND the small-commit bound below)
         bounds = incoming.agg(
-            F.min(key).alias("lo"), F.max(key).alias("hi")
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
+        n_incoming = int(bounds["n"])
         stats = file_stats(table_path, versions[-1])
         # rename-aware like merge_upsert: the batch's key is the LOGICAL
         # name — stats are recorded per file under its PHYSICAL name, and
@@ -188,11 +194,19 @@ def apply_cdc_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
-    add = _write_data_files(winners, table_path, version)
+    if n_incoming is None:
+        n_incoming = incoming.count()  # first batch: no bounds agg ran
+    # the checkpointed batch blocks the automatic plan walk; the provable
+    # bound is |batch| + the touched files' exact footer row counts
+    from dodo_spark.sources.versioned import _files_rows_bound
+
+    touched_rows = _files_rows_bound(table_path, touched)
+    bound = n_incoming + touched_rows if touched_rows is not None else None
+    add = _write_data_files(winners, table_path, version, rows_bound=bound)
     _commit(table_path, version, add=add, remove=touched)
     return {
         "files_rewritten": len(touched),
-        "rows_in_batch": incoming.count(),
+        "rows_in_batch": n_incoming,
     }
 
 

@@ -84,14 +84,46 @@ def delete_where_mor(
     keys_df = cur.filter(predicate).select(key).distinct()
     attempt = f"v={version}/dv-{uuid.uuid4().hex[:12]}"
     snap = _join(table_path, attempt)
-    keys_df.write.mode("overwrite").parquet(snap)
-    fs = _fs_for(table_path)
-    files = sorted(
-        f"{attempt}/{name}"
-        for name in fs.list_names(snap)
-        if name.endswith(".parquet")
+    # small-DV fast path (r14): the matched key set is bounded by the
+    # live files' exact footer row counts; within the small-commit
+    # budget it is written by the driver in one file — and its row count
+    # comes for free, saving the read-back count job the distributed
+    # path pays. Same visibility/zombie argument as _write_data_files:
+    # the sidecar only becomes live via the manifest put-if-absent.
+    from dodo_spark.sources.versioned import (
+        _files_rows_bound,
+        _local_path,
+        _SMALL_COMMIT_ROWS,
     )
-    n = spark.read.parquet(snap).count()
+
+    live = live_files(table_path, max(versions))
+    bound = _files_rows_bound(table_path, live)
+    lp = _local_path(snap)
+    n: int | None = None
+    files: list[str] = []
+    if bound is not None and bound <= _SMALL_COMMIT_ROWS and lp is not None:
+        tbl = keys_df.toArrow()
+        if tbl.num_rows > 0:
+            import os
+
+            import pyarrow.parquet as pq
+
+            os.makedirs(lp, exist_ok=True)
+            name = f"part-00000-{uuid.uuid4().hex[:12]}.parquet"
+            pq.write_table(tbl, os.path.join(lp, name), compression="snappy")
+            files = [f"{attempt}/{name}"]
+            n = tbl.num_rows
+        # 0 matched keys: fall through to the distributed writer so the
+        # sidecar/manifest shape stays identical to the historical form
+    if n is None:
+        keys_df.write.mode("overwrite").parquet(snap)
+        fs = _fs_for(table_path)
+        files = sorted(
+            f"{attempt}/{name}"
+            for name in fs.list_names(snap)
+            if name.endswith(".parquet")
+        )
+        n = spark.read.parquet(snap).count()
     _commit(
         table_path,
         version,
@@ -219,8 +251,18 @@ def purge_deletes(
     pre-purge versions still applies them) and inert for new reads."""
     latest = read_with_deletes(spark, table_path)
     # write_version computes the remove side itself; localCheckpoint
-    # pins the view content before the commit starts mutating state
-    return write_version(latest.localCheckpoint(eager=True), table_path, version)
+    # pins the view content before the commit starts mutating state.
+    # The checkpoint hides the scan from the automatic small-commit
+    # bound, so pass the provable one: masked view <= live footer rows.
+    from dodo_spark.sources.versioned import _files_rows_bound
+
+    bound = _files_rows_bound(
+        table_path, live_files(table_path, max(list_versions(table_path)))
+    )
+    return write_version(
+        latest.localCheckpoint(eager=True), table_path, version,
+        rows_bound=bound,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 from urllib.parse import unquote
 
@@ -1057,7 +1058,137 @@ def _apply_event_to_schema(schema, extra: dict):
     )
 
 
-def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]:
+# Driver-side fast path for SMALL commit writes (r14 optimization, guide
+# §5/§6): a full distributed write job costs ~0.2 s of scheduling +
+# committer + writer-init for a state-sized frame that a single pyarrow
+# write handles in ~5 ms after a ~50 ms Arrow collect. The bounds are
+# env-parameterized; at warehouse scale the bounds simply never qualify
+# (the footer row/byte budget of the frame's input scan exceeds them)
+# and every write stays distributed.
+_SMALL_COMMIT_ROWS = int(os.environ.get("DODO_SMALL_COMMIT_ROWS", "200000"))
+_SMALL_COMMIT_INPUT_BYTES = int(
+    os.environ.get("DODO_SMALL_COMMIT_INPUT_BYTES", str(64 * 1024 * 1024))
+)
+
+# logical-plan node names that can only PRESERVE or REDUCE row count, so
+# "sum of input-file footer rows" is a sound upper bound for the frame.
+# Anything else (Join, Generate/explode, Expand, LogicalRDD from a
+# checkpoint, InMemoryRelation, Range, OneRowRelation, ...) bails to
+# "unknown" — the caller may still pass a bound it can prove itself.
+_ROW_BOUND_SAFE_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Deduplicate",
+        "Aggregate",  # grouped <= input rows; global = 1 row
+        "Window",
+        "GlobalLimit",
+        "LocalLimit",
+        "Union",  # inputFiles() returns the union of leaf files
+        "Sample",
+        "Relation",
+        "LogicalRelation",
+    }
+)
+
+_FOOTER_META_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _footer_rows(local_path: str) -> int | None:
+    """num_rows from the parquet footer (driver-side metadata read, no
+    data scan). Cached on (path, size, mtime) — data files in this layer
+    are immutable once committed, but scratch fixtures can be rewritten."""
+    try:
+        st = os.stat(local_path)
+    except OSError:
+        return None
+    key = (local_path, st.st_size, int(st.st_mtime_ns))
+    hit = _FOOTER_META_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(local_path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — bound is best-effort
+        return None
+    _FOOTER_META_CACHE[key] = n
+    return n
+
+
+def scan_rows_bound(df: DataFrame) -> int | None:
+    """Provable upper bound on ``df``'s row count, or None.
+
+    Sound only when every operator in the optimized logical plan is
+    row-preserving/reducing (whitelist above) over plain local file
+    scans: then rows(df) <= sum of the input files' footer num_rows.
+    Multiplying or opaque nodes (joins, explode, checkpoints) return
+    None. Also returns None when the inputs exceed the small-commit byte
+    budget — a bound that large is useless to the fast path and the
+    footer sweep would be wasted work. Callers holding a frame whose
+    scan is hidden behind a localCheckpoint can call this BEFORE the
+    checkpoint and pass the bound through explicitly."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — probe is best-effort
+        return None
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+|-]*([A-Za-z]+)", line)
+        if not m:
+            continue  # argument continuation / blank line
+        if m.group(1) not in _ROW_BOUND_SAFE_NODES:
+            return None
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    if not files:
+        return None
+    total_rows = 0
+    total_bytes = 0
+    for f in files:
+        lp = _local_path(unquote(f))
+        if lp is None:
+            return None
+        n = _footer_rows(lp)
+        if n is None:
+            return None
+        total_rows += n
+        try:
+            total_bytes += os.path.getsize(lp)
+        except OSError:
+            return None
+    if total_bytes > _SMALL_COMMIT_INPUT_BYTES:
+        return None
+    return total_rows
+
+
+def _files_rows_bound(table_path: str, files: list[str]) -> int | None:
+    """Sum of footer num_rows over committed ``files`` (table-relative) —
+    an exact row count for the files, hence an upper bound for any
+    filtered rewrite of them. None off-box or on any unreadable footer."""
+    total = 0
+    for f in files:
+        lp = _local_path(_join(table_path, f))
+        if lp is None:
+            return None
+        n = _footer_rows(lp)
+        if n is None:
+            return None
+        total += n
+    return total
+
+
+def _write_data_files(
+    df: DataFrame,
+    table_path: str,
+    version: int,
+    rows_bound: int | str | None = "auto",
+) -> list[str]:
     """Write ``df``'s parquet files under a UNIQUE per-attempt staging dir
     ``v=<version>/w-<uuid>/`` and return their table-relative paths. Only
     the manifest references them: two attempts racing the same version
@@ -1066,18 +1197,67 @@ def _write_data_files(df: DataFrame, table_path: str, version: int) -> list[str]
     directories, so the loser can never delete or overwrite the winner's
     already-committed files. The loser's staging dir is invisible garbage
     (readers only ever open manifest-listed files) and is reclaimed by
-    ``vacuum``'s orphan sweep."""
+    ``vacuum``'s orphan sweep.
+
+    ``rows_bound``: "auto" derives a provable row bound from the plan
+    (``scan_rows_bound``); an int is a caller-proven bound; None forces
+    the distributed write (used by layout-producing rewrites like
+    ``compact_files`` whose MULTI-file output is the product, and by
+    callers that know the frame is large).
+
+    SMALL frames (bound within the env budgets, local table path) are
+    collected as ONE Arrow batch and written as a single parquet file by
+    the driver. Task-retry / zombie-writer safety is unchanged from the
+    distributed path: the driver write has no task retries at all (one
+    process writes one file into the attempt-unique staging dir), the
+    data become visible only through the manifest put-if-absent in
+    ``_commit``, and a loser/crashed attempt leaves only invisible
+    staging garbage for ``vacuum`` — the commit protocol never relied on
+    Hadoop committer atomicity (see session.py committer-v2 note)."""
+    files, _n = _write_data_files_ex(df, table_path, version, rows_bound)
+    return files
+
+
+def _write_data_files_ex(
+    df: DataFrame,
+    table_path: str,
+    version: int,
+    rows_bound: int | str | None = "auto",
+) -> tuple[list[str], int | None]:
+    """``_write_data_files`` returning ``(files, n_rows)`` — ``n_rows``
+    is known (for free) only when the driver-side fast path ran; callers
+    that need the count otherwise pay their own job."""
     import uuid
 
     attempt = f"v={version}/w-{uuid.uuid4().hex[:12]}"
     snap = _join(table_path, attempt)
+    bound = scan_rows_bound(df) if rows_bound == "auto" else rows_bound
+    if bound is not None and bound <= _SMALL_COMMIT_ROWS:
+        lp = _local_path(snap)
+        if lp is not None:
+            tbl = df.toArrow()  # one collect job, bounded by ``bound``
+            if tbl.num_rows > 0:
+                # 0-row frames fall through to the distributed writer so
+                # the add-list shape (one empty part file vs none) stays
+                # byte-identical with the historical behavior
+                import pyarrow.parquet as pq
+
+                os.makedirs(lp, exist_ok=True)
+                name = f"part-00000-{uuid.uuid4().hex[:12]}.parquet"
+                codec = "zstd" if "zstd" in (
+                    df.sparkSession.conf.get(
+                        "spark.sql.parquet.compression.codec", "snappy"
+                    ) or ""
+                ) else "snappy"
+                pq.write_table(tbl, os.path.join(lp, name), compression=codec)
+                return [f"{attempt}/{name}"], tbl.num_rows
     df.write.mode("overwrite").parquet(snap)
     fs = _fs_for(table_path)
     return sorted(
         f"{attempt}/{name}"
         for name in fs.list_names(snap)
         if name.endswith(".parquet")
-    )
+    ), None
 
 
 def _footer_stats(abs_path: str) -> dict:
@@ -1272,16 +1452,19 @@ def write_version(
     version: int,
     commit_ts: str | None = None,
     expectations: dict[str, str] | None = None,
+    rows_bound: int | str | None = "auto",
 ) -> str:
     """Commit ``df`` as the FULL content of ``version`` (replace commit:
     the manifest adds the new files and removes every previously-live
     file). Versions commit in increasing order; committed versions are
-    immutable."""
+    immutable. ``rows_bound``: see ``_write_data_files`` — callers whose
+    frame hides its scan behind a checkpoint may pass a bound they can
+    prove (``scan_rows_bound`` on the pre-checkpoint frame)."""
     versions = _check_commit_order(table_path, version)
     _check_retired_names(table_path, versions, df.columns, "write_version")
     check_expectations(df, expectations or {})
     prev_live = live_files(table_path, versions[-1]) if versions else []
-    add = _write_data_files(df, table_path, version)
+    add = _write_data_files(df, table_path, version, rows_bound=rows_bound)
     _commit(table_path, version, add=add, remove=prev_live, commit_ts=commit_ts)
     return _join(table_path, f"v={version}")
 
@@ -1292,6 +1475,7 @@ def append_version(
     version: int,
     commit_ts: str | None = None,
     expectations: dict[str, str] | None = None,
+    rows_bound: int | str | None = "auto",
 ) -> str:
     """Commit ``df`` as an APPEND: ``version`` sees all previously-live
     files PLUS ``df``'s new files — no prior file is read, rewritten, or
@@ -1299,7 +1483,7 @@ def append_version(
     versions = _check_commit_order(table_path, version)
     _check_retired_names(table_path, versions, df.columns, "append_version")
     check_expectations(df, expectations or {})
-    add = _write_data_files(df, table_path, version)
+    add = _write_data_files(df, table_path, version, rows_bound=rows_bound)
     _commit(table_path, version, add=add, remove=[], commit_ts=commit_ts)
     return _join(table_path, f"v={version}")
 
@@ -1511,7 +1695,15 @@ def merge_upsert(
         new_rows = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         new_rows = updates
-    add = _write_data_files(new_rows, table_path, version)
+    # provable bound (the anti-join blocks the automatic plan walk):
+    # survivors <= touched files' footer rows, plus every update row
+    touched_rows = _files_rows_bound(table_path, touched)
+    bound = (
+        touched_rows + rows_updated + rows_inserted
+        if touched_rows is not None
+        else None
+    )
+    add = _write_data_files(new_rows, table_path, version, rows_bound=bound)
     _commit(table_path, version, add=add, remove=touched, commit_ts=commit_ts)
     return {
         "files_rewritten": len(touched),
@@ -1574,7 +1766,14 @@ def compact_files(
         df = zorder_repartitioned(df, *zorder_by, target_files)
     else:
         df = df.coalesce(max(1, target_files))
-    add = _write_data_files(df, table_path, version)
+    # the MULTI-file clustered/zordered layout (tight per-file ranges) is
+    # this operator's product — never collapse it to the single-file
+    # driver write; the plain coalesce(1) path produces one file either
+    # way, so it may take the fast path
+    layout = bool(cluster_by or zorder_by) or target_files > 1
+    add = _write_data_files(
+        df, table_path, version, rows_bound=None if layout else "auto"
+    )
     extra = _bloom_rebuild_extra(spark, table_path, versions, add, df.schema)
     _commit(
         table_path, version, add=add, remove=prev_live,

@@ -7,11 +7,11 @@ For every bench.py HEADLINE key, measures at $SPARK_GRAFT_SF_DIR:
                every run, divided by runs is NOT meaningful because many
                keys fire driver-side actions during build; we count build
                plus ONE collect in a dedicated job group)
-  - explain:   .explain("formatted") written to plans/r13/<key>_before.txt
+  - explain:   .explain("formatted") written to plans/<round>/<key>_before.txt
                (or _after.txt with --after)
 
 Usage: python tools/profile_bench.py [--after] [--runs N] [--keys k1,k2,...]
-Writes PROFILE_r13_{before|after}.json.
+Writes PROFILE_<round>_{before|after}.json.
 """
 
 from __future__ import annotations
@@ -42,7 +42,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tag = "after" if after else "before"
-    plan_dir = os.path.join(root, "plans", "r13")
+    rnd = os.environ.get("DODO_PROFILE_ROUND", "r14")
+    plan_dir = os.path.join(root, "plans", rnd)
     os.makedirs(plan_dir, exist_ok=True)
 
     spark = get_spark("dodo_spark_profile")
@@ -112,7 +113,7 @@ def main() -> None:
             flush=True,
         )
 
-    path = os.path.join(root, f"PROFILE_r13_{tag}.json")
+    path = os.path.join(root, f"PROFILE_{rnd}_{tag}.json")
     with open(path, "w") as f:
         json.dump(
             {
