@@ -821,29 +821,20 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINNOW_K,
         WINNOW_W,
         spread_scan,
-        winnow_codes_spark,
-        winnow_hashes_spark,
+        winnow_fps_postings_arrow,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= WINNOW_K + WINNOW_W - 1
     )
-    hs = spread_scan(docs).selectExpr(
-        "doc_id", winnow_codes_spark() + " AS codes"
-    ).selectExpr("doc_id", winnow_hashes_spark() + " AS h")
-    fp = hs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, size(h) - {WINNOW_W - 1}), "
-                    f"i -> array_min(slice(h, i, {WINNOW_W})))"
-                )
-            )
-        ).alias("f"),
-        # postings feed both the df filter and the pair join; checkpoint so
-        # the per-doc k-gram hashing runs once, not once per consumer
-    ).localCheckpoint(eager=False)
+    # r14: postings come from the vectorized numpy winnow kernel behind
+    # ONE mapInArrow (guide §4.2, same kernel as text_winnow — fuzz-tested
+    # bit-exact against the expression form). The postings feed both the
+    # df filter and the pair join; checkpoint so the kernel runs once,
+    # not once per consumer.
+    fp = winnow_fps_postings_arrow(spread_scan(docs)).localCheckpoint(
+        eager=False
+    )
     df = fp.groupBy("f").agg(F.count("*").alias("df")).filter(
         F.col("df") <= WINNOW_FP_MAXDF
     )

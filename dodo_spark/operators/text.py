@@ -95,6 +95,146 @@ def spread_scan(df) -> "DataFrame":
     return df
 
 
+def _winnow_doc_fps_np(texts: list):
+    """(doc_idx, fps) — DISTINCT winnowing fingerprints per document, the
+    vectorized numpy twin of the winnow_codes/hashes_spark SQL kernel +
+    window-min + array_distinct (guide §4.2: the per-position polynomial
+    fold is interpreted HOF cost in Spark expressions; here it is K fused
+    vector ops over the batch's concatenated code points). Bit-exact with
+    the expression kernel: same code points (``ord``), same int64
+    arithmetic mod 2^31-1 (every intermediate < 2^40), fuzz-tested in
+    tests/test_parity.py. ``doc_idx`` is non-decreasing (np.unique order);
+    callers may assume per-doc runs are contiguous. Docs shorter than
+    K+W-1 (excluded upstream by the length filter both consumers apply)
+    contribute zero fingerprints instead of raising."""
+    import numpy as np
+
+    n = len(texts)
+    if n == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    codes = np.frombuffer(
+        "".join(texts).encode("utf-32-le", "surrogatepass"), dtype="<u4"
+    ).astype(np.int64)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    # one k-gram hash per position: fold over K shifted views of the
+    # concatenated codes, with cross-document windows masked out by
+    # construction (positions are generated per doc)
+    n_hash = np.maximum(lens - (WINNOW_K - 1), 0)
+    total_h = int(n_hash.sum())
+    doc_of_h = np.repeat(np.arange(n, dtype=np.int64), n_hash)
+    h_start = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_hash, out=h_start[1:])
+    within = np.arange(total_h, dtype=np.int64) - np.repeat(
+        h_start[:-1], n_hash
+    )
+    pos = starts[doc_of_h] + within
+    acc = np.zeros(total_h, dtype=np.int64)
+    for j in range(WINNOW_K):
+        acc *= WINNOW_B
+        acc += codes[pos + j]
+        acc %= WINNOW_M
+    # window minimum over W consecutive hashes inside each doc
+    n_win = np.maximum(n_hash - (WINNOW_W - 1), 0)
+    total_w = int(n_win.sum())
+    doc_of_w = np.repeat(np.arange(n, dtype=np.int64), n_win)
+    w_start = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_win, out=w_start[1:])
+    wwithin = np.arange(total_w, dtype=np.int64) - np.repeat(
+        w_start[:-1], n_win
+    )
+    wpos = h_start[doc_of_w] + wwithin
+    m = acc[wpos]
+    for j in range(1, WINNOW_W):
+        np.minimum(m, acc[wpos + j], out=m)
+    # distinct per doc: fingerprints are < 2^31, so (doc_idx << 31 | fp)
+    # is collision-free in int64 and np.unique dedups per doc in one pass
+    key = (doc_of_w << np.int64(31)) | m
+    uk = np.unique(key)
+    return uk >> np.int64(31), uk & np.int64((1 << 31) - 1)
+
+
+def winnow_fps_stats_arrow(df) -> "DataFrame":
+    """(doc_id, lang, n_fingerprints, fp_checksum) via one mapInArrow over
+    (doc_id, lang, text) — count and exact-int64 sum of each doc's
+    distinct winnowing fingerprints. Replaces the interpreted
+    per-position HOF fold (guide §4.2); the caller applies the
+    min-length filter and spread_scan first."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields["doc_id"],
+            in_fields["lang"],
+            T.StructField("n_fingerprints", T.LongType(), True),
+            T.StructField("fp_checksum", T.LongType(), True),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column("text").to_pylist()
+            doc_idx, fps = _winnow_doc_fps_np(texts)
+            counts = np.bincount(doc_idx, minlength=len(texts)).astype(
+                np.int64
+            )
+            sums = np.zeros(len(texts), dtype=np.int64)
+            if len(fps):
+                seg = np.flatnonzero(np.diff(doc_idx)) + 1
+                run_starts = np.concatenate(([0], seg))
+                sums[doc_idx[run_starts]] = np.add.reduceat(fps, run_starts)
+            yield pa.record_batch(
+                [
+                    batch.column("doc_id"),
+                    batch.column("lang"),
+                    pa.array(counts, type=pa.int64()),
+                    pa.array(sums, type=pa.int64()),
+                ],
+                names=["doc_id", "lang", "n_fingerprints", "fp_checksum"],
+            )
+
+    return df.select("doc_id", "lang", "text").mapInArrow(fn, out_schema)
+
+
+def winnow_fps_postings_arrow(df) -> "DataFrame":
+    """(doc_id, f) exploded distinct winnowing fingerprints via one
+    mapInArrow over (doc_id, text) — the posting-list form dedup_winnow
+    joins on. Same kernel as winnow_fps_stats_arrow."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [in_fields["doc_id"], T.StructField("f", T.LongType(), True)]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column("text").to_pylist()
+            doc_idx, fps = _winnow_doc_fps_np(texts)
+            yield pa.record_batch(
+                [
+                    batch.column("doc_id").take(pa.array(doc_idx)),
+                    pa.array(fps, type=pa.int64()),
+                ],
+                names=["doc_id", "f"],
+            )
+
+    return df.select("doc_id", "text").mapInArrow(fn, out_schema)
+
+
 def winnow_codes_spark() -> str:
     """Spark SQL expr: per-character Unicode code points of `text`."""
     return "transform(sequence(1, length(text)), p -> ascii(substring(text, p, 1)))"
@@ -804,24 +944,13 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= WINNOW_K + WINNOW_W - 1
     )
-    # SQL expr form: the k-gram start is a lambda variable, so the kernel
-    # lives in expression SQL (shared with dedup_winnow)
-    hs = spread_scan(docs).selectExpr(
-        "doc_id", "lang", winnow_codes_spark() + " AS codes"
-    ).selectExpr("doc_id", "lang", winnow_hashes_spark() + " AS h")
-    fps = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, size(h) - {WINNOW_W - 1}), "
-            f"i -> array_min(slice(h, i, {WINNOW_W})))"
-        )
-    )
-    zero = F.lit(0).cast("bigint")
-    return hs.select(
-        "doc_id",
-        "lang",
-        F.size(fps).cast("bigint").alias("n_fingerprints"),
-        F.aggregate(fps, zero, lambda acc, x: acc + x).alias("fp_checksum"),
-    )
+    # r14: the interpreted per-position HOF fold (transform + aggregate +
+    # slice per k-gram) moved to the vectorized numpy kernel behind ONE
+    # mapInArrow (guide §4.2) — same fingerprints bit-exactly
+    # (tests/test_parity.py fuzzes the two kernels against each other);
+    # spread_scan still provides the task parallelism on single-split
+    # local inputs.
+    return winnow_fps_stats_arrow(spread_scan(docs))
 
 
 ER_BLOCK_CHARS = 3  # blocking key: name prefix (perturbation never touches it)

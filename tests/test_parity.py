@@ -354,6 +354,80 @@ def test_winnow_hash_cross_engine_fuzz(spark):
     assert not diffs, diffs[:2]
 
 
+def test_winnow_numpy_kernel_matches_expression_kernel(spark):
+    """r14: text_winnow/dedup_winnow moved the fingerprint kernel from the
+    interpreted HOF expression form to a vectorized numpy mapInArrow
+    (guide §4.2). The two kernels must agree fingerprint-for-fingerprint
+    on hostile Unicode (multibyte, astral, control chars), including the
+    k+w-1 boundary lengths, or the oracle hash silently drifts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dodo_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_doc_fps_np,
+        winnow_codes_spark,
+        winnow_fps_postings_arrow,
+        winnow_fps_stats_arrow,
+        winnow_hashes_spark,
+    )
+
+    rng = random.Random(14)
+    alphabet = [
+        "a", "b", "Z", "9", "\t", "'", '"', "☆", "汉", "🦆", " ", "\\",
+        ",", "é", "\x00", "\x1f",
+    ]
+    min_len = WINNOW_K + WINNOW_W - 1
+    docs = [
+        (
+            i,
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.choice([min_len, min_len + 1, 40, 120]))
+            ),
+            "xx",
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING, lang STRING")
+
+    # reference: the expression kernel, distinct window-mins per doc
+    fps_expr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(h) - {WINNOW_W - 1}), "
+            f"i -> array_min(slice(h, i, {WINNOW_W})))"
+        )
+    )
+    ref = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in df.selectExpr("doc_id", winnow_codes_spark() + " AS codes")
+        .selectExpr("doc_id", winnow_hashes_spark() + " AS h")
+        .select("doc_id", fps_expr.alias("fps"))
+        .collect()
+    }
+
+    # numpy kernel, three surfaces: raw, stats mapInArrow, postings mapInArrow
+    texts = [t for (_i, t, _l) in docs]
+    doc_idx, fps = _winnow_doc_fps_np(texts)
+    got: dict[int, list[int]] = {i: [] for (i, _t, _l) in docs}
+    for d, f in zip(doc_idx.tolist(), fps.tolist()):
+        got[docs[d][0]].append(f)
+    assert got == ref
+
+    stats = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_checksum"])
+        for r in winnow_fps_stats_arrow(df).collect()
+    }
+    assert stats == {i: (len(v), sum(v)) for i, v in ref.items()}
+
+    postings: dict[int, list[int]] = {i: [] for i in ref}
+    for r in winnow_fps_postings_arrow(df).collect():
+        postings[r["doc_id"]].append(r["f"])
+    assert {i: sorted(v) for i, v in postings.items()} == ref
+
+
 def test_verify_local_artifact_covers_registry():
     """Evidence logistics: the committed per-round full-sweep artifact
     (VERIFY_LOCAL_r{N}.json, tools/verify_local.py --out) must name every
