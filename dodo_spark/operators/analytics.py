@@ -176,7 +176,10 @@ def analytics_order_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     # spread: the 4-way exact-decimal per-order partial aggregate is the
     # heavy per-row work and ran on the source's single local split (see
-    # agg_group); no-op at warehouse scale
+    # agg_group); no-op at warehouse scale. r14 re-proof (the r13 bench
+    # read 1.05x = neutral): 9-round interleaved noop A/B at sf0.1 puts
+    # the spread at median 1.11s vs 1.26s unspread (~0.88x, warm rounds
+    # 1.02-1.11 vs 1.20-1.24) — kept.
     li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     per_order = li.groupBy("l_orderkey").agg(
         F.count("*").alias("li_cnt"),
