@@ -959,8 +959,18 @@ def _pq_encode(v: DataFrame, books: list[list[list[int]]]) -> DataFrame:
     recon_parts = []
     for j, book in enumerate(books):
         subv = F.slice("sv", j * sub + 1, sub)
-        book_lit = F.array(
-            *[F.array(*[F.lit(int(x)) for x in cv]).cast("array<bigint>") for cv in book]
+        # ONE parsed SQL literal per codebook (r14): the nested
+        # F.array(F.lit(...)) form issued m*k*sub py4j calls — ~1.1s of
+        # driver-side plan construction per invocation for 8x16x8 books
+        # (guide §1: measure the build, not just the run). Same values,
+        # same array<array<bigint>> type.
+        book_lit = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(x)}L" for x in cv) + ")"
+                for cv in book
+            )
+            + ")"
         )
         scored = F.transform(
             book_lit,
