@@ -154,7 +154,13 @@ def _register_materialized_join_refresh() -> None:
         # write + committer + read-back round-trip the old
         # state-as-scratch-parquet form paid per step (r13: ~0.3s/step
         # of pure commit overhead on a 25-row frame; the VERSIONED
-        # commits, which are the demonstration, are untouched)
+        # commits, which are the demonstration, are untouched).
+        # Fault-tolerance caveat (r13 advisor): localCheckpoint blocks
+        # live in executor storage with truncated lineage, so on a real
+        # cluster an executor loss makes mid-refresh state unrecoverable
+        # (the old parquet form survived); local-mode safe — at
+        # warehouse scale keep refresh state in a reliable checkpoint or
+        # a table-backed state store.
         state = signed_join_delta(
             read_version(spark, o_tbl, 0).withColumnRenamed(
                 "o_custkey", "c_custkey"

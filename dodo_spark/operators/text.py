@@ -44,7 +44,6 @@ def _est_scan_splits(df, parallelism: int) -> int | None:
     totalBytes/parallelism)); each file contributes
     ceil(size/maxSplitBytes). Returns None when the frame is not a
     plain local file scan (caller falls back to the exact probe)."""
-    import math
     import os
     from urllib.parse import unquote, urlparse
 
@@ -73,9 +72,32 @@ def _est_scan_splits(df, parallelism: int) -> int | None:
             return None
     total = sum(sizes) + open_cost * len(sizes)
     max_split = min(mpb, max(open_cost, total // max(1, parallelism)))
-    # per-file split count uses the FILE's own bytes (open cost only
-    # weights the bytes-per-core target above), matching FilePartition
-    return sum(max(1, math.ceil(s / max_split)) for s in sizes)
+    # mirror FilePartition.getFilePartitions exactly (r13 advisor): split
+    # each file into <= max_split pieces, then greedily BIN-PACK the
+    # pieces (sorted descending, open-cost charged per piece) — the
+    # per-file ceil() alone overestimates on many-small-files inputs,
+    # which silently skipped the spread on a source that really had
+    # fewer partitions than cores
+    pieces: list[int] = []
+    for s in sizes:
+        r = s
+        while r > 0:
+            take = min(r, max_split)
+            pieces.append(take)
+            r -= take
+        if s == 0:
+            pieces.append(0)
+    pieces.sort(reverse=True)
+    parts = 0
+    cur = 0
+    for p in pieces:
+        if cur + p > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += p + open_cost
+    if cur > 0:
+        parts += 1
+    return parts
 
 
 def spread_scan(df) -> "DataFrame":

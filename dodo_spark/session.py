@@ -68,6 +68,17 @@ def get_spark(
         # committer's extra rename pass and the _SUCCESS marker are therefore
         # pure overhead at any scale (the same argument manifest-committed
         # table formats make); measured ~25% off each small commit write.
+        # SCOPE CAVEAT (r13 advisor): non-manifest writes — bucketed
+        # saveAsTable (sources/writers.py) and scratch parquet — are read
+        # via directory listing, and v2 moves task output into the
+        # destination at TASK commit, so a killed job can leave partial
+        # files visible to a later lister. Every such write in this engine
+        # is mode("overwrite") into a per-invocation scratch/warehouse
+        # location that is fully rewritten (never appended) on retry, so
+        # the exposure is a failed run's garbage, not corrupted data; a
+        # deployment keeping long-lived directory-listed tables should
+        # scope the committer back to v1 per-write
+        # (.option("mapreduce.fileoutputcommitter.algorithm.version","1")).
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .config("spark.ui.enabled", "false")

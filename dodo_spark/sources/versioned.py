@@ -3412,7 +3412,12 @@ def _register_materialized_agg_refresh() -> None:
         # property as the old state-as-scratch-parquet form without the
         # per-step parquet write + committer + read-back round-trip
         # (r13; the VERSIONED commits, the demonstration, are untouched;
-        # operators/incremental.py made the same change)
+        # operators/incremental.py made the same change). Fault-tolerance
+        # caveat (r13 advisor): checkpoint blocks live in executor
+        # storage, so an executor loss on a real cluster makes
+        # mid-refresh state unrecoverable (the parquet form survived) —
+        # local-mode safe; at warehouse scale use reliable checkpoint /
+        # table-backed state.
         state = None
         for v in sorted(list_versions(tbl)):
             added, removed = read_changes(spark, tbl, v)

@@ -17,6 +17,27 @@ def test_spread_scan_conditional(spark):
     assert out is wide  # no-op returns the input plan unchanged
 
 
+def test_est_scan_splits_matches_real_partitions(spark, tmp_path):
+    """r14 (r13 advisor): the file-size split estimate must mirror
+    FilePartition's BIN-PACKING, not per-file ceil — on a many-small-
+    files input the old estimate exceeded the real partition count and
+    spread_scan silently skipped the repartition. Pin the estimate to
+    Spark's actual scan partitioning for one-big-file and
+    many-small-files shapes."""
+    from dodo_spark.operators.text import _est_scan_splits
+
+    p = spark.sparkContext.defaultParallelism
+    one = str(tmp_path / "one")
+    spark.range(50000).coalesce(1).write.parquet(one)
+    many = str(tmp_path / "many")
+    spark.range(20000).repartition(24).write.parquet(many)
+    for path in (one, many):
+        df = spark.read.parquet(path)
+        est = _est_scan_splits(df, p)
+        real = df.rdd.getNumPartitions()
+        assert est == real, (path, est, real)
+
+
 def test_pack_sequences_accounting(spark, sf_dir):
     """Sequence packing invariants: per-lang token mass is conserved, a
     sequence never starts more docs than fit, split counts are sane, and
