@@ -326,13 +326,21 @@ def _centroid_frame(spark: SparkSession, centroids: list[tuple[int, list[int]]])
     )
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str, centroids=None):
+def _ivf_index(spark: SparkSession, sf_dir: str, centroids=None, shared=False):
     """(cells, probes) for the deterministic IVF quantizer: cells =
     (vec_id, sv, cell) via scan-side argmax against literal centroids;
     probes = each query exploded to its N_PROBE nearest cells.
     ``centroids``: optional ``[(cid, components)]`` (e.g. from
     ``train_centroids_kmeans``); default is the fixed first-N_CENTROIDS
-    sample that the DuckDB oracle mirrors."""
+    sample that the DuckDB oracle mirrors.
+    ``shared=True`` eagerly localCheckpoints the scored frame BELOW the
+    cells/probes split, so a caller that runs independent actions on
+    both (the serving keys: probe collect + index write) evaluates the
+    centroid-scoring kernel once instead of once per action — the r14
+    phase profile measured the duplicate evaluation at ~0.4 s/key at
+    sf0.1. Derivations above the checkpoint are unchanged expressions
+    over the same rows, so results are bit-identical; single-action
+    callers keep the default lazy form (no extra job)."""
     emb = _emb(spark, sf_dir)
     v = emb.select("vec_id", scaled_vec("embedding").alias("sv"))
 
@@ -360,6 +368,8 @@ def _ivf_index(spark: SparkSession, sf_dir: str, centroids=None):
         .withColumn("scored", scored)
         .drop("cents")
     )
+    if shared:
+        v2 = v2.localCheckpoint(eager=True)
     cells = v2.select(
         "vec_id",
         "sv",
@@ -417,7 +427,10 @@ def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dodo_spark.sources.versioned import _SMALL_COMMIT_ROWS, scan_rows_bound
 
     emb_bound = scan_rows_bound(_emb(spark, sf_dir).select("vec_id"))
-    cells, probes = _ivf_index(spark, sf_dir)
+    # shared=True: the probe collect and the index write below are
+    # independent actions over the same scored frame — checkpoint it so
+    # the scoring kernel runs once (r14: ~0.4s/duplicate at sf0.1)
+    cells, probes = _ivf_index(spark, sf_dir, shared=True)
     # the tiny probe frame (N_QUERIES x N_PROBE rows) feeds TWO consumers
     # (the probed-cell list and the top-k join): collect it once and
     # re-inject as a local relation, so the query-side scoring kernel
@@ -495,13 +508,15 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hides it from the automatic plan walk): both index slices are
     # projections/filters of the corpus, so corpus footer rows bound them
     emb_bound = scan_rows_bound(_emb(spark, sf_dir).select("vec_id"))
-    cells, probes = _ivf_index(spark, sf_dir)
+    # shared=True replaces the former post-split cells checkpoint: the
+    # checkpoint moves BELOW the cells/probes split, so the probe
+    # collect no longer re-evaluates the scoring kernel the cells
+    # checkpoint already ran (same job count, one fewer kernel pass)
+    cells, probes = _ivf_index(spark, sf_dir, shared=True)
     # collect the tiny probe frame once for its two consumers (see
     # similarity_ivf_pruned) — collected values re-injected verbatim
     probes_rows = probes.collect()
     probes = spark.createDataFrame(probes_rows, probes.schema)
-    # one scoring pass, three consumers (base write, delta write, audit)
-    cells = cells.localCheckpoint(eager=True)
     # deterministic 80/20 split: every 5th vector is the "new ingest" batch
     base = cells.filter(F.col("vec_id") % 5 != 4)
     delta = cells.filter(F.col("vec_id") % 5 == 4)
@@ -521,9 +536,20 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = sorted({r["pcell"] for r in probes_rows})
     pruned = read_version_pruned(spark, table, 1, "cell", probe_cells)
     # skipping soundness: the skipped read covers exactly what the full
-    # read covers (bounded audit at test scale; a warehouse would sample)
+    # read covers (bounded audit at test scale; a warehouse would
+    # sample). Both counts in ONE job (union tagged by side) instead of
+    # two — the comparison of the two read paths is unchanged, only the
+    # second ~0.1s job floor is gone (r14).
     full = read_version(spark, table, 1).filter(F.col("cell").isin(probe_cells))
-    intact = no_rewrite and pruned.count() == full.count()
+    side_counts = {
+        r["side"]: r["n"]
+        for r in pruned.select(F.lit(1).alias("side"))
+        .unionAll(full.select(F.lit(2).alias("side")))
+        .groupBy("side")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    intact = no_rewrite and side_counts.get(1, 0) == side_counts.get(2, -1)
 
     return _ivf_topk(pruned, probes).withColumn("append_intact", F.lit(intact))
 
