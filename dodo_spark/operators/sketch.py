@@ -191,6 +191,43 @@ def _register_kmv_theta() -> None:
             orders, "o_orderpriority", row_hash_int("o_custkey")
         ).localCheckpoint(eager=True)
         stats = sketch_stats(sk).localCheckpoint(eager=True)
+        # stats is one row PER SEGMENT (bounded by segment cardinality,
+        # never by data volume — the whole point of a sketch report), so
+        # the θ thresholds are driver-side mins over the checkpointed
+        # rows instead of two scalar-aggregate subqueries that each cost
+        # a job + a broadcast build + a crossJoin in the final plan
+        # (r14: 28 jobs/run → see A/B in the commit). min() over the
+        # same bigint values the old F.min computed — bit-identical; an
+        # empty stats (hostile empty input) yields None, and a
+        # NULL-literal θ flows through the < filter and the final
+        # double division exactly as the old NULL-valued 1-row
+        # broadcast did.
+        stats_rows = stats.collect()
+        _thetas = [r["theta"] for r in stats_rows]
+        theta_u_val = min(_thetas) if _thetas else None
+        _thetas_ab = [
+            r["theta"] for r in stats_rows if r["seg"] in (SEG_A, SEG_B)
+        ]
+        theta_i_val = min(_thetas_ab) if _thetas_ab else None
+
+        def _lit_theta(v):
+            return F.lit(v).cast("bigint")
+
+        # all four EXACT audit columns are set counts over the same
+        # distinct (segment, custkey) pair set: materialize that pair
+        # set once (one exchange) and derive the four aggregates from
+        # the checkpoint, instead of four independent orders scans each
+        # with its own distinct/groupBy machinery (identical sets ⇒
+        # identical counts; the sketch side is untouched and still
+        # dedups on the HASH exactly as the oracle does)
+        pairs = (
+            orders.select(
+                F.col("o_orderpriority").alias("part"),
+                F.col("o_custkey").alias("ck"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
         retained = F.when(F.col("n_in") == K, F.lit(K - 1)).otherwise(
             F.col("n_in")
@@ -202,8 +239,8 @@ def _register_kmv_theta() -> None:
                 _est(retained, F.col("theta")).alias("est_ndv"),
             )
             .join(
-                orders.groupBy(F.col("o_orderpriority").alias("part")).agg(
-                    F.countDistinct("o_custkey").alias("exact_ndv")
+                pairs.groupBy("part").agg(
+                    F.count("*").alias("exact_ndv")
                 ),
                 "part",
             )
@@ -212,47 +249,39 @@ def _register_kmv_theta() -> None:
         # retained counts use a GLOBAL aggregate (never groupBy(theta)):
         # a groupBy on empty input yields zero groups and the report row
         # vanishes, where the oracle's scalar COUNT(*) emits est=0
-        theta_u = stats.agg(F.min("theta").alias("theta_u"))
         u_ret = (
             sk.select("h")
             .distinct()
-            .crossJoin(F.broadcast(theta_u))
-            .filter(F.col("h") < F.col("theta_u"))
+            .filter(F.col("h") < _lit_theta(theta_u_val))
             .agg(F.count("*").alias("ret"))
-            .crossJoin(F.broadcast(theta_u))
         )
         u_row = u_ret.crossJoin(
-            F.broadcast(orders.agg(F.countDistinct("o_custkey").alias("exact_ndv")))
+            F.broadcast(pairs.agg(F.countDistinct("ck").alias("exact_ndv")))
         ).select(
             F.lit("ALL").alias("part"),
             F.lit("union").alias("kind"),
-            _est(F.col("ret"), F.col("theta_u")).alias("est_ndv"),
+            _est(F.col("ret"), _lit_theta(theta_u_val)).alias("est_ndv"),
             "exact_ndv",
         )
 
-        theta_i = stats.filter(F.col("seg").isin(SEG_A, SEG_B)).agg(
-            F.min("theta").alias("theta_i")
-        )
         i_ret = (
             sk.filter(F.col("seg") == SEG_A)
             .select("h")
             .join(sk.filter(F.col("seg") == SEG_B).select("h"), "h")
-            .crossJoin(F.broadcast(theta_i))
-            .filter(F.col("h") < F.col("theta_i"))
+            .filter(F.col("h") < _lit_theta(theta_i_val))
             .agg(F.count("*").alias("ret"))
-            .crossJoin(F.broadcast(theta_i))
         )
         i_exact = (
-            orders.filter(F.col("o_orderpriority").isin(SEG_A, SEG_B))
-            .groupBy("o_custkey")
-            .agg(F.countDistinct("o_orderpriority").alias("np"))
+            pairs.filter(F.col("part").isin(SEG_A, SEG_B))
+            .groupBy("ck")
+            .agg(F.count("*").alias("np"))
             .filter(F.col("np") == 2)
             .agg(F.count("*").alias("exact_ndv"))
         )
         i_row = i_ret.crossJoin(F.broadcast(i_exact)).select(
             F.lit("URGENT&HIGH").alias("part"),
             F.lit("intersect").alias("kind"),
-            _est(F.col("ret"), F.col("theta_i")).alias("est_ndv"),
+            _est(F.col("ret"), _lit_theta(theta_i_val)).alias("est_ndv"),
             "exact_ndv",
         )
 
@@ -261,20 +290,15 @@ def _register_kmv_theta() -> None:
             sk.filter(F.col("seg") == SEG_A)
             .select("h")
             .join(sk.filter(F.col("seg") == SEG_B).select("h"), "h", "anti")
-            .crossJoin(F.broadcast(theta_i))
-            .filter(F.col("h") < F.col("theta_i"))
+            .filter(F.col("h") < _lit_theta(theta_i_val))
             .agg(F.count("*").alias("ret"))
-            .crossJoin(F.broadcast(theta_i))
         )
         d_exact = (
-            orders.filter(F.col("o_orderpriority") == SEG_A)
-            .select("o_custkey")
-            .distinct()
+            pairs.filter(F.col("part") == SEG_A)
+            .select("ck")
             .join(
-                orders.filter(F.col("o_orderpriority") == SEG_B).select(
-                    "o_custkey"
-                ),
-                "o_custkey",
+                pairs.filter(F.col("part") == SEG_B).select("ck"),
+                "ck",
                 "anti",
             )
             .agg(F.count("*").alias("exact_ndv"))
@@ -282,7 +306,7 @@ def _register_kmv_theta() -> None:
         d_row = d_ret.crossJoin(F.broadcast(d_exact)).select(
             F.lit("URGENT-HIGH").alias("part"),
             F.lit("difference").alias("kind"),
-            _est(F.col("ret"), F.col("theta_i")).alias("est_ndv"),
+            _est(F.col("ret"), _lit_theta(theta_i_val)).alias("est_ndv"),
             "exact_ndv",
         )
 
