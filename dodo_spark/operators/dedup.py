@@ -251,6 +251,83 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 16
 
 
+def simhash_arrow(df) -> DataFrame:
+    """(doc_id, simhash) via one mapInArrow over (doc_id, toks) — md5-derived
+    16-bit hash per distinct token, per-bit majority vote, vectorized in
+    numpy (guide §4.2, the winnow-kernel precedent). Tokenization
+    (lower/split/filter/array_distinct) stays in Spark expressions upstream
+    so its Unicode semantics are exactly the engine's; only the md5 + 32
+    conditional vote sums move to Python, which also removes the token
+    explode (no JVM row blowup) and the groupBy(doc_id) exchange. Docs with
+    an empty/null token array produce NO row — identical to the explode +
+    groupBy form. Bit-equal to the expression kernel (fuzz test in
+    tests/test_parity.py): md5 hex[:4] as int == first 2 digest bytes
+    big-endian; vote +1 iff (h >> k) & 1 else -1; bit k set iff vote > 0."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [in_fields["doc_id"], T.StructField("simhash", T.LongType(), True)]
+    )
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        bit_shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tc = batch.column("toks")
+            lens = (
+                pc.list_value_length(tc)
+                .cast(pa.int64())
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            toks = tc.flatten().to_pylist()
+            # split() never yields null arrays for non-null text; guard the
+            # offsets-vs-flatten contract anyway so a null-slot gap can never
+            # silently misalign docs and tokens
+            if len(toks) != int(lens.sum()):
+                raise ValueError("simhash_arrow: list offsets out of step")
+            keep = np.flatnonzero(lens > 0)
+            if len(keep) == 0:
+                continue
+            memo: dict = {}
+            hh = np.empty(len(toks), dtype=np.int64)
+            for i, t in enumerate(toks):
+                v = memo.get(t)
+                if v is None:
+                    v = int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:2], "big"
+                    )
+                    memo[t] = v
+                hh[i] = v
+            # (n_tokens, 16) ±1 votes; per-doc segment sums via reduceat —
+            # kept docs' token runs are contiguous and zero-length docs
+            # contribute nothing, so consecutive kept starts bound exactly
+            # one doc's tokens
+            bits = ((hh[:, None] >> bit_shifts) & 1) * 2 - 1
+            starts = np.concatenate(([0], np.cumsum(lens)))[keep]
+            votes = np.add.reduceat(bits, starts, axis=0)
+            sim = ((votes > 0).astype(np.int64) << bit_shifts).sum(axis=1)
+            yield pa.record_batch(
+                [
+                    batch.column("doc_id").take(pa.array(keep)),
+                    pa.array(sim, type=pa.int64()),
+                ],
+                names=["doc_id", "simhash"],
+            )
+
+    return df.select("doc_id", "toks").mapInArrow(fn, out_schema)
+
+
 def _sql_hex4_int(expr: str) -> str:
     """DuckDB: int value of the first 4 hex chars of an md5 digest."""
     terms = [
@@ -285,35 +362,38 @@ def _sql_hex4_int(expr: str) -> str:
     "LSH join. Explode + groupBy keeps it fully distributed.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # explode + groupBy, deliberately: the groupBy materializes ONE compact
-    # (doc_id, simhash) exchange that downstream self-joins REUSE
-    # (ReusedExchange). A scan-side aggregate() fold was measured SLOWER —
-    # 16 vote expressions re-evaluate the md5-per-token array and every
-    # join alias recomputes the whole fingerprint pass.
+    # r14: the vote kernel is a numpy mapInArrow (simhash_arrow above) —
+    # replaces the token explode + 16-conditional-sum groupBy(doc_id)
+    # (measured the dominant cost of the simhash family at sf0.1). The
+    # earlier scan-side aggregate() fold was SLOWER (16 vote expressions
+    # re-evaluated the md5-per-token array); the Arrow kernel hashes each
+    # distinct token once per batch and folds votes in K vector ops.
+    # Multi-consumer callers (pairs/stats/capped) go through
+    # _dedup_simhash_shared: AQE broadcasts the banded posting side, so
+    # without a materialization the kernel would run once per join side.
     from dodo_spark.operators.text import spread_scan
 
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != ""))
-        ).alias("tok"),
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != "")
+        ).alias("toks"),
     )
-    h = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
-    hashed = toks.select("doc_id", h.alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{k}")
-            for k in range(SIMHASH_BITS)
-        ]
-    )
-    simhash = sum(
-        [(F.col(f"v{k}") > 0).cast("bigint") * (1 << k) for k in range(SIMHASH_BITS)],
-        start=F.lit(0).cast("bigint"),
-    )
-    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    return simhash_arrow(toks)
+
+
+def _dedup_simhash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, simhash) frame for MULTI-CONSUMER keys (pairs/stats/
+    capped), eagerly localCheckpointed: AQE broadcasts the small banded
+    posting side of the self-join, so without a materialization the Arrow
+    kernel runs once per join side (no exchange to reuse below a
+    BroadcastExchange). The frame is ndocs x 2 ints — the same
+    per-invocation fingerprint-materialization precedent as the minhash
+    signature checkpoint (guide §5/§8). Interleaved same-window A/B at
+    sf0.1: raw kernel 1.91s median vs checkpointed 1.51s vs the old
+    expression kernel 2.15s on the stats pipeline."""
+    return dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
 
 
 SIMHASH_MAX_HAMMING = 2
@@ -358,7 +438,7 @@ _SIMHASH_SH_CTE = f"""
     "(band_idx, band_value); pairs form only inside buckets.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup_simhash(spark, sf_dir)
+    sh = _dedup_simhash_shared(spark, sf_dir)
     bands = F.array(
         *[
             F.struct(
@@ -493,7 +573,7 @@ _SIMHASH_POSTS_SQL = " UNION ALL ".join(
     "mass itself is dedup_clusters.",
 )
 def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup_simhash(spark, sf_dir)
+    sh = _dedup_simhash_shared(spark, sf_dir)
     bands = F.array(
         *[
             F.struct(

@@ -1634,8 +1634,18 @@ def merge_upsert(
     # file skipping via footer min/max stats: a live file whose [min,max]
     # range on the merge key cannot overlap the update keys' range cannot
     # contain a match — the probe scan reads only overlapping files (the
-    # Delta data-skipping primitive; files without stats stay candidates)
-    bounds = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    # Delta data-skipping primitive; files without stats stay candidates).
+    # r14: row count and distinct-key count ride the same one-job agg —
+    # the count feeds rows_inserted and the pair checks the MERGE
+    # uniqueness contract, which gates the fused single-probe below.
+    bounds = updates.agg(
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count(F.lit(1)).alias("n_updates"),
+        F.countDistinct(key).alias("n_update_keys"),
+    ).first()
+    n_updates = int(bounds["n_updates"])
+    updates_unique = int(bounds["n_update_keys"]) == n_updates
     stats = file_stats(table_path, versions[-1])
     first_add = (
         _first_add_versions(table_path, versions[-1]) if events else {}
@@ -1668,25 +1678,54 @@ def merge_upsert(
         else None
     )
     counts: dict[str, int] = {}
-    for r in (() if probe_df is None else (
-        probe_df.join(keys_df, key, "semi")
-        .groupBy(F.input_file_name().alias("f"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )):
-        counts[_canon_file_ref(r["f"])] = r["n"]
+    matched_update_rows = 0
+    if probe_df is not None:
+        semi = probe_df.join(keys_df, key, "semi")
+        if updates_unique:
+            # r14 fusion: ONE rollup job yields both the per-file matched
+            # counts (the touched-file set) and, at the grand-total row,
+            # countDistinct(key) over all matched live rows — which equals
+            # the matched-UPDATE-row count exactly when update keys are
+            # unique (checked above on this batch, not assumed): each
+            # distinct matched live key matches exactly one update row.
+            # input_file_name() is nondeterministic, which grouping-sets
+            # analysis rejects as a rollup expression — project it to a
+            # plain attribute first (same evaluation point as the groupBy
+            # form: once per scanned row)
+            for r in (
+                semi.select(F.input_file_name().alias("__mrg_file"), F.col(key))
+                .rollup("__mrg_file")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct(key).alias("nk"),
+                    F.grouping("__mrg_file").alias("is_total"),
+                )
+                .collect()
+            ):
+                if r["is_total"] == 1:
+                    matched_update_rows = int(r["nk"])
+                else:
+                    counts[_canon_file_ref(r["__mrg_file"])] = r["n"]
+        else:
+            # duplicate update keys violate the MERGE contract upstream but
+            # keep the pre-fusion two-job semantics: count matched update
+            # ROWS directly so duplicates can't skew rows_inserted
+            for r in (
+                semi.groupBy(F.input_file_name().alias("f"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ):
+                counts[_canon_file_ref(r["f"])] = r["n"]
+            matched_update_rows = updates.join(
+                probe_df.select(key).distinct(), key, "semi"
+            ).count()
     touched = [f for f in prev_live if _canon_file_ref(paths[f]) in counts]
     # rows_updated = live rows REPLACED (if live carries duplicate keys,
     # every duplicate is replaced by the single update row — MERGE also
     # dedups); rows_inserted counts update rows whose key has no live
-    # match, computed directly so duplicate live keys can't skew it
+    # match, computed so duplicate live keys can't skew it
     rows_updated = sum(counts[_canon_file_ref(paths[f])] for f in touched)
-    matched_update_rows = (
-        0
-        if probe_df is None
-        else updates.join(probe_df.select(key).distinct(), key, "semi").count()
-    )
-    rows_inserted = updates.count() - matched_update_rows
+    rows_inserted = n_updates - matched_update_rows
 
     if touched:
         survivors = _logical_read(

@@ -428,6 +428,69 @@ def test_winnow_numpy_kernel_matches_expression_kernel(spark):
     assert {i: sorted(v) for i, v in postings.items()} == ref
 
 
+def test_simhash_numpy_kernel_matches_expression_kernel(spark):
+    """r14 (second pass): dedup_simhash moved the vote kernel from the
+    token explode + 16-conditional-sum groupBy to a numpy mapInArrow
+    (guide §4.2, same precedent as the winnow kernel). Tokenization stays
+    in Spark expressions, so the surface to prove is the md5->16-bit-hash
+    + majority vote on hostile tokens (multibyte, astral, control chars)
+    plus the empty/whitespace-only-doc drop semantics."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dodo_spark.operators.dedup import SIMHASH_BITS, simhash_arrow
+
+    rng = random.Random(141)
+    alphabet = [
+        "a", "b", "Z", "9", "'", '"', "☆", "汉", "🦆", "\\", ",", "é",
+        "\x00", "\x1f", " ", "\t", "\n", "\x0b", "\f", "\r",
+    ]
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.choice([1, 2, 12, 60]))))
+        for i in range(120)
+    ]
+    # edge shapes the fuzz may miss: empty, whitespace-only, one token,
+    # exact duplicates of one token (array_distinct), balanced-vote corpus
+    docs += [(1000, ""), (1001, " \t\r\n "), (1002, "solo"), (1003, "x x x x")]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"\s+", -1), lambda x: x != "")
+    )
+
+    # reference: the pre-r14 expression kernel (explode + groupBy votes)
+    h = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
+    votes = (
+        df.select("doc_id", F.explode(toks).alias("tok"))
+        .select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright("h", k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"v{k}")
+                for k in range(SIMHASH_BITS)
+            ]
+        )
+    )
+    sim_expr = sum(
+        [(F.col(f"v{k}") > 0).cast("bigint") * (1 << k) for k in range(SIMHASH_BITS)],
+        start=F.lit(0).cast("bigint"),
+    )
+    ref = {
+        r["doc_id"]: r["simhash"]
+        for r in votes.select("doc_id", sim_expr.alias("simhash")).collect()
+    }
+
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_arrow(df.select("doc_id", toks.alias("toks"))).collect()
+    }
+    assert got == ref
+    # docs 1000/1001 have no tokens: absent from BOTH (explode drop semantics)
+    assert 1000 not in got and 1001 not in got and 1002 in got and 1003 in got
+
+
 def test_verify_local_artifact_covers_registry():
     """Evidence logistics: the committed per-round full-sweep artifact
     (VERIFY_LOCAL_r{N}.json, tools/verify_local.py --out) must name every
