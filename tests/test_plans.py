@@ -444,3 +444,23 @@ def test_bpe_encode_single_scan_no_udf(plans):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "Join"):
         assert marker not in plan, (marker, plan)
+
+
+def test_simhash_stats_kernel_materialized_once(spark, sf_dir):
+    """r14 third session: AQE broadcasts the banded posting side of the
+    simhash self-join, so without a materialization the mapInArrow vote
+    kernel would run once per join side AND the pair enumeration would
+    read an AQE-coalesced (bytes-sized, ~1-partition) probe at scale.
+    The eager checkpoint in _dedup_simhash_shared is the guard: the
+    executed stats plan must read the fingerprint frame as an RDD scan
+    and contain NO MapInArrow (the kernel ran once, in the checkpoint
+    job), and the probe side must keep the spread scan's parallelism."""
+    import re
+
+    from dodo_spark.operators.dedup import dedup_simhash_stats
+
+    df = dedup_simhash_stats(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan, plan
+    assert re.search(r"Scan ExistingRDD", plan), plan
